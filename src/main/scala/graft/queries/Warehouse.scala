@@ -1,0 +1,400 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.QueryDef
+import graft.functions.Exact._
+
+/** Relational query library — the SURVEY.md §2 operator inventory
+  * re-expressed over the driver's TPC-H-ish star schema.
+  *
+  * Every query is a declarative DataFrame plan: Catalyst handles filter
+  * pushdown, column pruning, join strategy (dims auto-broadcast under the
+  * 64 MB threshold) and AQE handles runtime shuffle sizing. Scale notes
+  * are on each query.
+  *
+  * Operator ids in comments refer to SURVEY.md §2 rows (reference sites
+  * cited there).
+  */
+object Warehouse {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // A3/A4/A5 + scan w/ pushed-down filter (S1, P5). TPC-H Q1 shape:
+    // map-side partial agg on (returnflag, linestatus) — 6 groups, no skew;
+    // shuffle is O(groups), safe at any scale. Ref: webapp/mysql_routes.py:329-361.
+    QueryDef(
+      "q1_agg",
+      t => t.lineitem
+        .filter(to_date(col("l_shipdate")) <= lit("1998-09-02"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("sum_disc_price"),
+          davg(col("l_quantity")).as("avg_qty"),
+          davg(col("l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus")),
+      Some(s"""
+        SELECT l_returnflag, l_linestatus,
+          ${sqlSum("l_quantity")} AS sum_qty,
+          ${sqlSum("l_extendedprice")} AS sum_base_price,
+          ${sqlSum("l_extendedprice * (1.0 - l_discount)", 6)} AS sum_disc_price,
+          ${sqlAvg("l_quantity")} AS avg_qty,
+          ${sqlAvg("l_discount", 4)} AS avg_disc,
+          COUNT(*) AS count_order
+        FROM lineitem
+        WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""")),
+
+    // J1/J2 (dim chain join) + A4/A5 (multi-agg with conditional buckets).
+    // customer⋈nation⋈region: both dims broadcast — zero shuffle for the
+    // joins; one shuffle for the group-by. Ref: webapp/mysql_routes.py:93-97.
+    QueryDef(
+      "q_geo_customers",
+      t => t.customer
+        .join(t.nation, col("c_nationkey") === col("n_nationkey"))
+        .join(t.region, col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          count(lit(1)).as("customer_cnt"),
+          dsum(col("c_acctbal")).as("total_acctbal"),
+          count(when(col("c_acctbal") < 0, lit(1))).as("negative_cnt"),
+          countDistinct(col("c_mktsegment")).as("segment_cnt"))
+        .orderBy(col("r_name"), col("n_name")),
+      Some(s"""
+        SELECT r_name, n_name,
+          COUNT(*) AS customer_cnt,
+          ${sqlSum("c_acctbal")} AS total_acctbal,
+          COUNT(CASE WHEN c_acctbal < 0 THEN 1 END) AS negative_cnt,
+          COUNT(DISTINCT c_mktsegment) AS segment_cnt
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+        ORDER BY r_name, n_name""")),
+
+    // J5 (fact⋈fact⋈dim chain) + A7 (time-series group). lineitem⋈orders
+    // is the one genuine big-big join: both sides shuffle on orderkey
+    // (AQE may convert to broadcast at small SF); dims broadcast.
+    // Ref: webapp/mysql_routes.py:1107-1125.
+    QueryDef(
+      "q_revenue_by_nation_year",
+      t => t.lineitem
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .join(t.nation, col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), year(col("o_orderdate")).cast("long").as("order_year"))
+        .agg(
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("revenue"),
+          count(lit(1)).as("lineitem_cnt"))
+        .orderBy(col("n_name"), col("order_year")),
+      Some(s"""
+        SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS order_year,
+          ${sqlSum("l_extendedprice * (1.0 - l_discount)", 6)} AS revenue,
+          COUNT(*) AS lineitem_cnt
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name, order_year
+        ORDER BY n_name, order_year""")),
+
+    // J19/T2 (left-semi validity join) — orders having at least one
+    // high-quantity lineitem. Semi-join avoids materializing the fact⋈fact
+    // product. Ref: init/mysql_loader.py:596-609.
+    QueryDef(
+      "q_semi_high_quantity_orders",
+      t => t.orders
+        .join(t.lineitem.filter(col("l_quantity") >= 45),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_cnt"),
+          dsum(col("o_totalprice")).as("total_price"))
+        .orderBy(col("o_orderpriority")),
+      Some(s"""
+        SELECT o_orderpriority, COUNT(*) AS order_cnt,
+          ${sqlSum("o_totalprice")} AS total_price
+        FROM orders
+        WHERE EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority""")),
+
+    // J13/T3 (anti-join) — customers with no orders.
+    // Ref: webapp/neo4j_routes.py:640-655.
+    QueryDef(
+      "q_anti_customers_without_orders",
+      t => t.customer
+        .join(t.orders, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .orderBy(col("c_custkey")),
+      Some("""
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        ORDER BY c_custkey""")),
+
+    // A2/A6 (grouped count + HAVING). Ref: webapp/mysql_routes.py:353-357.
+    QueryDef(
+      "q_having_populous_nations",
+      t => t.customer
+        .join(t.nation, col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("customer_cnt"),
+          davg(col("c_acctbal")).as("avg_acctbal"))
+        .filter(col("customer_cnt") > 5)
+        .orderBy(col("n_name")),
+      Some(s"""
+        SELECT n_name, COUNT(*) AS customer_cnt,
+          ${sqlAvg("c_acctbal")} AS avg_acctbal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        HAVING COUNT(*) > 5
+        ORDER BY n_name""")),
+
+    // A7 (time-series group by year/month). Ref: webapp/mysql_routes.py:412-435.
+    QueryDef(
+      "q_monthly_orders",
+      t => t.orders
+        .groupBy(
+          year(col("o_orderdate")).cast("long").as("order_year"),
+          month(col("o_orderdate")).cast("long").as("order_month"))
+        .agg(count(lit(1)).as("order_cnt"),
+          dsum(col("o_totalprice")).as("total_price"))
+        .orderBy(col("order_year"), col("order_month")),
+      Some(s"""
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+          CAST(month(o_orderdate) AS BIGINT) AS order_month,
+          COUNT(*) AS order_cnt,
+          ${sqlSum("o_totalprice")} AS total_price
+        FROM orders
+        GROUP BY order_year, order_month
+        ORDER BY order_year, order_month""")),
+
+    // A10 (year × month pivot, zero-filled). Ref: webapp/mysql_routes.py:823-882.
+    QueryDef(
+      "q_pivot_orders_year_month",
+      t => t.orders
+        .withColumn("order_year", year(col("o_orderdate")).cast("long"))
+        .withColumn("order_month", month(col("o_orderdate")))
+        .groupBy(col("order_year"))
+        .pivot("order_month", 1 to 12)
+        .count()
+        .na.fill(0)
+        .orderBy(col("order_year")),
+      Some {
+        val cols = (1 to 12)
+          .map(m => s"""COUNT(*) FILTER (WHERE month(o_orderdate) = $m) AS "$m"""")
+          .mkString(",\n          ")
+        s"""
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+          $cols
+        FROM orders
+        GROUP BY order_year
+        ORDER BY order_year"""
+      }),
+
+    // A12 (per-entity multi-agg top-N). Ref: webapp/mysql_routes.py:1212-1230.
+    QueryDef(
+      "q_top_customers",
+      t => t.orders
+        .groupBy(col("o_custkey"))
+        .agg(
+          count(lit(1)).as("order_cnt"),
+          dsum(col("o_totalprice")).as("total_spent"),
+          // Dates surface as ISO strings: engine-portable representation
+          // regardless of how the comparison layer coerces date types.
+          date_format(min(to_date(col("o_orderdate"))), "yyyy-MM-dd").as("first_order"),
+          date_format(max(to_date(col("o_orderdate"))), "yyyy-MM-dd").as("last_order"),
+          countDistinct(col("o_orderpriority")).as("priority_cnt"))
+        .orderBy(col("order_cnt").desc, col("total_spent").desc, col("o_custkey").asc)
+        .limit(10),
+      Some(s"""
+        SELECT o_custkey, COUNT(*) AS order_cnt,
+          ${sqlSum("o_totalprice")} AS total_spent,
+          strftime(MIN(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS first_order,
+          strftime(MAX(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS last_order,
+          COUNT(DISTINCT o_orderpriority) AS priority_cnt
+        FROM orders
+        GROUP BY o_custkey
+        ORDER BY order_cnt DESC, total_spent DESC, o_custkey
+        LIMIT 10""")),
+
+    // A13 (per-group top-k via window, replacing the reference's N+1 loop).
+    // Ref: webapp/mysql_routes.py:1235-1256.
+    QueryDef(
+      "q_topk_parts_per_brand",
+      t => {
+        val w = Window.partitionBy(col("p_brand"))
+          .orderBy(col("p_retailprice").desc, col("p_partkey").asc)
+        t.part
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 3)
+          .select(col("p_brand"), col("rk"), col("p_partkey"),
+            col("p_name"), col("p_retailprice"))
+          .orderBy(col("p_brand"), col("rk"))
+      },
+      Some("""
+        SELECT p_brand, rk, p_partkey, p_name, p_retailprice FROM (
+          SELECT p_brand, p_partkey, p_name, p_retailprice,
+            CAST(ROW_NUMBER() OVER (PARTITION BY p_brand
+              ORDER BY p_retailprice DESC, p_partkey) AS BIGINT) AS rk
+          FROM part) ranked
+        WHERE rk <= 3
+        ORDER BY p_brand, rk""")),
+
+    // O1/O3 (multi-key sort + offset/limit pagination).
+    // Ref: webapp/mysql_routes.py:77-118.
+    QueryDef(
+      "q_page_customers",
+      t => t.customer
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_mktsegment"))
+        .offset(40)
+        .limit(20),
+      Some("""
+        SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+        FROM customer
+        ORDER BY c_acctbal DESC, c_custkey
+        LIMIT 20 OFFSET 40""")),
+
+    // T1/T2 (intersect) — nations present in both customer and supplier.
+    // Ref: init/mysql_loader.py:606-609.
+    QueryDef(
+      "q_nations_with_both",
+      t => t.customer.select(col("c_nationkey").as("nk"))
+        .intersect(t.supplier.select(col("s_nationkey").as("nk")))
+        .join(t.nation, col("nk") === col("n_nationkey"))
+        .select(col("n_nationkey"), col("n_name"))
+        .orderBy(col("n_nationkey")),
+      Some("""
+        SELECT n_nationkey, n_name FROM nation
+        WHERE n_nationkey IN (
+          SELECT c_nationkey FROM customer
+          INTERSECT
+          SELECT s_nationkey FROM supplier)
+        ORDER BY n_nationkey""")),
+
+    // T3 (except/difference) — nations with customers but no suppliers.
+    QueryDef(
+      "q_nations_customers_only",
+      t => t.customer.select(col("c_nationkey").as("nk"))
+        .except(t.supplier.select(col("s_nationkey").as("nk")))
+        .join(t.nation, col("nk") === col("n_nationkey"))
+        .select(col("n_nationkey"), col("n_name"))
+        .orderBy(col("n_nationkey")),
+      Some("""
+        SELECT n_nationkey, n_name FROM nation
+        WHERE n_nationkey IN (
+          SELECT c_nationkey FROM customer
+          EXCEPT
+          SELECT s_nationkey FROM supplier)
+        ORDER BY n_nationkey""")),
+
+    // §2.8 date-function family: extract/truncate/format/arithmetic.
+    // Ref: webapp/mysql_routes.py:176-229,721-727.
+    QueryDef(
+      "q_date_functions",
+      t => t.orders
+        .select(to_date(col("o_orderdate")).as("d")).distinct()
+        .select(
+          date_format(col("d"), "yyyy-MM-dd").as("order_date"),
+          year(col("d")).cast("long").as("y"),
+          quarter(col("d")).cast("long").as("q"),
+          month(col("d")).cast("long").as("m"),
+          date_format(col("d"), "MMMM").as("month_name"),
+          dayofweek(col("d")).cast("long").as("dow"),
+          date_format(date_trunc("month", col("d")), "yyyy-MM-dd").as("month_start"),
+          date_format(add_months(col("d"), -12), "yyyy-MM-dd").as("year_ago"))
+        .orderBy(col("order_date")),
+      Some("""
+        SELECT strftime(d, '%Y-%m-%d') AS order_date,
+          CAST(year(d) AS BIGINT) AS y,
+          CAST(quarter(d) AS BIGINT) AS q,
+          CAST(month(d) AS BIGINT) AS m,
+          monthname(d) AS month_name,
+          CAST(dayofweek(d) + 1 AS BIGINT) AS dow,
+          strftime(date_trunc('month', d), '%Y-%m-%d') AS month_start,
+          strftime(CAST(d - INTERVAL 12 MONTH AS DATE), '%Y-%m-%d') AS year_ago
+        FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders)
+        ORDER BY order_date""")),
+
+    // §2.8 string-function family: case-map, split, concat, conditional.
+    // Ref: webapp/mysql_routes.py:251,1109; init/mysql_loader.py:426-429.
+    QueryDef(
+      "q_string_functions",
+      t => t.part
+        .select(
+          col("p_partkey"),
+          lower(col("p_name")).as("name_lower"),
+          size(split(col("p_type"), " ")).cast("long").as("type_words"),
+          concat_ws("/", col("p_brand"), col("p_type")).as("brand_type"),
+          when(col("p_size") < 10, lit("small"))
+            .when(col("p_size") < 30, lit("medium"))
+            .otherwise(lit("large")).as("size_bucket"))
+        .orderBy(col("p_partkey")),
+      Some("""
+        SELECT p_partkey,
+          lower(p_name) AS name_lower,
+          CAST(len(string_split(p_type, ' ')) AS BIGINT) AS type_words,
+          p_brand || '/' || p_type AS brand_type,
+          CASE WHEN p_size < 10 THEN 'small'
+               WHEN p_size < 30 THEN 'medium'
+               ELSE 'large' END AS size_bucket
+        FROM part
+        ORDER BY p_partkey""")),
+
+    // A23 (zero-filled fixed-domain distribution) over the events table.
+    // Right-join to the full 1..7 day-of-week domain. Ref:
+    // webapp/mysql_routes.py:189-229.
+    QueryDef(
+      "q_events_dow_distribution",
+      t => {
+        val spark = t.spark
+        val domain = spark.range(1, 8).select(col("id").as("dow"))
+        val counts = t.events
+          .groupBy(dayofweek(col("ts")).cast("long").as("dow"))
+          .agg(count(lit(1)).as("event_cnt"),
+            dsum(col("value")).as("total_value"))
+        domain.join(counts, Seq("dow"), "left")
+          .na.fill(0)
+          .orderBy(col("dow"))
+      },
+      Some(s"""
+        SELECT d.dow,
+          COALESCE(c.event_cnt, 0) AS event_cnt,
+          COALESCE(c.total_value, 0.0) AS total_value
+        FROM (SELECT range AS dow FROM range(1, 8)) d
+        LEFT JOIN (
+          SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+            COUNT(*) AS event_cnt,
+            ${sqlSum("value")} AS total_value
+          FROM events GROUP BY 1) c USING (dow)
+        ORDER BY d.dow""")),
+
+    // A17-adjacent (semi-structured props extraction) via regexp — the
+    // events.props column is a JSON blob; pull the numeric key out with
+    // an engine-portable regex. Ref: webapp/mongodb_routes.py:713-720.
+    QueryDef(
+      "q_events_props_extract",
+      t => t.events
+        .select(col("event_type"),
+          regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("event_cnt"),
+          sum(col("k")).as("k_sum"),
+          max(col("k")).as("k_max"))
+        .orderBy(col("event_type")),
+      Some("""
+        SELECT event_type,
+          COUNT(*) AS event_cnt,
+          CAST(SUM(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS BIGINT) AS k_sum,
+          MAX(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS k_max
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type"""))
+  )
+}

@@ -1,0 +1,52 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampType}
+
+/** Typed access to the driver-generated star schema
+  * (`/root/testdata/sf*` — see TESTDATA.md).
+  *
+  * Mirrors the reference's loader layer (reference
+  * `init/mysql_loader.py:354-369` reads raw files with explicit schema
+  * handling); here the storage is already columnar Parquet so the loader
+  * degenerates to schema-checked scans. All readers go through
+  * `spark.read.parquet` so Catalyst gets predicate pushdown, column
+  * pruning and partition pruning on every downstream query.
+  */
+final case class Tables(spark: SparkSession, dir: String) {
+
+  private def load(name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  // Dimensions (small → broadcast-joinable).
+  def region: DataFrame   = load("region")
+  def nation: DataFrame   = load("nation")
+  def customer: DataFrame = load("customer")
+  def supplier: DataFrame = load("supplier")
+  def part: DataFrame     = load("part")
+
+  // Facts (large at scale; every join keyed on their distribution keys).
+  def orders: DataFrame   = load("orders")
+  def lineitem: DataFrame = load("lineitem")
+
+  /** Event stream table. The generator writes `ts` as Parquet
+    * INT64 TIMESTAMP(NANOS), which Spark only reads via the
+    * `nanosAsLong` legacy flag; normalize back to a µs TimestampType
+    * column so downstream code sees a plain timestamp.
+    */
+  def events: DataFrame = {
+    val raw = load("events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast(LongType)))
+      case TimestampType => raw
+      case other =>
+        throw new IllegalStateException(s"unexpected ts type: $other")
+    }
+  }
+
+  // LLM-pipeline tables.
+  def documents: DataFrame  = load("documents")
+  def embeddings: DataFrame = load("embeddings")
+}
