@@ -12,7 +12,9 @@ object SparkEntry {
 
   /** All registered query definitions. */
   def allDefs: Seq[QueryDef] =
-    graft.queries.Warehouse.defs
+    graft.queries.Warehouse.defs ++
+      graft.queries.GraphQueries.defs ++
+      graft.queries.EventQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,96 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.QueryDef
+import graft.functions.Exact._
+import graft.operators.AsOfJoin
+
+/** Event-stream analytics in batch form (the streaming twins live in
+  * graft.streaming and are spec-tested — no SQL oracle for them).
+  * Covers A7/A8 time-series shapes plus the beyond-reference operators
+  * a training-data pipeline needs: sessionization and as-of joins.
+  */
+object EventQueries {
+
+  private val SessionGapUs = 30L * 60 * 1000 * 1000 // 30 min in µs
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // A7/A8 (time-series bucketing) on the event stream: tumbling 1-hour
+    // windows per event type. Batch twin of the Structured Streaming
+    // windowed agg. Ref: webapp/mysql_routes.py:719-732.
+    QueryDef(
+      "q_events_hourly",
+      t => t.events
+        .groupBy(
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm").as("hour_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("event_cnt"),
+          dsum(col("value")).as("total_value"))
+        .orderBy(col("hour_start"), col("event_type")),
+      Some(s"""
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour_start,
+          event_type,
+          COUNT(*) AS event_cnt,
+          ${sqlSum("value")} AS total_value
+        FROM events
+        GROUP BY hour_start, event_type
+        ORDER BY hour_start, event_type""")),
+
+    // Sessionization via window lag (gap > 30 min ⇒ new session): one
+    // shuffle on user_id, one sort — the scalable batch sessionizer.
+    // Beyond-reference operator (reference has no session logic, ST3).
+    QueryDef(
+      "q_events_sessions",
+      t => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+        t.events
+          .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+          .withColumn("new_session",
+            when(col("prev_us").isNull ||
+              unix_micros(col("ts")) - col("prev_us") > SessionGapUs, 1L)
+              .otherwise(0L))
+          .groupBy(col("user_id"))
+          .agg(
+            sum(col("new_session")).as("session_cnt"),
+            count(lit(1)).as("event_cnt"),
+            dsum(col("value")).as("total_value"))
+          .orderBy(col("user_id"))
+      },
+      Some(s"""
+        WITH lagged AS (
+          SELECT user_id, value,
+            epoch_us(ts) - LAG(epoch_us(ts), 1)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+          FROM events)
+        SELECT user_id,
+          CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > $SessionGapUs
+                        THEN 1 ELSE 0 END) AS BIGINT) AS session_cnt,
+          COUNT(*) AS event_cnt,
+          ${sqlSum("value")} AS total_value
+        FROM lagged
+        GROUP BY user_id
+        ORDER BY user_id""")),
+
+    // As-of join (beyond-reference; union+window implementation — see
+    // graft.operators.AsOfJoin): each event picks up the most recent
+    // order date of the same customer at event time.
+    QueryDef(
+      "q_events_asof_last_order",
+      t => AsOfJoin.lastValueAsOf(
+          t.events, col("user_id"), col("ts"),
+          t.orders, col("o_custkey"), col("o_orderdate"),
+          date_format(to_date(col("o_orderdate")), "yyyy-MM-dd"), "last_order_date")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("last_order_date"))
+        .orderBy(col("event_id")),
+      Some("""
+        SELECT event_id, user_id, event_type,
+          (SELECT strftime(MAX(CAST(o_orderdate AS DATE)), '%Y-%m-%d')
+           FROM orders
+           WHERE o_custkey = user_id AND o_orderdate <= ts) AS last_order_date
+        FROM events
+        ORDER BY event_id"""))
+  )
+}

@@ -1,0 +1,216 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.QueryDef
+import graft.operators.GraphOps
+import graft.sources.Tables
+
+/** Graph-family queries (SURVEY.md §2.3 J10-J17, §2.4 A18-A20): the
+  * reference's Neo4j patterns re-expressed as distributed self-joins,
+  * with variable-length shortestPath as bounded iterative BFS.
+  *
+  * The graph here: parts are nodes; co-purchase (same order) is the
+  * edge relation; customers are the linking entities — mirroring the
+  * reference's business/category/user graph
+  * (webapp/neo4j_routes.py:442-468,516-602).
+  */
+object GraphQueries {
+
+  private val TargetPart = 1L
+  private val TargetCustomer = 1L
+
+  /** distinct (custkey, partkey) purchase edges. */
+  private def purchases(t: Tables): DataFrame =
+    t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("custkey"), col("l_partkey").as("partkey"))
+      .distinct()
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // J15 (category co-occurrence w/ theta dedup `a < b`) — top co-purchased
+    // part pairs. Self-join on the order key; countDistinct dedupes repeated
+    // parts within one order. Ref: webapp/neo4j_routes.py:860-866.
+    QueryDef(
+      "q_graph_copurchase_pairs",
+      t => {
+        val a = t.lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("p1"))
+        val b = t.lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("p2"))
+        a.join(b, "ok").filter(col("p1") < col("p2"))
+          .groupBy(col("p1"), col("p2"))
+          .agg(countDistinct(col("ok")).as("co_cnt"))
+          .orderBy(col("co_cnt").desc, col("p1").asc, col("p2").asc)
+          .limit(20)
+      },
+      Some("""
+        SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+          COUNT(DISTINCT a.l_orderkey) AS co_cnt
+        FROM lineitem a
+        JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY p1, p2
+        ORDER BY co_cnt DESC, p1, p2
+        LIMIT 20""")),
+
+    // J11 ("customers who bought X also bought") — 4-hop pattern:
+    // part → orders → customers → orders → parts.
+    // Ref: webapp/neo4j_routes.py:458-468,577-591.
+    QueryDef(
+      "q_graph_also_bought",
+      t => {
+        val p = purchases(t)
+        val buyers = p.filter(col("partkey") === TargetPart)
+          .select(col("custkey")).distinct()
+        p.join(buyers, "custkey")
+          .filter(col("partkey") =!= TargetPart)
+          .groupBy(col("partkey"))
+          .agg(countDistinct(col("custkey")).as("shared_customers"))
+          .orderBy(col("shared_customers").desc, col("partkey").asc)
+          .limit(10)
+      },
+      Some(s"""
+        WITH purchases AS (
+          SELECT DISTINCT o_custkey AS custkey, l_partkey AS partkey
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        buyers AS (SELECT DISTINCT custkey FROM purchases WHERE partkey = $TargetPart)
+        SELECT partkey, COUNT(DISTINCT p.custkey) AS shared_customers
+        FROM purchases p JOIN buyers USING (custkey)
+        WHERE partkey <> $TargetPart
+        GROUP BY partkey
+        ORDER BY shared_customers DESC, partkey
+        LIMIT 10""")),
+
+    // J12 (complementary = also-bought MINUS same-category) — co-purchased
+    // parts whose p_type differs from the target's (the anti-join on
+    // shared category). Ref: webapp/neo4j_routes.py:553-571.
+    QueryDef(
+      "q_graph_complementary",
+      t => {
+        val p = purchases(t)
+        val buyers = p.filter(col("partkey") === TargetPart)
+          .select(col("custkey")).distinct()
+        val targetType = t.part.filter(col("p_partkey") === TargetPart)
+          .select(col("p_type").as("__target_type"))
+        p.join(buyers, "custkey")
+          .filter(col("partkey") =!= TargetPart)
+          .join(t.part, col("partkey") === col("p_partkey"))
+          .crossJoin(broadcast(targetType))
+          .filter(col("p_type") =!= col("__target_type"))
+          .groupBy(col("partkey"), col("p_type"))
+          .agg(countDistinct(col("custkey")).as("shared_customers"))
+          .orderBy(col("shared_customers").desc, col("partkey").asc)
+          .limit(10)
+      },
+      Some(s"""
+        WITH purchases AS (
+          SELECT DISTINCT o_custkey AS custkey, l_partkey AS partkey
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        buyers AS (SELECT DISTINCT custkey FROM purchases WHERE partkey = $TargetPart)
+        SELECT partkey, p_type, COUNT(DISTINCT p.custkey) AS shared_customers
+        FROM purchases p
+        JOIN buyers USING (custkey)
+        JOIN part ON partkey = p_partkey
+        WHERE partkey <> $TargetPart
+          AND p_type <> (SELECT p_type FROM part WHERE p_partkey = $TargetPart)
+        GROUP BY partkey, p_type
+        ORDER BY shared_customers DESC, partkey
+        LIMIT 10""")),
+
+    // J13/J14 (collaborative filtering with anti-join on own history):
+    // customer → parts → co-buyers → their parts, minus the customer's own.
+    // Ref: webapp/neo4j_routes.py:640-677.
+    QueryDef(
+      "q_graph_cf_recommend",
+      t => {
+        val p = purchases(t)
+        val mine = p.filter(col("custkey") === TargetCustomer)
+          .select(col("partkey")).distinct()
+        val coBuyers = p.join(mine, "partkey")
+          .filter(col("custkey") =!= TargetCustomer)
+          .select(col("custkey")).distinct()
+        p.join(coBuyers, "custkey")
+          .join(mine, Seq("partkey"), "left_anti")
+          .groupBy(col("partkey"))
+          .agg(countDistinct(col("custkey")).as("co_buyer_cnt"))
+          .orderBy(col("co_buyer_cnt").desc, col("partkey").asc)
+          .limit(10)
+      },
+      Some(s"""
+        WITH purchases AS (
+          SELECT DISTINCT o_custkey AS custkey, l_partkey AS partkey
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        mine AS (SELECT DISTINCT partkey FROM purchases WHERE custkey = $TargetCustomer),
+        cobuyers AS (
+          SELECT DISTINCT custkey FROM purchases
+          WHERE partkey IN (SELECT partkey FROM mine) AND custkey <> $TargetCustomer)
+        SELECT partkey, COUNT(DISTINCT custkey) AS co_buyer_cnt
+        FROM purchases
+        WHERE custkey IN (SELECT custkey FROM cobuyers)
+          AND partkey NOT IN (SELECT partkey FROM mine)
+        GROUP BY partkey
+        ORDER BY co_buyer_cnt DESC, partkey
+        LIMIT 10""")),
+
+    // A18/A20/T4 (degree centrality + edge-type distribution via union).
+    // Ref: webapp/neo4j_routes.py:48-53,812-839.
+    QueryDef(
+      "q_graph_nation_degree",
+      t => {
+        val edges = t.customer
+          .select(col("c_nationkey").as("nk"), lit("customer").as("edge_type"))
+          .unionByName(t.supplier
+            .select(col("s_nationkey").as("nk"), lit("supplier").as("edge_type")))
+        edges.groupBy(col("nk"))
+          .agg(
+            count(when(col("edge_type") === "customer", lit(1))).as("customer_edges"),
+            count(when(col("edge_type") === "supplier", lit(1))).as("supplier_edges"),
+            count(lit(1)).as("total_edges"))
+          .join(t.nation, col("nk") === col("n_nationkey"))
+          .select(col("n_name"), col("customer_edges"), col("supplier_edges"), col("total_edges"))
+          .orderBy(col("total_edges").desc, col("n_name").asc)
+          .limit(5)
+      },
+      Some("""
+        WITH edges AS (
+          SELECT c_nationkey AS nk, 'customer' AS edge_type FROM customer
+          UNION ALL
+          SELECT s_nationkey AS nk, 'supplier' AS edge_type FROM supplier)
+        SELECT n_name,
+          COUNT(CASE WHEN edge_type = 'customer' THEN 1 END) AS customer_edges,
+          COUNT(CASE WHEN edge_type = 'supplier' THEN 1 END) AS supplier_edges,
+          COUNT(*) AS total_edges
+        FROM edges JOIN nation ON nk = n_nationkey
+        GROUP BY n_name
+        ORDER BY total_edges DESC, n_name
+        LIMIT 5""")),
+
+    // J17 (variable-length shortestPath ≤4 hops) — bounded BFS over the
+    // co-purchase graph from the target part. The only operator with no
+    // single relational form (SURVEY.md §7.4.1); iterative join loop in
+    // Spark, recursive CTE in the oracle. Ref: webapp/neo4j_routes.py:768-777.
+    QueryDef(
+      "q_graph_shortest_paths",
+      t => {
+        val edges = GraphOps.coOccurrenceEdges(
+          t.lineitem.select(col("l_orderkey"), col("l_partkey")),
+          "l_orderkey", "l_partkey")
+        GraphOps.shortestPaths(t.spark, edges, TargetPart, maxHops = 4)
+          .select(col("node"), col("dist"))
+          .orderBy(col("node"))
+      },
+      Some(s"""
+        WITH RECURSIVE edges AS (
+          SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+          FROM lineitem a
+          JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                         AND a.l_partkey <> b.l_partkey),
+        bfs(node, dist) AS (
+          SELECT CAST($TargetPart AS BIGINT), 0
+          UNION
+          SELECT e.dst, b.dist + 1
+          FROM bfs b JOIN edges e ON e.src = b.node
+          WHERE b.dist < 4)
+        SELECT node, CAST(MIN(dist) AS BIGINT) AS dist
+        FROM bfs GROUP BY node ORDER BY node"""))
+  )
+}
