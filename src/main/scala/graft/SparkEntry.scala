@@ -14,7 +14,10 @@ object SparkEntry {
   def allDefs: Seq[QueryDef] =
     graft.queries.Warehouse.defs ++
       graft.queries.GraphQueries.defs ++
-      graft.queries.EventQueries.defs
+      graft.queries.EventQueries.defs ++
+      graft.queries.TextQueries.defs ++
+      graft.queries.DedupQueries.defs ++
+      graft.queries.EmbeddingQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

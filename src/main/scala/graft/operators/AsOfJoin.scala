@@ -40,9 +40,11 @@ object AsOfJoin {
       .withColumn("__side", lit(1))
     val unioned = evPart.unionByName(refPart, allowMissingColumns = true)
     // Right rows sort before left rows at the same instant (__side 0 < 1)
-    // so `rightTime <= leftTime` is inclusive.
+    // so `rightTime <= leftTime` is inclusive. The carried value is the
+    // final sort key: when several right rows share (key, time) the match
+    // is deterministically the MAX value, not an arbitrary one.
     val w = Window.partitionBy(col("__k"))
-      .orderBy(col("__t").asc, col("__side").asc)
+      .orderBy(col("__t").asc, col("__side").asc, col(valName).asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned
       .withColumn(valName, last(col(valName), ignoreNulls = true).over(w))

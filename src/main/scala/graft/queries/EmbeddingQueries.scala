@@ -1,0 +1,182 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.QueryDef
+import graft.operators.VectorOps
+import graft.functions.Exact
+import graft.sources.Tables
+
+/** Similarity search over the `embeddings` table (builder-prompt
+  * first-class family; no reference counterpart): brute-force cosine
+  * top-k as the exact baseline, IVF-style nearest-centroid assignment as
+  * the ANN scale path, and blocked near-duplicate detection.
+  *
+  * Numeric contract: every dot product / norm routes elementwise
+  * products through exact decimals ([[VectorOps]]) so results are
+  * order-independent and engine-identical; cosines are rounded to 6
+  * decimals before any ranking or thresshold so the comparison layer and
+  * the ranking see identical values on both engines.
+  *
+  * Scale notes: brute-force KNN broadcasts the (small) query set and
+  * scans candidates once — at 100 TB this is the standard exact-rerank
+  * stage. The IVF path shrinks the candidate scan by a cluster factor:
+  * centroid assignment is one broadcast join (centroids ≪ vectors) and
+  * search then touches only the probed cell — the same coarse-quantizer
+  * structure as FAISS IVF, in pure relational ops.
+  */
+object EmbeddingQueries {
+
+  /** vectors with exact squared norms (label normalized to BIGINT). */
+  private def norms(t: Tables): DataFrame =
+    t.embeddings.selectExpr(
+      "vec_id",
+      "CAST(label AS BIGINT) AS label",
+      "CAST(embedding AS array<double>) AS e")
+      .selectExpr("vec_id", "label", "e", s"${VectorOps.normSq("e")} AS nsq")
+
+  private def r6(c: Column): Column = round(c, 6)
+
+  // `label` is only parseable as a column alias in DuckDB with an
+  // explicit AS.
+  private val duckVecs =
+    "(SELECT vec_id, CAST(label AS BIGINT) AS label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)"
+  private def duckNorms(dim: Int) =
+    s"(SELECT vec_id, label, e, ${VectorOps.duckNormSq("e", dim)} AS nsq FROM $duckVecs v)"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Per-cluster vector statistics (exact decimal mean of norms).
+    QueryDef(
+      "q_embed_stats",
+      t => norms(t)
+        .withColumn("norm", sqrt(col("nsq")))
+        .groupBy(col("label"))
+        .agg(
+          count(lit(1)).as("n"),
+          r6(min(col("norm"))).as("min_norm"),
+          r6(max(col("norm"))).as("max_norm"),
+          r6(Exact.davg(col("norm"), 9)).as("avg_norm"))
+        .orderBy(col("label")),
+      Some(s"""
+        SELECT label, COUNT(*) AS n,
+          round(MIN(sqrt(nsq)), 6) AS min_norm,
+          round(MAX(sqrt(nsq)), 6) AS max_norm,
+          round(${Exact.sqlAvg("sqrt(nsq)", 9)}, 6) AS avg_norm
+        FROM ${duckNorms(64)} n
+        GROUP BY label
+        ORDER BY label""")),
+
+    // Brute-force cosine top-k: exact ANN baseline. Query set (vec_id<5)
+    // broadcasts; one scan of the candidate side; per-query top-10 via
+    // window (no global sort).
+    QueryDef(
+      "q_embed_knn",
+      t => {
+        val n = norms(t)
+        val q = broadcast(n.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nsq").as("qnsq")))
+        val c = n.filter(col("vec_id") >= 5)
+          .select(col("vec_id").as("cand_id"), col("e").as("ce"), col("nsq").as("cnsq"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("cosine").desc, col("cand_id").asc)
+        q.join(c)
+          .selectExpr("q_id", "cand_id",
+            s"round(${VectorOps.cosine(VectorOps.dot("qe", "ce"), "qnsq", "cnsq")}, 6) AS cosine")
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 10)
+          .select(col("q_id"), col("rk"), col("cand_id"), col("cosine"))
+          .orderBy(col("q_id"), col("rk"))
+      },
+      Some(s"""
+        WITH n AS (SELECT * FROM ${duckNorms(64)} x),
+        pairs AS (
+          SELECT q.vec_id q_id, c.vec_id cand_id,
+            round(${VectorOps.duckDot("q.e", "c.e", 64)} / (sqrt(q.nsq) * sqrt(c.nsq)), 6) cosine
+          FROM n q JOIN n c ON q.vec_id < 5 AND c.vec_id >= 5)
+        SELECT q_id, rk, cand_id, cosine FROM (
+          SELECT *, CAST(row_number() OVER
+            (PARTITION BY q_id ORDER BY cosine DESC, cand_id) AS BIGINT) rk
+          FROM pairs)
+        WHERE rk <= 10
+        ORDER BY q_id, rk""")),
+
+    // IVF coarse quantizer: per-label centroids (exact decimal per-dim
+    // means), then nearest-centroid assignment by cosine — confusion
+    // counts of true label vs assigned cell. The assignment join
+    // broadcasts centroids (k × dim values); vectors stream through once.
+    QueryDef(
+      "q_embed_ivf",
+      t => {
+        val elems = norms(t).selectExpr("vec_id", "label", "nsq", "posexplode(e) AS (i, v)")
+        val centroids = elems
+          .groupBy(col("label").as("cl"), col("i"))
+          .agg((sum(expr("CAST(v AS DECIMAL(30,15))")).cast("double") / count(lit(1))).as("m"))
+        val cnorm = centroids.groupBy(col("cl"))
+          .agg(sum(expr("CAST(m * m AS DECIMAL(30,15))")).cast("double").as("cnsq"))
+        val dots = elems.join(broadcast(centroids), "i")
+          .groupBy(col("vec_id"), col("label"), col("nsq"), col("cl"))
+          .agg(sum(expr("CAST(v * m AS DECIMAL(30,15))")).cast("double").as("dot"))
+        val w = Window.partitionBy(col("vec_id"))
+          .orderBy(col("cos").desc, col("cl").asc)
+        dots.join(broadcast(cnorm), "cl")
+          .withColumn("cos", r6(col("dot") / (sqrt(col("nsq")) * sqrt(col("cnsq")))))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .groupBy(col("label"), col("cl").as("assigned"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("label"), col("assigned"))
+      },
+      Some(s"""
+        WITH elems AS (
+          SELECT vec_id, label, nsq,
+            unnest(generate_series(1, 64)) i, unnest(e) v
+          FROM ${duckNorms(64)} n),
+        centroids AS (
+          SELECT label cl, i,
+            CAST(SUM(CAST(v AS DECIMAL(30,15))) AS DOUBLE) / COUNT(*) m
+          FROM elems GROUP BY cl, i),
+        cnorm AS (
+          SELECT cl, CAST(SUM(CAST(m * m AS DECIMAL(30,15))) AS DOUBLE) cnsq
+          FROM centroids GROUP BY cl),
+        dots AS (
+          SELECT vec_id, label, nsq, cl,
+            CAST(SUM(CAST(v * m AS DECIMAL(30,15))) AS DOUBLE) dot
+          FROM elems JOIN centroids USING (i)
+          GROUP BY vec_id, label, nsq, cl),
+        assign AS (
+          SELECT vec_id, label, cl,
+            row_number() OVER (PARTITION BY vec_id
+              ORDER BY round(dot / (sqrt(nsq) * sqrt(cnsq)), 6) DESC, cl) rk
+          FROM dots JOIN cnorm USING (cl))
+        SELECT label, cl AS assigned, COUNT(*) AS cnt
+        FROM assign WHERE rk = 1
+        GROUP BY label, assigned
+        ORDER BY label, assigned""")),
+
+    // Blocked near-dup: pairs within the same coarse cell (label = the
+    // quantizer cell id) with cosine ≥ 0.35 — the IVF-blocked version of
+    // embedding near-dup detection (recall bounded by the blocking, the
+    // standard ANN trade; the exact path is q_embed_knn).
+    QueryDef(
+      "q_embed_neardup",
+      t => {
+        val n = norms(t)
+        val a = n.select(col("label"), col("vec_id").as("a"), col("e").as("ea"), col("nsq").as("na"))
+        val b = n.select(col("label"), col("vec_id").as("b"), col("e").as("eb"), col("nsq").as("nb"))
+        a.join(b, Seq("label")).filter(col("a") < col("b"))
+          .selectExpr("label", "a", "b",
+            s"round(${VectorOps.cosine(VectorOps.dot("ea", "eb"), "na", "nb")}, 6) AS cosine")
+          .filter(col("cosine") >= 0.35)
+          .orderBy(col("a"), col("b"))
+      },
+      Some(s"""
+        WITH n AS (SELECT * FROM ${duckNorms(64)} x)
+        SELECT x.label, x.vec_id a, y.vec_id b,
+          round(${VectorOps.duckDot("x.e", "y.e", 64)} / (sqrt(x.nsq) * sqrt(y.nsq)), 6) cosine
+        FROM n x JOIN n y ON x.label = y.label AND x.vec_id < y.vec_id
+        WHERE round(${VectorOps.duckDot("x.e", "y.e", 64)} / (sqrt(x.nsq) * sqrt(y.nsq)), 6) >= 0.35
+        ORDER BY a, b"""))
+  )
+}

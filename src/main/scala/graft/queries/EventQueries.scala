@@ -91,6 +91,22 @@ object EventQueries {
            FROM orders
            WHERE o_custkey = user_id AND o_orderdate <= ts) AS last_order_date
         FROM events
-        ORDER BY event_id"""))
+        ORDER BY event_id""")),
+
+    // A17 (map/object key frequency) on the semi-structured props blob:
+    // JSON keys exploded and counted — the document-analytics shape
+    // (reference $objectToArray: webapp/mongodb_routes.py:713-720).
+    QueryDef(
+      "q_events_props_keys",
+      t => t.events
+        .selectExpr("explode(json_object_keys(props)) AS prop_key")
+        .groupBy(col("prop_key"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("prop_key")),
+      Some("""
+        SELECT prop_key, COUNT(*) AS cnt
+        FROM (SELECT unnest(json_keys(props)) AS prop_key FROM events)
+        GROUP BY prop_key
+        ORDER BY prop_key"""))
   )
 }

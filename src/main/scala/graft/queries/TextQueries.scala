@@ -1,0 +1,203 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.QueryDef
+
+/** Text-analysis operators over the `documents` table — the language-ID /
+  * quality-scoring / token-counting / fingerprinting surface a
+  * training-data pipeline needs (builder-prompt first-class family; the
+  * reference's only text operator is substring search,
+  * webapp/mysql_routes.py:619-626).
+  *
+  * Every per-document feature is a higher-order function over the token
+  * array (see [[graft.operators.TextOps]]): purely map-side, stays in the
+  * scan stage, no shuffle — at 100 TB these run at parquet-read speed with
+  * full column pruning (only `doc_id`+`text` are ever read).
+  */
+object TextQueries {
+
+  // Shared SQL fragments (Spark side).
+  private val toks = graft.operators.TextOps.tokens("text")
+  private val tokLens = s"transform($toks, x -> length(x))"
+  private val stopSet = "('the', 'a', 'of', 'and', 'in', 'to', 'is')"
+
+  // DuckDB twin of the token array.
+  private val duckToks = "string_split_regex(trim(text), '\\s+')"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Token counting: whitespace tokenization + distinct-type counts.
+    QueryDef(
+      "q_text_token_stats",
+      t => t.documents.selectExpr(
+        "doc_id",
+        s"CAST(size($toks) AS BIGINT) AS token_cnt",
+        s"CAST(size(array_distinct($toks)) AS BIGINT) AS distinct_cnt",
+        "CAST(length(text) AS BIGINT) AS char_cnt",
+        s"round(aggregate($tokLens, CAST(0 AS BIGINT), (a, v) -> a + v) / CAST(size($toks) AS DOUBLE), 6) AS avg_token_len",
+        s"round(size(array_distinct($toks)) / CAST(size($toks) AS DOUBLE), 6) AS type_token_ratio")
+        .orderBy(col("doc_id")),
+      Some(s"""
+        SELECT doc_id,
+          len(s) AS token_cnt,
+          len(list_distinct(s)) AS distinct_cnt,
+          length(text) AS char_cnt,
+          round(list_sum(list_transform(s, x -> length(x))) / CAST(len(s) AS DOUBLE), 6) AS avg_token_len,
+          round(len(list_distinct(s)) / CAST(len(s) AS DOUBLE), 6) AS type_token_ratio
+        FROM (SELECT doc_id, text, $duckToks s FROM documents)
+        ORDER BY doc_id""")),
+
+    // Quality scoring: stopword/punctuation ratios + composite keep score.
+    QueryDef(
+      "q_text_quality",
+      t => t.documents.selectExpr(
+        "doc_id",
+        s"CAST(size($toks) AS BIGINT) AS token_cnt",
+        s"CAST(size(filter($toks, x -> x IN $stopSet)) AS BIGINT) AS stopword_cnt",
+        s"round(size(filter($toks, x -> x IN $stopSet)) / CAST(size($toks) AS DOUBLE), 6) AS stopword_ratio",
+        "round(length(regexp_replace(text, '[a-z0-9 ]', '')) / CAST(length(text) AS DOUBLE), 6) AS punct_ratio",
+        s"""round(0.4 * least(1.0, size($toks) / 100.0)
+           + 0.3 * (1.0 - size(filter($toks, x -> x IN $stopSet)) / CAST(size($toks) AS DOUBLE))
+           + 0.3 * (size(array_distinct($toks)) / CAST(size($toks) AS DOUBLE)), 6) AS quality_score""",
+        s"""(0.4 * least(1.0, size($toks) / 100.0)
+           + 0.3 * (1.0 - size(filter($toks, x -> x IN $stopSet)) / CAST(size($toks) AS DOUBLE))
+           + 0.3 * (size(array_distinct($toks)) / CAST(size($toks) AS DOUBLE))) >= 0.5 AS keep""")
+        .orderBy(col("doc_id")),
+      Some(s"""
+        SELECT doc_id,
+          len(s) AS token_cnt,
+          len(list_filter(s, x -> x IN $stopSet)) AS stopword_cnt,
+          round(len(list_filter(s, x -> x IN $stopSet)) / CAST(len(s) AS DOUBLE), 6) AS stopword_ratio,
+          round(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) / CAST(length(text) AS DOUBLE), 6) AS punct_ratio,
+          round(0.4 * least(1.0, len(s) / 100.0)
+            + 0.3 * (1.0 - len(list_filter(s, x -> x IN $stopSet)) / CAST(len(s) AS DOUBLE))
+            + 0.3 * (len(list_distinct(s)) / CAST(len(s) AS DOUBLE)), 6) AS quality_score,
+          (0.4 * least(1.0, len(s) / 100.0)
+            + 0.3 * (1.0 - len(list_filter(s, x -> x IN $stopSet)) / CAST(len(s) AS DOUBLE))
+            + 0.3 * (len(list_distinct(s)) / CAST(len(s) AS DOUBLE))) >= 0.5 AS keep
+        FROM (SELECT doc_id, text, $duckToks s FROM documents)
+        ORDER BY doc_id""")),
+
+    // Language-ID: marker-word scoring with deterministic argmax. On this
+    // synthetic uniform-vocab corpus the scores degenerate (documented);
+    // the mechanism — per-language marker hits + tie-broken argmax,
+    // fully map-side — is what the operator demonstrates.
+    QueryDef(
+      "q_text_language_id",
+      t => {
+        def hits(set: String) = s"CAST(size(filter($toks, x -> x IN ($set))) AS BIGINT)"
+        val en = hits("'the', 'a', 'and'")
+        val es = hits("'el', 'la', 'los'")
+        val de = hits("'der', 'die', 'und'")
+        val fr = hits("'le', 'les', 'et'")
+        t.documents.selectExpr(
+          "doc_id", "lang",
+          s"$en AS en_hits", s"$es AS es_hits", s"$de AS de_hits", s"$fr AS fr_hits",
+          s"""CASE WHEN $en >= $es AND $en >= $de AND $en >= $fr THEN 'en'
+                   WHEN $es >= $de AND $es >= $fr THEN 'es'
+                   WHEN $de >= $fr THEN 'de' ELSE 'fr' END AS predicted""")
+          .withColumn("is_match", col("predicted") === col("lang"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        def hits(set: String) = s"len(list_filter(s, x -> x IN ($set)))"
+        val en = hits("'the', 'a', 'and'")
+        val es = hits("'el', 'la', 'los'")
+        val de = hits("'der', 'die', 'und'")
+        val fr = hits("'le', 'les', 'et'")
+        s"""
+        SELECT doc_id, lang,
+          $en AS en_hits, $es AS es_hits, $de AS de_hits, $fr AS fr_hits,
+          CASE WHEN $en >= $es AND $en >= $de AND $en >= $fr THEN 'en'
+               WHEN $es >= $de AND $es >= $fr THEN 'es'
+               WHEN $de >= $fr THEN 'de' ELSE 'fr' END AS predicted,
+          (CASE WHEN $en >= $es AND $en >= $de AND $en >= $fr THEN 'en'
+                WHEN $es >= $de AND $es >= $fr THEN 'es'
+                WHEN $de >= $fr THEN 'de' ELSE 'fr' END) = lang AS is_match
+        FROM (SELECT doc_id, lang, $duckToks s FROM documents)
+        ORDER BY doc_id"""
+      }),
+
+    // Document fingerprinting: content hash + order-insensitive vocab hash.
+    QueryDef(
+      "q_text_fingerprint",
+      t => t.documents.selectExpr(
+        "doc_id",
+        "md5(lower(trim(text))) AS content_fp",
+        s"md5(concat_ws('|', array_sort(array_distinct($toks)))) AS vocab_fp",
+        s"CAST(size($toks) AS BIGINT) AS token_cnt")
+        .orderBy(col("doc_id")),
+      Some(s"""
+        SELECT doc_id,
+          md5(lower(trim(text))) AS content_fp,
+          md5(array_to_string(list_sort(list_distinct(s)), '|')) AS vocab_fp,
+          len(s) AS token_cnt
+        FROM (SELECT doc_id, text, $duckToks s FROM documents)
+        ORDER BY doc_id""")),
+
+    // P3/P4 (case-insensitive substring search) + P9 (conjunctive
+    // predicates) + O1/O3 (sort + offset/limit pagination) over documents.
+    QueryDef(
+      "q_search_documents",
+      t => t.documents
+        .filter(lower(col("text")).contains("query") &&
+          col("n_chars").between(100, 400))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+        .offset(10)
+        .limit(10),
+      Some("""
+        SELECT doc_id, lang, source, n_chars
+        FROM documents
+        WHERE contains(lower(text), 'query') AND n_chars BETWEEN 100 AND 400
+        ORDER BY n_chars DESC, doc_id
+        LIMIT 10 OFFSET 10""")),
+
+    // A14-A16 array-function family (size/filter/transform/slice/sort)
+    // as scalar outputs over the token array.
+    QueryDef(
+      "q_text_array_functions",
+      t => t.documents.selectExpr(
+        "doc_id",
+        s"concat_ws(' ', slice($toks, 1, 3)) AS first3",
+        s"array_contains($toks, 'data') AS has_data",
+        s"CAST(size(filter($toks, x -> length(x) > 5)) AS BIGINT) AS long_token_cnt",
+        s"CAST(array_max($tokLens) AS BIGINT) AS max_token_len",
+        s"element_at(array_sort(array_distinct($toks)), 2) AS second_distinct")
+        .orderBy(col("doc_id")),
+      Some(s"""
+        SELECT doc_id,
+          array_to_string(s[1:3], ' ') AS first3,
+          list_contains(s, 'data') AS has_data,
+          len(list_filter(s, x -> length(x) > 5)) AS long_token_cnt,
+          list_max(list_transform(s, x -> length(x))) AS max_token_len,
+          list_sort(list_distinct(s))[2] AS second_distinct
+        FROM (SELECT doc_id, $duckToks s FROM documents)
+        ORDER BY doc_id""")),
+
+    // Multimodal plumbing: text payload as an opaque binary column with
+    // typed metadata — byte length, content digest, header prefix. The
+    // decode/feature-extract stage is the stubbed operator
+    // (graft.operators.Multimodal, spec-tested); this query exercises the
+    // real Spark-side schema + binary functions end-to-end.
+    QueryDef(
+      "q_multimodal_payload",
+      t => t.documents
+        .withColumn("payload", col("text").cast("binary"))
+        .select(
+          col("doc_id"),
+          lit("text/plain").as("kind"),
+          length(col("payload")).cast("long").as("byte_len"),
+          sha2(col("payload"), 256).as("sha"),
+          lower(substring(hex(col("payload")), 1, 16)).as("header_hex"))
+        .orderBy(col("doc_id")),
+      Some("""
+        SELECT doc_id,
+          'text/plain' AS kind,
+          octet_length(encode(text)) AS byte_len,
+          sha256(text) AS sha,
+          lower(substr(hex(encode(text)), 1, 16)) AS header_hex
+        FROM documents
+        ORDER BY doc_id"""))
+  )
+}

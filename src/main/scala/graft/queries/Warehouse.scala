@@ -382,19 +382,86 @@ object Warehouse {
       "q_events_props_extract",
       t => t.events
         .select(col("event_type"),
-          regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long").as("k"))
+          regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast("long").as("k"))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("event_cnt"),
           sum(col("k")).as("k_sum"),
           max(col("k")).as("k_max"))
         .orderBy(col("event_type")),
+      // TRY_CAST: a no-match row yields '' which CAST would raise on in
+      // DuckDB while Spark yields null — TRY_CAST makes both sides null.
       Some("""
         SELECT event_type,
           COUNT(*) AS event_cnt,
-          CAST(SUM(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS BIGINT) AS k_sum,
-          MAX(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS k_max
+          CAST(SUM(TRY_CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS BIGINT) AS k_sum,
+          MAX(TRY_CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS k_max
         FROM events
         GROUP BY event_type
-        ORDER BY event_type"""))
+        ORDER BY event_type""")),
+
+    // J6/J8 (left join to nullable side + zero-fill) + A19: per-brand
+    // sold/unsold part counts. The left join keeps never-sold parts;
+    // count(non-null) gives them 0. Ref: init/mysql_loader.py:1080-1104,
+    // webapp/neo4j_routes.py:67-74.
+    QueryDef(
+      "q_parts_sold_leftjoin",
+      t => t.part
+        .join(t.lineitem, col("p_partkey") === col("l_partkey"), "left")
+        .groupBy(col("p_partkey"), col("p_brand"))
+        .agg(count(col("l_orderkey")).as("sold_cnt"))
+        .groupBy(col("p_brand"))
+        .agg(
+          count(lit(1)).as("part_cnt"),
+          count(when(col("sold_cnt") === 0, lit(1))).as("unsold_parts"),
+          sum(col("sold_cnt")).as("total_lineitems"))
+        .orderBy(col("p_brand")),
+      Some("""
+        SELECT p_brand,
+          COUNT(*) AS part_cnt,
+          COUNT(CASE WHEN sold_cnt = 0 THEN 1 END) AS unsold_parts,
+          CAST(SUM(sold_cnt) AS BIGINT) AS total_lineitems
+        FROM (
+          SELECT p_partkey, p_brand, COUNT(l_orderkey) AS sold_cnt
+          FROM part LEFT JOIN lineitem ON p_partkey = l_partkey
+          GROUP BY p_partkey, p_brand)
+        GROUP BY p_brand
+        ORDER BY p_brand""")),
+
+    // S2 (calendar/range source) + A23 zero-fill: generated day dimension
+    // for 1996 with derived attributes, left-joined to order counts.
+    // Ref: init/mysql_loader.py:243-288.
+    QueryDef(
+      "q_calendar_days",
+      t => {
+        val days = t.spark.sql(
+          """SELECT explode(sequence(DATE'1996-01-01', DATE'1996-12-31',
+            |       INTERVAL 1 DAY)) AS d""".stripMargin)
+          .select(
+            date_format(col("d"), "yyyy-MM-dd").as("day"),
+            quarter(col("d")).cast("long").as("q"),
+            date_format(col("d"), "MMMM").as("month_name"),
+            dayofweek(col("d")).cast("long").as("dow"))
+        val counts = t.orders
+          .groupBy(date_format(to_date(col("o_orderdate")), "yyyy-MM-dd").as("day"))
+          .agg(count(lit(1)).as("order_cnt"))
+        days.join(counts, Seq("day"), "left")
+          .na.fill(0, Seq("order_cnt"))
+          .orderBy(col("day"))
+      },
+      Some("""
+        WITH days AS (
+          SELECT strftime(CAST(d AS DATE), '%Y-%m-%d') AS day,
+            CAST(quarter(d) AS BIGINT) AS q,
+            monthname(d) AS month_name,
+            CAST(dayofweek(d) + 1 AS BIGINT) AS dow
+          FROM (SELECT unnest(generate_series(DATE '1996-01-01',
+                  DATE '1996-12-31', INTERVAL 1 DAY)) d)),
+        counts AS (
+          SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS day,
+            COUNT(*) AS order_cnt
+          FROM orders GROUP BY 1)
+        SELECT day, q, month_name, dow, COALESCE(order_cnt, 0) AS order_cnt
+        FROM days LEFT JOIN counts USING (day)
+        ORDER BY day"""))
   )
 }

@@ -39,7 +39,9 @@ final case class Tables(spark: SparkSession, dir: String) {
     val raw = load("events")
     raw.schema("ts").dataType match {
       case LongType =>
-        raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast(LongType)))
+        // Exact integer ns→µs: `/` would promote to double and epoch-ns
+        // (~8e17) exceeds double's 2^53 exact range, giving ±1µs errors.
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampType => raw
       case other =>
         throw new IllegalStateException(s"unexpected ts type: $other")

@@ -44,8 +44,11 @@ def main():
         spark_df = pd.concat([pd.read_parquet(f) for f in sorted(files)],
                              ignore_index=True)
         if name not in oracle:
-            print(f"SKIP {name}: no oracle (rows={len(spark_df)})")
-            n_pass += 1
+            if len(spark_df) > 0:
+                print(f"SKIP {name}: no oracle (rows={len(spark_df)})")
+                n_pass += 1
+            else:
+                print(f"FAIL {name}: no oracle and 0 rows")
             continue
         try:
             duck_df = con.execute(oracle[name]).df()
