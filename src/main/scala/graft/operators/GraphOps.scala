@@ -52,10 +52,64 @@ object GraphOps {
 
   /** Undirected co-occurrence edges: items sharing a group key, one row
     * per (group, a, b) with a != b in both directions. J10/J15 shape.
+    *
+    * NOTE: materializes the full pairwise edge list — O(Σ groupSize²).
+    * For BFS over a co-occurrence graph prefer [[shortestPathsOverGroups]],
+    * which never builds the quadratic list.
     */
   def coOccurrenceEdges(items: DataFrame, groupCol: String, itemCol: String): DataFrame = {
     val a = items.select(col(groupCol).as("__g"), col(itemCol).as("src"))
     val b = items.select(col(groupCol).as("__g"), col(itemCol).as("dst"))
     a.join(b, "__g").filter(col("src") =!= col("dst")).select("src", "dst").distinct()
+  }
+
+  /** BFS over the *implicit* co-occurrence graph of a bipartite membership
+    * table `(group, item)` — two items are adjacent iff they share a group.
+    *
+    * Equivalent to `shortestPaths(coOccurrenceEdges(m), …)` but never
+    * materializes the O(Σ groupSize²) edge list: each co-occurrence hop is
+    * two linear joins against the membership table (item-frontier → groups
+    * → items), so per-iteration cost is O(|membership|) shuffle, not
+    * O(edges). At 100 TB the membership table is the fact table itself and
+    * the quadratic edge list would dwarf it — this is the only BFS shape
+    * that survives. Self-loops are excluded for free: the source is in
+    * `visited` before the first expansion.
+    */
+  def shortestPathsOverGroups(spark: SparkSession, membership: DataFrame,
+                              groupCol: String, itemCol: String,
+                              source: Long, maxHops: Int,
+                              broadcastFrontier: Boolean = true): DataFrame = {
+    val m = membership
+      .select(col(groupCol).cast("long").as("grp"), col(itemCol).cast("long").as("item"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Monotone level-set BFS: reach_d = N(reach_{d-1}) (N(S) ⊇ S because
+    // every item shares its groups with itself), and the BFS distance is
+    // the first level an item appears in — computed as one min(dist) agg
+    // at the end. Compared to frontier+anti-join BFS this runs as a
+    // SINGLE lazy plan: no per-hop emptiness action, no anti-joins, just
+    // maxHops × (2 map-side joins + 2 small distincts) and one final agg.
+    //
+    // Reach sets are node sets — orders of magnitude smaller than the
+    // membership fact — so broadcasting them keeps every m-join map-side
+    // (m itself NEVER shuffles). For graphs whose node set exceeds
+    // broadcast size, pass broadcastFrontier = false for shuffle joins.
+    // Each level persists because it feeds both the next expansion and
+    // the final union; materialization happens inside the caller's one
+    // action.
+    def bc(df: DataFrame): DataFrame = if (broadcastFrontier) broadcast(df) else df
+    var reach = spark.range(1).select(lit(source).as("node"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var levels = Vector(reach.select(col("node"), lit(0L).as("dist")))
+    for (d <- 1 to maxHops) {
+      val groups = m.join(bc(reach), m("item") === reach("node"))
+        .select(col("grp")).distinct()
+      val next = m.join(bc(groups), "grp")
+        .select(col("item").as("node")).distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      levels = levels :+ next.select(col("node"), lit(d.toLong).as("dist"))
+      reach = next
+    }
+    levels.reduce(_ unionByName _)
+      .groupBy(col("node")).agg(min(col("dist")).as("dist"))
   }
 }

@@ -62,12 +62,15 @@ object TextOps {
     val bitCase =
       s"""CASE j % 4 WHEN 0 THEN '${bitSets(0)}' WHEN 1 THEN '${bitSets(1)}'
          | WHEN 2 THEN '${bitSets(2)}' ELSE '${bitSets(3)}' END""".stripMargin
+    // md5 is hoisted out of the per-bit lambda (one digest per feature,
+    // not 32): the fold then only does substring + set-membership per bit.
     s"""aggregate(
        |  zip_with(
-       |    aggregate($features, array_repeat(CAST(0 AS BIGINT), 32),
-       |      (acc, f) -> zip_with(acc,
+       |    aggregate(transform($features, f -> md5(f)),
+       |      array_repeat(CAST(0 AS BIGINT), 32),
+       |      (acc, h) -> zip_with(acc,
        |        transform(sequence(0, 31), j ->
-       |          CASE WHEN instr($bitCase, substring(md5(f), 1 + (j div 4), 1)) > 0
+       |          CASE WHEN instr($bitCase, substring(h, 1 + (j div 4), 1)) > 0
        |               THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END),
        |        (x, y) -> x + y)),
        |    sequence(31, 0, -1),

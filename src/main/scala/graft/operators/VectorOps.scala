@@ -32,6 +32,15 @@ object VectorOps {
   /** Exact squared L2 norm of an array<double> fragment → double. */
   def normSq(a: String): String = dot(a, a)
 
+  /** Plain double-accumulation dot product — NOT order-stable, so never
+    * surfaced in results; used only as a cheap prefilter with a safety
+    * margin before the exact decimal verify (double vs decimal differ by
+    * ≲1e-12 relative on unit-scale vectors, margins are set ≫ that).
+    * ~10× cheaper than the decimal path (no BigDecimal allocation).
+    */
+  def dotApprox(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+
   /** Cosine similarity given precomputed squared norms. */
   def cosine(dotCol: String, nsqA: String, nsqB: String): String =
     s"$dotCol / (sqrt($nsqA) * sqrt($nsqB))"

@@ -57,7 +57,12 @@ object DedupQueries {
     QueryDef(
       "q_dedup_ngram_jaccard",
       t => {
+        // Persisted: the shingle arrays feed the inverted index twice
+        // (both sides of the self-join) and the size lookup — caching the
+        // per-doc computation beats recomputing split+slice+distinct 3×.
+        // Cost is O(docs × shingles) strings, spilled to disk if large.
         val docs = t.documents.selectExpr("doc_id", s"$shs AS shs")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val inv = docs.selectExpr("doc_id", "explode(shs) AS sh")
         val sizes = docs.selectExpr("doc_id", "CAST(size(shs) AS BIGINT) AS n")
         val common = inv.as("x")
@@ -94,9 +99,13 @@ object DedupQueries {
     QueryDef(
       "q_dedup_minhash_lsh",
       t => {
+        // Persisted: the 12-hash signature (12 × |shingles| md5 calls per
+        // doc) feeds banding plus both sides of the verify join — compute
+        // it once.
         val sig = t.documents
           .selectExpr("doc_id", s"$shs AS shs")
           .selectExpr("doc_id", "shs", s"${TextOps.minhashSignature("shs")} AS mh")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val bands = sig.selectExpr("doc_id", s"posexplode(${TextOps.bandKeys("mh")}) AS (b, bsig)")
         val cand = bands.as("x")
           .join(bands.as("y"),
@@ -143,6 +152,7 @@ object DedupQueries {
       "q_dedup_simhash",
       t => {
         val sim = t.documents.selectExpr("doc_id", s"${TextOps.simhash32(shs)} AS sh")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val chunks = sim.selectExpr("doc_id", s"posexplode(${TextOps.simhashChunks("sh")}) AS (c, cv)")
         val cand = chunks.as("x")
           .join(chunks.as("y"),

@@ -165,7 +165,15 @@ object EmbeddingQueries {
         val n = norms(t)
         val a = n.select(col("label"), col("vec_id").as("a"), col("e").as("ea"), col("nsq").as("na"))
         val b = n.select(col("label"), col("vec_id").as("b"), col("e").as("eb"), col("nsq").as("nb"))
+        // Two-phase: a double-accumulation prefilter (with margin well
+        // beyond double-vs-decimal error) prunes the quadratic candidate
+        // set; only survivors pay the exact-decimal cosine that defines
+        // the output. round(c,6) >= 0.35 ⇔ c >= 0.3499995, so 0.34999
+        // is a conservative prefilter bound.
         a.join(b, Seq("label")).filter(col("a") < col("b"))
+          .withColumn("__approx",
+            expr(VectorOps.cosine(VectorOps.dotApprox("ea", "eb"), "na", "nb")))
+          .filter(col("__approx") >= 0.34999)
           .selectExpr("label", "a", "b",
             s"round(${VectorOps.cosine(VectorOps.dot("ea", "eb"), "na", "nb")}, 6) AS cosine")
           .filter(col("cosine") >= 0.35)

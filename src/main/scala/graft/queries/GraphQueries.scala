@@ -20,10 +20,26 @@ object GraphQueries {
   private val TargetPart = 1L
   private val TargetCustomer = 1L
 
-  /** distinct (custkey, partkey) purchase edges. */
-  private def purchases(t: Tables): DataFrame =
+  /** Distinct customer ids that bought `partkey` — a tiny set built from
+    * pushed-down scans only (lineitem filtered on the part, orders
+    * semi-joined on those orderkeys), safe to broadcast at any scale.
+    */
+  private def buyersOf(t: Tables, partkey: Long): DataFrame =
+    broadcast(t.orders
+      .join(t.lineitem.filter(col("l_partkey") === partkey).select(col("l_orderkey")),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .select(col("o_custkey").as("custkey")).distinct())
+
+  /** Distinct `(custkey, partkey)` purchases restricted to a broadcast
+    * customer set: orders shrink via semi-join BEFORE touching lineitem,
+    * so the one fact⋈fact join runs over the restricted orders only —
+    * never the full purchases view. This filter-first shape is what keeps
+    * the 4-hop graph patterns linear at 100 TB.
+    */
+  private def purchasesBy(t: Tables, custs: DataFrame): DataFrame =
     t.lineitem
-      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .join(t.orders.join(custs, col("o_custkey") === custs("custkey"), "left_semi"),
+        col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("custkey"), col("l_partkey").as("partkey"))
       .distinct()
 
@@ -35,11 +51,16 @@ object GraphQueries {
     QueryDef(
       "q_graph_copurchase_pairs",
       t => {
-        val a = t.lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("p1"))
-        val b = t.lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("p2"))
-        a.join(b, "ok").filter(col("p1") < col("p2"))
+        // Dedup (order, part) BEFORE the self-join: each pair then occurs
+        // once per order, so the agg is a plain count — no countDistinct
+        // expand, and the self-join input is the smallest it can be.
+        val m = t.lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+          .distinct()
+        m.select(col("ok"), col("p").as("p1"))
+          .join(m.select(col("ok"), col("p").as("p2")), "ok")
+          .filter(col("p1") < col("p2"))
           .groupBy(col("p1"), col("p2"))
-          .agg(countDistinct(col("ok")).as("co_cnt"))
+          .agg(count(lit(1)).as("co_cnt"))
           .orderBy(col("co_cnt").desc, col("p1").asc, col("p2").asc)
           .limit(20)
       },
@@ -57,17 +78,12 @@ object GraphQueries {
     // Ref: webapp/neo4j_routes.py:458-468,577-591.
     QueryDef(
       "q_graph_also_bought",
-      t => {
-        val p = purchases(t)
-        val buyers = p.filter(col("partkey") === TargetPart)
-          .select(col("custkey")).distinct()
-        p.join(buyers, "custkey")
-          .filter(col("partkey") =!= TargetPart)
-          .groupBy(col("partkey"))
-          .agg(countDistinct(col("custkey")).as("shared_customers"))
-          .orderBy(col("shared_customers").desc, col("partkey").asc)
-          .limit(10)
-      },
+      t => purchasesBy(t, buyersOf(t, TargetPart))
+        .filter(col("partkey") =!= TargetPart)
+        .groupBy(col("partkey"))
+        .agg(count(lit(1)).as("shared_customers"))
+        .orderBy(col("shared_customers").desc, col("partkey").asc)
+        .limit(10),
       Some(s"""
         WITH purchases AS (
           SELECT DISTINCT o_custkey AS custkey, l_partkey AS partkey
@@ -86,18 +102,15 @@ object GraphQueries {
     QueryDef(
       "q_graph_complementary",
       t => {
-        val p = purchases(t)
-        val buyers = p.filter(col("partkey") === TargetPart)
-          .select(col("custkey")).distinct()
         val targetType = t.part.filter(col("p_partkey") === TargetPart)
           .select(col("p_type").as("__target_type"))
-        p.join(buyers, "custkey")
+        purchasesBy(t, buyersOf(t, TargetPart))
           .filter(col("partkey") =!= TargetPart)
           .join(t.part, col("partkey") === col("p_partkey"))
           .crossJoin(broadcast(targetType))
           .filter(col("p_type") =!= col("__target_type"))
           .groupBy(col("partkey"), col("p_type"))
-          .agg(countDistinct(col("custkey")).as("shared_customers"))
+          .agg(count(lit(1)).as("shared_customers"))
           .orderBy(col("shared_customers").desc, col("partkey").asc)
           .limit(10)
       },
@@ -122,16 +135,24 @@ object GraphQueries {
     QueryDef(
       "q_graph_cf_recommend",
       t => {
-        val p = purchases(t)
-        val mine = p.filter(col("custkey") === TargetCustomer)
-          .select(col("partkey")).distinct()
-        val coBuyers = p.join(mine, "partkey")
-          .filter(col("custkey") =!= TargetCustomer)
-          .select(col("custkey")).distinct()
-        p.join(coBuyers, "custkey")
+        // Filter-first: the target customer's parts come from their own
+        // (few) orders; co-buyers from lineitem restricted to those parts;
+        // the only unrestricted fact join is over co-buyers' orders.
+        val mine = broadcast(t.lineitem
+          .join(t.orders.filter(col("o_custkey") === TargetCustomer)
+            .select(col("o_orderkey")),
+            col("l_orderkey") === col("o_orderkey"), "left_semi")
+          .select(col("l_partkey").as("partkey")).distinct())
+        val coBuyers = broadcast(t.orders
+          .join(t.lineitem.join(mine, col("l_partkey") === mine("partkey"), "left_semi")
+            .select(col("l_orderkey")),
+            col("o_orderkey") === col("l_orderkey"), "left_semi")
+          .filter(col("o_custkey") =!= TargetCustomer)
+          .select(col("o_custkey").as("custkey")).distinct())
+        purchasesBy(t, coBuyers)
           .join(mine, Seq("partkey"), "left_anti")
           .groupBy(col("partkey"))
-          .agg(countDistinct(col("custkey")).as("co_buyer_cnt"))
+          .agg(count(lit(1)).as("co_buyer_cnt"))
           .orderBy(col("co_buyer_cnt").desc, col("partkey").asc)
           .limit(10)
       },
@@ -190,14 +211,11 @@ object GraphQueries {
     // Spark, recursive CTE in the oracle. Ref: webapp/neo4j_routes.py:768-777.
     QueryDef(
       "q_graph_shortest_paths",
-      t => {
-        val edges = GraphOps.coOccurrenceEdges(
-          t.lineitem.select(col("l_orderkey"), col("l_partkey")),
-          "l_orderkey", "l_partkey")
-        GraphOps.shortestPaths(t.spark, edges, TargetPart, maxHops = 4)
-          .select(col("node"), col("dist"))
-          .orderBy(col("node"))
-      },
+      t => GraphOps.shortestPathsOverGroups(
+          t.spark, t.lineitem.select(col("l_orderkey"), col("l_partkey")),
+          "l_orderkey", "l_partkey", TargetPart, maxHops = 4)
+        .select(col("node"), col("dist"))
+        .orderBy(col("node")),
       Some(s"""
         WITH RECURSIVE edges AS (
           SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
