@@ -17,6 +17,7 @@ object GraftSession {
     SparkSession.builder()
       .master(master)
       .appName(appName)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

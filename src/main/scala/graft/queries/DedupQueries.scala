@@ -101,10 +101,11 @@ object DedupQueries {
       t => {
         // Persisted: the 12-hash signature (12 × |shingles| md5 calls per
         // doc) feeds banding plus both sides of the verify join — compute
-        // it once.
+        // it once. graft_minhash is the native codegen'd kernel
+        // (bit-identical to TextOps.minhashSignature; spec-asserted).
         val sig = t.documents
           .selectExpr("doc_id", s"$shs AS shs")
-          .selectExpr("doc_id", "shs", s"${TextOps.minhashSignature("shs")} AS mh")
+          .selectExpr("doc_id", "shs", "graft_minhash(shs, 12) AS mh")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val bands = sig.selectExpr("doc_id", s"posexplode(${TextOps.bandKeys("mh")}) AS (b, bsig)")
         val cand = bands.as("x")
@@ -151,7 +152,9 @@ object DedupQueries {
     QueryDef(
       "q_dedup_simhash",
       t => {
-        val sim = t.documents.selectExpr("doc_id", s"${TextOps.simhash32(shs)} AS sh")
+        // graft_simhash32: native codegen'd kernel, bit-identical to the
+        // portable TextOps.simhash32 HOF formulation (spec-asserted).
+        val sim = t.documents.selectExpr("doc_id", s"graft_simhash32($shs) AS sh")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val chunks = sim.selectExpr("doc_id", s"posexplode(${TextOps.simhashChunks("sh")}) AS (c, cv)")
         val cand = chunks.as("x")

@@ -172,7 +172,7 @@ object EmbeddingQueries {
         // is a conservative prefilter bound.
         a.join(b, Seq("label")).filter(col("a") < col("b"))
           .withColumn("__approx",
-            expr(VectorOps.cosine(VectorOps.dotApprox("ea", "eb"), "na", "nb")))
+            expr(VectorOps.cosine("graft_dot(ea, eb)", "na", "nb")))
           .filter(col("__approx") >= 0.34999)
           .selectExpr("label", "a", "b",
             s"round(${VectorOps.cosine(VectorOps.dot("ea", "eb"), "na", "nb")}, 6) AS cosine")

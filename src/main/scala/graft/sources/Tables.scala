@@ -48,7 +48,12 @@ final case class Tables(spark: SparkSession, dir: String) {
     }
   }
 
-  // LLM-pipeline tables.
-  def documents: DataFrame  = load("documents")
-  def embeddings: DataFrame = load("embeddings")
+  // LLM-pipeline tables. The driver's files are single-row-group parquet,
+  // which Spark cannot split — without a repartition every downstream
+  // per-document kernel (shingling, minhash, simhash, dot products) runs
+  // in ONE task. The hash repartition costs one tiny shuffle and buys
+  // full-cluster parallelism; at real scale this is the ingest bucketing
+  // you'd apply anyway so signature jobs scale with cores, not files.
+  def documents: DataFrame  = load("documents").repartition(col("doc_id"))
+  def embeddings: DataFrame = load("embeddings").repartition(col("vec_id"))
 }
