@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** One shared local session for the whole suite (Spark startup dominates
+  * test wall-clock otherwise). Extensions are active, so specs can use
+  * the registered graft_* SQL functions.
+  */
+object SparkSpec {
+  lazy val spark: SparkSession = {
+    val s = GraftSession.builder(master = "local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+  val Sf0001 = "/root/testdata/sf0.001"
+}
+
+abstract class SparkSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSpec.spark
+  import org.apache.spark.sql.DataFrame
+  def rows(df: DataFrame): Seq[Seq[Any]] =
+    df.collect().toSeq.map(_.toSeq)
+}
