@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video travel as opaque
+  * `binary` columns with typed metadata, decoded/featurized in
+  * distributed per-partition batches (builder-prompt first-class family;
+  * no reference counterpart).
+  *
+  * The Spark side is real — schema, `mapPartitions` batch iteration,
+  * partition-parallel execution, column pruning down to (id, payload) —
+  * while the pixel/sample decode itself is a clearly-marked DETERMINISTIC
+  * STUB (`fakeDecode`): the container ships no image/audio codecs. Swap
+  * `fakeDecode` for a real codec (JNI/javacv/ffmpeg) without touching
+  * any plumbing; per-partition batching amortizes codec init exactly
+  * like a Pandas-UDF batch would.
+  */
+object Multimodal {
+
+  case class MediaFeatures(
+      id: Long,
+      kind: String,
+      byte_len: Int,
+      width: Int,
+      height: Int,
+      channels: Int,
+      features: Array[Float])
+
+  case class Frame(id: Long, frame_idx: Int, offset: Long, frame: Array[Byte])
+
+  /** STUB decode: derives a plausible (width, height, channels) and a
+    * fixed-length feature vector deterministically from the payload
+    * bytes. Replace with a real codec; signature and batching stay. */
+  private[operators] def fakeDecode(bytes: Array[Byte], featureDim: Int): (Int, Int, Int, Array[Float]) = {
+    val h = java.util.Arrays.hashCode(bytes)
+    val width = 16 + math.floorMod(h, 16) * 16
+    val height = 16 + math.floorMod(h >> 8, 16) * 16
+    val channels = 1 + math.floorMod(h >> 16, 3)
+    val features = new Array[Float](featureDim)
+    var i = 0
+    while (i < featureDim) {
+      // Rolling byte statistic per feature slot — deterministic in input.
+      var acc = 0
+      var j = i
+      while (j < bytes.length) { acc = acc * 31 + (bytes(j) & 0xff); j += featureDim }
+      features(i) = (math.floorMod(acc, 1000) / 1000.0f)
+      i += 1
+    }
+    (width, height, channels, features)
+  }
+
+  /** Decode + featurize a binary payload column. Runs per-partition so a
+    * real decoder initializes once per task, not per row. */
+  def decodeFeatures(df: DataFrame, idCol: String, payloadCol: String,
+                     kind: String, featureDim: Int = 8): Dataset[MediaFeatures] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // (real codec: open once here, close via task-completion listener)
+        it.map { case (id, bytes) =>
+          val (w, h, c, f) = fakeDecode(bytes, featureDim)
+          MediaFeatures(id, kind, bytes.length, w, h, c, f)
+        }
+      }
+  }
+
+  /** Frame sampling for "video" payloads: n evenly spaced fixed-size
+    * windows over the byte stream — one output row per frame, ready for
+    * a per-frame decode stage downstream. */
+  def frameSample(df: DataFrame, idCol: String, payloadCol: String,
+                  frames: Int, frameBytes: Int = 16): Dataset[Frame] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        if (bytes.isEmpty) Iterator.empty
+        else {
+          val n = math.min(frames, math.max(1, bytes.length / frameBytes))
+          (0 until n).iterator.map { i =>
+            val off = (bytes.length - frameBytes).max(0).toLong * i / math.max(1, n - 1).toLong
+            val end = math.min(off.toInt + frameBytes, bytes.length)
+            Frame(id, i, off, java.util.Arrays.copyOfRange(bytes, off.toInt, end))
+          }
+        }
+      }
+  }
+}

@@ -93,6 +93,67 @@ object EventQueries {
         FROM events
         ORDER BY event_id""")),
 
+    // A23 (zero-filled fixed-domain distribution, 24-slot hour-of-day).
+    // Ref: webapp/mysql_routes.py:271-280.
+    QueryDef(
+      "q_events_hour_of_day",
+      t => {
+        val domain = t.spark.range(0, 24).select(col("id").as("hour_of_day"))
+        val counts = t.events
+          .groupBy(hour(col("ts")).cast("long").as("hour_of_day"))
+          .agg(count(lit(1)).as("event_cnt"))
+        domain.join(counts, Seq("hour_of_day"), "left")
+          .na.fill(0)
+          .orderBy(col("hour_of_day"))
+      },
+      Some("""
+        SELECT d.hour_of_day, COALESCE(c.event_cnt, 0) AS event_cnt
+        FROM (SELECT range AS hour_of_day FROM range(0, 24)) d
+        LEFT JOIN (
+          SELECT CAST(hour(ts) AS BIGINT) AS hour_of_day, COUNT(*) AS event_cnt
+          FROM events GROUP BY 1) c USING (hour_of_day)
+        ORDER BY d.hour_of_day""")),
+
+    // J8 (left join with coalesce fallback — the reference's Anonymous
+    // user name, webapp/mongodb_routes.py:511-542): events enriched with
+    // customer names; unknown users fall back. Dim side broadcasts.
+    QueryDef(
+      "q_events_user_names",
+      t => t.events
+        .join(t.customer, col("user_id") === col("c_custkey"), "left")
+        .withColumn("user_name", coalesce(col("c_name"), lit("Anonymous")))
+        .groupBy(col("user_name"))
+        .agg(count(lit(1)).as("event_cnt"))
+        .orderBy(col("event_cnt").desc, col("user_name").asc)
+        .limit(20),
+      Some("""
+        SELECT COALESCE(c_name, 'Anonymous') AS user_name, COUNT(*) AS event_cnt
+        FROM events LEFT JOIN customer ON user_id = c_custkey
+        GROUP BY user_name
+        ORDER BY event_cnt DESC, user_name
+        LIMIT 20""")),
+
+    // P8 (nested/semi-structured attribute predicate) via typed JSON
+    // path extraction: filter + aggregate on a JSON attribute. The
+    // reference's 120-line attribute coercion (webapp/mongodb_routes.py:
+    // 151-274) collapses to a typed get_json_object.
+    QueryDef(
+      "q_events_props_typed",
+      t => t.events
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .filter(col("k").isNotNull && col("k") >= 2)
+        .groupBy(col("event_type"), col("k"))
+        .agg(count(lit(1)).as("event_cnt"))
+        .orderBy(col("event_type"), col("k")),
+      Some("""
+        SELECT event_type, k, COUNT(*) AS event_cnt
+        FROM (SELECT event_type,
+                TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+              FROM events)
+        WHERE k IS NOT NULL AND k >= 2
+        GROUP BY event_type, k
+        ORDER BY event_type, k""")),
+
     // A17 (map/object key frequency) on the semi-structured props blob:
     // JSON keys exploded and counted — the document-analytics shape
     // (reference $objectToArray: webapp/mongodb_routes.py:713-720).

@@ -427,6 +427,131 @@ object Warehouse {
         GROUP BY p_brand
         ORDER BY p_brand""")),
 
+    // A8 (month-truncated trend with sliding cutoff). The reference uses
+    // CURRENT_DATE - 12 months (webapp/mysql_routes.py:719-732); a fixed
+    // cutoff keeps the query deterministic for the oracle — the API layer
+    // parameterizes it.
+    QueryDef(
+      "q_recent_orders_trend",
+      t => t.orders
+        .filter(to_date(col("o_orderdate")) >= add_months(lit("1997-08-01").cast("date"), 0))
+        .groupBy(date_format(date_trunc("month", to_date(col("o_orderdate"))), "yyyy-MM-dd").as("month_start"))
+        .agg(count(lit(1)).as("order_cnt"),
+          davg(col("o_totalprice")).as("avg_price"))
+        .orderBy(col("month_start")),
+      Some(s"""
+        SELECT strftime(date_trunc('month', CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_start,
+          COUNT(*) AS order_cnt,
+          ${sqlAvg("o_totalprice")} AS avg_price
+        FROM orders
+        WHERE CAST(o_orderdate AS DATE) >= DATE '1997-08-01'
+        GROUP BY month_start
+        ORDER BY month_start""")),
+
+    // A9 (month-of-year distribution across all years).
+    // Ref: webapp/mysql_routes.py:776-788.
+    QueryDef(
+      "q_month_of_year",
+      t => t.orders
+        .groupBy(
+          month(col("o_orderdate")).cast("long").as("m"),
+          date_format(to_date(col("o_orderdate")), "MMMM").as("month_name"))
+        .agg(count(lit(1)).as("order_cnt"))
+        .orderBy(col("m")),
+      Some("""
+        SELECT CAST(month(o_orderdate) AS BIGINT) AS m,
+          monthname(CAST(o_orderdate AS DATE)) AS month_name,
+          COUNT(*) AS order_cnt
+        FROM orders
+        GROUP BY m, month_name
+        ORDER BY m""")),
+
+    // A11 (quarterly trend with label + year filter).
+    // Ref: webapp/mysql_routes.py:1107-1151.
+    QueryDef(
+      "q_quarterly_trend",
+      t => t.orders
+        .filter(year(col("o_orderdate")) >= 1996)
+        .groupBy(
+          year(col("o_orderdate")).cast("long").as("y"),
+          quarter(col("o_orderdate")).cast("long").as("q"))
+        .agg(count(lit(1)).as("order_cnt"),
+          davg(col("o_totalprice")).as("avg_price"))
+        .withColumn("quarter_label", concat(col("y"), lit("-Q"), col("q")))
+        .select(col("quarter_label"), col("y"), col("q"), col("order_cnt"), col("avg_price"))
+        .orderBy(col("y"), col("q")),
+      Some(s"""
+        SELECT y || '-Q' || q AS quarter_label, y, q, order_cnt, avg_price FROM (
+          SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+            CAST(quarter(CAST(o_orderdate AS DATE)) AS BIGINT) AS q,
+            COUNT(*) AS order_cnt,
+            ${sqlAvg("o_totalprice")} AS avg_price
+          FROM orders
+          WHERE year(o_orderdate) >= 1996
+          GROUP BY y, q)
+        ORDER BY y, q""")),
+
+    // A22/J7 (summary build) — per-customer totals from BOTH facts,
+    // each aggregated separately then joined: the idiomatic fix for the
+    // reference's multi-fact join inflation (init/mysql_loader.py:1080-1104
+    // double-counts via the cross product; SURVEY.md §7.4.4).
+    QueryDef(
+      "q_customer_summary",
+      t => {
+        val orderAgg = t.orders.groupBy(col("o_custkey").as("custkey"))
+          .agg(count(lit(1)).as("order_cnt"),
+            dsum(col("o_totalprice")).as("total_spent"))
+        val itemAgg = t.orders
+          .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_custkey").as("custkey"))
+          .agg(count(lit(1)).as("lineitem_cnt"),
+            dsum(col("l_quantity")).as("total_qty"))
+        t.customer
+          .join(orderAgg, col("c_custkey") === orderAgg("custkey"), "left")
+          .join(itemAgg, col("c_custkey") === itemAgg("custkey"), "left")
+          .select(col("c_custkey"),
+            coalesce(col("order_cnt"), lit(0L)).as("order_cnt"),
+            coalesce(col("total_spent"), lit(0.0)).as("total_spent"),
+            coalesce(col("lineitem_cnt"), lit(0L)).as("lineitem_cnt"),
+            coalesce(col("total_qty"), lit(0.0)).as("total_qty"))
+          .orderBy(col("c_custkey"))
+      },
+      Some(s"""
+        WITH orderagg AS (
+          SELECT o_custkey AS custkey, COUNT(*) AS order_cnt,
+            ${sqlSum("o_totalprice")} AS total_spent
+          FROM orders GROUP BY 1),
+        itemagg AS (
+          SELECT o_custkey AS custkey, COUNT(*) AS lineitem_cnt,
+            ${sqlSum("l_quantity")} AS total_qty
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+          GROUP BY 1)
+        SELECT c_custkey,
+          COALESCE(order_cnt, 0) AS order_cnt,
+          COALESCE(total_spent, 0.0) AS total_spent,
+          COALESCE(lineitem_cnt, 0) AS lineitem_cnt,
+          COALESCE(total_qty, 0.0) AS total_qty
+        FROM customer
+        LEFT JOIN orderagg ON c_custkey = orderagg.custkey
+        LEFT JOIN itemagg ON c_custkey = itemagg.custkey
+        ORDER BY c_custkey""")),
+
+    // S11 (sample scan) made deterministic and engine-portable: md5
+    // bucket of the key replaces $sample/LIMIT-without-ORDER (both
+    // nondeterministic). At scale this is also the right way to sample —
+    // pushdown-friendly, stable across runs and engines.
+    QueryDef(
+      "q_sample_customers",
+      t => t.customer
+        .filter(substring(md5(col("c_custkey").cast("string")), 1, 2) < "14")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .orderBy(col("c_custkey")),
+      Some("""
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer
+        WHERE substr(md5(CAST(c_custkey AS VARCHAR)), 1, 2) < '14'
+        ORDER BY c_custkey""")),
+
     // S2 (calendar/range source) + A23 zero-fill: generated day dimension
     // for 1996 with derived attributes, left-joined to order counts.
     // Ref: init/mysql_loader.py:243-288.
