@@ -205,6 +205,59 @@ object GraphQueries {
         ORDER BY total_edges DESC, n_name
         LIMIT 5""")),
 
+    // J16 (connection paths): enumerate the linking entities between two
+    // given nodes — customers who bought both parts, with per-linker
+    // evidence counts. Two pushed-down scans semi-join shrunken orders;
+    // no unrestricted fact join. Ref: webapp/neo4j_routes.py:733-765.
+    QueryDef(
+      "q_graph_connectors",
+      t => {
+        val other = 2L
+        purchasesBy(t, buyersOf(t, TargetPart))
+          .filter(col("partkey").isin(TargetPart, other))
+          .groupBy(col("custkey"))
+          .agg(countDistinct(col("partkey")).as("linked_parts"))
+          .filter(col("linked_parts") === 2)
+          .join(t.customer, col("custkey") === col("c_custkey"))
+          .select(col("custkey"), col("c_name"))
+          .orderBy(col("custkey"))
+      },
+      Some(s"""
+        WITH purchases AS (
+          SELECT DISTINCT o_custkey AS custkey, l_partkey AS partkey
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        SELECT custkey, c_name
+        FROM (
+          SELECT custkey FROM purchases
+          WHERE partkey IN ($TargetPart, 2)
+          GROUP BY custkey
+          HAVING COUNT(DISTINCT partkey) = 2)
+        JOIN customer ON custkey = c_custkey
+        ORDER BY custkey""")),
+
+    // A1 (global counts per table — the /api/debug cross-store check,
+    // webapp/utility_routes.py:32-129) as one unioned plan.
+    QueryDef(
+      "q_table_counts",
+      t => Seq(
+          "region" -> t.region, "nation" -> t.nation, "customer" -> t.customer,
+          "supplier" -> t.supplier, "part" -> t.part, "orders" -> t.orders,
+          "lineitem" -> t.lineitem)
+        .map { case (n, df) => df.groupBy().agg(count(lit(1)).as("row_cnt"))
+          .select(lit(n).as("table_name"), col("row_cnt")) }
+        .reduce(_ unionByName _)
+        .orderBy(col("table_name")),
+      Some("""
+        SELECT * FROM (
+          SELECT 'region' AS table_name, COUNT(*) AS row_cnt FROM region
+          UNION ALL SELECT 'nation', COUNT(*) FROM nation
+          UNION ALL SELECT 'customer', COUNT(*) FROM customer
+          UNION ALL SELECT 'supplier', COUNT(*) FROM supplier
+          UNION ALL SELECT 'part', COUNT(*) FROM part
+          UNION ALL SELECT 'orders', COUNT(*) FROM orders
+          UNION ALL SELECT 'lineitem', COUNT(*) FROM lineitem)
+        ORDER BY table_name""")),
+
     // J17 (variable-length shortestPath ≤4 hops) — bounded BFS over the
     // co-purchase graph from the target part. The only operator with no
     // single relational form (SURVEY.md §7.4.1); iterative join loop in
