@@ -40,5 +40,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot"),
       info("graft_dot", "graft_dot(a, b) - double dot product of two double arrays"),
       (args: Seq[Expression]) => DotDoubleExpr(args.head, args(1))))
+    // Optimizer rule: portable SQL dot-product folds → native kernel.
+    ext.injectOptimizerRule(graft.plans.NativeKernelRules)
   }
 }

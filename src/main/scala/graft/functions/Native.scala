@@ -104,14 +104,20 @@ object Native {
     res
   }
 
-  /** Sequential-order double dot product — same accumulation order as the
-    * SQL `aggregate(zip_with(...))` left fold in
-    * [[graft.operators.VectorOps.dotApprox]]. */
-  def dotDouble(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+  /** Sequential-order double dot product with the SQL fold's exact null
+    * semantics: `aggregate(zip_with(a,b,(x,y)->x*y), 0d, (acc,v)->acc+v)`
+    * yields NULL when lengths differ (zip_with null-pads → null product →
+    * null sum) or when any element is null. Same accumulation order as
+    * the fold in [[graft.operators.VectorOps.dotApprox]], so the
+    * optimizer rewrite ([[graft.plans.NativeKernelRules]]) is
+    * result-identical, not just approximately equal. */
+  def dotDoubleChecked(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       acc += a.getDouble(i) * b.getDouble(i)
       i += 1
     }

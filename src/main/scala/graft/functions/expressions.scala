@@ -78,12 +78,18 @@ case class DotDoubleExpr(left: Expression, right: Expression) extends BinaryExpr
     else TypeChecks.requireDoubleArray(prettyName, right.dataType)
   }
 
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(a: Any, b: Any): Any =
-    Native.dotDouble(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    Native.dotDoubleChecked(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = graft.functions.Native.dotDouble($a, $b);")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val tmp = ctx.freshName("dotRes")
+      s"""java.lang.Double $tmp = graft.functions.Native.dotDoubleChecked($a, $b);
+         |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp.doubleValue(); }
+         |""".stripMargin
+    })
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
