@@ -16,6 +16,19 @@ object Bench {
       SparkEntry.queries.foreach { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
+    // Page-cache prewarm of the benchmark tables: one full read per file
+    // so the timed loop measures engine time, not cold-disk variance.
+    new java.io.File(sfDir).listFiles(f => f.getName.endsWith(".parquet"))
+      .foreach(f => try spark.read.parquet(f.getPath).foreach(_ => ())
+        catch { case _: Throwable => () })
+    // One untimed pass at the TARGET SF: AQE picks different physical
+    // plans at different scale factors, so the small-SF warmup misses
+    // their Janino compilation — without this pass the first heavy query
+    // pays ~10 s of one-time codegen inside its measurement.
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      spark.catalog.clearCache()
+    }
     spark.catalog.clearCache()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -109,19 +109,25 @@ object EmbeddingQueries {
     QueryDef(
       "q_embed_ivf",
       t => {
+        // Centroids computed per (label, dim) — the ONE place the vectors
+        // explode — then reassembled into k arrays and broadcast; the
+        // assignment pass streams each vector once, computing k exact
+        // decimal dots as array HOFs (no per-element join rows, no
+        // 64×-amplified shuffle). Vectors : centroid-rows = N : k, the
+        // FAISS coarse-quantizer shape in relational form.
         val elems = norms(t).selectExpr("vec_id", "label", "nsq", "posexplode(e) AS (i, v)")
         val centroids = elems
           .groupBy(col("label").as("cl"), col("i"))
           .agg((sum(expr("CAST(v AS DECIMAL(30,15))")).cast("double") / count(lit(1))).as("m"))
-        val cnorm = centroids.groupBy(col("cl"))
-          .agg(sum(expr("CAST(m * m AS DECIMAL(30,15))")).cast("double").as("cnsq"))
-        val dots = elems.join(broadcast(centroids), "i")
-          .groupBy(col("vec_id"), col("label"), col("nsq"), col("cl"))
-          .agg(sum(expr("CAST(v * m AS DECIMAL(30,15))")).cast("double").as("dot"))
+          .groupBy(col("cl"))
+          .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("im"))
+          .selectExpr("cl", "transform(im, x -> x.m) AS c")
+          .selectExpr("cl", "c", s"${VectorOps.normSq("c")} AS cnsq")
         val w = Window.partitionBy(col("vec_id"))
           .orderBy(col("cos").desc, col("cl").asc)
-        dots.join(broadcast(cnorm), "cl")
-          .withColumn("cos", r6(col("dot") / (sqrt(col("nsq")) * sqrt(col("cnsq")))))
+        norms(t).crossJoin(broadcast(centroids))
+          .selectExpr("vec_id", "label", "cl",
+            s"round(${VectorOps.cosine(VectorOps.dot("e", "c"), "nsq", "cnsq")}, 6) AS cos")
           .withColumn("rk", row_number().over(w))
           .filter(col("rk") === 1)
           .groupBy(col("label"), col("cl").as("assigned"))
