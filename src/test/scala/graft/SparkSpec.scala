@@ -11,6 +11,11 @@ object SparkSpec {
   lazy val spark: SparkSession = {
     val s = GraftSession.builder(master = "local[4]")
       .config("spark.sql.shuffle.partitions", "4")
+      // Fresh warehouse per JVM: saveAsTable locations must not survive
+      // across test runs (the in-memory catalog forgets them; the
+      // directory wouldn't).
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_wh").toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
