@@ -45,6 +45,39 @@ object VectorOps {
   def cosine(dotCol: String, nsqA: String, nsqB: String): String =
     s"$dotCol / (sqrt($nsqA) * sqrt($nsqB))"
 
+  /** Random-hyperplane LSH bucket key (SimHash for vectors): `planes`
+    * Rademacher hyperplanes w_j with w_j[i] = +1 iff the first hex digit
+    * of md5(j || '_' || i) is 0-7 (deterministic, engine-portable), and
+    * bit j of the key = [dot(e, w_j) >= 0]. Signed-dot through exact
+    * decimals so both engines compute the SAME bucket even when a dot
+    * sits at ±1e-15. Cosine-similar vectors agree on most bits, so
+    * near-dup candidates collide on the full key; the quadratic compare
+    * never happens across buckets.
+    */
+  def lshBucket(e: String, planes: Int, dim: Int): String = {
+    val bits = (0 until planes).map { j =>
+      val signedSum =
+        s"""CAST(aggregate(transform(sequence(0, ${dim - 1}),
+           |  i -> CAST(CASE WHEN instr('01234567', substring(md5(concat('$j', '_', CAST(i AS STRING))), 1, 1)) > 0
+           |            THEN element_at($e, i + 1) ELSE -element_at($e, i + 1) END AS DECIMAL(30,15))),
+           |  CAST(0 AS DECIMAL(38,15)), (acc, v) -> CAST(acc + v AS DECIMAL(38,15))) AS DOUBLE)""".stripMargin
+      s"(CASE WHEN $signedSum >= 0 THEN ${1 << j} ELSE 0 END)"
+    }
+    bits.mkString("(", " + ", ")")
+  }
+
+  /** DuckDB twin of [[lshBucket]]. */
+  def duckLshBucket(e: String, planes: Int, dim: Int): String = {
+    val bits = (0 until planes).map { j =>
+      val signedSum =
+        s"""CAST(list_sum([ CAST(CASE WHEN strpos('01234567', substr(md5('${j}_' || CAST(i AS VARCHAR)), 1, 1)) > 0
+           |  THEN $e[i + 1] ELSE -$e[i + 1] END AS DECIMAL(30,15))
+           |  for i in generate_series(0, ${dim - 1}) ]) AS DOUBLE)""".stripMargin
+      s"(CASE WHEN $signedSum >= 0 THEN ${1 << j} ELSE 0 END)"
+    }
+    bits.mkString("(", " + ", ")")
+  }
+
   // ---- DuckDB oracle twins (same math, DuckDB list syntax) ----
 
   /** DuckDB: exact decimal dot product of two DOUBLE[] expressions. */

@@ -161,6 +161,39 @@ object EmbeddingQueries {
         GROUP BY label, assigned
         ORDER BY label, assigned""")),
 
+    // LSH-bucketed ANN (the scale path that needs no labels): 6
+    // random-hyperplane bits bucket the vectors; candidate pairs form
+    // only within a bucket, then the two-phase prefilter+exact cosine
+    // verifies. Recall bounded by the banding (standard LSH trade);
+    // cross-engine-identical buckets because the signed projections run
+    // through exact decimals.
+    QueryDef(
+      "q_embed_lsh",
+      t => {
+        val n = norms(t)
+          .selectExpr("vec_id", "e", "nsq", s"${VectorOps.lshBucket("e", 6, 64)} AS bucket")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val a = n.select(col("bucket"), col("vec_id").as("a"), col("e").as("ea"), col("nsq").as("na"))
+        val b = n.select(col("bucket"), col("vec_id").as("b"), col("e").as("eb"), col("nsq").as("nb"))
+        a.join(b, Seq("bucket")).filter(col("a") < col("b"))
+          .withColumn("__approx",
+            expr(VectorOps.cosine("graft_dot(ea, eb)", "na", "nb")))
+          .filter(col("__approx") >= 0.34999)
+          .selectExpr("bucket", "a", "b",
+            s"round(${VectorOps.cosine(VectorOps.dot("ea", "eb"), "na", "nb")}, 6) AS cosine")
+          .filter(col("cosine") >= 0.35)
+          .orderBy(col("a"), col("b"))
+      },
+      Some(s"""
+        WITH n AS (
+          SELECT vec_id, e, nsq, ${VectorOps.duckLshBucket("e", 6, 64)} AS bucket
+          FROM ${duckNorms(64)} x)
+        SELECT x.bucket, x.vec_id a, y.vec_id b,
+          round(${VectorOps.duckDot("x.e", "y.e", 64)} / (sqrt(x.nsq) * sqrt(y.nsq)), 6) cosine
+        FROM n x JOIN n y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+        WHERE round(${VectorOps.duckDot("x.e", "y.e", 64)} / (sqrt(x.nsq) * sqrt(y.nsq)), 6) >= 0.35
+        ORDER BY a, b""")),
+
     // Blocked near-dup: pairs within the same coarse cell (label = the
     // quantizer cell id) with cosine ≥ 0.35 — the IVF-blocked version of
     // embedding near-dup detection (recall bounded by the blocking, the
