@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.QueryDef
 import graft.functions.Exact._
-import graft.operators.AsOfJoin
+import graft.operators.{AsOfJoin, RangeJoin}
 
 /** Event-stream analytics in batch form (the streaming twins live in
   * graft.streaming and are spec-tested — no SQL oracle for them).
@@ -92,6 +92,30 @@ object EventQueries {
            WHERE o_custkey = user_id AND o_orderdate <= ts) AS last_order_date
         FROM events
         ORDER BY event_id""")),
+
+    // Banded range join (beyond-reference; see graft.operators.RangeJoin):
+    // events of the same customer within 7 days AFTER each order. The
+    // bucketized implementation shuffles O(n+m) rows with ≤2× fan-out —
+    // never the per-key cross product a theta-join would make.
+    QueryDef(
+      "q_events_after_order",
+      t => RangeJoin.bandJoin(
+          t.orders, col("o_custkey"), col("o_orderdate"),
+          t.events, col("user_id"), col("ts"),
+          loUs = 0L, hiUs = 7L * 86400 * 1000000)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("event_cnt"),
+          countDistinct(col("o_orderkey")).as("orders_with_events"))
+        .orderBy(col("o_orderpriority")),
+      Some(s"""
+        SELECT o_orderpriority,
+          COUNT(*) AS event_cnt,
+          COUNT(DISTINCT o_orderkey) AS orders_with_events
+        FROM orders JOIN events
+          ON user_id = o_custkey
+          AND epoch_us(ts) - epoch_us(o_orderdate) BETWEEN 0 AND ${7L * 86400 * 1000000}
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority""")),
 
     // A23 (zero-filled fixed-domain distribution, 24-slot hour-of-day).
     // Ref: webapp/mysql_routes.py:271-280.

@@ -175,6 +175,70 @@ object TextQueries {
         FROM (SELECT doc_id, $duckToks s FROM documents)
         ORDER BY doc_id""")),
 
+    // BPE-ish regex tokenization (builder-prompt: "whitespace + a
+    // BPE-ish regex"): letter runs / digit runs / single
+    // non-alphanumerics — the pre-merge segmentation a BPE tokenizer
+    // starts from. Pure map-side regexp_extract_all.
+    QueryDef(
+      "q_text_bpe_tokens",
+      t => {
+        // lit() pattern: a SQL string literal would eat the \s escape.
+        t.documents
+          .withColumn("st", regexp_extract_all(col("text"),
+            lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
+          .selectExpr("doc_id",
+            "CAST(size(st) AS BIGINT) AS subword_cnt",
+            "CAST(size(array_distinct(st)) AS BIGINT) AS distinct_cnt",
+            "CAST(size(filter(st, x -> x rlike '^[a-zA-Z]+$')) AS BIGINT) AS alpha_cnt",
+            "CAST(size(filter(st, x -> x rlike '^[0-9]+$')) AS BIGINT) AS digit_cnt")
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        SELECT doc_id,
+          len(st) AS subword_cnt,
+          len(list_distinct(st)) AS distinct_cnt,
+          len(list_filter(st, x -> regexp_full_match(x, '[a-zA-Z]+'))) AS alpha_cnt,
+          len(list_filter(st, x -> regexp_full_match(x, '[0-9]+'))) AS digit_cnt
+        FROM (SELECT doc_id,
+                regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]') AS st
+              FROM documents)
+        ORDER BY doc_id""")),
+
+    // Rolling-hash fingerprinting (builder-prompt: "document
+    // fingerprinting (rolling hash)"): Karp-Rabin polynomial hash over
+    // token hashes mod 1e9+7, plus winnowing-style distinct window
+    // minima (the MOSS fingerprint set). Token hash = first 32 bits of
+    // md5, identical in both engines; modular fold keeps every value in
+    // BIGINT range so overflow semantics never diverge.
+    QueryDef(
+      "q_text_rolling_fp",
+      t => {
+        val p = 1000000007L
+        t.documents
+          .withColumn("hs", expr(
+            s"transform($toks, x -> CAST(conv(substring(md5(x), 1, 8), 16, 10) AS BIGINT))"))
+          .selectExpr("doc_id",
+            s"aggregate(hs, CAST(0 AS BIGINT), (acc, h) -> pmod(acc * 131 + h, $p)) AS rolling_fp",
+            """CASE WHEN size(hs) >= 4
+              |  THEN CAST(size(array_distinct(
+              |    transform(sequence(1, size(hs) - 3), i -> array_min(slice(hs, i, 4))))) AS BIGINT)
+              |  ELSE CAST(0 AS BIGINT) END AS winnow_cnt""".stripMargin,
+            "CAST(size(hs) AS BIGINT) AS token_cnt")
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        SELECT doc_id,
+          list_reduce(list_prepend(CAST(0 AS BIGINT), hs),
+            (acc, h) -> (acc * 131 + h) % 1000000007) AS rolling_fp,
+          CASE WHEN len(hs) >= 4
+            THEN len(list_distinct([ list_min(hs[i:i+3]) for i in range(1, len(hs) - 2) ]))
+            ELSE 0 END AS winnow_cnt,
+          len(hs) AS token_cnt
+        FROM (SELECT doc_id,
+                list_transform($duckToks, x -> TRY_CAST('0x' || substr(md5(x), 1, 8) AS BIGINT)) AS hs
+              FROM documents)
+        ORDER BY doc_id""")),
+
     // Multimodal plumbing: text payload as an opaque binary column with
     // typed metadata — byte length, content digest, header prefix. The
     // decode/feature-extract stage is the stubbed operator
