@@ -42,5 +42,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => DotDoubleExpr(args.head, args(1))))
     // Optimizer rule: portable SQL dot-product folds → native kernel.
     ext.injectOptimizerRule(graft.plans.NativeKernelRules)
+    // Planner strategy: native sort-merge as-of join plan node.
+    ext.injectPlannerStrategy(_ => new graft.plans.AsOfJoinStrategy)
   }
 }

@@ -1,0 +1,137 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, Expression, JoinedRow, NullsFirst, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** Native as-of join — the full custom-operator ladder (SURVEY.md §7.3's
+  * "optional" rung, guide §"Custom operator"): logical node → planner
+  * strategy → physical sort-merge exec, registered through
+  * [[graft.GraftExtensions]].
+  *
+  * Semantics match [[graft.operators.AsOfJoin.lastValueAsOf]] exactly
+  * (spec-asserted): for each left row, the right value with the greatest
+  * `rightTime <= leftTime` for the same key; ties on (key, time) take
+  * the maximum value; keyless/no-match rows get NULL; NULL keys never
+  * match.
+  *
+  * Physical shape: both sides hash-cluster on the key (Catalyst inserts
+  * the exchanges + sorts from the declared requirements) and one
+  * streaming merge pass per partition carries the running last value —
+  * no union of mismatched schemas, no window state, O(n+m) per
+  * partition. Keys and times are normalized to LONG by the API wrapper
+  * so the merge compares primitives.
+  */
+case class AsOfJoinPlan(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKey: Expression, leftTime: Expression,
+    rightKey: Expression, rightTime: Expression,
+    rightVal: Expression, valAttr: AttributeReference)
+  extends BinaryNode {
+  override def output: Seq[Attribute] = left.output :+ valAttr
+  // valAttr is minted by this node, not pulled from a child.
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(valAttr :: Nil)
+  override protected def withNewChildrenInternal(newLeft: LogicalPlan, newRight: LogicalPlan): LogicalPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+class AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(l, r, lk, lt, rk, rt, rv, out) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, lt, rk, rt, rv, out) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsOfJoinExec(
+    left: SparkPlan, right: SparkPlan,
+    leftKey: Expression, leftTime: Expression,
+    rightKey: Expression, rightTime: Expression,
+    rightVal: Expression, valAttr: AttributeReference)
+  extends SparkPlan with BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output :+ valAttr
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(valAttr :: Nil)
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
+
+  private def asc(e: Expression) = SortOrder(e, Ascending, NullsFirst, Seq.empty)
+
+  // Right additionally sorts by value so equal (key, time) rows resolve
+  // deterministically to the max value (the composed operator's
+  // contract).
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    Seq(asc(leftKey), asc(leftTime)) :: Seq(asc(rightKey), asc(rightTime), asc(rightVal)) :: Nil
+
+  override def outputOrdering: Seq[SortOrder] = Seq(asc(leftKey), asc(leftTime))
+
+  override protected def withNewChildrenInternal(newLeft: SparkPlan, newRight: SparkPlan): SparkPlan =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val lk = leftKey; val lt = leftTime
+    val rk = rightKey; val rt = rightTime; val rv = rightVal
+    val valAttrLocal = valAttr
+    left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
+      val lKeyProj = UnsafeProjection.create(Seq(lk, lt), lOut)
+      val rKeyProj = UnsafeProjection.create(Seq(rk, rt), rOut)
+      val rValProj = UnsafeProjection.create(Seq(rv), rOut)
+      val outProj = UnsafeProjection.create(output, lOut :+ valAttrLocal)
+      val joined = new JoinedRow
+      val nullVal = InternalRow(null)
+      val oneField = new Array[Any](1)
+
+      var rHead: InternalRow = null
+      var rHeadKeys: UnsafeRow = null
+      var lastVal: UnsafeRow = null
+      var lastValKey: Long = 0L
+      var lastValSet = false
+
+      lIt.map { lRow =>
+        val lKeys = lKeyProj(lRow)
+        if (lKeys.isNullAt(0)) {
+          // NULL left key: never matches.
+          outProj(joined(lRow, nullVal))
+        } else {
+          val lKey = lKeys.getLong(0)
+          val lTime = lKeys.getLong(1)
+          var advancing = true
+          while (advancing && (rHead != null || rIt.hasNext)) {
+            if (rHead == null) {
+              rHead = rIt.next()
+              rHeadKeys = rKeyProj(rHead).copy()
+            }
+            if (rHeadKeys.isNullAt(0)) {
+              rHead = null // skip NULL right keys
+            } else {
+              val rKey = rHeadKeys.getLong(0)
+              val rTime = rHeadKeys.getLong(1)
+              if (rKey < lKey || (rKey == lKey && rTime <= lTime)) {
+                lastVal = rValProj(rHead).copy()
+                lastValKey = rKey
+                lastValSet = true
+                rHead = null
+              } else advancing = false
+            }
+          }
+          if (lastValSet && lastValKey == lKey) {
+            oneField(0) = if (lastVal.isNullAt(0)) null
+              else lastVal.get(0, valAttrLocal.dataType)
+            outProj(joined(lRow, InternalRow.fromSeq(oneField.toIndexedSeq)))
+          } else {
+            outProj(joined(lRow, nullVal))
+          }
+        }
+      }
+    }
+  }
+}

@@ -93,6 +93,26 @@ object EventQueries {
         FROM events
         ORDER BY event_id""")),
 
+    // Same as-of semantics through the NATIVE plan node
+    // (graft.plans.AsOfJoinPlan: logical node → strategy → sort-merge
+    // exec): one merge pass per co-partition instead of union+window.
+    // Shares the composed version's oracle — both must hash-match it.
+    QueryDef(
+      "q_events_asof_native",
+      t => graft.operators.AsOfJoinNativeApi.lastValueAsOf(
+          t.events, col("user_id"), col("ts"),
+          t.orders, col("o_custkey"), col("o_orderdate"),
+          date_format(to_date(col("o_orderdate")), "yyyy-MM-dd"), "last_order_date")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("last_order_date"))
+        .orderBy(col("event_id")),
+      Some("""
+        SELECT event_id, user_id, event_type,
+          (SELECT strftime(MAX(CAST(o_orderdate AS DATE)), '%Y-%m-%d')
+           FROM orders
+           WHERE o_custkey = user_id AND o_orderdate <= ts) AS last_order_date
+        FROM events
+        ORDER BY event_id""")),
+
     // Banded range join (beyond-reference; see graft.operators.RangeJoin):
     // events of the same customer within 7 days AFTER each order. The
     // bucketized implementation shuffles O(n+m) rows with ≤2× fan-out —
