@@ -42,13 +42,33 @@ object RawReader {
       .option("columnNameOfCorruptRecord", "_corrupt")
       .json(path)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    split(raw, required, key, orderCol)
+  }
+
+  /** CSV twin of [[readJsonl]] — same explicit-schema / corrupt-capture /
+    * validation-split / keyed-dedup pipeline over delimited files
+    * (header expected; PERMISSIVE malformed-line capture). */
+  def readCsv(spark: SparkSession, path: String, schema: StructType,
+              required: Seq[String], key: String, orderCol: String): Ingested = {
+    val raw = spark.read
+      .schema(schema.add("_corrupt", "string"))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .option("header", "true")
+      .csv(path)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    split(raw, required, key, orderCol)
+  }
+
+  /** Shared corrupt/invalid/valid split + dedup (see [[readJsonl]] docs). */
+  private def split(raw: DataFrame, required: Seq[String],
+                    key: String, orderCol: String): Ingested = {
     val parsed = raw.filter(col("_corrupt").isNull).drop("_corrupt")
     val corrupt = raw.filter(col("_corrupt").isNotNull)
-      .select(col("_corrupt").as("line"), lit("corrupt_json").as("reason"))
+      .select(col("_corrupt").as("line"), lit("corrupt_record").as("reason"))
     val requiredPred = required.map(col(_).isNotNull).reduce(_ && _)
     val invalid = parsed.filter(!requiredPred)
       .select(to_json(struct(col("*"))).as("line"), lit("missing_required").as("reason"))
-    // S4 dedup: deterministic winner per key via min(orderCol) ranking.
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(key)).orderBy(col(orderCol).asc)
     val valid = parsed.filter(requiredPred)

@@ -30,6 +30,25 @@ class RawReaderSpec extends SparkSpec {
     assert(valid == Map(1L -> "dup-earliest", 3L -> "c"))
 
     val reasons = out.rejected.collect().map(_.getAs[String]("reason")).sorted.toSeq
-    assert(reasons == Seq("corrupt_json", "missing_required"))
+    assert(reasons == Seq("corrupt_record", "missing_required"))
+  }
+
+  test("CSV ingest follows the same split + dedup pipeline") {
+    val dir = Files.createTempDirectory("graft_csv")
+    val file = dir.resolve("data.csv")
+    Files.writeString(file,
+      """id,name,stars,loaded_at
+        |1,a,4.0,1
+        |2,,3.0,2
+        |1,dup,1.0,5
+        |3,c,notanumber,3
+        |4,d,5.0,4
+        |""".stripMargin)
+    val out = RawReader.readCsv(spark, file.toString, schema,
+      required = Seq("id", "name"), key = "id", orderCol = "loaded_at")
+    val valid = out.valid.collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("name")).toMap
+    assert(valid == Map(1L -> "a", 4L -> "d"))
+    val reasons = out.rejected.collect().map(_.getAs[String]("reason")).sorted.toSeq
+    assert(reasons == Seq("corrupt_record", "missing_required"))
   }
 }
