@@ -552,6 +552,54 @@ object Warehouse {
         WHERE substr(md5(CAST(c_custkey AS VARCHAR)), 1, 2) < '14'
         ORDER BY c_custkey""")),
 
+    // ROLLUP hierarchy totals (beyond-reference warehouse staple): one
+    // pass produces (region, nation), per-region, and grand-total rows —
+    // replacing three separate aggregations. grouping() disambiguates
+    // rollup NULLs from data NULLs.
+    QueryDef(
+      "q_rollup_revenue",
+      t => t.customer
+        .join(t.nation, col("c_nationkey") === col("n_nationkey"))
+        .join(t.region, col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("customer_cnt"),
+          dsum(col("c_acctbal")).as("total_acctbal"),
+          grouping(col("r_name")).cast("long").as("is_total"),
+          grouping(col("n_name")).cast("long").as("is_region_total"))
+        .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first),
+      Some(s"""
+        SELECT r_name, n_name,
+          COUNT(*) AS customer_cnt,
+          ${sqlSum("c_acctbal")} AS total_acctbal,
+          CAST(GROUPING(r_name) AS BIGINT) AS is_total,
+          CAST(GROUPING(n_name) AS BIGINT) AS is_region_total
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP(r_name, n_name)
+        ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""")),
+
+    // Exact percentiles (§2.8 statistics family): sort-based linear
+    // interpolation — same definition as the oracle's quantile_cont, so
+    // values are engine-identical (approx sketches would not be).
+    QueryDef(
+      "q_percentiles",
+      t => t.orders
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 6).as("median_price"),
+          round(expr("percentile(o_totalprice, 0.9)"), 6).as("p90_price"),
+          count(lit(1)).as("order_cnt"))
+        .orderBy(col("o_orderpriority")),
+      Some("""
+        SELECT o_orderpriority,
+          round(quantile_cont(o_totalprice, 0.5), 6) AS median_price,
+          round(quantile_cont(o_totalprice, 0.9), 6) AS p90_price,
+          COUNT(*) AS order_cnt
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority""")),
+
     // S2 (calendar/range source) + A23 zero-fill: generated day dimension
     // for 1996 with derived attributes, left-joined to order counts.
     // Ref: init/mysql_loader.py:243-288.
