@@ -50,6 +50,44 @@ object GraphOps {
     visited
   }
 
+  /** Connected components by min-label propagation: every node adopts
+    * the smallest label reachable within `maxIter` hops (for true
+    * components, maxIter ≥ graph diameter; near-dup clusters are
+    * near-cliques, so a handful of iterations converges). Each
+    * iteration is one shuffle on node id — the standard large-scale
+    * alternative to a driver-side union-find, used to turn near-dup
+    * PAIRS into dedup GROUPS. Converges early when a pass changes no
+    * label. Output: (node, component = min node id in component);
+    * isolated nodes absent from `edges` don't appear.
+    */
+  def connectedComponents(spark: SparkSession, edges: DataFrame, maxIter: Int): DataFrame = {
+    val und = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .unionByName(edges.select(col("dst").cast("long").as("src"), col("src").cast("long").as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = und.select(col("src").as("node")).distinct()
+      .withColumn("component", col("node"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      iter += 1
+      val viaNeighbor = und
+        .join(labels, und("dst") === labels("node"))
+        .select(und("src").as("node"), col("component"))
+      val next = labels.select(col("node"), col("component"))
+        .unionByName(viaNeighbor)
+        .groupBy(col("node")).agg(min(col("component")).as("component"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val changes = next.join(labels.withColumnRenamed("component", "old"), "node")
+        .filter(col("component") =!= col("old")).count()
+      labels = next
+      if (changes == 0) converged = true
+    }
+    und.unpersist()
+    labels
+  }
+
   /** Undirected co-occurrence edges: items sharing a group key, one row
     * per (group, a, b) with a != b in both directions. J10/J15 shape.
     *

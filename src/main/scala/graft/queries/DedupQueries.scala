@@ -146,6 +146,49 @@ object DedupQueries {
             CAST(len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs)) AS DOUBLE), 6) >= 0.5
         ORDER BY a, b""")),
 
+    // Near-dup pairs → dedup GROUPS: connected components over the
+    // verified Jaccard≥0.5 pair graph (min-label propagation — see
+    // GraphOps.connectedComponents), the step that turns pairwise
+    // detections into per-cluster canonical/drop decisions at corpus
+    // scale. Oracle: recursive-CTE reachability closure.
+    QueryDef(
+      "q_dedup_components",
+      t => {
+        val docs = t.documents.selectExpr("doc_id", s"$shs AS shs")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val inv = docs.selectExpr("doc_id", "explode(shs) AS sh")
+        val sizes = docs.selectExpr("doc_id", "CAST(size(shs) AS BIGINT) AS n")
+        val pairs = inv.as("x")
+          .join(inv.as("y"), col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+          .groupBy(col("x.doc_id").as("src"), col("y.doc_id").as("dst"))
+          .agg(count(lit(1)).as("c"))
+          .join(sizes.withColumnRenamed("doc_id", "src").withColumnRenamed("n", "ns"), "src")
+          .join(sizes.withColumnRenamed("doc_id", "dst").withColumnRenamed("n", "nd"), "dst")
+          .filter(round(col("c") / (col("ns") + col("nd") - col("c")).cast("double"), 6) >= 0.5)
+          .select(col("src"), col("dst"))
+        graft.operators.GraphOps.connectedComponents(t.spark, pairs, maxIter = 6)
+          .select(col("node").as("doc_id"), col("component"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH RECURSIVE sh AS $duckShingles,
+        inv AS (SELECT doc_id, unnest(shs) sh FROM sh),
+        common AS (
+          SELECT x.doc_id a, y.doc_id b, COUNT(*) c
+          FROM inv x JOIN inv y ON x.sh = y.sh AND x.doc_id < y.doc_id
+          GROUP BY 1, 2),
+        pairs AS (
+          SELECT a, b FROM common
+          JOIN sh sa ON a = sa.doc_id JOIN sh sb ON b = sb.doc_id
+          WHERE round(c / CAST(len(sa.shs) + len(sb.shs) - c AS DOUBLE), 6) >= 0.5),
+        edges AS (SELECT a s, b d FROM pairs UNION ALL SELECT b, a FROM pairs),
+        reach(node, lab) AS (
+          SELECT DISTINCT s, s FROM edges
+          UNION
+          SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.node)
+        SELECT node AS doc_id, MIN(lab) AS component
+        FROM reach GROUP BY node ORDER BY doc_id""")),
+
     // SimHash near-dup: 32-bit shingle simhash per doc (map-side fold),
     // pigeonhole banding on 4 byte-chunks (hamming ≤ 3 ⇒ ≥1 chunk
     // equal), exact hamming verify on candidates only.
