@@ -67,6 +67,40 @@ object Multimodal {
       }
   }
 
+  case class Resized(id: Long, width: Int, height: Int, pixels: Array[Byte])
+
+  /** STUB resize: nearest-neighbor downsample over the byte grid the
+    * fake decode implies (payload bytes laid out row-major at the
+    * decoded width). Deterministic in input; replace the sampling loop
+    * with a real scaler without touching the plumbing. */
+  def resize(df: DataFrame, idCol: String, payloadCol: String,
+             outW: Int, outH: Int): Dataset[Resized] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val out = new Array[Byte](outW * outH)
+          if (bytes.nonEmpty) {
+            val (w, h, _, _) = fakeDecode(bytes, 1)
+            var y = 0
+            while (y < outH) {
+              var x = 0
+              while (x < outW) {
+                val sx = x.toLong * w / outW
+                val sy = y.toLong * h / outH
+                out(y * outW + x) = bytes(((sy * w + sx) % bytes.length).toInt)
+                x += 1
+              }
+              y += 1
+            }
+          }
+          Resized(id, outW, outH, out)
+        }
+      }
+  }
+
   /** Frame sampling for "video" payloads: n evenly spaced fixed-size
     * windows over the byte stream — one output row per frame, ready for
     * a per-frame decode stage downstream. */

@@ -36,6 +36,17 @@ class MultimodalSpec extends SparkSpec {
     assert(out(3L).length == 1 && out(3L)(0).frame.length == 1)
   }
 
+  test("resize: fixed output geometry, deterministic, empty-safe") {
+    val a = Multimodal.resize(payloads, "id", "payload", 8, 4).collect().sortBy(_.id)
+    val b = Multimodal.resize(payloads, "id", "payload", 8, 4).collect().sortBy(_.id)
+    assert(a.forall(r => r.width == 8 && r.height == 4 && r.pixels.length == 32))
+    assert(a.map(_.pixels.toSeq) sameElements b.map(_.pixels.toSeq))
+    val s = spark
+    import s.implicits._
+    val empty = Seq((9L, Array.empty[Byte])).toDF("id", "payload")
+    assert(Multimodal.resize(empty, "id", "payload", 4, 4).collect()(0).pixels.forall(_ == 0))
+  }
+
   test("column pruning reaches the scan (only id + payload read)") {
     val wide = payloads.withColumn("unused", lit("x"))
     val plan = Multimodal.decodeFeatures(wide, "id", "payload", "image")
