@@ -68,6 +68,12 @@ object GraphOps {
     var labels = und.select(col("src").as("node")).distinct()
       .withColumn("component", col("node"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // Labels only ever decrease, so the label SUM strictly decreases on
+    // any change — convergence detection is one cheap aggregate on the
+    // (cached) new labels instead of a join against the old ones.
+    def labelSum(df: DataFrame): Long =
+      df.agg(sum(col("component"))).collect()(0).getLong(0)
+    var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -79,10 +85,10 @@ object GraphOps {
         .unionByName(viaNeighbor)
         .groupBy(col("node")).agg(min(col("component")).as("component"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val changes = next.join(labels.withColumnRenamed("component", "old"), "node")
-        .filter(col("component") =!= col("old")).count()
+      val nextSum = labelSum(next)
       labels = next
-      if (changes == 0) converged = true
+      if (nextSum == prevSum) converged = true
+      prevSum = nextSum
     }
     und.unpersist()
     labels
