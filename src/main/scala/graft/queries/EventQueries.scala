@@ -74,6 +74,52 @@ object EventQueries {
         GROUP BY user_id
         ORDER BY user_id""")),
 
+    // Built-in session_window (the Structured-Streaming-native gap
+    // sessionizer, usable in batch too): per-user session count +
+    // longest session span. Cross-checked against the lag-based
+    // formulation in the oracle — the two definitions must agree.
+    QueryDef(
+      "q_events_session_windows",
+      t => t.events
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n"),
+          (unix_micros(col("session_window.end")) -
+            unix_micros(col("session_window.start"))).as("span_us"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("session_cnt"),
+          sum(col("n")).as("event_cnt"),
+          // span includes the trailing 30-min gap by definition;
+          // subtract it to get max intra-session duration.
+          max(col("span_us") - lit(30L * 60 * 1000000)).as("max_session_us"))
+        .orderBy(col("user_id")),
+      // >= gap starts a new session: session_window's end bound is
+      // exclusive, so an event exactly `gap` after the previous one does
+      // NOT merge — the lag formulation must use >= to agree.
+      Some(s"""
+        WITH lagged AS (
+          SELECT user_id, ts,
+            CASE WHEN LAG(ts, 1) OVER w IS NULL OR
+              epoch_us(ts) - LAG(epoch_us(ts), 1) OVER w >= ${30L * 60 * 1000000}
+            THEN 1 ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        sessions AS (
+          SELECT user_id, ts,
+            SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+              ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM lagged),
+        per_session AS (
+          SELECT user_id, session_id, COUNT(*) AS n,
+            epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS span
+          FROM sessions GROUP BY user_id, session_id)
+        SELECT user_id,
+          COUNT(*) AS session_cnt,
+          CAST(SUM(n) AS BIGINT) AS event_cnt,
+          MAX(span) AS max_session_us
+        FROM per_session
+        GROUP BY user_id
+        ORDER BY user_id""")),
+
     // As-of join (beyond-reference; union+window implementation — see
     // graft.operators.AsOfJoin): each event picks up the most recent
     // order date of the same customer at event time.
