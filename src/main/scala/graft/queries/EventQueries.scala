@@ -244,6 +244,32 @@ object EventQueries {
         GROUP BY event_type, k
         ORDER BY event_type, k""")),
 
+    // §1.2 attributes-as-MapType conformance + map functions
+    // (map_keys/element_at over a real MAP column — the reference's
+    // $objectToArray analytics shape, webapp/mongodb_routes.py:713-720):
+    // the JSON blob conforms to map<string,string> at scan time, then
+    // all predicates/aggregates are typed map ops.
+    QueryDef(
+      "q_events_props_map",
+      t => t.events
+        .withColumn("m", from_json(col("props"), lit("map<string,string>")))
+        .select(col("event_type"),
+          size(map_keys(col("m"))).cast("long").as("key_cnt"),
+          element_at(col("m"), "k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("event_cnt"),
+          max(col("key_cnt")).as("max_keys"),
+          sum(col("k")).as("k_sum"))
+        .orderBy(col("event_type")),
+      Some("""
+        SELECT event_type,
+          COUNT(*) AS event_cnt,
+          MAX(CAST(len(json_keys(props)) AS BIGINT)) AS max_keys,
+          CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type""")),
+
     // A17 (map/object key frequency) on the semi-structured props blob:
     // JSON keys exploded and counted — the document-analytics shape
     // (reference $objectToArray: webapp/mongodb_routes.py:713-720).
