@@ -18,6 +18,25 @@ class EventGeneratorSpec extends SparkSpec {
     assert(ts.sliding(2).forall(p => p(1) - p(0) == 500))
   }
 
+  test("rate-source stream produces the same row shape") {
+    val q = EventGenerator.stream(spark, eventsPerSecond = 200)
+      .writeStream.format("memory").queryName("gen_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("200 milliseconds"))
+      .start()
+    try {
+      val deadline = System.nanoTime() + 20L * 1000000000
+      var n = 0L
+      while (n == 0 && System.nanoTime() < deadline) {
+        Thread.sleep(300)
+        n = spark.table("gen_out").count()
+      }
+      val out = spark.table("gen_out")
+      assert(out.columns.toSeq ==
+        Seq("event_id", "user_id", "event_type", "value", "ts", "props"))
+      assert(n > 0, "rate source produced no rows within 20s")
+    } finally q.stop()
+  }
+
   test("generated events replay through the ingest pipeline") {
     val root = java.nio.file.Files.createTempDirectory("graft_gen").toString
     val store = new EventStore(root)
