@@ -258,7 +258,7 @@ object GraphQueries {
           UNION ALL SELECT 'lineitem', COUNT(*) FROM lineitem)
         ORDER BY table_name""")),
 
-    // J17 (variable-length shortestPath ≤4 hops) — bounded BFS over the
+    // J17 (variable-length shortestPath ≤6 hops, matching the reference bound) — bounded BFS over the
     // co-purchase graph from the target part. The only operator with no
     // single relational form (SURVEY.md §7.4.1); iterative join loop in
     // Spark, recursive CTE in the oracle. Ref: webapp/neo4j_routes.py:768-777.
@@ -266,7 +266,7 @@ object GraphQueries {
       "q_graph_shortest_paths",
       t => GraphOps.shortestPathsOverGroups(
           t.spark, t.lineitem.select(col("l_orderkey"), col("l_partkey")),
-          "l_orderkey", "l_partkey", TargetPart, maxHops = 4)
+          "l_orderkey", "l_partkey", TargetPart, maxHops = 6)
         .select(col("node"), col("dist"))
         .orderBy(col("node")),
       Some(s"""
@@ -280,7 +280,7 @@ object GraphQueries {
           UNION
           SELECT e.dst, b.dist + 1
           FROM bfs b JOIN edges e ON e.src = b.node
-          WHERE b.dist < 4)
+          WHERE b.dist < 6)
         SELECT node, CAST(MIN(dist) AS BIGINT) AS dist
         FROM bfs GROUP BY node ORDER BY node"""))
   )
