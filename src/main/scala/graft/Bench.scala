@@ -18,7 +18,8 @@ object Bench {
       }
     // Page-cache prewarm of the benchmark tables: one full read per file
     // so the timed loop measures engine time, not cold-disk variance.
-    new java.io.File(sfDir).listFiles(f => f.getName.endsWith(".parquet"))
+    Option(new java.io.File(sfDir).listFiles(f => f.getName.endsWith(".parquet")))
+      .getOrElse(Array.empty)
       .foreach(f => try spark.read.parquet(f.getPath).foreach(_ => ())
         catch { case _: Throwable => () })
     // One untimed pass at the TARGET SF: AQE picks different physical

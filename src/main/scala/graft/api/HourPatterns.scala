@@ -24,7 +24,10 @@ object HourPatterns {
   private val retailKeys = Set("shop", "store", "retail")
 
   /** Template selection by category keywords (first match wins, in the
-    * reference's precedence order). */
+    * reference's precedence order). Membership is EXACT equality on the
+    * lowercased category — the reference's Python `cat in [...]` is a
+    * list-membership test, so "restaurants" (plural) falls through to
+    * Default there too; faithfully preserved. */
   def templateFor(categories: Seq[String]): Vector[Int] = {
     val lower = categories.map(_.toLowerCase)
     if (lower.exists(restaurantKeys)) Restaurant

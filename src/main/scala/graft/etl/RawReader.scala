@@ -66,7 +66,9 @@ object RawReader {
     val parsed = raw.filter(col("_corrupt").isNull).drop("_corrupt")
     val corrupt = raw.filter(col("_corrupt").isNotNull)
       .select(col("_corrupt").as("line"), lit("corrupt_record").as("reason"))
-    val requiredPred = required.map(col(_).isNotNull).reduce(_ && _)
+    // foldLeft: an empty `required` list means "no validation", not an
+    // empty-reduce crash.
+    val requiredPred = required.map(col(_).isNotNull).foldLeft(lit(true))(_ && _)
     val invalid = parsed.filter(!requiredPred)
       .select(to_json(struct(col("*"))).as("line"), lit("missing_required").as("reason"))
     val w = org.apache.spark.sql.expressions.Window

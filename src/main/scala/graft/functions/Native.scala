@@ -59,6 +59,10 @@ object Native {
       var best: Array[Byte] = null
       var i = 0
       while (i < n) {
+        // null elements skipped — md5(NULL) is NULL and array_min
+        // ignores nulls in the SQL formulation.
+        if (shingles.isNullAt(i)) { i += 1 }
+        else {
         val s = shingles.getUTF8String(i).getBytes
         val buf = new Array[Byte](prefix.length + s.length)
         System.arraycopy(prefix, 0, buf, 0, prefix.length)
@@ -66,6 +70,7 @@ object Native {
         val hx = md5HexBytes(buf)
         if (best == null || lt(hx, best)) best = hx
         i += 1
+        }
       }
       out(ki) = if (best == null) null else UTF8String.fromBytes(best)
       ki += 1
@@ -86,12 +91,20 @@ object Native {
     val n = features.numElements()
     var i = 0
     while (i < n) {
-      val hx = md5HexBytes(features.getUTF8String(i).getBytes)
-      var j = 0
-      while (j < 32) {
-        val digit = hexVal(hx(j >> 2))
-        if (((digit >> (3 - (j & 3))) & 1) == 1) acc(j) += 1 else acc(j) -= 1
-        j += 1
+      if (features.isNullAt(i)) {
+        // SQL formulation: md5(NULL) makes the membership CASE null,
+        // which falls to the ELSE branch — a null feature contributes
+        // -1 to every bit.
+        var j = 0
+        while (j < 32) { acc(j) -= 1; j += 1 }
+      } else {
+        val hx = md5HexBytes(features.getUTF8String(i).getBytes)
+        var j = 0
+        while (j < 32) {
+          val digit = hexVal(hx(j >> 2))
+          if (((digit >> (3 - (j & 3))) & 1) == 1) acc(j) += 1 else acc(j) -= 1
+          j += 1
+        }
       }
       i += 1
     }

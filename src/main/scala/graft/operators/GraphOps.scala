@@ -77,8 +77,13 @@ object GraphOps {
     var labels = und.select(col("src").as("node")).distinct()
       .withColumn("component", col("node"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    def labelSum(df: DataFrame): Long =
-      df.agg(sum(col("component"))).collect()(0).getLong(0)
+    // sum() over zero rows is NULL — coalesce so an empty edge set
+    // (nothing passed the caller's pair filter) converges immediately
+    // instead of NPE-ing.
+    def labelSum(df: DataFrame): Long = {
+      val r = df.agg(sum(col("component"))).collect()(0)
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
     var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
@@ -91,7 +96,8 @@ object GraphOps {
         .unionByName(viaNeighbor)
         .groupBy(col("node")).agg(min(col("component")).as("component"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val nextSum = labelSum(next)
+      val nextSum = labelSum(next) // also materializes next's cache
+      labels.unpersist() // superseded; next is materialized above
       labels = next
       if (nextSum == prevSum) converged = true
       prevSum = nextSum

@@ -12,11 +12,15 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * strategy → physical sort-merge exec, registered through
   * [[graft.GraftExtensions]].
   *
-  * Semantics match [[graft.operators.AsOfJoin.lastValueAsOf]] exactly
-  * (spec-asserted): for each left row, the right value with the greatest
-  * `rightTime <= leftTime` for the same key; ties on (key, time) take
-  * the maximum value; keyless/no-match rows get NULL; NULL keys never
-  * match.
+  * Semantics match [[graft.operators.AsOfJoin.lastValueAsOf]]
+  * (spec-asserted on non-null keys): for each left row, the right value
+  * with the greatest `rightTime <= leftTime` for the same key; ties on
+  * (key, time) take the maximum value; no-match rows get NULL; NULL
+  * times behave as -infinity on both sides (as in the composed
+  * operator's NullsFirst window). One deliberate divergence: NULL keys
+  * never match here (SQL equality semantics, like the oracle's
+  * correlated subquery), whereas the composed window groups null keys
+  * together.
   *
   * Physical shape: both sides hash-cluster on the key (Catalyst inserts
   * the exchanges + sorts from the declared requirements) and one
@@ -96,6 +100,12 @@ case class AsOfJoinExec(
       var lastValKey: Long = 0L
       var lastValSet = false
 
+      // NULL times sort NullsFirst and behave as -infinity — identical
+      // to the composed union+window operator, where a null-time right
+      // row orders before everything and its value is inherited.
+      def timeOf(keys: UnsafeRow): Long =
+        if (keys.isNullAt(1)) Long.MinValue else keys.getLong(1)
+
       lIt.map { lRow =>
         val lKeys = lKeyProj(lRow)
         if (lKeys.isNullAt(0)) {
@@ -103,7 +113,7 @@ case class AsOfJoinExec(
           outProj(joined(lRow, nullVal))
         } else {
           val lKey = lKeys.getLong(0)
-          val lTime = lKeys.getLong(1)
+          val lTime = timeOf(lKeys)
           var advancing = true
           while (advancing && (rHead != null || rIt.hasNext)) {
             if (rHead == null) {
@@ -114,7 +124,7 @@ case class AsOfJoinExec(
               rHead = null // skip NULL right keys
             } else {
               val rKey = rHeadKeys.getLong(0)
-              val rTime = rHeadKeys.getLong(1)
+              val rTime = timeOf(rHeadKeys)
               if (rKey < lKey || (rKey == lKey && rTime <= lTime)) {
                 lastVal = rValProj(rHead).copy()
                 lastValKey = rKey

@@ -166,7 +166,11 @@ object DedupQueries {
           .join(sizes.withColumnRenamed("doc_id", "dst").withColumnRenamed("n", "nd"), "dst")
           .filter(round(col("c") / (col("ns") + col("nd") - col("c")).cast("double"), 6) >= 0.5)
           .select(col("src"), col("dst"))
-        graft.operators.GraphOps.connectedComponents(t.spark, pairs, maxIter = 6)
+        // maxIter bounds worst-case CHAIN diameter, not typical cluster
+        // size; convergence exits early (≈2 rounds on near-cliques), so
+        // a generous cap costs nothing on normal data but keeps deep
+        // chains agreeing with the oracle's unbounded closure.
+        graft.operators.GraphOps.connectedComponents(t.spark, pairs, maxIter = 20)
           .select(col("node").as("doc_id"), col("component"))
           .orderBy(col("doc_id"))
       },

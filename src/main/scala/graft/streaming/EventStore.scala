@@ -23,9 +23,11 @@ final class EventStore(root: String) {
 
   private def readOrEmpty(spark: SparkSession, name: String, like: DataFrame): DataFrame = {
     val p = dir(name)
-    if (Files.exists(Paths.get(p)) && Files.list(Paths.get(p)).findFirst().isPresent)
-      spark.read.parquet(p)
-    else like.limit(0)
+    val nonEmpty = Files.exists(Paths.get(p)) && {
+      val s = Files.list(Paths.get(p))
+      try s.findFirst().isPresent finally s.close()
+    }
+    if (nonEmpty) spark.read.parquet(p) else like.limit(0)
   }
 
   /** Normalized fact schema (ts already µs TimestampType). */

@@ -62,6 +62,19 @@ class NativeExprSpec extends SparkSpec {
     assert(native == sql && native == 32.0)
   }
 
+  test("null ELEMENTS match the SQL formulations (skip in minhash, -1 bits in simhash)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(Tuple1(Seq(Some("a"), None, Some("b")))).toDF("arr")
+      .selectExpr("CAST(arr AS array<string>) AS arr")
+    val native = df.selectExpr(
+      "graft_minhash(arr, 4) AS mh", "graft_simhash32(arr) AS sh")
+    val sql = df.selectExpr(
+      s"${TextOps.minhashSignature("arr", 4)} AS mh",
+      s"${TextOps.simhash32("arr")} AS sh")
+    assert(rows(native) == rows(sql))
+  }
+
   test("null inputs propagate as null") {
     val r = spark.sql(
       "SELECT graft_simhash32(CAST(NULL AS array<string>)) AS a, " +

@@ -18,6 +18,13 @@ class ConnectedComponentsSpec extends SparkSpec {
       20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("empty edge set yields empty labels (no NPE)") {
+    val s = spark
+    import s.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(GraphOps.connectedComponents(spark, empty, maxIter = 3).count() == 0)
+  }
+
   test("maxIter bounds propagation depth on long chains") {
     val s = spark
     import s.implicits._
