@@ -156,14 +156,27 @@ object GraphOps {
     var reach = spark.range(1).select(lit(source).as("node"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var levels = Vector(reach.select(col("node"), lit(0L).as("dist")))
-    for (d <- 1 to maxHops) {
+    // reach_d = N(reach_{d-1}) ⊇ reach_{d-1}, so an unchanged count
+    // means the set is stable and every later level is identical — stop.
+    // The count also eagerly materializes each level's cache (iterative
+    // persisted chains recompute through lineage otherwise).
+    var prevCount = 1L
+    var d = 0
+    var saturated = false
+    while (d < maxHops && !saturated) {
+      d += 1
       val groups = m.join(bc(reach), m("item") === reach("node"))
         .select(col("grp")).distinct()
       val next = m.join(bc(groups), "grp")
         .select(col("item").as("node")).distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
-      levels = levels :+ next.select(col("node"), lit(d.toLong).as("dist"))
-      reach = next
+      val n = next.count()
+      if (n == prevCount) saturated = true
+      else {
+        levels = levels :+ next.select(col("node"), lit(d.toLong).as("dist"))
+        reach = next
+        prevCount = n
+      }
     }
     levels.reduce(_ unionByName _)
       .groupBy(col("node")).agg(min(col("dist")).as("dist"))
