@@ -4,17 +4,23 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val spark = GraftSession.builder(master = s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // A noop-format write is the timed action: it materializes every
+    // output row (count() lets Catalyst drop sorts/projections, which
+    // under-measures ORDER BY queries).
+    def act(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
     // JIT/codegen warmup on the smallest SF (different data from the
     // timed run): exercises every query's codegen + parquet reader paths
     // so the timed loop measures the engine, not JVM compilation.
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)
       SparkEntry.queries.foreach { case (_, fn) =>
-        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+        try act(fn(spark, warmDir)) catch { case _: Throwable => () }
       }
     // Page-cache prewarm of the benchmark tables: one full read per file
     // so the timed loop measures engine time, not cold-disk variance.
@@ -27,23 +33,38 @@ object Bench {
     // their Janino compilation — without this pass the first heavy query
     // pays ~10 s of one-time codegen inside its measurement.
     SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      try act(fn(spark, sfDir)) catch { case _: Throwable => () }
       spark.catalog.clearCache()
     }
     spark.catalog.clearCache()
+    // Median of `reps` timings per query: this shared host shows large
+    // transient load spikes (identical suites have swung 31→69 s), so a
+    // single sample can misattribute host noise to a plan change.
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val elapsed = (System.nanoTime() - t0) / 1e9
-      // Drop frames persisted inside the query: keeps each timing
-      // independent and avoids cross-query executor-memory pressure.
-      spark.catalog.clearCache()
-      name -> elapsed
+      val ts = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try act(fn(spark, sfDir)) catch { case _: Throwable => () }
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        // Drop frames persisted inside the query: keeps each timing
+        // independent and avoids cross-query executor-memory pressure.
+        spark.catalog.clearCache()
+        elapsed
+      }
+      name -> ts.sorted.apply(ts.size / 2)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"action":"noop-write","stat":"median"}"""
+    // Authoritative copy on disk: sbt interleaves its own lines with
+    // forked stdout, which has truncated the driver's capture twice.
+    try {
+      val w = new java.io.PrintWriter(new java.io.File("bench.json"))
+      try w.println(json) finally w.close()
+    } catch { case _: Throwable => () }
     spark.stop()
+    // Printed LAST so nothing from Spark shutdown interleaves after it.
+    println(json)
   }
 }

@@ -92,8 +92,18 @@ case class AsOfJoinExec(
       val outProj = UnsafeProjection.create(output, lOut :+ valAttrLocal)
       val joined = new JoinedRow
       val nullVal = InternalRow(null)
-      val oneField = new Array[Any](1)
+      // Reused single-field row for the carried value: the row cache is
+      // overwritten before each emit, and outProj copies the data into the
+      // output UnsafeRow, so no allocation per left row.
+      val valRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+      val valType = valAttrLocal.dataType
 
+      // rHead ordering keys live in a reused buffer: the right iterator
+      // (a sort output) reuses its UnsafeRow, but rKeyProj's target buffer
+      // is stable between calls, so the projected keys stay valid until
+      // the next projection — no per-row copy needed for the keys. Only
+      // the CARRIED value must survive arbitrarily many right rows, so
+      // only that one is copied, and only when it becomes the candidate.
       var rHead: InternalRow = null
       var rHeadKeys: UnsafeRow = null
       var lastVal: UnsafeRow = null
@@ -118,7 +128,7 @@ case class AsOfJoinExec(
           while (advancing && (rHead != null || rIt.hasNext)) {
             if (rHead == null) {
               rHead = rIt.next()
-              rHeadKeys = rKeyProj(rHead).copy()
+              rHeadKeys = rKeyProj(rHead)
             }
             if (rHeadKeys.isNullAt(0)) {
               rHead = null // skip NULL right keys
@@ -134,9 +144,9 @@ case class AsOfJoinExec(
             }
           }
           if (lastValSet && lastValKey == lKey) {
-            oneField(0) = if (lastVal.isNullAt(0)) null
-              else lastVal.get(0, valAttrLocal.dataType)
-            outProj(joined(lRow, InternalRow.fromSeq(oneField.toIndexedSeq)))
+            valRow.update(0,
+              if (lastVal.isNullAt(0)) null else lastVal.get(0, valType))
+            outProj(joined(lRow, valRow))
           } else {
             outProj(joined(lRow, nullVal))
           }
