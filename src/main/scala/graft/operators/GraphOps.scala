@@ -181,4 +181,64 @@ object GraphOps {
     levels.reduce(_ unionByName _)
       .groupBy(col("node")).agg(min(col("dist")).as("dist"))
   }
+
+  /** Shortest-path NODE SEQUENCE source→target over the implicit
+    * co-occurrence graph — the reference's shortestPath returns the
+    * path's nodes, not just the distance
+    * (webapp/neo4j_routes.py:768-777 `UNWIND nodes(path)`).
+    *
+    * Deterministic among equal-length paths: every node's predecessor is
+    * its MINIMUM-id neighbor at distance d-1, so the reconstructed path
+    * is unique — and an oracle can reproduce it relationally
+    * (parent(n) = MIN(src) over edges with dist(src) = dist(n) - 1).
+    *
+    * Scale shape: the parent map is built WITHOUT materializing the
+    * quadratic edge list — per (group, level) minima
+    * (`groupBy(grp, dist).min(item)`), then each node takes the min of
+    * its groups' level-(d-1) minima: two linear shuffles of the
+    * membership table. The back-walk is ≤ maxHops single-row lookups on
+    * the persisted parent map (bounded by the hop limit, not data size).
+    *
+    * Output: one row per path position `(step, node)`, step 0 = source;
+    * empty if `target` is unreachable within `maxHops`.
+    */
+  def shortestPathNodesOverGroups(spark: SparkSession, membership: DataFrame,
+                                  groupCol: String, itemCol: String,
+                                  source: Long, target: Long, maxHops: Int): DataFrame = {
+    import spark.implicits._
+    val dist = shortestPathsOverGroups(spark, membership, groupCol, itemCol, source, maxHops)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val targetDist = dist.filter(col("node") === target).select(col("dist")).collect()
+    if (targetDist.isEmpty) {
+      dist.unpersist()
+      return Seq.empty[(Long, Long)].toDF("step", "node")
+    }
+    val d = targetDist(0).getLong(0)
+    val m = membership
+      .select(col(groupCol).cast("long").as("grp"), col(itemCol).cast("long").as("item"))
+    // (grp, item, dist) for reached items only; unreached drop out here.
+    val md = m.join(dist, m("item") === dist("node"))
+      .select(col("grp"), col("item"), col("dist"))
+    val lvlMin = md.groupBy(col("grp"), col("dist"))
+      .agg(min(col("item")).as("lvl_min"))
+      .select(col("grp").as("lm_grp"), col("dist").as("lm_dist"), col("lvl_min"))
+    val parentMap = md
+      .join(lvlMin, md("grp") === col("lm_grp") && col("lm_dist") === md("dist") - 1)
+      .groupBy(md("item")).agg(min(col("lvl_min")).as("parent"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    parentMap.count() // materialize once; the walk below re-reads it ≤ maxHops times
+    val path = new scala.collection.mutable.ArrayBuffer[(Long, Long)]
+    var cur = target
+    var step = d
+    path += ((step, cur))
+    while (step > 0) {
+      val p = parentMap.filter(col("item") === cur).select(col("parent")).collect()
+      require(p.nonEmpty, s"BFS invariant broken: no parent for node $cur at step $step")
+      cur = p(0).getLong(0)
+      step -= 1
+      path += ((step, cur))
+    }
+    dist.unpersist(); parentMap.unpersist()
+    path.sortBy(_._1).toSeq.toDF("step", "node")
+  }
 }

@@ -19,6 +19,9 @@ object GraphQueries {
 
   private val TargetPart = 1L
   private val TargetCustomer = 1L
+  // Path-reconstruction destination: dist 2 from part 1 at sf0.001/0.01,
+  // dist 3 at sf0.1 — exercises a multi-hop walk at every test SF.
+  private val PathDstPart = 150L
 
   /** Distinct customer ids that bought `partkey` — a tiny set built from
     * pushed-down scans only (lineitem filtered on the part, orders
@@ -282,6 +285,47 @@ object GraphQueries {
           FROM bfs b JOIN edges e ON e.src = b.node
           WHERE b.dist < 6)
         SELECT node, CAST(MIN(dist) AS BIGINT) AS dist
-        FROM bfs GROUP BY node ORDER BY node"""))
+        FROM bfs GROUP BY node ORDER BY node""")),
+
+    // J17b — the actual path NODE SEQUENCE source→target, matching the
+    // reference's `UNWIND nodes(path)` output shape
+    // (webapp/neo4j_routes.py:768-777). Deterministic tiebreak: each
+    // node's predecessor is its min-id neighbor one level closer, so
+    // Spark's group-minima reconstruction and the oracle's MIN(src)
+    // walk produce the identical unique path.
+    QueryDef(
+      "q_graph_shortest_path_nodes",
+      t => GraphOps.shortestPathNodesOverGroups(
+          t.spark, t.lineitem.select(col("l_orderkey"), col("l_partkey")),
+          "l_orderkey", "l_partkey", TargetPart, PathDstPart, maxHops = 6)
+        .select(col("step"), col("node"))
+        .orderBy(col("step")),
+      Some(s"""
+        WITH RECURSIVE edges AS (
+          SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+          FROM lineitem a
+          JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                         AND a.l_partkey <> b.l_partkey),
+        bfs(node, dist) AS (
+          SELECT CAST($TargetPart AS BIGINT), 0
+          UNION
+          SELECT e.dst, b.dist + 1
+          FROM bfs b JOIN edges e ON e.src = b.node
+          WHERE b.dist < 6),
+        d AS (SELECT node, MIN(dist) AS dist FROM bfs GROUP BY node),
+        parent AS (
+          SELECT d1.node AS node, MIN(e.src) AS parent
+          FROM d d1
+          JOIN edges e ON e.dst = d1.node
+          JOIN d d0 ON d0.node = e.src AND d0.dist = d1.dist - 1
+          GROUP BY d1.node),
+        walk(step, node) AS (
+          SELECT dist, node FROM d WHERE node = $PathDstPart
+          UNION ALL
+          SELECT w.step - 1, p.parent
+          FROM walk w JOIN parent p ON p.node = w.node
+          WHERE w.step > 0)
+        SELECT CAST(step AS BIGINT) AS step, node
+        FROM walk ORDER BY step"""))
   )
 }
