@@ -24,6 +24,35 @@ object DedupQueries {
   private val toks = TextOps.tokens("text")
   private val shs = TextOps.shingles(toks)
 
+  /** Document-frequency cap on the shingle inverted index: a shingle
+    * shared by k docs makes a k²/2-pair bucket in the candidate
+    * self-join, so one piece of boilerplate repeated across a real web
+    * corpus turns the join quadratic AND lands it all on one shuffle
+    * key. Shingles with DF > τ carry no near-dup signal (they're
+    * corpus-common by definition), so dropping them from the INDEX
+    * bounds every bucket at τ²/2 pairs while the verify step still
+    * computes exact Jaccard on the FULL shingle sets. τ = 128 keeps
+    * recall: a true near-dup pair (Jaccard ≥ 0.5) shares many shingles,
+    * and for all of them to be corpus-boilerplate the pair would have to
+    * be boilerplate-only documents. */
+  private val ShingleDfCap = 128
+
+  /** Distinct candidate pairs (a < b) sharing ≥1 shingle whose document
+    * frequency is ≤ [[ShingleDfCap]]. The DF gate runs BEFORE the
+    * self-join, so every join bucket is bounded at τ²/2 pairs no matter
+    * how skewed the corpus.
+    */
+  private[graft] def cappedShinglePairs(inv: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val rare = inv.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= ShingleDfCap)
+      .select(col("sh"))
+    val inv2 = inv.join(rare, "sh")
+    inv2.as("x")
+      .join(inv2.as("y"), col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+  }
+
   /** DuckDB twin: doc_id → distinct 3-gram shingle list. */
   private val duckShingles =
     """(SELECT doc_id,
@@ -51,28 +80,28 @@ object DedupQueries {
         GROUP BY content_fp
         ORDER BY content_fp""")),
 
-    // n-gram Jaccard near-dup via inverted-index join: candidates are
-    // pairs sharing ≥1 shingle (bucket sizes stay small because shingles
-    // are near-unique), then exact Jaccard ≥ 0.5 on the candidate set.
+    // n-gram Jaccard near-dup via DF-capped inverted-index join:
+    // candidates are pairs sharing ≥1 shingle with document frequency
+    // ≤ τ (see ShingleDfCap — the cap is what keeps the self-join
+    // linear on real corpora), then exact Jaccard ≥ 0.5 on the FULL
+    // shingle sets of the candidate pairs.
     QueryDef(
       "q_dedup_ngram_jaccard",
       t => {
-        // Persisted: the shingle arrays feed the inverted index twice
-        // (both sides of the self-join) and the size lookup — caching the
-        // per-doc computation beats recomputing split+slice+distinct 3×.
+        // Persisted: the shingle arrays feed the inverted index, both
+        // sides of the verify join, and the DF count — caching the
+        // per-doc computation beats recomputing split+slice+distinct 4×.
         // Cost is O(docs × shingles) strings, spilled to disk if large.
         val docs = t.documents.selectExpr("doc_id", s"$shs AS shs")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val inv = docs.selectExpr("doc_id", "explode(shs) AS sh")
-        val sizes = docs.selectExpr("doc_id", "CAST(size(shs) AS BIGINT) AS n")
-        val common = inv.as("x")
-          .join(inv.as("y"), col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
-          .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-          .agg(count(lit(1)).as("c"))
-        common
-          .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n", "na"), "a")
-          .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n", "nb"), "b")
-          .withColumn("jaccard", round(col("c") / (col("na") + col("nb") - col("c")).cast("double"), 6))
+        val pairs = cappedShinglePairs(inv)
+        pairs
+          .join(docs.select(col("doc_id").as("a"), col("shs").as("sa")), "a")
+          .join(docs.select(col("doc_id").as("b"), col("shs").as("sb")), "b")
+          .withColumn("c", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+          .withColumn("jaccard",
+            round(col("c") / (size(col("sa")) + size(col("sb")) - col("c")).cast("double"), 6))
           .filter(col("jaccard") >= 0.5)
           .select(col("a"), col("b"), col("jaccard"))
           .orderBy(col("a"), col("b"))
@@ -80,16 +109,20 @@ object DedupQueries {
       Some(s"""
         WITH sh AS $duckShingles,
         inv AS (SELECT doc_id, unnest(shs) sh FROM sh),
-        common AS (
-          SELECT x.doc_id a, y.doc_id b, COUNT(*) c
-          FROM inv x JOIN inv y ON x.sh = y.sh AND x.doc_id < y.doc_id
-          GROUP BY 1, 2)
+        df AS (SELECT sh, COUNT(*) n FROM inv GROUP BY sh),
+        inv2 AS (SELECT i.doc_id, i.sh FROM inv i JOIN df USING (sh)
+                 WHERE df.n <= $ShingleDfCap),
+        cand AS (
+          SELECT DISTINCT x.doc_id a, y.doc_id b
+          FROM inv2 x JOIN inv2 y ON x.sh = y.sh AND x.doc_id < y.doc_id)
         SELECT a, b,
-          round(c / CAST(len(sa.shs) + len(sb.shs) - c AS DOUBLE), 6) AS jaccard
-        FROM common
+          round(len(list_intersect(sa.shs, sb.shs)) /
+            CAST(len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs)) AS DOUBLE), 6) AS jaccard
+        FROM cand
         JOIN sh sa ON a = sa.doc_id
         JOIN sh sb ON b = sb.doc_id
-        WHERE round(c / CAST(len(sa.shs) + len(sb.shs) - c AS DOUBLE), 6) >= 0.5
+        WHERE round(len(list_intersect(sa.shs, sb.shs)) /
+            CAST(len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs)) AS DOUBLE), 6) >= 0.5
         ORDER BY a, b""")),
 
     // MinHash + LSH: 12-hash signature, 4 bands × 3 rows (catch
@@ -157,15 +190,12 @@ object DedupQueries {
         val docs = t.documents.selectExpr("doc_id", s"$shs AS shs")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val inv = docs.selectExpr("doc_id", "explode(shs) AS sh")
-        val sizes = docs.selectExpr("doc_id", "CAST(size(shs) AS BIGINT) AS n")
-        val pairs = inv.as("x")
-          .join(inv.as("y"), col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
-          .groupBy(col("x.doc_id").as("src"), col("y.doc_id").as("dst"))
-          .agg(count(lit(1)).as("c"))
-          .join(sizes.withColumnRenamed("doc_id", "src").withColumnRenamed("n", "ns"), "src")
-          .join(sizes.withColumnRenamed("doc_id", "dst").withColumnRenamed("n", "nd"), "dst")
-          .filter(round(col("c") / (col("ns") + col("nd") - col("c")).cast("double"), 6) >= 0.5)
-          .select(col("src"), col("dst"))
+        val pairs = cappedShinglePairs(inv)
+          .join(docs.select(col("doc_id").as("a"), col("shs").as("sa")), "a")
+          .join(docs.select(col("doc_id").as("b"), col("shs").as("sb")), "b")
+          .withColumn("c", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+          .filter(round(col("c") / (size(col("sa")) + size(col("sb")) - col("c")).cast("double"), 6) >= 0.5)
+          .select(col("a").as("src"), col("b").as("dst"))
         // maxIter bounds worst-case CHAIN diameter, not typical cluster
         // size; convergence exits early (≈2 rounds on near-cliques), so
         // a generous cap costs nothing on normal data but keeps deep
@@ -177,14 +207,17 @@ object DedupQueries {
       Some(s"""
         WITH RECURSIVE sh AS $duckShingles,
         inv AS (SELECT doc_id, unnest(shs) sh FROM sh),
-        common AS (
-          SELECT x.doc_id a, y.doc_id b, COUNT(*) c
-          FROM inv x JOIN inv y ON x.sh = y.sh AND x.doc_id < y.doc_id
-          GROUP BY 1, 2),
+        df AS (SELECT sh, COUNT(*) n FROM inv GROUP BY sh),
+        inv2 AS (SELECT i.doc_id, i.sh FROM inv i JOIN df USING (sh)
+                 WHERE df.n <= $ShingleDfCap),
+        cand AS (
+          SELECT DISTINCT x.doc_id a, y.doc_id b
+          FROM inv2 x JOIN inv2 y ON x.sh = y.sh AND x.doc_id < y.doc_id),
         pairs AS (
-          SELECT a, b FROM common
+          SELECT a, b FROM cand
           JOIN sh sa ON a = sa.doc_id JOIN sh sb ON b = sb.doc_id
-          WHERE round(c / CAST(len(sa.shs) + len(sb.shs) - c AS DOUBLE), 6) >= 0.5),
+          WHERE round(len(list_intersect(sa.shs, sb.shs)) /
+            CAST(len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs)) AS DOUBLE), 6) >= 0.5),
         edges AS (SELECT a s, b d FROM pairs UNION ALL SELECT b, a FROM pairs),
         reach(node, lab) AS (
           SELECT DISTINCT s, s FROM edges
