@@ -45,38 +45,60 @@ object VectorOps {
   def cosine(dotCol: String, nsqA: String, nsqB: String): String =
     s"$dotCol / (sqrt($nsqA) * sqrt($nsqB))"
 
-  /** Random-hyperplane LSH bucket key (SimHash for vectors): `planes`
-    * Rademacher hyperplanes w_j with w_j[i] = +1 iff the first hex digit
-    * of md5(j || '_' || i) is 0-7 (deterministic, engine-portable), and
-    * bit j of the key = [dot(e, w_j) >= 0]. Signed-dot through exact
-    * decimals so both engines compute the SAME bucket even when a dot
-    * sits at ±1e-15. Cosine-similar vectors agree on most bits, so
-    * near-dup candidates collide on the full key; the quadratic compare
-    * never happens across buckets.
+  /** Deterministic Rademacher sign row for hyperplane j: sign[i] = +1
+    * iff the first hex digit of md5(s"${j}_${i}") is 0-7. Evaluated once
+    * at PLAN BUILD time — the sign matrix is emitted as a literal array
+    * in the generated expression, so neither engine pays a per-row md5.
     */
-  def lshBucket(e: String, planes: Int, dim: Int): String = {
-    val bits = (0 until planes).map { j =>
-      val signedSum =
-        s"""CAST(aggregate(transform(sequence(0, ${dim - 1}),
-           |  i -> CAST(CASE WHEN instr('01234567', substring(md5(concat('$j', '_', CAST(i AS STRING))), 1, 1)) > 0
-           |            THEN element_at($e, i + 1) ELSE -element_at($e, i + 1) END AS DECIMAL(30,15))),
-           |  CAST(0 AS DECIMAL(38,15)), (acc, v) -> CAST(acc + v AS DECIMAL(38,15))) AS DOUBLE)""".stripMargin
-      s"(CASE WHEN $signedSum >= 0 THEN ${1 << j} ELSE 0 END)"
+  private def signRow(j: Int, dim: Int): IndexedSeq[Int] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until dim).map { i =>
+      val h = md.digest(s"${j}_${i}".getBytes("UTF-8"))
+      if (((h(0) >> 4) & 0xf) < 8) 1 else -1
     }
-    bits.mkString("(", " + ", ")")
   }
 
-  /** DuckDB twin of [[lshBucket]]. */
-  def duckLshBucket(e: String, planes: Int, dim: Int): String = {
-    val bits = (0 until planes).map { j =>
+  /** Random-hyperplane bucket for ONE band of a banded LSH scheme:
+    * `bits` hyperplanes (indices band*bits .. band*bits+bits-1), bit k
+    * of the key = [dot(e, w_{band*bits+k}) >= 0]. Signed projections run
+    * through exact decimals so both engines compute the SAME bucket even
+    * when a projection sits at ±1e-15.
+    *
+    * Banding math (two vectors at angle θ, p = 1 − θ/π per hyperplane):
+    * one-band collision = p^bits, candidate recall over `bands`
+    * independent bands = 1 − (1 − p^bits)^bands. With bits=4, bands=8:
+    * cosine 0.35 → p ≈ 0.614 → recall ≈ 0.71; cosine 0.9 (real near-dup
+    * territory) → p ≈ 0.857 → recall ≈ 0.998. Scale knobs: per-band
+    * bucket count is 2^bits, so in-bucket pair work is
+    * O(bands · N²/2^bits) — raise `bits` as N grows to keep buckets
+    * sparse, raise `bands` (≈ ln(1/(1−R))/p^bits) to restore recall R.
+    * A single non-banded key has no second knob: adding bits collapses
+    * recall exponentially with nothing to win it back.
+    */
+  def bandBucket(e: String, band: Int, bits: Int, dim: Int): String =
+    (0 until bits).map { k =>
+      val arr = signRow(band * bits + k, dim).map(s => s"${s}.0D")
+        .mkString("array(", ", ", ")")
       val signedSum =
-        s"""CAST(list_sum([ CAST(CASE WHEN strpos('01234567', substr(md5('${j}_' || CAST(i AS VARCHAR)), 1, 1)) > 0
-           |  THEN $e[i + 1] ELSE -$e[i + 1] END AS DECIMAL(30,15))
-           |  for i in generate_series(0, ${dim - 1}) ]) AS DOUBLE)""".stripMargin
-      s"(CASE WHEN $signedSum >= 0 THEN ${1 << j} ELSE 0 END)"
-    }
-    bits.mkString("(", " + ", ")")
-  }
+        s"""CAST(aggregate(zip_with($e, $arr, (x, y) -> CAST(x * y AS DECIMAL(30,15))),
+           |  CAST(0 AS DECIMAL(38,15)), (acc, v) -> CAST(acc + v AS DECIMAL(38,15))) AS DOUBLE)""".stripMargin
+      s"(CASE WHEN $signedSum >= 0 THEN ${1 << k} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  /** All band buckets as one array<int> (posexplode to (band, bucket)). */
+  def bandBuckets(e: String, bands: Int, bits: Int, dim: Int): String =
+    (0 until bands).map(bandBucket(e, _, bits, dim)).mkString("array(", ", ", ")")
+
+  /** DuckDB twin of [[bandBucket]] (literal-list indexing). */
+  def duckBandBucket(e: String, band: Int, bits: Int, dim: Int): String =
+    (0 until bits).map { k =>
+      val arr = signRow(band * bits + k, dim).map(s => s"${s}.0")
+        .mkString("[", ", ", "]")
+      val signedSum =
+        s"""CAST(list_sum([ CAST($e[i] * ($arr)[i] AS DECIMAL(30,15))
+           |  for i in generate_series(1, $dim) ]) AS DOUBLE)""".stripMargin
+      s"(CASE WHEN $signedSum >= 0 THEN ${1 << k} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
 
   // ---- DuckDB oracle twins (same math, DuckDB list syntax) ----
 

@@ -161,38 +161,61 @@ object EmbeddingQueries {
         GROUP BY label, assigned
         ORDER BY label, assigned""")),
 
-    // LSH-bucketed ANN (the scale path that needs no labels): 6
-    // random-hyperplane bits bucket the vectors; candidate pairs form
-    // only within a bucket, then the two-phase prefilter+exact cosine
-    // verifies. Recall bounded by the banding (standard LSH trade);
-    // cross-engine-identical buckets because the signed projections run
-    // through exact decimals.
+    // Banded LSH ANN (the scale path that needs no labels): 8 bands × 4
+    // random-hyperplane bits each; a pair is a candidate iff it collides
+    // in ANY band, then the two-phase prefilter + exact-decimal cosine
+    // verifies. See [[VectorOps.bandBucket]] for the recall derivation
+    // (1 − (1 − p^bits)^bands ≈ 0.71 at cosine 0.35, ≈ 0.998 at 0.9)
+    // and the two scale knobs (bits → bucket sparsity, bands → recall).
+    // The candidate self-join shuffles only (band, bucket, vec_id) —
+    // vectors are fetched back by id AFTER the distinct pair set is
+    // known, so the wide embedding arrays never ride the quadratic join.
     QueryDef(
       "q_embed_lsh",
       t => {
+        val (bands, bits) = (8, 4)
         val n = norms(t)
-          .selectExpr("vec_id", "e", "nsq", s"${VectorOps.lshBucket("e", 6, 64)} AS bucket")
+          .selectExpr("vec_id", "e", "nsq",
+            s"${VectorOps.bandBuckets("e", bands, bits, 64)} AS bks")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val a = n.select(col("bucket"), col("vec_id").as("a"), col("e").as("ea"), col("nsq").as("na"))
-        val b = n.select(col("bucket"), col("vec_id").as("b"), col("e").as("eb"), col("nsq").as("nb"))
-        a.join(b, Seq("bucket")).filter(col("a") < col("b"))
+        val keys = n.select(col("vec_id"),
+          posexplode(col("bks")).as(Seq("band", "bucket")))
+        val cand = keys.as("x").join(keys.as("y"),
+            col("x.band") === col("y.band") &&
+              col("x.bucket") === col("y.bucket") &&
+              col("x.vec_id") < col("y.vec_id"))
+          .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
+          .distinct() // a close pair usually collides in several bands
+        val va = n.select(col("vec_id").as("a"), col("e").as("ea"), col("nsq").as("na"))
+        val vb = n.select(col("vec_id").as("b"), col("e").as("eb"), col("nsq").as("nb"))
+        cand.join(va, Seq("a")).join(vb, Seq("b"))
           .withColumn("__approx",
             expr(VectorOps.cosine("graft_dot(ea, eb)", "na", "nb")))
           .filter(col("__approx") >= 0.34999)
-          .selectExpr("bucket", "a", "b",
+          .selectExpr("a", "b",
             s"round(${VectorOps.cosine(VectorOps.dot("ea", "eb"), "na", "nb")}, 6) AS cosine")
           .filter(col("cosine") >= 0.35)
           .orderBy(col("a"), col("b"))
       },
-      Some(s"""
-        WITH n AS (
-          SELECT vec_id, e, nsq, ${VectorOps.duckLshBucket("e", 6, 64)} AS bucket
-          FROM ${duckNorms(64)} x)
-        SELECT x.bucket, x.vec_id a, y.vec_id b,
+      Some {
+        val (bands, bits) = (8, 4)
+        val keyUnion = (0 until bands).map { band =>
+          s"SELECT vec_id, $band AS band, ${VectorOps.duckBandBucket("e", band, bits, 64)} AS bucket FROM n"
+        }.mkString("\n          UNION ALL ")
+        s"""
+        WITH n AS (SELECT vec_id, e, nsq FROM ${duckNorms(64)} z),
+        keys AS (
+          $keyUnion),
+        cand AS (
+          SELECT DISTINCT x.vec_id a, y.vec_id b
+          FROM keys x JOIN keys y
+            ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id)
+        SELECT c.a, c.b,
           round(${VectorOps.duckDot("x.e", "y.e", 64)} / (sqrt(x.nsq) * sqrt(y.nsq)), 6) cosine
-        FROM n x JOIN n y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+        FROM cand c JOIN n x ON x.vec_id = c.a JOIN n y ON y.vec_id = c.b
         WHERE round(${VectorOps.duckDot("x.e", "y.e", 64)} / (sqrt(x.nsq) * sqrt(y.nsq)), 6) >= 0.35
-        ORDER BY a, b""")),
+        ORDER BY a, b"""
+      }),
 
     // Blocked near-dup: pairs within the same coarse cell (label = the
     // quantizer cell id) with cosine ≥ 0.35 — the IVF-blocked version of
