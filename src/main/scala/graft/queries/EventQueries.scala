@@ -270,6 +270,45 @@ object EventQueries {
         GROUP BY event_type
         ORDER BY event_type""")),
 
+    // §1.2 P8 multi-key TYPED conformance: a declarative KeySpec list
+    // conforms the props blob to struct<k BIGINT, flag BOOLEAN,
+    // tier STRING> in one scan-time projection (operators/Conform.scala
+    // — the typed replacement for mongodb_routes.py:151-274's
+    // per-request coercion), then the predicate composes typed tests on
+    // THREE conformed fields. flag/tier are absent from this corpus, so
+    // their typed-null result is exactly the coercion fallback the
+    // reference probes for ("None"/missing → no match).
+    QueryDef(
+      "q_events_props_conformed",
+      t => {
+        import graft.operators.Conform
+        val spec = Seq(
+          Conform.KeySpec("k", Conform.IntKey),
+          Conform.KeySpec("flag", Conform.BoolKey),
+          Conform.KeySpec("tier", Conform.StrKey))
+        t.events
+          .withColumn("conf", Conform.conformed(col("props"), spec))
+          .filter(col("conf.k").isNotNull && col("conf.k").between(10, 80) &&
+            col("conf.flag").isNull && col("conf.tier").isNull)
+          .groupBy(col("event_type"), (col("conf.k") % 10).as("k_mod"))
+          .agg(count(lit(1)).as("event_cnt"))
+          .orderBy(col("event_type"), col("k_mod"))
+      },
+      Some {
+        import graft.operators.Conform
+        val k = Conform.duckCoerce("props", Conform.KeySpec("k", Conform.IntKey))
+        val flag = Conform.duckCoerce("props", Conform.KeySpec("flag", Conform.BoolKey))
+        val tier = Conform.duckCoerce("props", Conform.KeySpec("tier", Conform.StrKey))
+        s"""
+        SELECT event_type, k % 10 AS k_mod, COUNT(*) AS event_cnt
+        FROM (SELECT event_type, $k AS k, $flag AS flag, $tier AS tier
+              FROM events)
+        WHERE k IS NOT NULL AND k BETWEEN 10 AND 80
+          AND flag IS NULL AND tier IS NULL
+        GROUP BY event_type, k_mod
+        ORDER BY event_type, k_mod"""
+      }),
+
     // A17 (map/object key frequency) on the semi-structured props blob:
     // JSON keys exploded and counted — the document-analytics shape
     // (reference $objectToArray: webapp/mongodb_routes.py:713-720).
