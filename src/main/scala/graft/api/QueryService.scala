@@ -48,6 +48,39 @@ object QueryService {
       Seq(sort.column, col("doc_id").asc), page, limit)
   }
 
+  /** Point lookup with summary fallback (the reference's
+    * business_performance shape, webapp/mongodb_routes.py:371-385: serve
+    * from the pre-aggregated summary collection, fall back to the base
+    * collection when the summary row is absent, 404 when both miss).
+    *
+    * Both probes are point predicates on the key — partition/file-
+    * prunable scans plus one collect of ≤1 row at the API boundary,
+    * never a scan of the world. The fallback recomputes the summary
+    * columns for JUST that key, so a stale/incomplete summary store
+    * degrades to correct-but-slower instead of wrong.
+    */
+  def lookupWithFallback(summary: DataFrame, keyCol: String, key: Long)
+                        (fallback: => DataFrame): Option[Row] = {
+    val hit = summary.filter(col(keyCol) === key).limit(1).collect().headOption
+    hit.orElse(fallback.filter(col(keyCol) === key).limit(1).collect().headOption)
+  }
+
+  /** Customer point lookup: summary row if materialized, else the
+    * per-key on-the-fly aggregate in q_customer_summary's exact shape
+    * (order_cnt/total_spent zero-filled for order-less customers). */
+  def customerLookup(t: Tables, summary: DataFrame, custkey: Long): Option[Row] =
+    lookupWithFallback(summary, "c_custkey", custkey) {
+      val orderAgg = t.orders.filter(col("o_custkey") === custkey)
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(count(lit(1)).as("order_cnt"),
+          graft.functions.Exact.dsum(col("o_totalprice")).as("total_spent"))
+      t.customer.filter(col("c_custkey") === custkey)
+        .join(orderAgg, col("c_custkey") === orderAgg("custkey"), "left")
+        .select(col("c_custkey"), col("c_name"),
+          coalesce(col("order_cnt"), lit(0L)).as("order_cnt"),
+          coalesce(col("total_spent"), lit(0.0)).as("total_spent"))
+    }
+
   /** O3: stable offset/limit pagination + total count on one plan. */
   def paginate(df: DataFrame, order: Seq[Column], page: Int, limit: Int): Page[Row] = {
     val cached = df.persist()
