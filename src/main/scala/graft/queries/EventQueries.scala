@@ -160,28 +160,39 @@ object EventQueries {
         ORDER BY event_id""")),
 
     // Banded range join (beyond-reference; see graft.operators.RangeJoin):
-    // events of the same customer within 7 days AFTER each order. The
+    // same-user follow-up events within 6 hours after each event. The
     // bucketized implementation shuffles O(n+m) rows with ≤2× fan-out —
     // never the per-key cross product a theta-join would make.
+    // (Round-2 fixture fix: the old orders→events band was structurally
+    // empty — orders end 2001, events live in 2024 — so the operator was
+    // only ever proven on 0 = 0 rows. The self-band matches 5,540 pairs
+    // at sf0.01; lo = 1 µs excludes the self-pair.)
     QueryDef(
-      "q_events_after_order",
-      t => RangeJoin.bandJoin(
-          t.orders, col("o_custkey"), col("o_orderdate"),
-          t.events, col("user_id"), col("ts"),
-          loUs = 0L, hiUs = 7L * 86400 * 1000000)
-        .groupBy(col("o_orderpriority"))
-        .agg(count(lit(1)).as("event_cnt"),
-          countDistinct(col("o_orderkey")).as("orders_with_events"))
-        .orderBy(col("o_orderpriority")),
+      "q_events_followups",
+      t => {
+        val lead = t.events.select(col("event_id").as("lead_id"),
+          col("user_id"), col("ts").as("lead_ts"),
+          col("event_type").as("lead_type"))
+        val follow = t.events.select(col("event_id").as("follow_id"),
+          col("user_id").as("follow_user"), col("ts").as("follow_ts"))
+        RangeJoin.bandJoin(
+            lead, col("user_id"), col("lead_ts"),
+            follow, col("follow_user"), col("follow_ts"),
+            loUs = 1L, hiUs = 6L * 3600 * 1000000)
+          .groupBy(col("lead_type"))
+          .agg(count(lit(1)).as("followup_cnt"),
+            countDistinct(col("lead_id")).as("leads_with_followups"))
+          .orderBy(col("lead_type"))
+      },
       Some(s"""
-        SELECT o_orderpriority,
-          COUNT(*) AS event_cnt,
-          COUNT(DISTINCT o_orderkey) AS orders_with_events
-        FROM orders JOIN events
-          ON user_id = o_custkey
-          AND epoch_us(ts) - epoch_us(o_orderdate) BETWEEN 0 AND ${7L * 86400 * 1000000}
-        GROUP BY o_orderpriority
-        ORDER BY o_orderpriority""")),
+        SELECT a.event_type AS lead_type,
+          COUNT(*) AS followup_cnt,
+          COUNT(DISTINCT a.event_id) AS leads_with_followups
+        FROM events a JOIN events b
+          ON b.user_id = a.user_id
+          AND epoch_us(b.ts) - epoch_us(a.ts) BETWEEN 1 AND ${6L * 3600 * 1000000}
+        GROUP BY lead_type
+        ORDER BY lead_type""")),
 
     // A23 (zero-filled fixed-domain distribution, 24-slot hour-of-day).
     // Ref: webapp/mysql_routes.py:271-280.
