@@ -217,22 +217,38 @@ object EmbeddingQueries {
         ORDER BY a, b"""
       }),
 
-    // Blocked near-dup: pairs within the same coarse cell (label = the
-    // quantizer cell id) with cosine ≥ 0.35 — the IVF-blocked version of
-    // embedding near-dup detection (recall bounded by the blocking, the
-    // standard ANN trade; the exact path is q_embed_knn).
+    // Blocked near-dup, IVF-block × LSH hybrid: candidates must share
+    // the coarse quantizer cell (label) AND collide in at least one LSH
+    // band INSIDE the cell — so in-cell pair work drops from O(cell²) to
+    // O(bands · cell²/2^bits), the fix for "blocking alone is still
+    // quadratic within a hot cell". Recall inside a cell follows the
+    // banding bound in [[VectorOps.bandBucket]]; across cells it is the
+    // blocking trade (exact path: q_embed_knn). Candidate generation
+    // shuffles only (label, band, bucket, vec_id); the two-phase
+    // prefilter + exact-decimal cosine verifies survivors. round(c,6)
+    // >= 0.35 ⇔ c >= 0.3499995, so 0.34999 is a conservative prefilter
+    // bound (double-vs-decimal drift ≲ 1e-12).
     QueryDef(
       "q_embed_neardup",
       t => {
+        val (bands, bits) = (8, 4)
         val n = norms(t)
-        val a = n.select(col("label"), col("vec_id").as("a"), col("e").as("ea"), col("nsq").as("na"))
-        val b = n.select(col("label"), col("vec_id").as("b"), col("e").as("eb"), col("nsq").as("nb"))
-        // Two-phase: a double-accumulation prefilter (with margin well
-        // beyond double-vs-decimal error) prunes the quadratic candidate
-        // set; only survivors pay the exact-decimal cosine that defines
-        // the output. round(c,6) >= 0.35 ⇔ c >= 0.3499995, so 0.34999
-        // is a conservative prefilter bound.
-        a.join(b, Seq("label")).filter(col("a") < col("b"))
+          .selectExpr("vec_id", "label", "e", "nsq",
+            s"${VectorOps.bandBuckets("e", bands, bits, 64)} AS bks")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val keys = n.select(col("label"), col("vec_id"),
+          posexplode(col("bks")).as(Seq("band", "bucket")))
+        val cand = keys.as("x").join(keys.as("y"),
+            col("x.label") === col("y.label") &&
+              col("x.band") === col("y.band") &&
+              col("x.bucket") === col("y.bucket") &&
+              col("x.vec_id") < col("y.vec_id"))
+          .select(col("x.label").as("label"),
+            col("x.vec_id").as("a"), col("y.vec_id").as("b"))
+          .distinct()
+        val va = n.select(col("vec_id").as("a"), col("e").as("ea"), col("nsq").as("na"))
+        val vb = n.select(col("vec_id").as("b"), col("e").as("eb"), col("nsq").as("nb"))
+        cand.join(va, Seq("a")).join(vb, Seq("b"))
           .withColumn("__approx",
             expr(VectorOps.cosine("graft_dot(ea, eb)", "na", "nb")))
           .filter(col("__approx") >= 0.34999)
@@ -241,12 +257,25 @@ object EmbeddingQueries {
           .filter(col("cosine") >= 0.35)
           .orderBy(col("a"), col("b"))
       },
-      Some(s"""
-        WITH n AS (SELECT * FROM ${duckNorms(64)} x)
-        SELECT x.label, x.vec_id a, y.vec_id b,
+      Some {
+        val (bands, bits) = (8, 4)
+        val keyUnion = (0 until bands).map { band =>
+          s"SELECT vec_id, label, $band AS band, ${VectorOps.duckBandBucket("e", band, bits, 64)} AS bucket FROM n"
+        }.mkString("\n          UNION ALL ")
+        s"""
+        WITH n AS (SELECT vec_id, label, e, nsq FROM ${duckNorms(64)} z),
+        keys AS (
+          $keyUnion),
+        cand AS (
+          SELECT DISTINCT x.label, x.vec_id a, y.vec_id b
+          FROM keys x JOIN keys y
+            ON x.label = y.label AND x.band = y.band AND x.bucket = y.bucket
+              AND x.vec_id < y.vec_id)
+        SELECT c.label, c.a, c.b,
           round(${VectorOps.duckDot("x.e", "y.e", 64)} / (sqrt(x.nsq) * sqrt(y.nsq)), 6) cosine
-        FROM n x JOIN n y ON x.label = y.label AND x.vec_id < y.vec_id
+        FROM cand c JOIN n x ON x.vec_id = c.a JOIN n y ON y.vec_id = c.b
         WHERE round(${VectorOps.duckDot("x.e", "y.e", 64)} / (sqrt(x.nsq) * sqrt(y.nsq)), 6) >= 0.35
-        ORDER BY a, b"""))
+        ORDER BY a, b"""
+      })
   )
 }
