@@ -46,6 +46,40 @@ class SessionizeSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("closed sessions emit on successor gap AND on watermark timeout") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Double)]
+    val events = mem.toDF().toDF("user_id", "ts_us", "value")
+      .select(col("user_id"), timestamp_micros(col("ts_us")).as("ts"), col("value"))
+      .withWatermark("ts", "0 seconds")
+    val q = Sessionize.closedSessions(events, gapMinutes = 30)
+      .toDF().writeStream.format("memory").queryName("closed_out")
+      .outputMode(OutputMode.Append()).start()
+    // Offset from epoch 0: the initial watermark sits at 0 and drops
+    // rows on the boundary.
+    def us(minute: Long) = (100000L + minute) * 60L * 1000000L
+    try {
+      // Session 1: two events; then a 100-min gap event opens session 2.
+      mem.addData((1L, us(0), 1.0), (1L, us(10), 1.0))
+      q.processAllAvailable()
+      assert(spark.table("closed_out").count() == 0) // still open
+      mem.addData((1L, us(110), 1.0))
+      q.processAllAvailable()
+      val afterGap = spark.table("closed_out").as[Sessionize.ClosedSession].collect()
+      assert(afterGap.toSeq == Seq(Sessionize.ClosedSession(1L, us(0), us(10), 2L)))
+      // Advance the watermark far past session 2's gap via another user:
+      // the open tail session must close by TIMEOUT, no successor needed.
+      mem.addData((2L, us(1000), 1.0))
+      q.processAllAvailable()
+      mem.addData((2L, us(1001), 1.0)) // one more batch so timeouts fire
+      q.processAllAvailable()
+      val all = spark.table("closed_out").as[Sessionize.ClosedSession].collect()
+      assert(all.contains(Sessionize.ClosedSession(1L, us(110), us(110), 1L)))
+    } finally q.stop()
+  }
+
   test("windowed counts with watermark over a stream") {
     val s = spark
     import s.implicits._
