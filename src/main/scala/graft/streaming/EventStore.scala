@@ -72,6 +72,41 @@ final class EventStore(root: String) {
     swapIn("summary_user", merged)
   }
 
+  /** Small-file compaction for the append-only fact store: every
+    * micro-batch append lands O(shuffle-partitions) files, and a week of
+    * 10-second batches turns a 100 TB table into millions of KB-files —
+    * scan planning then dominates query time. Rewrites the store into
+    * ceil(bytes / targetBytes) files, range-clustered and sorted by
+    * event time so ts predicates prune whole files via parquet min/max.
+    * Same tmp-then-move commit as every other store write; the read
+    * plan targets the OLD directory while the tmp writes, so the swap
+    * is never torn. Returns (filesBefore, filesAfter).
+    *
+    * (With Delta/Iceberg this is OPTIMIZE + ZORDER; the arithmetic —
+    * size-targeted bin-packing plus time clustering — is the same.)
+    */
+  def compactFacts(spark: SparkSession,
+                   targetBytes: Long = 128L * 1024 * 1024): (Long, Long) = {
+    val p = Paths.get(dir("fact_events"))
+    def parquetFiles: Seq[java.nio.file.Path] =
+      if (!Files.exists(p)) Seq.empty
+      else {
+        val s = Files.walk(p)
+        try s.toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path])
+          .filter(_.toString.endsWith(".parquet"))
+        finally s.close()
+      }
+    val before = parquetFiles
+    if (before.isEmpty) return (0L, 0L)
+    val totalBytes = before.map(Files.size(_)).sum
+    val parts = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    if (before.size <= parts) return (before.size.toLong, before.size.toLong)
+    swapIn("fact_events", spark.read.parquet(dir("fact_events"))
+      .repartitionByRange(parts, col("ts"), col("event_id"))
+      .sortWithinPartitions(col("ts"), col("event_id")))
+    (before.size.toLong, parquetFiles.size.toLong)
+  }
+
   /** Write-tmp-then-move commit: readers of the old directory are never
     * torn; single-writer assumption (one streaming query), as in the
     * reference's single consumer. */
