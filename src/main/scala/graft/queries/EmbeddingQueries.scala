@@ -161,6 +161,91 @@ object EmbeddingQueries {
         GROUP BY label, assigned
         ORDER BY label, assigned""")),
 
+    // IVF SEARCH (completes the coarse-quantizer story of q_embed_ivf):
+    // each query ranks the k centroids, probes its nprobe=2 nearest
+    // cells, and pays exact cosine only against vectors IN those cells —
+    // the candidate scan shrinks by ~k/nprobe vs brute force, the FAISS
+    // IVF query path in relational ops. Centroids broadcast (k × dim
+    // doubles); the probed-cell candidate join is an equi-join on the
+    // cell id, so at scale each query touches only its cells' partitions.
+    // Recall is the IVF trade: a true neighbor in an unprobed cell is
+    // missed (exact baseline: q_embed_knn; both top-5 lists are
+    // oracle-checked, so the miss pattern is pinned, not fuzzy).
+    QueryDef(
+      "q_embed_ivf_search",
+      t => {
+        val n = norms(t)
+        val elems = n.selectExpr("vec_id", "label", "posexplode(e) AS (i, v)")
+        val centroids = elems
+          .groupBy(col("label").as("cl"), col("i"))
+          .agg((sum(expr("CAST(v AS DECIMAL(30,15))")).cast("double") / count(lit(1))).as("m"))
+          .groupBy(col("cl"))
+          .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("im"))
+          .selectExpr("cl", "transform(im, x -> x.m) AS c")
+          .selectExpr("cl", "c", s"${VectorOps.normSq("c")} AS cnsq")
+        val q = n.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nsq").as("qnsq"))
+        val wCell = Window.partitionBy(col("q_id"))
+          .orderBy(col("ccos").desc, col("cl").asc)
+        val probe = q.crossJoin(broadcast(centroids))
+          .selectExpr("q_id", "qe", "qnsq", "cl",
+            s"round(${VectorOps.cosine(VectorOps.dot("qe", "c"), "qnsq", "cnsq")}, 6) AS ccos")
+          .withColumn("crk", row_number().over(wCell))
+          .filter(col("crk") <= 2)
+          .select(col("q_id"), col("qe"), col("qnsq"), col("cl"))
+        val cands = n.filter(col("vec_id") >= 5)
+          .select(col("label").as("cl"), col("vec_id").as("cand_id"),
+            col("e").as("ce"), col("nsq").as("cnsq"))
+        val wTop = Window.partitionBy(col("q_id"))
+          .orderBy(col("cosine").desc, col("cand_id").asc)
+        probe.join(cands, Seq("cl"))
+          .selectExpr("q_id", "cand_id",
+            s"round(${VectorOps.cosine(VectorOps.dot("qe", "ce"), "qnsq", "cnsq")}, 6) AS cosine")
+          .withColumn("rk", row_number().over(wTop).cast("long"))
+          .filter(col("rk") <= 5)
+          .select(col("q_id"), col("rk"), col("cand_id"), col("cosine"))
+          .orderBy(col("q_id"), col("rk"))
+      },
+      Some(s"""
+        WITH n AS (SELECT * FROM ${duckNorms(64)} z),
+        elems AS (
+          SELECT vec_id, label,
+            unnest(generate_series(1, 64)) i, unnest(e) v
+          FROM n),
+        centroids AS (
+          SELECT label cl, i,
+            CAST(SUM(CAST(v AS DECIMAL(30,15))) AS DOUBLE) / COUNT(*) m
+          FROM elems GROUP BY cl, i),
+        cnorm AS (
+          SELECT cl, CAST(SUM(CAST(m * m AS DECIMAL(30,15))) AS DOUBLE) cnsq
+          FROM centroids GROUP BY cl),
+        qdots AS (
+          SELECT e.vec_id q_id, c.cl,
+            CAST(SUM(CAST(e.v * c.m AS DECIMAL(30,15))) AS DOUBLE) dot
+          FROM elems e JOIN centroids c USING (i)
+          WHERE e.vec_id < 5
+          GROUP BY q_id, c.cl),
+        probe AS (
+          SELECT q_id, cl FROM (
+            SELECT d.q_id, d.cl,
+              row_number() OVER (PARTITION BY d.q_id
+                ORDER BY round(d.dot / (sqrt(q.nsq) * sqrt(cn.cnsq)), 6) DESC, d.cl) crk
+            FROM qdots d JOIN cnorm cn USING (cl)
+            JOIN n q ON q.vec_id = d.q_id)
+          WHERE crk <= 2),
+        pairs AS (
+          SELECT p.q_id, c.vec_id cand_id,
+            round(${VectorOps.duckDot("q.e", "c.e", 64)} / (sqrt(q.nsq) * sqrt(c.nsq)), 6) cosine
+          FROM probe p
+          JOIN n q ON q.vec_id = p.q_id
+          JOIN n c ON c.label = p.cl AND c.vec_id >= 5)
+        SELECT q_id, rk, cand_id, cosine FROM (
+          SELECT *, CAST(row_number() OVER
+            (PARTITION BY q_id ORDER BY cosine DESC, cand_id) AS BIGINT) rk
+          FROM pairs)
+        WHERE rk <= 5
+        ORDER BY q_id, rk""")),
+
     // Banded LSH ANN (the scale path that needs no labels): 8 bands × 4
     // random-hyperplane bits each; a pair is a candidate iff it collides
     // in ANY band, then the two-phase prefilter + exact-decimal cosine
