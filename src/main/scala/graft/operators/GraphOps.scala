@@ -70,10 +70,18 @@ object GraphOps {
     * Spark algorithms need an action per iteration.
     */
   def connectedComponents(spark: SparkSession, edges: DataFrame, maxIter: Int): DataFrame = {
-    val und = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    val undWide = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .unionByName(edges.select(col("dst").cast("long").as("src"), col("src").cast("long").as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // Small-graph fast path: verified near-dup edge sets are usually a
+    // tiny fraction of the corpus, but each loop iteration still pays
+    // full multi-partition job overhead — dominating wall-clock when the
+    // graph is a few hundred edges. Coalescing the CACHED frame to one
+    // partition (a re-map, no shuffle) turns every iteration into a
+    // 1-task job; above the threshold the plan is unchanged.
+    val und =
+      if (undWide.count() <= 100000L) undWide.coalesce(1) else undWide
     var labels = und.select(col("src").as("node")).distinct()
       .withColumn("component", col("node"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -102,7 +110,7 @@ object GraphOps {
       if (nextSum == prevSum) converged = true
       prevSum = nextSum
     }
-    und.unpersist()
+    undWide.unpersist()
     labels
   }
 

@@ -38,19 +38,89 @@ object DedupQueries {
   private val ShingleDfCap = 128
 
   /** Distinct candidate pairs (a < b) sharing ≥1 shingle whose document
-    * frequency is ≤ [[ShingleDfCap]]. The DF gate runs BEFORE the
-    * self-join, so every join bucket is bounded at τ²/2 pairs no matter
-    * how skewed the corpus.
+    * frequency is ≤ [[ShingleDfCap]]. The DF gate runs BEFORE pair
+    * generation, so every bucket is bounded at τ²/2 pairs no matter how
+    * skewed the corpus.
+    *
+    * Shape: (1) count DFs — map-side partial aggregation means the
+    * shuffle carries ≈ one row per distinct shingle per partition, and
+    * only the HOT tail (df > τ) survives the filter: a tiny frame on a
+    * Zipfian corpus, so the anti-join against it broadcasts under AQE
+    * (no shuffle of the index). (2) ONE shuffle groups the surviving
+    * index by shingle; groups are ≤ τ docs by construction, so the
+    * a<b pair expansion is a bounded map-side array op — the quadratic
+    * self-join (which also evaluated the whole index subtree twice, one
+    * per join side) never happens.
     */
-  private[graft] def cappedShinglePairs(inv: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val rare = inv.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= ShingleDfCap)
+  private[graft] def cappedShinglePairs(inv: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    cappedPairCounts(dfCappedIndex(inv)).select(col("a"), col("b"))
+
+  /** The inverted index minus hot shingles (df > τ). */
+  private def dfCappedIndex(inv: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val hot = inv.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > ShingleDfCap)
       .select(col("sh"))
-    val inv2 = inv.join(rare, "sh")
-    inv2.as("x")
-      .join(inv2.as("y"), col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .distinct()
+    inv.join(hot, Seq("sh"), "left_anti")
+  }
+
+  /** Candidate pairs (a < b) with `c_rare` = how many capped-index
+    * shingles the pair shares — the count falls out of pair expansion
+    * for free and feeds the Jaccard upper-bound prefilter below. */
+  private def cappedPairCounts(inv2: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    inv2
+      .groupBy(col("sh")).agg(array_sort(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .selectExpr("""explode(flatten(transform(ids,
+        (a, i) -> transform(slice(ids, i + 2, size(ids)),
+                            b -> named_struct('a', a, 'b', b))))) AS p""")
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("c_rare"))
+
+  /** Verified near-dup pairs (a, b, jaccard ≥ 0.5) over the whole
+    * pipeline: DF-capped candidate generation, then a COUNT-based
+    * Jaccard upper bound kills almost every candidate BEFORE the
+    * array_intersect verify — the candidate set is quadratic-ish in
+    * bucket sizes (≈1.1M pairs on the sf0.1 corpus) while true matches
+    * are rare (≈250), so the verify join must never run on raw
+    * candidates. The bound is exact-safe: a pair's true intersection c
+    * satisfies c ≤ c_rare + min(hot_a, hot_b) =: c_ub (it can only beat
+    * the counted rare-shingle overlap via hot shingles BOTH docs carry),
+    * and J = c/(|A|+|B|−c) is increasing in c, so J ≤ J(c_ub); pairs
+    * with J(c_ub) < 0.5 − ε are dropped with zero recall loss and
+    * survivors still pay the exact full-set verify that defines the
+    * output. `docs` must carry (doc_id, shs) and be persisted by the
+    * caller (it feeds the index, the size/hot metadata, and both verify
+    * sides).
+    */
+  private def jaccardMatches(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val inv = docs.selectExpr("doc_id", "explode(shs) AS sh")
+    // Persisted: the capped index feeds BOTH the per-doc rare counts and
+    // pair expansion — without it each consumer re-runs the explode +
+    // hot-filter subtree. Size is O(index), the op's working set.
+    val inv2 = dfCappedIndex(inv)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Per-doc rare-shingle count; hot count = total − rare. Docs whose
+    // shingles are ALL hot drop out of inv2 — coalesce restores them.
+    val rareCnt = inv2.groupBy(col("doc_id")).agg(count(lit(1)).as("rc"))
+    val meta = docs.select(col("doc_id"), size(col("shs")).cast("long").as("sz"))
+      .join(rareCnt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("sz"),
+        (col("sz") - coalesce(col("rc"), lit(0L))).as("h"))
+    val survivors = cappedPairCounts(inv2)
+      .join(meta.select(col("doc_id").as("a"), col("sz").as("sza"), col("h").as("ha")), Seq("a"))
+      .join(meta.select(col("doc_id").as("b"), col("sz").as("szb"), col("h").as("hb")), Seq("b"))
+      .withColumn("cub", col("c_rare") + least(col("ha"), col("hb")))
+      // round(J,6) ≥ 0.5 ⇒ J ≥ 0.4999995 ⇒ J(cub) ≥ 0.4999995 ≫ 0.499999.
+      .filter(col("cub") / (col("sza") + col("szb") - col("cub")) >= 0.499999)
+      .select(col("a"), col("b"))
+    survivors
+      .join(docs.select(col("doc_id").as("a"), col("shs").as("sa")), "a")
+      .join(docs.select(col("doc_id").as("b"), col("shs").as("sb")), "b")
+      .withColumn("c", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("jaccard",
+        round(col("c") / (size(col("sa")) + size(col("sb")) - col("c")).cast("double"), 6))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("a"), col("b"), col("jaccard"))
   }
 
   /** DuckDB twin: doc_id → distinct 3-gram shingle list. */
@@ -88,23 +158,13 @@ object DedupQueries {
     QueryDef(
       "q_dedup_ngram_jaccard",
       t => {
-        // Persisted: the shingle arrays feed the inverted index, both
-        // sides of the verify join, and the DF count — caching the
-        // per-doc computation beats recomputing split+slice+distinct 4×.
+        // Persisted: the shingle arrays feed the inverted index, the
+        // size/hot metadata, and both sides of the verify join — caching
+        // the per-doc computation beats recomputing split+slice+distinct.
         // Cost is O(docs × shingles) strings, spilled to disk if large.
         val docs = t.documents.selectExpr("doc_id", s"$shs AS shs")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val inv = docs.selectExpr("doc_id", "explode(shs) AS sh")
-        val pairs = cappedShinglePairs(inv)
-        pairs
-          .join(docs.select(col("doc_id").as("a"), col("shs").as("sa")), "a")
-          .join(docs.select(col("doc_id").as("b"), col("shs").as("sb")), "b")
-          .withColumn("c", size(array_intersect(col("sa"), col("sb"))).cast("long"))
-          .withColumn("jaccard",
-            round(col("c") / (size(col("sa")) + size(col("sb")) - col("c")).cast("double"), 6))
-          .filter(col("jaccard") >= 0.5)
-          .select(col("a"), col("b"), col("jaccard"))
-          .orderBy(col("a"), col("b"))
+        jaccardMatches(docs).orderBy(col("a"), col("b"))
       },
       Some(s"""
         WITH sh AS $duckShingles,
@@ -189,12 +249,7 @@ object DedupQueries {
       t => {
         val docs = t.documents.selectExpr("doc_id", s"$shs AS shs")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val inv = docs.selectExpr("doc_id", "explode(shs) AS sh")
-        val pairs = cappedShinglePairs(inv)
-          .join(docs.select(col("doc_id").as("a"), col("shs").as("sa")), "a")
-          .join(docs.select(col("doc_id").as("b"), col("shs").as("sb")), "b")
-          .withColumn("c", size(array_intersect(col("sa"), col("sb"))).cast("long"))
-          .filter(round(col("c") / (size(col("sa")) + size(col("sb")) - col("c")).cast("double"), 6) >= 0.5)
+        val pairs = jaccardMatches(docs)
           .select(col("a").as("src"), col("b").as("dst"))
         // maxIter bounds worst-case CHAIN diameter, not typical cluster
         // size; convergence exits early (≈2 rounds on near-cliques), so
