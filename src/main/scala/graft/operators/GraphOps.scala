@@ -222,19 +222,31 @@ object GraphOps {
       return Seq.empty[(Long, Long)].toDF("step", "node")
     }
     val d = targetDist(0).getLong(0)
+    if (d == 0) {
+      dist.unpersist()
+      return Seq((0L, target)).toDF("step", "node")
+    }
     val m = membership
       .select(col(groupCol).cast("long").as("grp"), col(itemCol).cast("long").as("item"))
-    // (grp, item, dist) for reached items only; unreached drop out here.
-    val md = m.join(dist, m("item") === dist("node"))
+    // (grp, item, dist) for reached items at dist ≤ d(target) only —
+    // deeper levels can never be path ancestors, so they never enter
+    // the parent build.
+    val md = m.join(dist.filter(col("dist") <= d), m("item") === dist("node"))
       .select(col("grp"), col("item"), col("dist"))
     val lvlMin = md.groupBy(col("grp"), col("dist"))
       .agg(min(col("item")).as("lvl_min"))
       .select(col("grp").as("lm_grp"), col("dist").as("lm_dist"), col("lvl_min"))
-    val parentMap = md
+    val pmWide = md
       .join(lvlMin, md("grp") === col("lm_grp") && col("lm_dist") === md("dist") - 1)
       .groupBy(md("item")).agg(min(col("lvl_min")).as("parent"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    parentMap.count() // materialize once; the walk below re-reads it ≤ maxHops times
+    // The back-walk is ≤ maxHops POINT lookups; on a cached map a few MB
+    // in size each would still scan every partition as its own job, so
+    // coalesce the cache to one partition below a size threshold (a
+    // re-map, no shuffle) — each lookup becomes a 1-task job. Above the
+    // threshold the multi-partition scan is the right plan anyway.
+    val parentMap =
+      if (pmWide.count() <= 1000000L) pmWide.coalesce(1) else pmWide
     val path = new scala.collection.mutable.ArrayBuffer[(Long, Long)]
     var cur = target
     var step = d
@@ -246,7 +258,7 @@ object GraphOps {
       step -= 1
       path += ((step, cur))
     }
-    dist.unpersist(); parentMap.unpersist()
+    dist.unpersist(); pmWide.unpersist()
     path.sortBy(_._1).toSeq.toDF("step", "node")
   }
 }
