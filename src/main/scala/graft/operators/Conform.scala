@@ -49,8 +49,21 @@ object Conform {
   private def cleaned(c: Column): Column =
     regexp_replace(c, WrapperRe, "$1$2")
 
+  // Top-level keys extract from ONE shared JSON parse: every key's
+  // from_json(props) subtree is identical, so whole-stage codegen's
+  // common-subexpression elimination evaluates it once per row — vs
+  // get_json_object re-parsing the blob per key. Dotted paths (nested
+  // probes) keep the path extractor.
+  private def raw(props: Column, path: String): Column =
+    if (path.contains("."))
+      get_json_object(props, "$." + path)
+    else
+      element_at(from_json(props, org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.StringType)), path)
+
   private def coerce(props: Column, k: KeySpec): Column = {
-    val raw = get_json_object(props, "$." + k.path)
+    val raw = this.raw(props, k.path)
     k.tp match {
       case BoolKey =>
         val v = lower(cleaned(raw))
