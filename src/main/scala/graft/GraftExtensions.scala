@@ -40,6 +40,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot"),
       info("graft_dot", "graft_dot(a, b) - double dot product of two double arrays"),
       (args: Seq[Expression]) => DotDoubleExpr(args.head, args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_collect_capped"),
+      info("graft_collect_capped",
+        "graft_collect_capped(v, cap) - sorted distinct longs, or NULL once the group exceeds cap (bounded state)"),
+      (args: Seq[Expression]) => {
+        val cap = args.lift(1) match {
+          case Some(Literal(v: Int, _)) => v
+          case Some(other) => other.eval() match {
+            case i: Int => i
+            case l: Long => l.toInt
+            case x => throw new IllegalArgumentException(
+              s"graft_collect_capped cap must be an integer literal, got $x")
+          }
+          case None => throw new IllegalArgumentException(
+            "graft_collect_capped requires (value, cap)")
+        }
+        graft.functions.CollectCappedExpr(args.head, cap).toAggregateExpression()
+      }))
     // Optimizer rule: portable SQL dot-product folds → native kernel.
     ext.injectOptimizerRule(graft.plans.NativeKernelRules)
     // Planner strategy: native sort-merge as-of join plan node.

@@ -26,6 +26,12 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
+      // TypedImperativeAggregate / collect_set run on ObjectHashAggregate,
+      // whose default sort-based fallback triggers at just 128 distinct
+      // keys in the hash map — turning one-shuffle aggregations into
+      // full sorts on any real key cardinality. Raise it; the map spills
+      // nothing here (values are bounded by design where it matters).
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.sql.parquet.aggregatePushdown", "true")
       // events.parquet carries INT64 TIMESTAMP(NANOS); Spark reads it as

@@ -53,23 +53,27 @@ object DedupQueries {
     * per join side) never happens.
     */
   private[graft] def cappedShinglePairs(inv: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    cappedPairCounts(dfCappedIndex(inv)).select(col("a"), col("b"))
+    pairCounts(cappedGroups(inv)).select(col("a"), col("b"))
 
-  /** The inverted index minus hot shingles (df > τ). */
-  private def dfCappedIndex(inv: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val hot = inv.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > ShingleDfCap)
-      .select(col("sh"))
-    inv.join(hot, Seq("sh"), "left_anti")
-  }
+  /** The DF-capped index in ONE shuffle: `graft_collect_capped` (native
+    * TypedImperativeAggregate, functions/CollectCappedExpr.scala) groups
+    * each shingle's sorted doc ids with aggregation state bounded at
+    * τ+1 entries — a hot shingle collapses to NULL inside the aggregate,
+    * so there is no separate DF-count pass, no anti-join, and no
+    * unbounded collect_set buffer for a boilerplate shingle shared by
+    * millions of docs. */
+  private def cappedGroups(inv: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    inv.groupBy(col("sh"))
+      .agg(expr(s"graft_collect_capped(doc_id, $ShingleDfCap)").as("ids"))
 
   /** Candidate pairs (a < b) with `c_rare` = how many capped-index
     * shingles the pair shares — the count falls out of pair expansion
-    * for free and feeds the Jaccard upper-bound prefilter below. */
-  private def cappedPairCounts(inv2: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    inv2
-      .groupBy(col("sh")).agg(array_sort(collect_set(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) >= 2)
+    * for free and feeds the Jaccard upper-bound prefilter below.
+    * Groups are ≤ τ ids by construction, so expansion is a bounded
+    * map-side array op. */
+  private def pairCounts(grouped: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    grouped
+      .filter(col("ids").isNotNull && size(col("ids")) >= 2)
       .selectExpr("""explode(flatten(transform(ids,
         (a, i) -> transform(slice(ids, i + 2, size(ids)),
                             b -> named_struct('a', a, 'b', b))))) AS p""")
@@ -94,19 +98,22 @@ object DedupQueries {
     */
   private def jaccardMatches(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val inv = docs.selectExpr("doc_id", "explode(shs) AS sh")
-    // Persisted: the capped index feeds BOTH the per-doc rare counts and
+    // Persisted: the capped groups feed BOTH the per-doc rare counts and
     // pair expansion — without it each consumer re-runs the explode +
-    // hot-filter subtree. Size is O(index), the op's working set.
-    val inv2 = dfCappedIndex(inv)
+    // aggregate. Size is O(index) with every group ≤ τ ids.
+    val grouped = cappedGroups(inv)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Per-doc rare-shingle count; hot count = total − rare. Docs whose
-    // shingles are ALL hot drop out of inv2 — coalesce restores them.
-    val rareCnt = inv2.groupBy(col("doc_id")).agg(count(lit(1)).as("rc"))
+    // Per-doc rare-shingle count (count of non-hot groups the doc is
+    // in); hot count = total − rare. Docs whose shingles are ALL hot
+    // have no surviving group — coalesce restores them.
+    val rareCnt = grouped.filter(col("ids").isNotNull)
+      .select(explode(col("ids")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("rc"))
     val meta = docs.select(col("doc_id"), size(col("shs")).cast("long").as("sz"))
       .join(rareCnt, Seq("doc_id"), "left")
       .select(col("doc_id"), col("sz"),
         (col("sz") - coalesce(col("rc"), lit(0L))).as("h"))
-    val survivors = cappedPairCounts(inv2)
+    val survivors = pairCounts(grouped)
       .join(meta.select(col("doc_id").as("a"), col("sz").as("sza"), col("h").as("ha")), Seq("a"))
       .join(meta.select(col("doc_id").as("b"), col("sz").as("szb"), col("h").as("hb")), Seq("b"))
       .withColumn("cub", col("c_rare") + least(col("ha"), col("hb")))
