@@ -262,6 +262,84 @@ object TextQueries {
           sha256(text) AS sha,
           lower(substr(hex(encode(text)), 1, 16)) AS header_hex
         FROM documents
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // TF-IDF term ranking — the classic relevance/feature weight a
+    // training-data pipeline derives from a corpus. Term frequencies and
+    // document frequencies are two aggregations over ONE exploded token
+    // pass; N arrives as a broadcast scalar; ln() runs identically in
+    // both engines and everything rounds to 6 decimals BEFORE ranking so
+    // the top-3-per-doc window is deterministic (term tiebreak).
+    // Scale: df is a global aggregate that shrinks to |vocabulary|; the
+    // per-doc side never shuffles text, only (doc_id, term, tf).
+    QueryDef(
+      "q_text_tfidf",
+      t => {
+        val terms = t.documents.selectExpr("doc_id", s"explode($toks) AS term")
+        val tf = terms.groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+        val df = terms.distinct().groupBy(col("term"))
+          .agg(count(lit(1)).as("df"))
+        val nDocs = t.documents.agg(count(lit(1)).as("n_docs"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id"))
+          .orderBy(col("tfidf").desc, col("term").asc)
+        tf.filter(col("doc_id") < 10)
+          .join(df, Seq("term"))
+          .crossJoin(broadcast(nDocs))
+          .withColumn("tfidf", round(col("tf") * log(col("n_docs") / col("df")), 6))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 3)
+          .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("df"), col("tfidf"))
+          .orderBy(col("doc_id"), col("rk"))
+      },
+      Some(s"""
+        WITH s AS (
+          SELECT doc_id, unnest(toks) term
+          FROM (SELECT doc_id, $duckToks toks FROM documents)),
+        tf AS (SELECT doc_id, term, COUNT(*) tf FROM s GROUP BY doc_id, term),
+        df AS (SELECT term, COUNT(DISTINCT doc_id) df FROM s GROUP BY term),
+        n AS (SELECT COUNT(*) n_docs FROM documents)
+        SELECT doc_id, rk, term, tf, df, tfidf FROM (
+          SELECT t.doc_id, t.term, t.tf, d.df,
+            round(t.tf * ln((SELECT n_docs FROM n) / d.df), 6) tfidf,
+            CAST(row_number() OVER (PARTITION BY t.doc_id
+              ORDER BY round(t.tf * ln((SELECT n_docs FROM n) / d.df), 6) DESC,
+                       t.term) AS BIGINT) rk
+          FROM tf t JOIN df d USING (term)
+          WHERE t.doc_id < 10)
+        WHERE rk <= 3
+        ORDER BY doc_id, rk""")),
+
+    // Quality-filter FUNNEL: the keep/drop decision a pretraining corpus
+    // filter makes, with the FIRST failing rule as the drop reason —
+    // language gate, length band, minimum tokens, stopword saturation,
+    // repetition (type/token ratio). One map-side CASE per doc, one
+    // tiny aggregation: the whole funnel reads the corpus once.
+    QueryDef(
+      "q_docs_quality_funnel",
+      t => t.documents.selectExpr(
+          s"""CASE
+            WHEN lang <> 'en' THEN 'drop_lang'
+            WHEN n_chars < 100 OR n_chars > 10000 THEN 'drop_length'
+            WHEN size($toks) < 20 THEN 'drop_tokens'
+            WHEN size(filter($toks, x -> x IN $stopSet)) / CAST(size($toks) AS DOUBLE) > 0.4 THEN 'drop_stopwords'
+            WHEN size(array_distinct($toks)) / CAST(size($toks) AS DOUBLE) < 0.3 THEN 'drop_repetition'
+            ELSE 'kept' END AS verdict""")
+        .groupBy(col("verdict"))
+        .agg(count(lit(1)).as("doc_cnt"))
+        .orderBy(col("verdict")),
+      Some(s"""
+        SELECT CASE
+            WHEN lang <> 'en' THEN 'drop_lang'
+            WHEN n_chars < 100 OR n_chars > 10000 THEN 'drop_length'
+            WHEN len(s) < 20 THEN 'drop_tokens'
+            WHEN len(list_filter(s, x -> x IN $stopSet)) / CAST(len(s) AS DOUBLE) > 0.4 THEN 'drop_stopwords'
+            WHEN len(list_distinct(s)) / CAST(len(s) AS DOUBLE) < 0.3 THEN 'drop_repetition'
+            ELSE 'kept' END AS verdict,
+          COUNT(*) AS doc_cnt
+        FROM (SELECT lang, n_chars, $duckToks s FROM documents)
+        GROUP BY verdict
+        ORDER BY verdict"""))
   )
 }
