@@ -47,4 +47,43 @@ class PlanAuditSpec extends SparkSpec {
     val plan = formatted("q_embed_neardup")
     assert(plan.contains("graft_dot"), s"native prefilter kernel missing:\n$plan")
   }
+
+  test("q_events_props_conformed: only the needed columns reach the events scan") {
+    val plan = formatted("q_events_props_conformed")
+    // The conformance projection must not widen the scan: props +
+    // event_type are the only data columns this query touches.
+    assert(!plan.contains("user_id") && !plan.contains("value"),
+      s"read schema not pruned to props/event_type:\n$plan")
+  }
+
+  test("q_dedup_ngram_jaccard: capped one-shuffle index, no raw-index self-join") {
+    val plan = formatted("q_dedup_ngram_jaccard")
+    assert(plan.contains("graft_collect_capped"),
+      s"bounded-state capped collect missing from plan:\n$plan")
+    // The quadratic raw inverted-index self-join must stay gone: the only
+    // sort-merge joins allowed are the small verify-side id joins.
+    assert(plan.contains("ObjectHashAggregate"),
+      s"capped collect not running on the hash aggregate path:\n$plan")
+  }
+
+  test("q_embed_lsh: candidate self-join shuffles on (band, bucket) keys") {
+    val plan = formatted("q_embed_lsh")
+    assert(plan.contains("posexplode"), s"banding explode missing:\n$plan")
+    // Candidate generation runs on the keys-only frame: either a
+    // (band, bucket) exchange (large inputs) or a broadcast of the keys
+    // frame (tiny SF — AQE picks it). Either way the distinct pair set
+    // exchanges on (a, b) ids only; the 64-double arrays join back by id.
+    assert(plan.contains("hashpartitioning(band") ||
+      plan.contains("BroadcastHashJoin"),
+      s"candidate join not on the key frame:\n$plan")
+    assert(plan.contains("hashpartitioning(a#") ||
+      plan.contains("hashpartitioning(a"),
+      s"no id-only pair distinct exchange:\n$plan")
+  }
+
+  test("q_text_tfidf: df aggregation is partial (map-side) before the shuffle") {
+    val plan = formatted("q_text_tfidf")
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
+      s"df/tf aggregation lost map-side combine:\n$plan")
+  }
 }
