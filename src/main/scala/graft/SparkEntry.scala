@@ -17,7 +17,8 @@ object SparkEntry {
       graft.queries.EventQueries.defs ++
       graft.queries.TextQueries.defs ++
       graft.queries.DedupQueries.defs ++
-      graft.queries.EmbeddingQueries.defs
+      graft.queries.EmbeddingQueries.defs ++
+      graft.queries.PipelineQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

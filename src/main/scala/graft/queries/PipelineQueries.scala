@@ -1,0 +1,191 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.QueryDef
+import graft.operators.TextOps
+
+/** Corpus-curation operators a large-scale training-data pipeline runs
+  * between raw ingest and tokenization: benchmark decontamination,
+  * stratified sampling, data-mix weighting, and PII scrubbing (builder
+  * prompt first-class family; no reference twin — the reference has no
+  * corpus tooling at all).
+  *
+  * Scale posture shared by the family: per-document features are
+  * higher-order functions over token arrays (map-side, zero shuffle);
+  * the only joins are against corpus-small frames (the eval-set n-gram
+  * index, per-stratum totals) that broadcast. Nothing here shuffles
+  * document text.
+  */
+object PipelineQueries {
+
+  private val toks = TextOps.tokens("text")
+  private val duckToks = "string_split_regex(trim(text), '\\s+')"
+
+  /** Decontamination n-gram width. 5-gram overlap on this short-vocab
+    * synthetic corpus plays the role 8-13-gram overlap plays on real
+    * text: long enough that random collisions vanish, short enough that
+    * true shared passages still hit. */
+  private val DecontamN = 5
+
+  /** Eval-set membership: a deterministic key split stands in for the
+    * benchmark-document set (every 7th doc). Real pipelines load the
+    * eval suite here; the operator shape is identical. */
+  private val EvalMod = 7
+
+  // PII regexes, written without backslashes ([.] for a literal dot) so
+  // the same pattern text is valid in Spark (Java regex) and the DuckDB
+  // oracle (RE2) without double-escaping drift.
+  private val EmailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}"
+  private val PhonePat = "[0-9]{3}-[0-9]{4}"
+  private val IpPat    = "([0-9]{1,3}[.]){3}[0-9]{1,3}"
+
+  /** The corpus carries no PII (synthetic word soup, zero digits), so the
+    * scrubber is exercised on deterministically augmented text: docs at
+    * fixed key residues gain an email / phone / IPv4 trailer derived from
+    * their own doc_id. Both engines build the identical augmented string,
+    * so detection counts and the redacted-text digest stay oracle-exact
+    * while the regex pipeline (the real operator) does real work. */
+  private val sparkAug =
+    s"""concat(text,
+       |  CASE WHEN doc_id % 7 = 0
+       |       THEN concat(' contact user', CAST(doc_id AS STRING), '@example.com now') ELSE '' END,
+       |  CASE WHEN doc_id % 11 = 0
+       |       THEN concat(' call 555-', lpad(CAST(doc_id % 10000 AS STRING), 4, '0'), ' today') ELSE '' END,
+       |  CASE WHEN doc_id % 13 = 0
+       |       THEN concat(' from 10.0.', CAST(doc_id % 256 AS STRING), '.', CAST(doc_id * 7 % 256 AS STRING), ' logged') ELSE '' END)""".stripMargin
+
+  private val duckAug =
+    """text ||
+      |  (CASE WHEN doc_id % 7 = 0
+      |        THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END) ||
+      |  (CASE WHEN doc_id % 11 = 0
+      |        THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today' ELSE '' END) ||
+      |  (CASE WHEN doc_id % 13 = 0
+      |        THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id * 7 % 256 AS VARCHAR) || ' logged' ELSE '' END)""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Benchmark DECONTAMINATION: flag corpus documents sharing any
+    // DecontamN-gram with the eval set — the overlap check every
+    // pretraining pipeline runs before training. Shape: the eval side is
+    // corpus-small (benchmarks are thousands of docs, not billions), so
+    // its distinct n-gram index BROADCASTS and the corpus-side probe is
+    // pure map-side — document text never shuffles; the only aggregation
+    // shuffles (doc_id, count) pairs for the contaminated sliver.
+    QueryDef(
+      "q_docs_decontaminate",
+      t => {
+        val shs = TextOps.shingles(toks, DecontamN)
+        val docs = t.documents.selectExpr("doc_id", s"$shs AS shs")
+        val evalNgrams = docs.filter(col("doc_id") % EvalMod === 0)
+          .selectExpr("explode(shs) AS sh").distinct()
+        docs.filter(col("doc_id") % EvalMod =!= 0)
+          .selectExpr("doc_id", "explode(shs) AS sh")
+          .join(broadcast(evalNgrams), "sh")
+          // shs is array_distinct and the eval index is distinct, so
+          // count(1) IS the distinct-overlap count — no countDistinct.
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("overlap_cnt"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH sh AS (
+          SELECT doc_id,
+            list_distinct([ s[i] || ' ' || s[i+1] || ' ' || s[i+2] || ' ' || s[i+3] || ' ' || s[i+4]
+                            for i in range(1, greatest(len(s) - ${DecontamN - 2}, 1)) ]) shs
+          FROM (SELECT doc_id, $duckToks s FROM documents)),
+        ev AS (SELECT DISTINCT unnest(shs) sh FROM sh WHERE doc_id % $EvalMod = 0)
+        SELECT doc_id, COUNT(*) AS overlap_cnt
+        FROM (SELECT doc_id, unnest(shs) sh FROM sh WHERE doc_id % $EvalMod <> 0) c
+        JOIN ev USING (sh)
+        GROUP BY doc_id
+        ORDER BY doc_id""")),
+
+    // STRATIFIED SAMPLING: per-language keep rates applied via a
+    // deterministic md5 key bucket (the q_sample_customers idiom at
+    // corpus scale) — English kept at 50%, everything else at 20%.
+    // Pure map-side filter: stable across runs, engines, and cluster
+    // layouts, and pushdown-friendly (no rand(), no sample()).
+    QueryDef(
+      "q_docs_stratified_sample",
+      t => t.documents
+        .filter(substring(md5(col("doc_id").cast("string")), 1, 2) <
+          when(col("lang") === "en", lit("80")).otherwise(lit("33")))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id")),
+      Some("""
+        SELECT doc_id, lang, source, n_chars
+        FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+          (CASE WHEN lang = 'en' THEN '80' ELSE '33' END)
+        ORDER BY doc_id""")),
+
+    // DATA-MIX WEIGHTS: per-language token inventory → corpus share →
+    // per-doc sampling weight that would hit a target mix (en 40%, other
+    // languages 15% each). The aggregate shrinks to |languages| rows
+    // before the share/weight math, so the window total costs nothing;
+    // the corpus pass is one map-side token count.
+    QueryDef(
+      "q_docs_mix_weights",
+      t => {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy()
+        t.documents
+          .selectExpr("lang", s"CAST(size($toks) AS BIGINT) AS tok")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("doc_cnt"), sum(col("tok")).as("token_cnt"))
+          .withColumn("token_share",
+            round(col("token_cnt") / sum(col("token_cnt")).over(w), 6))
+          .withColumn("target_share",
+            when(col("lang") === "en", lit(0.4)).otherwise(lit(0.15)))
+          .withColumn("mix_weight", round(col("target_share") / col("token_share"), 6))
+          .select(col("lang"), col("doc_cnt"), col("token_cnt"),
+            col("token_share"), col("target_share"), col("mix_weight"))
+          .orderBy(col("lang"))
+      },
+      Some(s"""
+        SELECT lang, doc_cnt, token_cnt,
+          round(token_cnt / SUM(token_cnt) OVER (), 6) AS token_share,
+          (CASE WHEN lang = 'en' THEN 0.4 ELSE 0.15 END) AS target_share,
+          round((CASE WHEN lang = 'en' THEN 0.4 ELSE 0.15 END) /
+            round(token_cnt / SUM(token_cnt) OVER (), 6), 6) AS mix_weight
+        FROM (
+          SELECT lang, COUNT(*) doc_cnt, CAST(SUM(len($duckToks)) AS BIGINT) token_cnt
+          FROM documents GROUP BY lang)
+        ORDER BY lang""")),
+
+    // PII SCAN + REDACTION: regex detection counts per class and the
+    // digest of the redacted text (emails → [EMAIL], IPv4 → [IP],
+    // phone → [PHONE]; email first so its host dots never half-match the
+    // IP pattern). Entirely map-side — the scrubber runs at parquet-scan
+    // speed and only flagged rows leave the stage.
+    QueryDef(
+      "q_text_pii_scan",
+      t => t.documents
+        .withColumn("aug", expr(sparkAug))
+        .selectExpr(
+          "doc_id",
+          s"CAST(size(regexp_extract_all(aug, '$EmailPat', 0)) AS BIGINT) AS email_cnt",
+          s"CAST(size(regexp_extract_all(aug, '$PhonePat', 0)) AS BIGINT) AS phone_cnt",
+          s"CAST(size(regexp_extract_all(aug, '$IpPat', 0)) AS BIGINT) AS ip_cnt",
+          s"""md5(regexp_replace(regexp_replace(regexp_replace(aug,
+             |  '$EmailPat', '[EMAIL]'),
+             |  '$IpPat', '[IP]'),
+             |  '$PhonePat', '[PHONE]')) AS redacted_fp""".stripMargin)
+        .filter(col("email_cnt") + col("phone_cnt") + col("ip_cnt") > 0)
+        .orderBy(col("doc_id")),
+      Some(s"""
+        SELECT doc_id,
+          len(regexp_extract_all(aug, '$EmailPat')) AS email_cnt,
+          len(regexp_extract_all(aug, '$PhonePat')) AS phone_cnt,
+          len(regexp_extract_all(aug, '$IpPat')) AS ip_cnt,
+          md5(regexp_replace(regexp_replace(regexp_replace(aug,
+            '$EmailPat', '[EMAIL]', 'g'),
+            '$IpPat', '[IP]', 'g'),
+            '$PhonePat', '[PHONE]', 'g')) AS redacted_fp
+        FROM (SELECT doc_id, $duckAug AS aug FROM documents)
+        WHERE len(regexp_extract_all(aug, '$EmailPat'))
+            + len(regexp_extract_all(aug, '$PhonePat'))
+            + len(regexp_extract_all(aug, '$IpPat')) > 0
+        ORDER BY doc_id"""))
+  )
+}
