@@ -11,6 +11,22 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Plan-shape assertions (PlanAuditSpec) must see deterministic static
+// plans: the suite runs in its OWN forked JVM so no concurrently-running
+// suite can pollute the shared CacheManager (a persisted frame from
+// another suite substitutes InMemoryRelation into the audited plan and
+// races AQE re-planning — the round-3 104/105 flake).
+Test / testGrouping := {
+  val tests = (Test / definedTests).value
+  val forkOpts = ForkOptions()
+    .withRunJVMOptions((Test / javaOptions).value.toVector)
+    .withOutputStrategy((Test / outputStrategy).value.getOrElse(OutputStrategy.LoggedOutput(streams.value.log)))
+  val (planAudit, rest) = tests.partition(_.name == "graft.PlanAuditSpec")
+  Seq(
+    Tests.Group("plan-audit", planAudit, Tests.SubProcess(forkOpts)),
+    Tests.Group("main", rest, Tests.SubProcess(forkOpts)),
+  ).filter(_.tests.nonEmpty)
+}
 // Forward forked-run output raw (no "[info] " logger prefix): the
 // driver parses Bench's single JSON stdout line.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)

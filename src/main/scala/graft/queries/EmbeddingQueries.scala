@@ -26,6 +26,12 @@ import graft.sources.Tables
   * search then touches only the probed cell — the same coarse-quantizer
   * structure as FAISS IVF, in pure relational ops.
   */
+/** One coarse-quantizer centroid: cell id, mean vector, exact squared
+  * norm. Collected driver-side (k ≪ N — FAISS keeps the coarse quantizer
+  * in memory for the same reason) and re-emitted as a plan literal.
+  */
+final case class Cent(cl: Long, c: Seq[Double], cnsq: Double)
+
 object EmbeddingQueries {
 
   /** vectors with exact squared norms (label normalized to BIGINT). */

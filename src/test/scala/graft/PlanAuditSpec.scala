@@ -7,12 +7,30 @@ import org.apache.spark.sql.execution.ExplainMode
 /** Plan-shape regression tests: the properties that make the flagship
   * queries scale are asserted, not just eyeballed once — a refactor that
   * silently loses a pushdown or broadcast fails here, not at 100 TB.
+  *
+  * Determinism: these assert STATIC plan shape, so the suite (a) runs in
+  * its own forked JVM (build.sbt `Test / testGrouping`) — no other suite
+  * can register cache entries that substitute InMemoryRelation into an
+  * audited plan mid-run — and (b) uses a child session with AQE off, so
+  * the explain output is the final static plan, not an
+  * `AdaptiveSparkPlan isFinalPlan=false` snapshot racing runtime
+  * re-planning (the round-3 flake). The product sessions keep AQE on;
+  * what is asserted here (pushdowns, broadcasts, exchange keys, kernel
+  * presence) is decided before AQE ever runs.
   */
 class PlanAuditSpec extends SparkSpec {
+
+  override lazy val spark: org.apache.spark.sql.SparkSession = {
+    val s = SparkSpec.spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    s
+  }
 
   private val dir = SparkSpec.Sf0001
 
   private def formatted(name: String): String = {
+    // A previous test's in-query persist() must not rewrite this plan.
+    spark.sharedState.cacheManager.clearCache()
     val df = SparkEntry.queries(name)(spark, dir)
     df.queryExecution.explainString(ExplainMode.fromString("formatted"))
   }
@@ -71,14 +89,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("posexplode"), s"banding explode missing:\n$plan")
     // Candidate generation runs on the keys-only frame: either a
     // (band, bucket) exchange (large inputs) or a broadcast of the keys
-    // frame (tiny SF — AQE picks it). Either way the distinct pair set
-    // exchanges on (a, b) ids only; the 64-double arrays join back by id.
+    // frame (tiny SF — the static planner picks it by size estimate).
     assert(plan.contains("hashpartitioning(band") ||
       plan.contains("BroadcastHashJoin"),
       s"candidate join not on the key frame:\n$plan")
-    assert(plan.contains("hashpartitioning(a#") ||
-      plan.contains("hashpartitioning(a"),
-      s"no id-only pair distinct exchange:\n$plan")
+    // The distinct pair set aggregates on (a, b) ids ONLY — the 64-double
+    // arrays join back by id after. NB: an `Exchange hashpartitioning(a`
+    // may legitimately be ABSENT (the keys frame is already partitioned
+    // by vec_id = a, which satisfies the distinct's clustering — the
+    // round-3 flake was asserting the exchange instead of the invariant),
+    // so assert the id-only aggregate itself.
+    assert(plan.contains("Keys [2]: [a#") || plan.contains("hashpartitioning(a#"),
+      s"no id-only pair distinct:\n$plan")
   }
 
   test("q_text_tfidf: df aggregation is partial (map-side) before the shuffle") {
