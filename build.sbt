@@ -18,10 +18,14 @@ run / fork := true
 // races AQE re-planning — the round-3 104/105 flake).
 Test / testGrouping := {
   val tests = (Test / definedTests).value
-  val forkOpts = ForkOptions()
-    .withRunJVMOptions((Test / javaOptions).value.toVector)
-    .withOutputStrategy((Test / outputStrategy).value.getOrElse(OutputStrategy.LoggedOutput(streams.value.log)))
-  val (planAudit, rest) = tests.partition(_.name == "graft.PlanAuditSpec")
+  // sbt's own fork options carry envVars/javaHome/workingDirectory along
+  // with javaOptions — rebuilding ForkOptions() by hand silently dropped
+  // anything but javaOptions.
+  val forkOpts = (Test / forkOptions).value
+  // Name-pattern match so a renamed or second plan-audit suite still
+  // lands in the isolated JVM instead of silently rejoining the shared
+  // group (and its CacheManager pollution).
+  val (planAudit, rest) = tests.partition(_.name.endsWith("PlanAuditSpec"))
   Seq(
     Tests.Group("plan-audit", planAudit, Tests.SubProcess(forkOpts)),
     Tests.Group("main", rest, Tests.SubProcess(forkOpts)),

@@ -45,6 +45,36 @@ object VectorOps {
   def cosine(dotCol: String, nsqA: String, nsqB: String): String =
     s"$dotCol / (sqrt($nsqA) * sqrt($nsqB))"
 
+  /** Map-side nearest-centroid argmax over a centroid array column
+    * `cents` — `array<struct<cl:bigint, c:array<double>, cnsq:double>>`
+    * sorted by `cl` ascending — returning the best
+    * `struct<cos:double, cl:bigint>` for vector `e` with squared norm
+    * `nsq`. Strict `>` keeps the FIRST (smallest cl) cell on
+    * rounded-cosine ties, the same winner as `ORDER BY cos DESC, cl`.
+    *
+    * This is the scale-correct coarse-quantizer assignment: the
+    * centroid set rides along as one broadcast array row and each
+    * vector folds over it IN PLACE — no N×k row amplification, no
+    * window, no exchange (the crossJoin+row_number formulation it
+    * replaces shuffled N×k rows to pick each argmax).
+    */
+  def nearestCentroid(cents: String, e: String, nsq: String): String =
+    s"""aggregate(
+       |  transform($cents, ct -> named_struct(
+       |    'cos', round(${dot(e, "ct.c")} / (sqrt($nsq) * sqrt(ct.cnsq)), 6),
+       |    'cl', ct.cl)),
+       |  named_struct('cos', CAST(-2.0 AS DOUBLE), 'cl', CAST(-1 AS BIGINT)),
+       |  (bacc, sc) -> IF(sc.cos > bacc.cos, sc, bacc))""".stripMargin
+
+  /** The `nprobe` nearest cells for `e` as `array<bigint>`, map-side
+    * over the same sorted centroid array as [[nearestCentroid]]: rank by
+    * rounded cosine descending (ties → smaller cl, via ascending sort on
+    * `(-cos, cl)` structs) and keep the first `nprobe`. */
+  def probeCells(cents: String, e: String, nsq: String, nprobe: Int): String =
+    s"""transform(slice(array_sort(transform($cents, ct -> named_struct(
+       |    'negcos', -round(${dot(e, "ct.c")} / (sqrt($nsq) * sqrt(ct.cnsq)), 6),
+       |    'cl', ct.cl))), 1, $nprobe), pc -> pc.cl)""".stripMargin
+
   /** Deterministic Rademacher sign row for hyperplane j: sign[i] = +1
     * iff the first hex digit of md5(s"${j}_${i}") is 0-7. Evaluated once
     * at PLAN BUILD time — the sign matrix is emitted as a literal array

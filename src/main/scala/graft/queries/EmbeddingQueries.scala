@@ -26,12 +26,6 @@ import graft.sources.Tables
   * search then touches only the probed cell — the same coarse-quantizer
   * structure as FAISS IVF, in pure relational ops.
   */
-/** One coarse-quantizer centroid: cell id, mean vector, exact squared
-  * norm. Collected driver-side (k ≪ N — FAISS keeps the coarse quantizer
-  * in memory for the same reason) and re-emitted as a plan literal.
-  */
-final case class Cent(cl: Long, c: Seq[Double], cnsq: Double)
-
 object EmbeddingQueries {
 
   /** vectors with exact squared norms (label normalized to BIGINT). */
@@ -41,6 +35,24 @@ object EmbeddingQueries {
       "CAST(label AS BIGINT) AS label",
       "CAST(embedding AS array<double>) AS e")
       .selectExpr("vec_id", "label", "e", s"${VectorOps.normSq("e")} AS nsq")
+
+  /** The label-derived coarse quantizer collapsed to ONE broadcastable
+    * row: `cents = array<struct<cl, c, cnsq>>` sorted by cl — per-label
+    * exact-decimal per-dim means plus exact squared norms. The per-(cl,i)
+    * explode touches k×dim rows (the ONE place vectors explode); the
+    * single-row array then rides a broadcast so assignment/probing is a
+    * map-side fold per vector ([[VectorOps.nearestCentroid]]) — no N×k
+    * amplification, no window. FAISS keeps the coarse quantizer resident
+    * for the same reason: k ≪ N. */
+  private def centroidArr(vecs: DataFrame): DataFrame =
+    vecs.selectExpr("label", "posexplode(e) AS (i, v)")
+      .groupBy(col("label").as("cl"), col("i"))
+      .agg((sum(expr("CAST(v AS DECIMAL(30,15))")).cast("double") / count(lit(1))).as("m"))
+      .groupBy(col("cl"))
+      .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("im"))
+      .selectExpr("cl", "transform(im, x -> x.m) AS c")
+      .selectExpr("cl", "c", s"${VectorOps.normSq("c")} AS cnsq")
+      .agg(array_sort(collect_list(struct(col("cl"), col("c"), col("cnsq")))).as("cents"))
 
   private def r6(c: Column): Column = round(c, 6)
 
@@ -110,33 +122,19 @@ object EmbeddingQueries {
 
     // IVF coarse quantizer: per-label centroids (exact decimal per-dim
     // means), then nearest-centroid assignment by cosine — confusion
-    // counts of true label vs assigned cell. The assignment join
-    // broadcasts centroids (k × dim values); vectors stream through once.
+    // counts of true label vs assigned cell. The centroid set broadcasts
+    // as ONE array row and assignment is a map-side argmax fold per
+    // vector (VectorOps.nearestCentroid): no N×k row amplification, no
+    // window, no exchange between the scan and the final count — the
+    // plan shape that survives real IVF k (thousands of cells).
     QueryDef(
       "q_embed_ivf",
       t => {
-        // Centroids computed per (label, dim) — the ONE place the vectors
-        // explode — then reassembled into k arrays and broadcast; the
-        // assignment pass streams each vector once, computing k exact
-        // decimal dots as array HOFs (no per-element join rows, no
-        // 64×-amplified shuffle). Vectors : centroid-rows = N : k, the
-        // FAISS coarse-quantizer shape in relational form.
-        val elems = norms(t).selectExpr("vec_id", "label", "nsq", "posexplode(e) AS (i, v)")
-        val centroids = elems
-          .groupBy(col("label").as("cl"), col("i"))
-          .agg((sum(expr("CAST(v AS DECIMAL(30,15))")).cast("double") / count(lit(1))).as("m"))
-          .groupBy(col("cl"))
-          .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("im"))
-          .selectExpr("cl", "transform(im, x -> x.m) AS c")
-          .selectExpr("cl", "c", s"${VectorOps.normSq("c")} AS cnsq")
-        val w = Window.partitionBy(col("vec_id"))
-          .orderBy(col("cos").desc, col("cl").asc)
-        norms(t).crossJoin(broadcast(centroids))
-          .selectExpr("vec_id", "label", "cl",
-            s"round(${VectorOps.cosine(VectorOps.dot("e", "c"), "nsq", "cnsq")}, 6) AS cos")
-          .withColumn("rk", row_number().over(w))
-          .filter(col("rk") === 1)
-          .groupBy(col("label"), col("cl").as("assigned"))
+        val n = norms(t)
+        n.crossJoin(broadcast(centroidArr(n)))
+          .selectExpr("label",
+            s"${VectorOps.nearestCentroid("cents", "e", "nsq")}.cl AS assigned")
+          .groupBy(col("label"), col("assigned"))
           .agg(count(lit(1)).as("cnt"))
           .orderBy(col("label"), col("assigned"))
       },
@@ -181,24 +179,11 @@ object EmbeddingQueries {
       "q_embed_ivf_search",
       t => {
         val n = norms(t)
-        val elems = n.selectExpr("vec_id", "label", "posexplode(e) AS (i, v)")
-        val centroids = elems
-          .groupBy(col("label").as("cl"), col("i"))
-          .agg((sum(expr("CAST(v AS DECIMAL(30,15))")).cast("double") / count(lit(1))).as("m"))
-          .groupBy(col("cl"))
-          .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("im"))
-          .selectExpr("cl", "transform(im, x -> x.m) AS c")
-          .selectExpr("cl", "c", s"${VectorOps.normSq("c")} AS cnsq")
         val q = n.filter(col("vec_id") < 5)
           .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nsq").as("qnsq"))
-        val wCell = Window.partitionBy(col("q_id"))
-          .orderBy(col("ccos").desc, col("cl").asc)
-        val probe = q.crossJoin(broadcast(centroids))
-          .selectExpr("q_id", "qe", "qnsq", "cl",
-            s"round(${VectorOps.cosine(VectorOps.dot("qe", "c"), "qnsq", "cnsq")}, 6) AS ccos")
-          .withColumn("crk", row_number().over(wCell))
-          .filter(col("crk") <= 2)
-          .select(col("q_id"), col("qe"), col("qnsq"), col("cl"))
+        val probe = q.crossJoin(broadcast(centroidArr(n)))
+          .select(col("q_id"), col("qe"), col("qnsq"),
+            explode(expr(VectorOps.probeCells("cents", "qe", "qnsq", 2))).as("cl"))
         val cands = n.filter(col("vec_id") >= 5)
           .select(col("label").as("cl"), col("vec_id").as("cand_id"),
             col("e").as("ce"), col("nsq").as("cnsq"))

@@ -103,6 +103,23 @@ class PlanAuditSpec extends SparkSpec {
       s"no id-only pair distinct:\n$plan")
   }
 
+  test("q_embed_ivf: centroid assignment is a map-side fold — no window, no N×k exchange") {
+    val plan = formatted("q_embed_ivf")
+    assert(!plan.contains("Window"),
+      s"nearest-centroid argmax regressed to a crossJoin+window:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"single-row centroid array not broadcast:\n$plan")
+  }
+
+  test("q_embed_ivf_search: cell probing is a map-side slice/sort fold, not a window") {
+    val plan = formatted("q_embed_ivf_search")
+    // probeCells emits slice(array_sort(transform(...))) — its presence
+    // proves the nprobe ranking happens inside the row, leaving the final
+    // per-query top-k as the only window in the plan.
+    assert(plan.contains("slice(array_sort("),
+      s"map-side probe fold missing:\n$plan")
+  }
+
   test("q_text_tfidf: df aggregation is partial (map-side) before the shuffle") {
     val plan = formatted("q_text_tfidf")
     assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
