@@ -56,6 +56,27 @@ object EmbeddingQueries {
 
   private def r6(c: Column): Column = round(c, 6)
 
+  /** k-means fit size: cells × Lloyd iterations (bounded, deterministic
+    * — see [[graft.operators.KMeans]]). */
+  private val KmK = 8
+  private val KmIters = 3
+
+  /** DuckDB twin of one Lloyd iteration `it` (reads `c${it-1}`, emits
+    * `a$it` assignments, `m$it` per-(cell,dim) exact-decimal means,
+    * `c$it` reassembled centroids) — the same arithmetic KMeans.step
+    * runs, so the oracle replays the identical trajectory. */
+  private def duckKmeansIter(it: Int): String = {
+    val cos = s"round(${VectorOps.duckDot("v.e", "c.c", 64)} / (sqrt(v.nsq) * sqrt(c.cnsq)), 6)"
+    s"""a$it AS (SELECT vec_id, cl FROM (
+       |    SELECT v.vec_id, c.cl, row_number() OVER (PARTITION BY v.vec_id
+       |      ORDER BY $cos DESC, c.cl) rk
+       |    FROM n v CROSS JOIN c${it - 1} c) y$it WHERE rk = 1),
+       |m$it AS (SELECT a.cl, el.i, CAST(SUM(CAST(el.v AS DECIMAL(30,15))) AS DOUBLE) / COUNT(*) m
+       |    FROM el JOIN a$it a USING (vec_id) GROUP BY a.cl, el.i),
+       |c$it AS (SELECT cl, c, ${VectorOps.duckNormSq("c", 64)} AS cnsq
+       |    FROM (SELECT cl, list(m ORDER BY i) c FROM m$it GROUP BY cl) x$it)""".stripMargin
+  }
+
   // `label` is only parseable as a column alias in DuckDB with an
   // explicit AS.
   private val duckVecs =
@@ -236,6 +257,47 @@ object EmbeddingQueries {
           FROM pairs)
         WHERE rk <= 5
         ORDER BY q_id, rk""")),
+
+    // LEARNED IVF quantizer: bounded k-means (KmK cells, KmIters Lloyd
+    // iterations, deterministic smallest-id seeding — operators/KMeans)
+    // instead of the label column the two queries above lean on — a real
+    // embedding corpus has no labels. Per-cell population and mean
+    // assignment cosine of the FITTED clustering; the DuckDB oracle
+    // replays the identical iterations, so the whole trajectory (seeds,
+    // every assignment pass, exact-decimal means) is hash-checked, not
+    // just the final counts. Assignment stages are map-side folds over
+    // the driver-resident centroid literal — no window, no N×k shuffle.
+    QueryDef(
+      "q_embed_ivf_kmeans",
+      t => {
+        import graft.operators.KMeans
+        // Persisted: feeds every Lloyd iteration plus the final
+        // assignment pass (KmIters + 1 scans otherwise).
+        val vecs = norms(t)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val cents = KMeans.fit(vecs, KmK, KmIters)
+        vecs
+          .selectExpr(
+            s"${VectorOps.nearestCentroid(KMeans.literal(cents), "e", "nsq")} AS best")
+          .groupBy(col("best.cl").as("cell"))
+          .agg(count(lit(1)).as("n"),
+            round(Exact.davg(col("best.cos"), 9), 6).as("avg_cos"))
+          .orderBy(col("cell"))
+      },
+      Some {
+        val cos = s"round(${VectorOps.duckDot("v.e", "c.c", 64)} / (sqrt(v.nsq) * sqrt(c.cnsq)), 6)"
+        s"""
+        WITH n AS (SELECT * FROM ${duckNorms(64)} z),
+        el AS (SELECT vec_id, unnest(generate_series(1, 64)) i, unnest(e) v FROM n),
+        c0 AS (SELECT vec_id AS cl, e AS c, nsq AS cnsq FROM n WHERE vec_id < $KmK),
+        ${(1 to KmIters).map(duckKmeansIter).mkString(",\n        ")},
+        fin AS (SELECT vec_id, cl AS cell, cos FROM (
+            SELECT v.vec_id, c.cl, $cos cos,
+              row_number() OVER (PARTITION BY v.vec_id ORDER BY $cos DESC, c.cl) rk
+            FROM n v CROSS JOIN c$KmIters c) y WHERE rk = 1)
+        SELECT cell, COUNT(*) AS n, round(${Exact.sqlAvg("cos", 9)}, 6) AS avg_cos
+        FROM fin GROUP BY cell ORDER BY cell"""
+      }),
 
     // Banded LSH ANN (the scale path that needs no labels): 8 bands × 4
     // random-hyperplane bits each; a pair is a candidate iff it collides

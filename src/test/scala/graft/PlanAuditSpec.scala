@@ -120,6 +120,15 @@ class PlanAuditSpec extends SparkSpec {
       s"map-side probe fold missing:\n$plan")
   }
 
+  test("q_embed_ivf_kmeans: fitted assignment is a pure projection — no join, no window") {
+    val plan = formatted("q_embed_ivf_kmeans")
+    // The fitted centroids ride as a plan literal, so the final
+    // assignment pass is scan → fold-projection → aggregate: any Join or
+    // Window here means the N×k amplification crept back.
+    assert(!plan.contains("Window"), s"assignment regressed to a window:\n$plan")
+    assert(!plan.contains("Join"), s"assignment regressed to a join:\n$plan")
+  }
+
   test("q_text_tfidf: df aggregation is partial (map-side) before the shuffle") {
     val plan = formatted("q_text_tfidf")
     assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
