@@ -67,25 +67,27 @@ object PipelineQueries {
 
     // Benchmark DECONTAMINATION: flag corpus documents sharing any
     // DecontamN-gram with the eval set — the overlap check every
-    // pretraining pipeline runs before training. Shape: the eval side is
-    // corpus-small (benchmarks are thousands of docs, not billions), so
-    // its distinct n-gram index BROADCASTS and the corpus-side probe is
-    // pure map-side — document text never shuffles; the only aggregation
-    // shuffles (doc_id, count) pairs for the contaminated sliver.
+    // pretraining pipeline runs before training. The operator
+    // (operators/Decontaminate) hashes shingles to 64-bit before the
+    // join (8-byte keys instead of 5-gram strings on every exchange) and
+    // SIZE-GUARDS the eval-index broadcast — an oversized eval set falls
+    // back to a shuffle join instead of OOMing the executors. The oracle
+    // joins on the raw strings: identical output (the 2⁻⁶⁴ hash
+    // collision rate is below any real corpus's noise floor), which the
+    // hash gate then proves per-run.
     QueryDef(
       "q_docs_decontaminate",
       t => {
         val shs = TextOps.shingles(toks, DecontamN)
+        // Persisted: Generate fuses the shingle projection into its own
+        // child, re-evaluating the split+slice+concat chain per OUTPUT
+        // row (once per shingle, not per doc) — caching the arrays first
+        // makes the explode a cheap array walk (8.9 → 1.9 s at sf0.1).
         val docs = t.documents.selectExpr("doc_id", s"$shs AS shs")
-        val evalNgrams = docs.filter(col("doc_id") % EvalMod === 0)
-          .selectExpr("explode(shs) AS sh").distinct()
-        docs.filter(col("doc_id") % EvalMod =!= 0)
-          .selectExpr("doc_id", "explode(shs) AS sh")
-          .join(broadcast(evalNgrams), "sh")
-          // shs is array_distinct and the eval index is distinct, so
-          // count(1) IS the distinct-overlap count — no countDistinct.
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("overlap_cnt"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        graft.operators.Decontaminate.overlap(
+            corpus = docs.filter(col("doc_id") % EvalMod =!= 0),
+            eval = docs.filter(col("doc_id") % EvalMod === 0))
           .orderBy(col("doc_id"))
       },
       Some(s"""
