@@ -40,7 +40,7 @@ object Bench {
     // Median of `reps` timings per query: this shared host shows large
     // transient load spikes (identical suites have swung 31→69 s), so a
     // single sample can misattribute host noise to a plan change.
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val raw = SparkEntry.queries.map { case (name, fn) =>
       val ts = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try act(fn(spark, sfDir)) catch { case _: Throwable => () }
@@ -50,13 +50,18 @@ object Bench {
         spark.catalog.clearCache()
         elapsed
       }
-      name -> ts.sorted.apply(ts.size / 2)
+      name -> ts
     }
+    val results = raw.map { case (name, ts) => name -> ts.sorted.apply(ts.size / 2) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    // Raw per-rep samples alongside the medians: a reader can spot a
+    // transient host-load window (one wild rep) without re-running.
+    val rawJson = raw.map { case (k, ts) => s"\"" + k + "\":" + ts.mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"action":"noop-write","stat":"median"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"action":"noop-write","stat":"median","reps_raw":$rawJson}"""
     // Authoritative copy on disk: sbt interleaves its own lines with
     // forked stdout, which has truncated the driver's capture twice.
     try {

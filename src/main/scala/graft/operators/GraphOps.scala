@@ -240,25 +240,34 @@ object GraphOps {
       .join(lvlMin, md("grp") === col("lm_grp") && col("lm_dist") === md("dist") - 1)
       .groupBy(md("item")).agg(min(col("lvl_min")).as("parent"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // The back-walk is ≤ maxHops POINT lookups; on a cached map a few MB
-    // in size each would still scan every partition as its own job, so
-    // coalesce the cache to one partition below a size threshold (a
-    // re-map, no shuffle) — each lookup becomes a 1-task job. Above the
-    // threshold the multi-partition scan is the right plan anyway.
+    // The back-walk unwinds the parent map lazily: ≤ maxHops broadcast
+    // joins composed into ONE plan, so the whole path materializes in a
+    // single job (the round-3 version issued one collect() job per hop).
+    // The map is small after the dist ≤ d(target) prune — broadcast it
+    // when it is (size-guarded; above the bound Spark's planner picks
+    // the join side itself).
     val parentMap =
-      if (pmWide.count() <= 1000000L) pmWide.coalesce(1) else pmWide
-    val path = new scala.collection.mutable.ArrayBuffer[(Long, Long)]
-    var cur = target
-    var step = d
-    path += ((step, cur))
-    while (step > 0) {
-      val p = parentMap.filter(col("item") === cur).select(col("parent")).collect()
-      require(p.nonEmpty, s"BFS invariant broken: no parent for node $cur at step $step")
-      cur = p(0).getLong(0)
-      step -= 1
-      path += ((step, cur))
+      if (pmWide.count() <= 1000000L) broadcast(pmWide) else pmWide
+    var frontier = Seq((d, target)).toDF("step", "node")
+    var acc = frontier
+    var hop = d
+    while (hop > 0) {
+      // Fresh alias per hop: the plan joins the SAME parent map d times,
+      // which trips Spark's ambiguous-self-join detection without
+      // qualified references.
+      val a = s"pm$hop"
+      frontier = frontier
+        .join(parentMap.as(a), frontier("node") === col(s"$a.item"))
+        .select((frontier("step") - 1).as("step"), col(s"$a.parent").as("node"))
+      acc = acc.unionByName(frontier)
+      hop -= 1
     }
+    // One action for the whole walk; the result is ≤ maxHops+1 rows.
+    val path = acc.orderBy(col("step")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    require(path.length == d + 1,
+      s"BFS invariant broken: expected ${d + 1} path nodes, got ${path.length}")
     dist.unpersist(); pmWide.unpersist()
-    path.sortBy(_._1).toSeq.toDF("step", "node")
+    path.toSeq.toDF("step", "node")
   }
 }
