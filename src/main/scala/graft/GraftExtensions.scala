@@ -58,6 +58,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         graft.functions.CollectCappedExpr(args.head, cap).toAggregateExpression()
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_kmin"),
+      info("graft_kmin",
+        "graft_kmin(v, k) - the k smallest distinct longs of the group, sorted ascending (bounded state; KMV sketch kernel)"),
+      (args: Seq[Expression]) => {
+        val k = args.lift(1) match {
+          case Some(Literal(v: Int, _)) => v
+          case Some(other) => other.eval() match {
+            case i: Int => i
+            case l: Long => l.toInt
+            case x => throw new IllegalArgumentException(
+              s"graft_kmin k must be an integer literal, got $x")
+          }
+          case None => throw new IllegalArgumentException(
+            "graft_kmin requires (value, k)")
+        }
+        graft.functions.KMinExpr(args.head, k).toAggregateExpression()
+      }))
     // Optimizer rule: portable SQL dot-product folds → native kernel.
     ext.injectOptimizerRule(graft.plans.NativeKernelRules)
     // Planner strategy: native sort-merge as-of join plan node.

@@ -18,7 +18,9 @@ object SparkEntry {
       graft.queries.TextQueries.defs ++
       graft.queries.DedupQueries.defs ++
       graft.queries.EmbeddingQueries.defs ++
-      graft.queries.PipelineQueries.defs
+      graft.queries.PipelineQueries.defs ++
+      graft.queries.WindowQueries.defs ++
+      graft.queries.SketchQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

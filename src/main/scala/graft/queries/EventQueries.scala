@@ -334,6 +334,36 @@ object EventQueries {
         SELECT prop_key, COUNT(*) AS cnt
         FROM (SELECT unnest(json_keys(props)) AS prop_key FROM events)
         GROUP BY prop_key
-        ORDER BY prop_key"""))
+        ORDER BY prop_key""")),
+
+    // Skew-salted fact→dim join (operators/SkewJoin): events join
+    // customer on user_id, salted 8 ways so a hot user spreads over 8
+    // reducers, then the tiny nation dim broadcasts. The oracle is the
+    // PLAIN join — salting must be invisible in the result (dim key
+    // unique ⇒ inner-join equivalence).
+    QueryDef(
+      "q_events_salted_nation",
+      t => {
+        val joined = graft.operators.SkewJoin.salted(
+          t.events, t.customer.select(col("c_custkey"), col("c_nationkey")),
+          factKey = "user_id", dimKey = "c_custkey",
+          spread = col("event_id"), n = 8)
+        joined
+          .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name").as("nation"))
+          .agg(
+            count(lit(1)).as("event_cnt"),
+            graft.functions.Exact.dsum(col("value")).as("total_value"))
+          .orderBy(col("nation"))
+      },
+      Some(s"""
+        SELECT n.n_name AS nation,
+               COUNT(*) AS event_cnt,
+               ${graft.functions.Exact.sqlSum("e.value")} AS total_value
+        FROM events e
+        JOIN customer c ON e.user_id = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+        ORDER BY nation"""))
   )
 }

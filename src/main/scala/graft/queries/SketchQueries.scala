@@ -1,0 +1,103 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.QueryDef
+
+/** Approximate-analytics sketches over the `events` stream — the
+  * bounded-state summaries a 100 TB pipeline uses where exact
+  * distinct/quantile aggregation would shuffle the full key set
+  * (reference analogue: the dashboard's distinct/summary counters,
+  * webapp/mysql_routes.py:200-260, which MySQL computes exactly because
+  * its data fits one node).
+  *
+  * Two tiers:
+  *   - `q_sketch_kmv_distinct` — a KMV (k-minimum-values) distinct-count
+  *     sketch whose hash is md5-derived and therefore BIT-REPRODUCIBLE
+  *     across engines: the DuckDB oracle recomputes the same k-min set
+  *     and the same estimate, so even the *approximation* is
+  *     hash-checked. State per group is k longs (graft_kmin native
+  *     aggregate, map-side partial, mergeable).
+  *   - `q_sketch_builtin` — Spark's own HLL++ / KLL sketches
+  *     (`approx_count_distinct`, `percentile_approx`): engine-specific
+  *     layouts, so no SQL oracle (driver rows-only check); SketchSpec
+  *     bounds their error against exact aggregation instead.
+  */
+object SketchQueries {
+
+  /** 60-bit uniform hash both engines can compute bit-identically:
+    * first 15 hex chars of md5 of the decimal string. */
+  private val sparkH =
+    "CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+  private val duckH =
+    "('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT"
+
+  private val K = 64
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // KMV distinct sketch, oracle-checked INCLUDING the estimate: both
+    // engines hash users to uniform 60-bit values, keep the K smallest
+    // distinct per event type, and estimate distinct = (K-1)·2^60/kth.
+    // Spark keeps the k-min set in bounded aggregate state (graft_kmin);
+    // the oracle reproduces it with a window top-K over distinct hashes.
+    QueryDef(
+      "q_sketch_kmv_distinct",
+      t => t.events
+        .selectExpr("event_type", "user_id", s"$sparkH AS h")
+        .groupBy(col("event_type"))
+        .agg(
+          countDistinct(col("user_id")).as("exact_distinct"),
+          expr(s"graft_kmin(h, $K)").as("kmin"))
+        .selectExpr(
+          "event_type",
+          "CAST(exact_distinct AS BIGINT) AS exact_distinct",
+          s"CAST(size(kmin) AS BIGINT) AS k_filled",
+          s"""CAST(CASE WHEN size(kmin) < $K THEN size(kmin)
+              ELSE CAST(round(${K - 1}.0 * pow(2.0, 60) / CAST(element_at(kmin, $K) AS DOUBLE)) AS BIGINT)
+              END AS BIGINT) AS kmv_estimate""")
+        .orderBy(col("event_type")),
+      Some(s"""
+        WITH h AS (
+          SELECT DISTINCT event_type, $duckH AS h FROM events
+        ),
+        r AS (
+          SELECT event_type, h,
+                 row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+                 count(*) OVER (PARTITION BY event_type) AS n_distinct
+          FROM h
+        ),
+        k AS (
+          SELECT event_type,
+                 least(max(n_distinct), $K) AS k_filled,
+                 max(CASE WHEN rn = $K THEN h END) AS kth
+          FROM r WHERE rn <= $K GROUP BY event_type
+        ),
+        e AS (
+          SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+          FROM events GROUP BY event_type
+        )
+        SELECT e.event_type,
+          CAST(e.exact_distinct AS BIGINT) AS exact_distinct,
+          CAST(k.k_filled AS BIGINT) AS k_filled,
+          CAST(CASE WHEN k.k_filled < $K THEN k.k_filled
+            ELSE CAST(round(${K - 1}.0 * pow(2.0, 60) / CAST(k.kth AS DOUBLE)) AS BIGINT)
+            END AS BIGINT) AS kmv_estimate
+        FROM e JOIN k USING (event_type)
+        ORDER BY event_type""")),
+
+    // Spark's built-in sketches: HLL++ distinct + KLL-style quantiles.
+    // Deterministic for fixed data (both are merge-commutative), but the
+    // sketch layouts are engine-specific — no DuckDB twin; SketchSpec
+    // asserts the error bounds against exact aggregation.
+    QueryDef(
+      "q_sketch_builtin",
+      t => t.events
+        .groupBy(col("event_type"))
+        .agg(
+          approx_count_distinct(col("user_id"), rsd = 0.02).as("hll_users"),
+          percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50_value"),
+          percentile_approx(col("value"), lit(0.95), lit(1000)).as("p95_value"))
+        .orderBy(col("event_type")),
+      None),
+  )
+}

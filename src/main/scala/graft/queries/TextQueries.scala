@@ -340,6 +340,68 @@ object TextQueries {
           COUNT(*) AS doc_cnt
         FROM (SELECT lang, n_chars, $duckToks s FROM documents)
         GROUP BY verdict
-        ORDER BY verdict"""))
+        ORDER BY verdict""")),
+
+    // Gopher-style repetition filters (Rae et al. 2021 §A1.1): fraction
+    // of n-gram occurrences claimed by the single most frequent n-gram
+    // (top-n-gram fraction) and by n-grams occurring more than once
+    // (duplicate-n-gram fraction), for n = 2 and 3. The n-grams are
+    // EXPLODED and counted via groupBy(doc_id, n, gram) — one shuffle
+    // keyed on the composite, map-side partial combine — rather than a
+    // per-row O(tokens²) self-count, so a pathological 1 M-token
+    // document costs O(tokens) state like every other doc.
+    QueryDef(
+      "q_text_repetition",
+      t => {
+        val base = t.documents.selectExpr("doc_id", s"$toks AS s")
+        val g2 = base.where(expr("size(s) >= 2")).selectExpr(
+          "doc_id", "2 AS n",
+          "explode(transform(sequence(1, size(s) - 1), i -> concat(element_at(s, i), ' ', element_at(s, i + 1)))) AS gram")
+        val g3 = base.where(expr("size(s) >= 3")).selectExpr(
+          "doc_id", "3 AS n",
+          "explode(transform(sequence(1, size(s) - 2), i -> concat(element_at(s, i), ' ', element_at(s, i + 1), ' ', element_at(s, i + 2)))) AS gram")
+        g2.unionByName(g3)
+          .groupBy(col("doc_id"), col("n"), col("gram"))
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy(col("doc_id"), col("n"))
+          .agg(
+            max(col("cnt")).as("top_cnt"),
+            sum(col("cnt")).as("total"),
+            sum(when(col("cnt") > 1, col("cnt")).otherwise(0L)).as("dup_occ"))
+          .groupBy(col("doc_id"))
+          .agg(
+            round(max(when(col("n") === 2, col("top_cnt"))) /
+              max(when(col("n") === 2, col("total"))).cast("double"), 6).as("top2_frac"),
+            round(max(when(col("n") === 3, col("top_cnt"))) /
+              max(when(col("n") === 3, col("total"))).cast("double"), 6).as("top3_frac"),
+            round(max(when(col("n") === 2, col("dup_occ"))) /
+              max(when(col("n") === 2, col("total"))).cast("double"), 6).as("dup2_frac"),
+            round(max(when(col("n") === 3, col("dup_occ"))) /
+              max(when(col("n") === 3, col("total"))).cast("double"), 6).as("dup3_frac"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH toks AS (SELECT doc_id, $duckToks AS s FROM documents),
+        g AS (
+          SELECT doc_id, 2 AS n,
+                 unnest(list_transform(range(1, len(s)), i -> s[i] || ' ' || s[i + 1])) AS gram
+          FROM toks WHERE len(s) >= 2
+          UNION ALL
+          SELECT doc_id, 3 AS n,
+                 unnest(list_transform(range(1, len(s) - 1), i -> s[i] || ' ' || s[i + 1] || ' ' || s[i + 2])) AS gram
+          FROM toks WHERE len(s) >= 3
+        ),
+        c AS (SELECT doc_id, n, gram, count(*) AS cnt FROM g GROUP BY 1, 2, 3),
+        per AS (
+          SELECT doc_id, n, max(cnt) AS top_cnt, sum(cnt) AS total,
+                 sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup_occ
+          FROM c GROUP BY 1, 2
+        )
+        SELECT doc_id,
+          round(max(CASE WHEN n = 2 THEN top_cnt END) / CAST(max(CASE WHEN n = 2 THEN total END) AS DOUBLE), 6) AS top2_frac,
+          round(max(CASE WHEN n = 3 THEN top_cnt END) / CAST(max(CASE WHEN n = 3 THEN total END) AS DOUBLE), 6) AS top3_frac,
+          round(max(CASE WHEN n = 2 THEN dup_occ END) / CAST(max(CASE WHEN n = 2 THEN total END) AS DOUBLE), 6) AS dup2_frac,
+          round(max(CASE WHEN n = 3 THEN dup_occ END) / CAST(max(CASE WHEN n = 3 THEN total END) AS DOUBLE), 6) AS dup3_frac
+        FROM per GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

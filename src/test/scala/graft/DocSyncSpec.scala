@@ -17,19 +17,28 @@ class DocSyncSpec extends AnyFunSuite {
     patterns.flatMap(p => p.findAllMatchIn(text).map(m => (m.matched, m.group(1).toInt)))
   }
 
+  private val oracles = SparkEntry.oracleSql.size
+
   test("README.md query counts match SparkEntry.allDefs.size") {
-    val counts = docCounts("README.md",
-      Seq("""\((\d+) queries\)""".r, """every query \((\d+)/\d+\)""".r))
-    assert(counts.nonEmpty, "expected README.md to state the query count")
-    counts.foreach { case (lit, n) =>
+    val totals = docCounts("README.md", Seq("""\((\d+) queries\)""".r))
+    assert(totals.nonEmpty, "expected README.md to state the query count")
+    totals.foreach { case (lit, n) =>
       assert(n == truth, s"README.md says '$lit' but SparkEntry registers $truth queries")
+    }
+    val ratio = docCounts("README.md", Seq("""\((\d+)/(\d+);""".r))
+    ratio.foreach { case (lit, n) =>
+      assert(n == oracles, s"README.md says '$lit' but SparkEntry has $oracles oracle queries")
     }
   }
 
-  test("COVERAGE.md query counts match SparkEntry.allDefs.size") {
-    val counts = docCounts("COVERAGE.md", Seq("""currently (\d+)/\d+ at sf0\.01""".r))
+  test("COVERAGE.md query counts match SparkEntry sizes") {
+    val counts = docCounts("COVERAGE.md", Seq("""currently (\d+)/(\d+) at sf0\.01""".r))
     assert(counts.nonEmpty, "expected COVERAGE.md to state the query count")
     counts.foreach { case (lit, n) =>
+      assert(n == oracles, s"COVERAGE.md says '$lit' but SparkEntry has $oracles oracle queries")
+    }
+    val denoms = docCounts("COVERAGE.md", Seq("""currently \d+/(\d+) at sf0\.01""".r))
+    denoms.foreach { case (lit, n) =>
       assert(n == truth, s"COVERAGE.md says '$lit' but SparkEntry registers $truth queries")
     }
   }

