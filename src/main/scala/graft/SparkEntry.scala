@@ -20,7 +20,8 @@ object SparkEntry {
       graft.queries.EmbeddingQueries.defs ++
       graft.queries.PipelineQueries.defs ++
       graft.queries.WindowQueries.defs ++
-      graft.queries.SketchQueries.defs
+      graft.queries.SketchQueries.defs ++
+      graft.queries.PQQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

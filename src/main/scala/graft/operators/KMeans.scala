@@ -68,9 +68,19 @@ object KMeans {
     * exact-decimal means → reassemble k centroid arrays. A cell that
     * captures no vectors drops out (both engines GROUP BY, so the
     * oracle loses it identically). */
-  def step(vecs: DataFrame, cents: Seq[Cent]): Seq[Cent] = {
-    val assigned = vecs.selectExpr(
-      "e", s"${VectorOps.nearestCentroid(literal(cents), "e", "nsq")}.cl AS cl")
+  def step(vecs: DataFrame, cents: Seq[Cent]): Seq[Cent] =
+    stepWith(vecs,
+      s"${VectorOps.nearestCentroid(literal(cents), "e", "nsq")}.cl")
+
+  /** [[step]] under squared-L2 assignment — the product-quantizer
+    * metric ([[PQ]]); the UPDATE half (per-cell exact-decimal means) is
+    * metric-independent. */
+  def stepL2(vecs: DataFrame, cents: Seq[Cent]): Seq[Cent] =
+    stepWith(vecs,
+      s"${VectorOps.nearestCentroidL2(literal(cents), "e")}.cl")
+
+  private def stepWith(vecs: DataFrame, assignExpr: String): Seq[Cent] = {
+    val assigned = vecs.selectExpr("e", s"$assignExpr AS cl")
     toCents(assigned
       .selectExpr("cl", "posexplode(e) AS (i, v)")
       .groupBy(col("cl"), col("i"))
@@ -87,4 +97,8 @@ object KMeans {
     * whatever assignment the caller runs with the fitted centroids. */
   def fit(vecs: DataFrame, k: Int, iters: Int): Seq[Cent] =
     (1 to iters).foldLeft(seed(vecs, k))((cs, _) => step(vecs, cs))
+
+  /** [[fit]] under squared-L2 assignment. */
+  def fitL2(vecs: DataFrame, k: Int, iters: Int): Seq[Cent] =
+    (1 to iters).foldLeft(seed(vecs, k))((cs, _) => stepL2(vecs, cs))
 }

@@ -66,6 +66,21 @@ object VectorOps {
        |  named_struct('cos', CAST(-2.0 AS DOUBLE), 'cl', CAST(-1 AS BIGINT)),
        |  (bacc, sc) -> IF(sc.cos > bacc.cos, sc, bacc))""".stripMargin
 
+  /** Map-side nearest-centroid argMIN by squared L2 distance over the
+    * same sorted centroid array as [[nearestCentroid]] — the metric a
+    * product quantizer trains with (cosine ranks angle; PQ minimizes
+    * reconstruction error ‖x − c‖²). `‖e‖²` is constant per row, so the
+    * fold ranks by the variable part `round(cnsq − 2·dot, 6)`; strict
+    * `<` keeps the FIRST (smallest cl) cell on rounded ties, the same
+    * winner as `ORDER BY round(cnsq − 2·dot, 6) ASC, cl`. */
+  def nearestCentroidL2(cents: String, e: String): String =
+    s"""aggregate(
+       |  transform($cents, ct -> named_struct(
+       |    'd2', round(ct.cnsq - 2.0D * ${dot(e, "ct.c")}, 6),
+       |    'cl', ct.cl)),
+       |  named_struct('d2', CAST('Infinity' AS DOUBLE), 'cl', CAST(-1 AS BIGINT)),
+       |  (bacc, sc) -> IF(sc.d2 < bacc.d2, sc, bacc))""".stripMargin
+
   /** The `nprobe` nearest cells for `e` as `array<bigint>`, map-side
     * over the same sorted centroid array as [[nearestCentroid]]: rank by
     * rounded cosine descending (ties → smaller cl, via ascending sort on

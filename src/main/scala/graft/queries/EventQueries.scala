@@ -336,18 +336,19 @@ object EventQueries {
         GROUP BY prop_key
         ORDER BY prop_key""")),
 
-    // Skew-salted fact→dim join (operators/SkewJoin): events join
-    // customer on user_id, salted 8 ways so a hot user spreads over 8
-    // reducers, then the tiny nation dim broadcasts. The oracle is the
+    // Skew-salted fact→dim join (operators/SkewOps.saltedJoin): events
+    // join customer on user_id, salted 8 ways so a hot user spreads over
+    // 8 reducers, then the tiny nation dim broadcasts. The oracle is the
     // PLAIN join — salting must be invisible in the result (dim key
     // unique ⇒ inner-join equivalence).
     QueryDef(
       "q_events_salted_nation",
       t => {
-        val joined = graft.operators.SkewJoin.salted(
-          t.events, t.customer.select(col("c_custkey"), col("c_nationkey")),
-          factKey = "user_id", dimKey = "c_custkey",
-          spread = col("event_id"), n = 8)
+        val events = t.events
+        val dim = t.customer.select(col("c_custkey"), col("c_nationkey"))
+        val joined = graft.operators.SkewOps.saltedJoin(
+          events, events("user_id"), dim, dim("c_custkey"), saltFactor = 8)
+          .drop("c_custkey")
         joined
           .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
           .groupBy(col("n_name").as("nation"))

@@ -141,7 +141,7 @@ class PlanAuditSpec extends SparkSpec {
     // salt — a plain user_id exchange means the hot key still lands on
     // one reducer. (At tiny SF the planner may broadcast the exploded
     // dim instead, which de-skews trivially; accept either shape.)
-    assert(plan.contains("_graft_salt") || plan.contains("BroadcastHashJoin"),
+    assert(plan.contains("__salt") || plan.contains("BroadcastHashJoin"),
       s"salted join lost its widened key:\n$plan")
     assert(plan.contains("explode"), s"dim-side salt explode missing:\n$plan")
   }

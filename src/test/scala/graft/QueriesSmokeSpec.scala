@@ -21,7 +21,10 @@ class QueriesSmokeSpec extends SparkSpec {
   test("oracle SQL exists for every query or is explicitly absent") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // Queries without an oracle only get the driver's rows>0 smoke —
-    // keep the list deliberate.
-    assert(noOracle.isEmpty, s"queries missing oracle SQL: $noOracle")
+    // keep the list deliberate. q_sketch_builtin surfaces Spark's own
+    // HLL++/percentile_approx sketches, whose layouts no other engine
+    // reproduces; KMinSpec bounds their error against exact aggregation.
+    assert(noOracle == Set("q_sketch_builtin"),
+      s"unexpected oracle-less queries: $noOracle")
   }
 }

@@ -1,12 +1,16 @@
 package graft.sources
 
 import graft.SparkSpec
+import graft.etl.Layout
 import org.apache.spark.sql.execution.ExplainMode
 import org.apache.spark.sql.functions._
 
-/** Bucketed co-located join: the load-once/join-forever layout. Runs in
-  * the isolated plan-audit JVM (build.sbt groups *PlanAuditSpec) with
-  * AQE off for deterministic static plans.
+/** Static-plan audit of the bucketed co-located join layout
+  * (etl/Layout.writeBucketed) — complements LayoutSpec's functional
+  * check with the deterministic-plan assertions that need the isolated
+  * plan-audit JVM (build.sbt groups *PlanAuditSpec) and AQE off:
+  * bucket-scan usage, zero-exchange shape, and the safe shuffled
+  * fallback when bucket counts diverge.
   */
 class BucketingPlanAuditSpec extends SparkSpec {
 
@@ -21,15 +25,19 @@ class BucketingPlanAuditSpec extends SparkSpec {
 
   private def setup(): Unit = {
     val t = Tables(spark, SparkSpec.Sf0001)
-    Bucketing.writeBucketed(t.orders, "orders_b", "o_orderkey", 4)
-    Bucketing.writeBucketed(t.lineitem, "lineitem_b", "l_orderkey", 4)
+    Layout.writeBucketed(t.orders, "orders_b", "o_orderkey", 4)
+    Layout.writeBucketed(t.lineitem, "lineitem_b", "l_orderkey", 4)
+  }
+
+  private def joined(right: String) = {
+    val l = spark.table("lineitem_b")
+    val r = spark.table(right)
+    l.join(r, l("l_orderkey") === r("o_orderkey"))
   }
 
   test("same-bucketed join plans with zero Exchange on either side") {
     setup()
-    val joined = Bucketing.colocatedJoin(spark, "lineitem_b", "orders_b",
-      "l_orderkey", "o_orderkey")
-    val plan = joined.queryExecution
+    val plan = joined("orders_b").queryExecution
       .explainString(ExplainMode.fromString("formatted"))
     assert(plan.contains("SortMergeJoin"), s"expected a sort-merge join:\n$plan")
     assert(!plan.contains("Exchange"),
@@ -41,28 +49,23 @@ class BucketingPlanAuditSpec extends SparkSpec {
   test("bucketed join result equals the plain join") {
     setup()
     val t = Tables(spark, SparkSpec.Sf0001)
-    val bucketed = Bucketing.colocatedJoin(spark, "lineitem_b", "orders_b",
-      "l_orderkey", "o_orderkey")
+    def agg(df: org.apache.spark.sql.DataFrame) = df
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("cnt"), sum(col("l_quantity").cast("decimal(18,2)")).as("qty"))
       .orderBy(col("o_orderstatus")).collect().toSeq
-    val plain = t.lineitem.join(t.orders, col("l_orderkey") === col("o_orderkey"))
-      .groupBy(col("o_orderstatus"))
-      .agg(count(lit(1)).as("cnt"), sum(col("l_quantity").cast("decimal(18,2)")).as("qty"))
-      .orderBy(col("o_orderstatus")).collect().toSeq
+    val bucketed = agg(joined("orders_b"))
+    val plain = agg(t.lineitem.join(t.orders, col("l_orderkey") === col("o_orderkey")))
     assert(bucketed === plain)
   }
 
   test("mismatched bucket counts fall back to a shuffled join (no silent wrong plan)") {
     setup()
     val t = Tables(spark, SparkSpec.Sf0001)
-    Bucketing.writeBucketed(t.orders, "orders_b8", "o_orderkey", 8)
-    val joined = Bucketing.colocatedJoin(spark, "lineitem_b", "orders_b8",
-      "l_orderkey", "o_orderkey")
-    val plan = joined.queryExecution
+    Layout.writeBucketed(t.orders, "orders_b8", "o_orderkey", 8)
+    val plan = joined("orders_b8").queryExecution
       .explainString(ExplainMode.fromString("formatted"))
-    // Spark shuffles ONE side to align bucket counts (or both; either
-    // way an Exchange must appear — correctness over co-location).
+    // Spark shuffles (at least) one side to align bucket counts — an
+    // Exchange must appear: correctness over co-location.
     assert(plan.contains("Exchange"),
       s"mismatched buckets must introduce an exchange:\n$plan")
   }
