@@ -70,8 +70,15 @@ object GraphOps {
     * Spark algorithms need an action per iteration.
     */
   def connectedComponents(spark: SparkSession, edges: DataFrame, maxIter: Int): DataFrame = {
-    val undWide = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .unionByName(edges.select(col("dst").cast("long").as("src"), col("src").cast("long").as("dst")))
+    // The undirected closure references `edges` TWICE (one union branch
+    // per direction): persist the input first or its whole upstream
+    // pipeline (for dedup components, the capped-index candidate
+    // generation + Jaccard verify — seconds of work) executes once per
+    // branch.
+    val eIn = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val undWide = eIn
+      .unionByName(eIn.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     // Small-graph fast path: verified near-dup edge sets are usually a
@@ -82,9 +89,12 @@ object GraphOps {
     // 1-task job; above the threshold the plan is unchanged.
     val und =
       if (undWide.count() <= 100000L) undWide.coalesce(1) else undWide
-    var labels = und.select(col("src").as("node")).distinct()
+    // `labelsCache` is the persisted handle of the CURRENT labels (the
+    // lineage-cut `labels` frame reads it but cannot unpersist it).
+    var labelsCache = und.select(col("src").as("node")).distinct()
       .withColumn("component", col("node"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels: DataFrame = labelsCache
     // sum() over zero rows is NULL — coalesce so an empty edge set
     // (nothing passed the caller's pair filter) converges immediately
     // instead of NPE-ing.
@@ -92,7 +102,7 @@ object GraphOps {
       val r = df.agg(sum(col("component"))).collect()(0)
       if (r.isNullAt(0)) 0L else r.getLong(0)
     }
-    var prevSum = labelSum(labels)
+    var prevSum = labelSum(labelsCache)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -100,17 +110,21 @@ object GraphOps {
       val viaNeighbor = und
         .join(labels, und("dst") === labels("node"))
         .select(und("src").as("node"), col("component"))
-      val next = labels.select(col("node"), col("component"))
+      val nextWide = labels.select(col("node"), col("component"))
         .unionByName(viaNeighbor)
         .groupBy(col("node")).agg(min(col("component")).as("component"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val nextSum = labelSum(next) // also materializes next's cache
-      labels.unpersist() // superseded; next is materialized above
-      labels = next
+      val nextSum = labelSum(nextWide) // also materializes next's cache
+      labelsCache.unpersist() // superseded; nextWide is materialized above
+      labelsCache = nextWide
+      // Lineage cut (see shortestPathsOverGroups): without it iteration
+      // k's analyzer pass re-resolves all k-1 previous join/agg layers —
+      // quadratic DRIVER time that dominates converged loops.
+      labels = spark.createDataFrame(nextWide.rdd, nextWide.schema)
       if (nextSum == prevSum) converged = true
       prevSum = nextSum
     }
-    undWide.unpersist()
+    undWide.unpersist(); eIn.unpersist()
     labels
   }
 
@@ -175,10 +189,18 @@ object GraphOps {
       d += 1
       val groups = m.join(bc(reach), m("item") === reach("node"))
         .select(col("grp")).distinct()
-      val next = m.join(bc(groups), "grp")
+      val nextWide = m.join(bc(groups), "grp")
         .select(col("item").as("node")).distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val n = next.count()
+      val n = nextWide.count()
+      // Lineage cut on the MATERIALIZED level: persist() caches the
+      // DATA but the logical plan still contains the whole BFS history,
+      // and every subsequent Dataset operation re-runs the analyzer
+      // (DeduplicateRelations over the d self-joined copies of m) on
+      // that growing tree — measured ~3 s of pure DRIVER time by level
+      // 6, dwarfing the actual jobs. A LogicalRDD over the cached rows
+      // keeps analysis O(one level).
+      val next = spark.createDataFrame(nextWide.rdd, nextWide.schema)
       if (n == prevCount) saturated = true
       else {
         levels = levels :+ next.select(col("node"), lit(d.toLong).as("dist"))
@@ -230,44 +252,71 @@ object GraphOps {
       .select(col(groupCol).cast("long").as("grp"), col(itemCol).cast("long").as("item"))
     // (grp, item, dist) for reached items at dist ≤ d(target) only —
     // deeper levels can never be path ancestors, so they never enter
-    // the parent build.
-    val md = m.join(dist.filter(col("dist") <= d), m("item") === dist("node"))
+    // the parent build. The dist side is the REACHED node set (already
+    // cached): broadcast it when small so the big membership scan joins
+    // map-side instead of shuffling; `md` feeds two consumers (level
+    // minima + the parent join), so persist it — unpersisted it would
+    // run the membership join twice.
+    val pruned = dist.filter(col("dist") <= d)
+    val reachedSmall = dist.count() <= 5000000L
+    val distSide = if (reachedSmall) broadcast(pruned) else pruned
+    val md = m.join(distSide, m("item") === pruned("node"))
       .select(col("grp"), col("item"), col("dist"))
-    val lvlMin = md.groupBy(col("grp"), col("dist"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val lvlMinWide = md.groupBy(col("grp"), col("dist"))
       .agg(min(col("item")).as("lvl_min"))
       .select(col("grp").as("lm_grp"), col("dist").as("lm_dist"), col("lvl_min"))
+    // lvlMin ≤ one row per (group, level) touched by a reached node —
+    // small exactly when the reached set is (same guard).
+    val lvlMin = if (reachedSmall) broadcast(lvlMinWide) else lvlMinWide
     val pmWide = md
       .join(lvlMin, md("grp") === col("lm_grp") && col("lm_dist") === md("dist") - 1)
       .groupBy(md("item")).agg(min(col("lvl_min")).as("parent"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // The back-walk unwinds the parent map lazily: ≤ maxHops broadcast
-    // joins composed into ONE plan, so the whole path materializes in a
-    // single job (the round-3 version issued one collect() job per hop).
-    // The map is small after the dist ≤ d(target) prune — broadcast it
-    // when it is (size-guarded; above the bound Spark's planner picks
-    // the join side itself).
-    val parentMap =
-      if (pmWide.count() <= 1000000L) broadcast(pmWide) else pmWide
-    var frontier = Seq((d, target)).toDF("step", "node")
-    var acc = frontier
-    var hop = d
-    while (hop > 0) {
-      // Fresh alias per hop: the plan joins the SAME parent map d times,
-      // which trips Spark's ambiguous-self-join detection without
-      // qualified references.
-      val a = s"pm$hop"
-      frontier = frontier
-        .join(parentMap.as(a), frontier("node") === col(s"$a.item"))
-        .select((frontier("step") - 1).as("step"), col(s"$a.parent").as("node"))
-      acc = acc.unionByName(frontier)
-      hop -= 1
-    }
-    // One action for the whole walk; the result is ≤ maxHops+1 rows.
-    val path = acc.orderBy(col("step")).collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
+    // The back-walk. Small reached set (the common case, same guard as
+    // the broadcasts): the parent map collapses to a single
+    // map<node,parent> row and the whole ≤ maxHops walk is a fold over
+    // it inside one projection — ONE job, no per-hop actions (the
+    // round-3 shape collected once per hop), no d-deep lazy join chain
+    // (measured slower than the collect loop: d² tiny join stages of
+    // pure overhead). Huge reached set: fall back to ≤ maxHops
+    // distributed point lookups on the cached map — bounded by the hop
+    // limit, never by data size.
+    val path: Seq[(Long, Long)] =
+      if (reachedSmall) {
+        pmWide
+          .groupBy()
+          .agg(map_from_entries(collect_list(struct(col("item"), col("parent")))).as("pm"))
+          .selectExpr(
+            s"""aggregate(sequence(CAST(1 AS BIGINT), CAST($d AS BIGINT)),
+               |  array(CAST($target AS BIGINT)),
+               |  (acc, x) -> array_append(acc, element_at(pm, element_at(acc, -1))))
+               |AS nodes""".stripMargin)
+          .selectExpr("posexplode(nodes) AS (i, node)")
+          .selectExpr(s"CAST($d - i AS BIGINT) AS step", "node")
+          .collect().map { r =>
+            require(!r.isNullAt(1),
+              s"BFS invariant broken: no parent at step ${r.getLong(0)}")
+            (r.getLong(0), r.getLong(1))
+          }.toSeq
+      } else {
+        val pm = pmWide.persist(StorageLevel.MEMORY_AND_DISK)
+        val buf = new scala.collection.mutable.ArrayBuffer[(Long, Long)]
+        var cur = target
+        var step = d
+        buf += ((step, cur))
+        while (step > 0) {
+          val p = pm.filter(col("item") === cur).select(col("parent")).collect()
+          require(p.nonEmpty, s"BFS invariant broken: no parent for $cur at step $step")
+          cur = p(0).getLong(0)
+          step -= 1
+          buf += ((step, cur))
+        }
+        pm.unpersist()
+        buf.toSeq
+      }
     require(path.length == d + 1,
       s"BFS invariant broken: expected ${d + 1} path nodes, got ${path.length}")
-    dist.unpersist(); pmWide.unpersist()
-    path.toSeq.toDF("step", "node")
+    dist.unpersist(); md.unpersist()
+    path.sortBy(_._1).toDF("step", "node")
   }
 }

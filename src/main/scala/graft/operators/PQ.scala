@@ -1,17 +1,19 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions._
 
 /** Product quantization (Jégou et al. 2011): compress each vector into
   * `m` small codes — one per disjoint subspace — so similarity search
   * scans bytes instead of floats (beyond-reference; completes the ANN
   * family: exact KNN → IVF cells → LSH bands → PQ codes).
   *
-  * Training: an independent squared-L2 k-means ([[KMeans.fitL2]]) per
-  * subspace, `ksub` centroids each, deterministic seeding — so the whole
-  * fit replays relationally in the DuckDB oracle, like the IVF
-  * quantizer. Codebooks are renumbered 0..ksub-1 in centroid-id order
+  * Training: an independent squared-L2 k-means per subspace, `ksub`
+  * centroids each, deterministic seeding — so the whole fit replays
+  * relationally in the DuckDB oracle, like the IVF quantizer. [[fit]]
+  * trains all m sub-problems in ONE pass per Lloyd iteration
+  * (PQSpec asserts it equals the sequential [[KMeans.fitL2]] per
+  * subspace). Codebooks are renumbered 0..ksub-1 in centroid-id order
   * (seed ids are arbitrary vec_ids; stable ranks make codes and LUT
   * indices line up across engines).
   *
@@ -32,16 +34,64 @@ object PQ {
   def subExpr(e: String, s: Int, dsub: Int): String =
     s"slice($e, ${s * dsub + 1}, $dsub)"
 
+  /** All m sub-quantizer centroid sets as ONE literal
+    * `array<struct<s, cl, c, cnsq>>` (each subspace's block sorted by
+    * cl, blocks in subspace order). */
+  private def jointLiteral(cbs: Seq[Seq[KMeans.Cent]]): String =
+    cbs.zipWithIndex.flatMap { case (cb, s) =>
+      cb.sortBy(_.cl).map { ct =>
+        val arr = ct.c.map(d => s"CAST('$d' AS DOUBLE)")
+          .mkString("array(", ", ", ")")
+        s"named_struct('s', $s, 'cl', CAST(${ct.cl} AS BIGINT), 'c', $arr, 'cnsq', CAST('${ct.cnsq}' AS DOUBLE))"
+      }
+    }.mkString("array(", ", ", ")")
+
   /** Train one codebook per subspace on `vecs` (must carry `vec_id`,
-    * `e: array<double>`; persist it — each subspace fit scans it
-    * iters+1 times). Returns codebooks with cl renumbered 0..ksub-1. */
-  def fit(vecs: DataFrame, m: Int, dsub: Int, ksub: Int, iters: Int): Seq[Seq[KMeans.Cent]] =
-    (0 until m).map { s =>
-      val sub = vecs
-        .selectExpr("vec_id", s"${subExpr("e", s, dsub)} AS e")
-        .selectExpr("vec_id", "e", s"${VectorOps.normSq("e")} AS nsq")
-      renumber(KMeans.fitL2(sub, ksub, iters))
+    * `e: array<double>`; persist it). Returns codebooks with cl
+    * renumbered 0..ksub-1.
+    *
+    * All m sub-problems train TOGETHER — the corpus explodes to
+    * (vec_id, s, e_sub) once, each Lloyd iteration is ONE assignment
+    * pass (per-row argmin against the row's own subspace block of the
+    * joint centroid literal) plus ONE (s, cl, i) mean shuffle — m× fewer
+    * jobs than training subspaces sequentially, and the single-scan
+    * shape a 100 TB corpus demands (FAISS trains its m sub-quantizers
+    * in one pass for the same reason). */
+  def fit(vecs: DataFrame, m: Int, dsub: Int, ksub: Int, iters: Int): Seq[Seq[KMeans.Cent]] = {
+    val subRows = (0 until m).map(s =>
+      s"named_struct('s', $s, 'e', ${subExpr("e", s, dsub)})")
+      .mkString("array(", ", ", ")")
+    val sub = vecs
+      .selectExpr("vec_id", s"explode($subRows) AS se")
+      .selectExpr("vec_id", "se.s AS s", "se.e AS e")
+    // Seeds: the k smallest vec_ids per subspace (same rule as
+    // KMeans.seed, one collect for all m blocks).
+    var cbs: Seq[Seq[KMeans.Cent]] = {
+      val rows = sub.filter(col("vec_id") < ksub)
+        .selectExpr("s", "vec_id AS cl", "e AS c", s"${VectorOps.normSq("e")} AS cnsq")
+        .collect()
+      (0 until m).map(s => rows.filter(_.getInt(0) == s)
+        .map(r => KMeans.Cent(r.getLong(1), r.getSeq[Double](2), r.getDouble(3))).toSeq)
     }
+    for (_ <- 1 to iters) {
+      val assign =
+        s"${VectorOps.nearestCentroidL2(s"filter(${jointLiteral(cbs)}, ct -> ct.s = s)", "e")}.cl"
+      val rows = sub
+        .selectExpr("s", "e", s"$assign AS cl")
+        .selectExpr("s", "cl", "posexplode(e) AS (i, v)")
+        .groupBy(col("s"), col("cl"), col("i"))
+        .agg((sum(expr("CAST(v AS DECIMAL(30,15))"))
+          .cast("double") / count(lit(1))).as("mn"))
+        .groupBy(col("s"), col("cl"))
+        .agg(array_sort(collect_list(struct(col("i"), col("mn")))).as("im"))
+        .selectExpr("s", "cl", "transform(im, x -> x.mn) AS c")
+        .selectExpr("s", "cl", "c", s"${VectorOps.normSq("c")} AS cnsq")
+        .collect()
+      cbs = (0 until m).map(s => rows.filter(_.getInt(0) == s)
+        .map(r => KMeans.Cent(r.getLong(1), r.getSeq[Double](2), r.getDouble(3))).toSeq)
+    }
+    cbs.map(renumber)
+  }
 
   /** Stable code ids: rank in centroid-id order (matches the oracle's
     * `row_number() OVER (ORDER BY cl) - 1`). */

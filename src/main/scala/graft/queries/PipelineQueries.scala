@@ -188,6 +188,56 @@ object PipelineQueries {
         WHERE len(regexp_extract_all(aug, '$EmailPat'))
             + len(regexp_extract_all(aug, '$PhonePat'))
             + len(regexp_extract_all(aug, '$IpPat')) > 0
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // Sequence packing: assign documents to fixed-token-budget training
+    // sequences (the T5/GPT packing step before tokenized examples hit
+    // the trainer). Greedy sequential fill per source stratum: docs in
+    // doc_id order, a doc lands in the bin its cumulative START offset
+    // falls in — floor((cumsum − tokens)/B) — so bins are contiguous
+    // spans and token_cnt may straddle the budget by one document (the
+    // "pack then split at boundary" accounting). The per-stratum running
+    // sum is a keyed ROWS window: parallel across the source shuffle,
+    // one linear pass per stratum — at 100 TB the strata would be finer
+    // (source × shard) so no single window task owns a whole corpus.
+    QueryDef(
+      "q_docs_pack_sequences",
+      t => {
+        val B = 512
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source")).orderBy(col("doc_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        t.documents
+          .selectExpr("doc_id", "source", s"CAST(size($toks) AS BIGINT) AS tok")
+          .withColumn("cum", sum(col("tok")).over(w))
+          .withColumn("bin", floor((col("cum") - col("tok")) / B))
+          .groupBy(col("source"), col("bin"))
+          .agg(
+            count(lit(1)).as("doc_cnt"),
+            sum(col("tok")).as("token_cnt"),
+            min(col("doc_id")).as("first_doc"),
+            max(col("doc_id")).as("last_doc"))
+          .orderBy(col("source"), col("bin"))
+      },
+      Some(s"""
+        WITH d AS (
+          SELECT doc_id, source, CAST(len($duckToks) AS BIGINT) AS tok
+          FROM documents
+        ),
+        c AS (
+          SELECT doc_id, source, tok,
+                 SUM(tok) OVER (PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM d
+        )
+        SELECT source, CAST(floor((cum - tok) / 512) AS BIGINT) AS bin,
+               COUNT(*) AS doc_cnt,
+               CAST(SUM(tok) AS BIGINT) AS token_cnt,
+               MIN(doc_id) AS first_doc,
+               MAX(doc_id) AS last_doc
+        FROM c
+        GROUP BY source, bin
+        ORDER BY source, bin"""))
   )
 }

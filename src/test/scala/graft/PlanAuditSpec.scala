@@ -158,6 +158,17 @@ class PlanAuditSpec extends SparkSpec {
       s"kmin lost its map-side partial stage:\n$plan")
   }
 
+  test("q_embed_pq_topk: ADC scan is map-side — no cross join, LUT rides as literal") {
+    val plan = formatted("q_embed_pq_topk")
+    // The corpus pass must be scan → encode fold → LUT lookups →
+    // explode: a CartesianProduct / nested-loop join against the query
+    // set means the scan regressed to the brute-force KNN shape.
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"ADC scan regressed to a cross join:\n$plan")
+    assert(plan.contains("element_at"), s"LUT lookup fold missing:\n$plan")
+  }
+
   test("q_rolling_revenue_7d: frame runs AFTER the per-day pre-aggregation") {
     val plan = formatted("q_rolling_revenue_7d")
     // The window must consume the day-level aggregate (~2.5k rows), not

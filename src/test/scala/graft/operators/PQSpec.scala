@@ -19,6 +19,17 @@ class PQSpec extends SparkSpec {
   }
   private lazy val cbs = PQ.fit(vecs, m, dsub, ksub, iters)
 
+  test("batched joint training equals the sequential per-subspace fitL2") {
+    val sequential = (0 until m).map { s =>
+      val sub = vecs
+        .selectExpr("vec_id", s"${PQ.subExpr("e", s, dsub)} AS e")
+        .selectExpr("vec_id", "e", s"${VectorOps.normSq("e")} AS nsq")
+      PQ.renumber(KMeans.fitL2(sub, ksub, iters))
+    }
+    assert(cbs == sequential,
+      "single-pass-per-iteration trainer diverged from per-subspace Lloyd")
+  }
+
   test("codebooks: m subspaces, ≤ ksub centroids each, codes renumbered 0..k-1") {
     assert(cbs.size == m)
     cbs.foreach { cb =>
