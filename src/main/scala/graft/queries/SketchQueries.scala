@@ -85,6 +85,64 @@ object SketchQueries {
         FROM e JOIN k USING (event_type)
         ORDER BY event_type""")),
 
+    // Count-min sketch heavy hitters: per-user event counts estimated
+    // from a 4×256 counter matrix (CMS rows = independent md5-derived
+    // hashes; estimate = min over rows — always ≥ exact). The build is
+    // ONE shuffle whose key space is the 1 024 counters regardless of
+    // user cardinality — the bounded-state alternative to a full
+    // groupBy(user) at 100 TB. Estimates are md5-deterministic, so the
+    // oracle reproduces the counter matrix and every estimate exactly.
+    QueryDef(
+      "q_sketch_cms_heavy_hitters",
+      t => {
+        val W = 256
+        val D = 4
+        val cell =
+          s"pmod(CAST(conv(substr(md5(concat(CAST(r AS STRING), '|', CAST(user_id AS STRING))), 1, 15), 16, 10) AS BIGINT), $W)"
+        val ev = t.events.select(col("user_id"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val cms = ev
+          .selectExpr("user_id", s"explode(sequence(0, ${D - 1})) AS r")
+          .selectExpr("r", s"$cell AS c")
+          .groupBy(col("r"), col("c")).agg(count(lit(1)).as("cnt"))
+        val top = ev.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("exact_cnt"))
+          .orderBy(col("exact_cnt").desc, col("user_id"))
+          .limit(20)
+        top
+          .selectExpr("user_id", "exact_cnt", s"explode(sequence(0, ${D - 1})) AS r")
+          .selectExpr("user_id", "exact_cnt", "r", s"$cell AS c")
+          .join(broadcast(cms), Seq("r", "c"))
+          .groupBy(col("user_id"), col("exact_cnt"))
+          .agg(min(col("cnt")).as("cms_cnt"))
+          .selectExpr("user_id", "CAST(exact_cnt AS BIGINT) AS exact_cnt",
+            "CAST(cms_cnt AS BIGINT) AS cms_cnt",
+            "CAST(cms_cnt - exact_cnt AS BIGINT) AS overcount")
+          .orderBy(col("exact_cnt").desc, col("user_id"))
+      },
+      Some(s"""
+        WITH cells AS (
+          SELECT user_id, r,
+            ('0x' || substr(md5(CAST(r AS VARCHAR) || '|' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 256 AS c
+          FROM events, (SELECT unnest(generate_series(0, 3)) AS r)
+        ),
+        cms AS (SELECT r, c, count(*) AS cnt FROM cells GROUP BY r, c),
+        top AS (
+          SELECT user_id, count(*) AS exact_cnt FROM events
+          GROUP BY user_id ORDER BY exact_cnt DESC, user_id LIMIT 20
+        ),
+        est AS (
+          SELECT t.user_id, t.exact_cnt, min(m.cnt) AS cms_cnt
+          FROM top t
+          JOIN cells ce ON ce.user_id = t.user_id
+          JOIN cms m ON m.r = ce.r AND m.c = ce.c
+          GROUP BY t.user_id, t.exact_cnt
+        )
+        SELECT user_id, CAST(exact_cnt AS BIGINT) AS exact_cnt,
+               CAST(cms_cnt AS BIGINT) AS cms_cnt,
+               CAST(cms_cnt - exact_cnt AS BIGINT) AS overcount
+        FROM est ORDER BY exact_cnt DESC, user_id""")),
+
     // Spark's built-in sketches: HLL++ distinct + KLL-style quantiles.
     // Deterministic for fixed data (both are merge-commutative), but the
     // sketch layouts are engine-specific — no DuckDB twin; SketchSpec
