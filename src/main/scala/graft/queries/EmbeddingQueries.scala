@@ -65,7 +65,7 @@ object EmbeddingQueries {
     * `a$it` assignments, `m$it` per-(cell,dim) exact-decimal means,
     * `c$it` reassembled centroids) — the same arithmetic KMeans.step
     * runs, so the oracle replays the identical trajectory. */
-  private def duckKmeansIter(it: Int): String = {
+  private[queries] def duckKmeansIter(it: Int): String = {
     val cos = s"round(${VectorOps.duckDot("v.e", "c.c", 64)} / (sqrt(v.nsq) * sqrt(c.cnsq)), 6)"
     s"""a$it AS (SELECT vec_id, cl FROM (
        |    SELECT v.vec_id, c.cl, row_number() OVER (PARTITION BY v.vec_id

@@ -127,30 +127,75 @@ object PQQueries {
     ORDER BY q_id, rk"""
   }
 
+  // ---- IVF-PQ: coarse quantizer for cell probing + ADC in-cell ----
+
+  private val CoarseK = 8
+  private val CoarseIters = 3 // must equal EmbeddingQueries.KmIters (shared iter SQL)
+  private val NProbe = 2
+
+  /** The combined oracle: coarse cosine k-means replay (c0..c3, reusing
+    * EmbeddingQueries.duckKmeansIter — same `n`/`el` CTE contract),
+    * corpus cell assignment + per-query probe against the FITTED
+    * centroids, then the PQ blocks with ADC restricted to probed cells.
+    */
+  private def ivfpqOracleSql: String = {
+    val adcSum = (0 until M)
+      .map(s => s"MAX(CASE WHEN l.s = $s THEN l.d END)")
+      .mkString("(", " + ", ")")
+    val cos = s"round(${VectorOps.duckDot("v.e", "c.c", Dim)} / (sqrt(v.nsq) * sqrt(c.cnsq)), 6)"
+    s"""
+    WITH n AS (SELECT * FROM $duckNorms z),
+    el AS (SELECT vec_id, unnest(generate_series(1, $Dim)) i, unnest(e) v FROM n),
+    c0 AS (SELECT vec_id AS cl, e AS c, nsq AS cnsq FROM n WHERE vec_id < $CoarseK),
+    ${(1 to CoarseIters).map(EmbeddingQueries.duckKmeansIter).mkString(",\n    ")},
+    cellasg AS (
+      SELECT vec_id, cl AS cell FROM (
+        SELECT v.vec_id, c.cl, row_number() OVER (PARTITION BY v.vec_id
+          ORDER BY $cos DESC, c.cl) rk
+        FROM n v CROSS JOIN c$CoarseIters c WHERE v.vec_id >= $NQ) zc WHERE rk = 1),
+    probe AS (
+      SELECT vec_id AS q_id, cl AS cell FROM (
+        SELECT v.vec_id, c.cl, row_number() OVER (PARTITION BY v.vec_id
+          ORDER BY $cos DESC, c.cl) rk
+        FROM n v CROSS JOIN c$CoarseIters c WHERE v.vec_id < $NQ) zp WHERE rk <= $NProbe),
+    ${(0 until M).map(duckSubspace).mkString(",\n    ")},
+    enc AS (
+      ${(0 until M).map(duckEncode).mkString("\n      UNION ALL ")}),
+    lut AS (
+      ${(0 until M).map(duckLut).mkString("\n      UNION ALL ")}),
+    adc AS (
+      SELECT l.q_id, e.vec_id AS cand_id, $adcSum AS adot
+      FROM enc e JOIN lut l ON l.s = e.s AND l.code = e.code
+      GROUP BY l.q_id, e.vec_id),
+    adcc AS (
+      SELECT a.q_id, a.cand_id,
+        round(a.adot / (sqrt(q.nsq) * sqrt(c.nsq)), 6) AS adc
+      FROM adc a
+      JOIN cellasg ca ON ca.vec_id = a.cand_id
+      JOIN probe p ON p.q_id = a.q_id AND p.cell = ca.cell
+      JOIN n q ON q.vec_id = a.q_id JOIN n c ON c.vec_id = a.cand_id),
+    sl AS (
+      SELECT q_id, cand_id, adc FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc DESC, cand_id) srk
+        FROM adcc) w WHERE srk <= $Shortlist),
+    rr AS (
+      SELECT s.q_id, s.cand_id, s.adc,
+        round(${VectorOps.duckDot("q.e", "c.e", Dim)} / (sqrt(q.nsq) * sqrt(c.nsq)), 6) AS cosine
+      FROM sl s JOIN n q ON q.vec_id = s.q_id JOIN n c ON c.vec_id = s.cand_id)
+    SELECT q_id, rk, cand_id, adc, cosine FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, cand_id) AS BIGINT) rk
+      FROM rr) f
+    WHERE rk <= $TopK
+    ORDER BY q_id, rk"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q_embed_pq_topk",
       t => {
         val vecs = norms(t)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val cbs = PQ.fit(vecs.select(col("vec_id"), col("e")), M, Dsub, Ksub, Iters)
-
-        val queries = vecs.filter(col("vec_id") < NQ)
-          .selectExpr("vec_id AS q_id", "e AS qe", "nsq AS qnsq")
-        // Bounded collects (|Q|·m·ksub LUT rows + |Q| norms): the ADC
-        // LUT is query-time state, exactly FAISS's in-RAM table; values
-        // are Spark-computed decimals so the literal is engine-exact.
-        val lutRows = PQ.lutFrame(queries, cbs, Dsub).collect()
-        val luts: Map[Long, Seq[Seq[Double]]] = lutRows
-          .groupBy(_.getLong(0))
-          .map { case (q, rows) =>
-            q -> (0 until M).map { s =>
-              rows.filter(_.getLong(1) == s).sortBy(_.getLong(2)).map(_.getDouble(3)).toSeq
-            }
-          }
-        val qnsq: Map[Long, Double] = queries.select(col("q_id"), col("qnsq"))
-          .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-
+        val (cbs, luts, qnsq) = trainAndLuts(vecs)
         val corpus = vecs.filter(col("vec_id") >= NQ)
           .selectExpr("vec_id AS cand_id", "nsq",
             s"${PQ.encodeExpr(cbs, "e", Dsub)} AS codes")
@@ -159,28 +204,91 @@ object PQQueries {
           s"""named_struct('q_id', CAST($q AS BIGINT),
              |  'adc', round(($adc) / (sqrt(CAST('${qnsq(q)}' AS DOUBLE)) * sqrt(nsq)), 6))""".stripMargin
         }.mkString("array(", ", ", ")")
-
-        // Narrow shortlist: only (q_id, cand_id, adc) rides the window;
-        // vectors join back by id for the exact rerank.
         val scored = corpus
           .selectExpr("cand_id", s"explode($perQuery) AS qa")
           .select(col("qa.q_id").as("q_id"), col("cand_id"), col("qa.adc").as("adc"))
-        val sl = scored
-          .withColumn("srk", row_number().over(
-            Window.partitionBy(col("q_id")).orderBy(col("adc").desc, col("cand_id"))))
-          .filter(col("srk") <= Shortlist)
-          .drop("srk")
-        val qv = vecs.selectExpr("vec_id AS q_id", "e AS qe", "nsq AS qnsq")
-        val cv = vecs.selectExpr("vec_id AS cand_id", "e AS ce", "nsq AS cnsq")
-        sl.join(broadcast(qv), Seq("q_id")).join(cv, Seq("cand_id"))
-          .selectExpr("q_id", "cand_id", "adc",
-            s"round(${VectorOps.cosine(VectorOps.dot("qe", "ce"), "qnsq", "cnsq")}, 6) AS cosine")
-          .withColumn("rk", row_number().over(
-            Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("cand_id"))).cast("long"))
-          .filter(col("rk") <= TopK)
-          .select(col("q_id"), col("rk"), col("cand_id"), col("adc"), col("cosine"))
-          .orderBy(col("q_id"), col("rk"))
+        shortlistRerank(scored, vecs)
       },
       Some(oracleSql)),
+
+    // IVF-PQ: the full FAISS index shape — a LEARNED coarse quantizer
+    // prunes the scan to nprobe probed cells per query, PQ-ADC scores
+    // only those cells' codes, exact rerank finishes. At 100 TB the
+    // corpus pass touches cell-pruned code bytes, not vectors: the cell
+    // id is a partition key in a real layout, so probing = partition
+    // pruning. The oracle replays BOTH trainings (coarse cosine Lloyd +
+    // 8 subspace L2 Lloyds), assignment, probing, ADC and rerank.
+    QueryDef(
+      "q_embed_ivfpq_search",
+      t => {
+        val vecs = norms(t)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val coarse = KMeans.fit(vecs, CoarseK, CoarseIters)
+        val (cbs, luts, qnsq) = trainAndLuts(vecs)
+        // Probed cells per query: bounded |Q|·nprobe collect (the IVF
+        // query plan — which partitions to read — is driver state).
+        val probes: Map[Long, Seq[Long]] = vecs.filter(col("vec_id") < NQ)
+          .selectExpr("vec_id AS q_id",
+            s"${VectorOps.probeCells(KMeans.literal(coarse), "e", "nsq", NProbe)} AS cells")
+          .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+        val corpus = vecs.filter(col("vec_id") >= NQ)
+          .selectExpr("vec_id AS cand_id", "nsq",
+            s"${VectorOps.nearestCentroid(KMeans.literal(coarse), "e", "nsq")}.cl AS cell",
+            s"${PQ.encodeExpr(cbs, "e", Dsub)} AS codes")
+        val perQuery = luts.keys.toSeq.sorted.map { q =>
+          val adc = PQ.adcDotExpr(PQ.lutLiteral(luts(q)), "codes", M)
+          val cellsIn = probes(q).mkString("(", ", ", ")")
+          s"""CASE WHEN cell IN $cellsIn THEN named_struct('q_id', CAST($q AS BIGINT),
+             |  'adc', round(($adc) / (sqrt(CAST('${qnsq(q)}' AS DOUBLE)) * sqrt(nsq)), 6))
+             |ELSE NULL END""".stripMargin
+        }.mkString("array(", ", ", ")")
+        val scored = corpus
+          .selectExpr("cand_id", s"explode(filter($perQuery, x -> x IS NOT NULL)) AS qa")
+          .select(col("qa.q_id").as("q_id"), col("cand_id"), col("qa.adc").as("adc"))
+        shortlistRerank(scored, vecs)
+      },
+      Some(ivfpqOracleSql)),
   )
+
+  /** Train codebooks and build per-query ADC LUTs + query norms —
+    * bounded collects (|Q|·m·ksub LUT rows + |Q| norms): the ADC LUT is
+    * query-time state, exactly FAISS's in-RAM table; values are
+    * Spark-computed decimals so the literal is engine-exact. */
+  private def trainAndLuts(vecs: DataFrame)
+      : (Seq[Seq[KMeans.Cent]], Map[Long, Seq[Seq[Double]]], Map[Long, Double]) = {
+    val cbs = PQ.fit(vecs.select(col("vec_id"), col("e")), M, Dsub, Ksub, Iters)
+    val queries = vecs.filter(col("vec_id") < NQ)
+      .selectExpr("vec_id AS q_id", "e AS qe", "nsq AS qnsq")
+    val lutRows = PQ.lutFrame(queries, cbs, Dsub).collect()
+    val luts: Map[Long, Seq[Seq[Double]]] = lutRows
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) =>
+        q -> (0 until M).map { s =>
+          rows.filter(_.getLong(1) == s).sortBy(_.getLong(2)).map(_.getDouble(3)).toSeq
+        }
+      }
+    val qnsq: Map[Long, Double] = queries.select(col("q_id"), col("qnsq"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    (cbs, luts, qnsq)
+  }
+
+  /** Narrow shortlist window on (q_id, cand_id, adc) — wide arrays only
+    * join back by id for the exact rerank. */
+  private def shortlistRerank(scored: DataFrame, vecs: DataFrame): DataFrame = {
+    val sl = scored
+      .withColumn("srk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("adc").desc, col("cand_id"))))
+      .filter(col("srk") <= Shortlist)
+      .drop("srk")
+    val qv = vecs.selectExpr("vec_id AS q_id", "e AS qe", "nsq AS qnsq")
+    val cv = vecs.selectExpr("vec_id AS cand_id", "e AS ce", "nsq AS cnsq")
+    sl.join(broadcast(qv), Seq("q_id")).join(cv, Seq("cand_id"))
+      .selectExpr("q_id", "cand_id", "adc",
+        s"round(${VectorOps.cosine(VectorOps.dot("qe", "ce"), "qnsq", "cnsq")}, 6) AS cosine")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("cand_id"))).cast("long"))
+      .filter(col("rk") <= TopK)
+      .select(col("q_id"), col("rk"), col("cand_id"), col("adc"), col("cosine"))
+      .orderBy(col("q_id"), col("rk"))
+  }
 }
