@@ -579,6 +579,33 @@ object Warehouse {
         GROUP BY ROLLUP(r_name, n_name)
         ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""")),
 
+    // CUBE (all 2^k slices at once) — completes the grouping-sets family
+    // next to ROLLUP: order counts and revenue by status × priority plus
+    // both one-dimensional margins and the grand total, disambiguated by
+    // GROUPING flags. Same one-pass partial-agg shape as a plain
+    // groupBy: Spark expands the grouping sets BEFORE the exchange, so
+    // each mapper emits 4 partials per row and the shuffle still carries
+    // only (slice, key) aggregates.
+    QueryDef(
+      "q_cube_orders",
+      t => t.orders
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_cnt"),
+          dsum(col("o_totalprice")).as("revenue"),
+          grouping(col("o_orderstatus")).cast("long").as("status_margin"),
+          grouping(col("o_orderpriority")).cast("long").as("priority_margin"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first),
+      Some(s"""
+        SELECT o_orderstatus, o_orderpriority,
+          COUNT(*) AS order_cnt,
+          ${sqlSum("o_totalprice")} AS revenue,
+          CAST(GROUPING(o_orderstatus) AS BIGINT) AS status_margin,
+          CAST(GROUPING(o_orderpriority) AS BIGINT) AS priority_margin
+        FROM orders
+        GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")),
+
     // Exact percentiles (§2.8 statistics family): sort-based linear
     // interpolation — same definition as the oracle's quantile_cont, so
     // values are engine-identical (approx sketches would not be).

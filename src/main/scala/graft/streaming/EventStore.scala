@@ -57,20 +57,123 @@ final class EventStore(root: String) {
     swapIn(name, merged)
   }
 
-  /** S5/A21: arithmetic merge of per-user deltas into running totals. */
-  def mergeSummary(delta: DataFrame): Unit = {
-    val existing = readOrEmpty(delta.sparkSession, "summary_user", delta)
+  /** The ON-DUPLICATE-KEY-UPDATE arithmetic, shared by the full and the
+    * file-pruned merge paths. */
+  private def mergeFrames(existing: DataFrame, delta: DataFrame): DataFrame = {
     val e = existing.select(col("user_id"), col("event_cnt").as("e_cnt"),
       col("total_value").as("e_val"), col("last_ts").as("e_ts"))
-    val merged = e.join(delta, Seq("user_id"), "full_outer").select(
+    e.join(delta, Seq("user_id"), "full_outer").select(
       col("user_id"),
       (coalesce(col("e_cnt"), lit(0L)) + coalesce(col("event_cnt"), lit(0L))).as("event_cnt"),
       (coalesce(col("e_val"), lit(0).cast("decimal(18,2)")) +
         coalesce(col("total_value"), lit(0).cast("decimal(18,2)")))
         .cast("decimal(18,2)").as("total_value"),
       greatest(col("e_ts"), col("last_ts")).as("last_ts"))
-    swapIn("summary_user", merged)
   }
+
+  /** S5/A21: arithmetic merge of per-user deltas into running totals. */
+  def mergeSummary(delta: DataFrame): Unit =
+    swapIn("summary_user", mergeFrames(
+      readOrEmpty(delta.sparkSession, "summary_user", delta), delta))
+
+  /** Lay the summary out as `files` range-clustered, in-file-sorted
+    * parquet files on the merge key — the layout [[mergeSummaryPruned]]
+    * prunes against (Delta/Iceberg call this OPTIMIZE ZORDER; on plain
+    * parquet it is a range repartition before the commit). */
+  def clusterSummary(spark: SparkSession, files: Int): Unit = {
+    val cur = table(spark, "summary_user")
+    swapIn("summary_user",
+      cur.repartitionByRange(files, col("user_id"))
+        .sortWithinPartitions(col("user_id")))
+  }
+
+  /** Per-file (min, max) of the INT64 merge key, read from the parquet
+    * FOOTER — no data pages touched (the same stats Delta keeps in its
+    * transaction log). */
+  private def footerKeyRange(spark: SparkSession, file: java.nio.file.Path,
+                             column: String): (Long, Long) = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(file.toUri),
+      spark.sessionState.newHadoopConf())
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val ranges = r.getFooter.getBlocks.toArray.map { b =>
+        val bm = b.asInstanceOf[org.apache.parquet.hadoop.metadata.BlockMetaData]
+        val cc = bm.getColumns.toArray
+          .map(_.asInstanceOf[org.apache.parquet.hadoop.metadata.ColumnChunkMetaData])
+          .find(_.getPath.toDotString == column)
+          .getOrElse(throw new IllegalStateException(s"no stats for $column in $file"))
+        val st = cc.getStatistics
+        (st.genericGetMin.asInstanceOf[java.lang.Long].longValue(),
+          st.genericGetMax.asInstanceOf[java.lang.Long].longValue())
+      }
+      (ranges.map(_._1).min, ranges.map(_._2).max)
+    } finally r.close()
+  }
+
+  /** File-pruned MERGE (the shape Delta's `MERGE INTO` executes at
+    * 100 TB): only summary files whose footer key range intersects the
+    * delta's keys are read and rewritten; every other file is carried
+    * into the new table version UNCHANGED. On a transactional format
+    * the carry is a metadata entry; on plain parquet it is a file copy
+    * into the tmp commit dir — same correctness, demo-scale I/O.
+    *
+    * Size guard: the delta's distinct key set must collect (micro-batch
+    * sized); above `maxDeltaKeys` fall back to the full-rewrite merge
+    * (pruning needs per-file key membership, and a huge delta touches
+    * most files anyway). Returns (rewrittenFiles, totalFiles).
+    */
+  def mergeSummaryPruned(delta: DataFrame, maxDeltaKeys: Int = 100000): (Long, Long) = {
+    val spark = delta.sparkSession
+    val p = Paths.get(dir("summary_user"))
+    if (!Files.exists(p)) { mergeSummary(delta); return (0L, 0L) }
+    if (delta.select(col("user_id")).distinct().limit(maxDeltaKeys + 1).count() > maxDeltaKeys) {
+      mergeSummary(delta)
+      val n = listParquet(p).size.toLong
+      return (n, n)
+    }
+    val keys = delta.select(col("user_id")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val files = listParquet(p)
+    val (hit, carry) = files.partition { f =>
+      val (lo, hi) = footerKeyRange(spark, f, "user_id")
+      // any delta key in [lo, hi]? (keys sorted — binary search)
+      val i = java.util.Arrays.binarySearch(keys, lo)
+      val from = if (i >= 0) i else -i - 1
+      from < keys.length && keys(from) <= hi
+    }
+    val merged =
+      if (hit.isEmpty) // pure inserts: no file holds any delta key
+        delta.select(
+          col("user_id"), col("event_cnt"),
+          col("total_value").cast("decimal(18,2)").as("total_value"), col("last_ts"))
+      else mergeFrames(spark.read.parquet(hit.map(_.toString): _*), delta)
+    // Manual commit: rewritten rows + byte-identical carries, then the
+    // same tmp-then-move swap every store write uses.
+    val tmp = Paths.get(dir("summary_user__tmp"))
+    deleteRec(tmp)
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    carry.zipWithIndex.foreach { case (f, i) =>
+      Files.copy(f, tmp.resolve(s"carry-$i-${f.getFileName}"),
+        StandardCopyOption.COPY_ATTRIBUTES)
+    }
+    val target = p
+    val old = Paths.get(dir("summary_user__old"))
+    deleteRec(old)
+    Files.move(target, old, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+    deleteRec(old)
+    (hit.size.toLong, files.size.toLong)
+  }
+
+  private def listParquet(p: java.nio.file.Path): Seq[java.nio.file.Path] =
+    if (!Files.exists(p)) Seq.empty
+    else {
+      val s = Files.walk(p)
+      try s.toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path])
+        .filter(_.toString.endsWith(".parquet"))
+      finally s.close()
+    }
 
   /** Small-file compaction for the append-only fact store: every
     * micro-batch append lands O(shuffle-partitions) files, and a week of

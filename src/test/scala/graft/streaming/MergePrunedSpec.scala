@@ -1,0 +1,89 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** File-pruned MERGE: only summary files whose footer key range
+  * intersects the delta rewrite; the rest carry over byte-identical.
+  */
+class MergePrunedSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshStore(): (EventStore, String) = {
+    val root = Files.createTempDirectory("graft_mps").toString
+    (new EventStore(root), root)
+  }
+
+  private def seed(store: EventStore, n: Int): Unit = {
+    val rows = (1 to n).map(i =>
+      (i.toLong, i.toLong * 2, BigDecimal(i * 10).setScale(2),
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+    store.mergeSummary(rows
+      .toDF("user_id", "event_cnt", "total_value", "last_ts")
+      .withColumn("total_value", col("total_value").cast("decimal(18,2)")))
+    store.clusterSummary(spark, files = 8)
+  }
+
+  private def delta(ids: Seq[Long]) = ids.map(i =>
+      (i, 1L, BigDecimal(1).setScale(2), java.sql.Timestamp.valueOf("2024-02-01 00:00:00")))
+    .toDF("user_id", "event_cnt", "total_value", "last_ts")
+    .withColumn("total_value", col("total_value").cast("decimal(18,2)"))
+
+  private def snapshot(store: EventStore) =
+    store.table(spark, "summary_user")
+      .orderBy("user_id").collect().toSeq.map(_.toSeq)
+
+  test("pruned merge equals the full-rewrite merge") {
+    val (a, _) = freshStore(); val (b, _) = freshStore()
+    seed(a, 400); seed(b, 400)
+    val d = delta(Seq(3L, 7L, 901L)) // two updates in the low range + an insert
+    a.mergeSummary(d)
+    val (rewritten, total) = b.mergeSummaryPruned(d)
+    assert(snapshot(a) === snapshot(b))
+    assert(total == 8L, s"expected the 8 clustered files, saw $total")
+    assert(rewritten < total, s"pruning rewrote every file ($rewritten/$total)")
+  }
+
+  test("files outside the delta key range carry over byte-identical") {
+    val (store, root) = freshStore()
+    seed(store, 400)
+    val dirP = Paths.get(s"$root/summary_user")
+    def fileHashes() = {
+      val s = Files.walk(dirP)
+      try s.toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path])
+        .filter(_.toString.endsWith(".parquet"))
+        .map(f => java.util.Arrays.hashCode(Files.readAllBytes(f)) -> Files.size(f))
+        .sorted
+      finally s.close()
+    }
+    val before = fileHashes()
+    val (rewritten, total) = store.mergeSummaryPruned(delta(Seq(1L, 2L)))
+    val after = fileHashes()
+    // Every byte-identical survivor of the old version must reappear:
+    // old hashes minus rewritten-file hashes ⊆ new hashes.
+    val surviving = before.toSet.intersect(after.toSet)
+    assert(surviving.size >= (total - rewritten - 1),
+      s"carried files were rewritten: before=$before after=$after")
+    assert(rewritten >= 1L && rewritten < total)
+  }
+
+  test("insert-only delta (no file range hit) still lands correctly") {
+    val (a, _) = freshStore(); val (b, _) = freshStore()
+    seed(a, 100); seed(b, 100)
+    val d = delta(Seq(5000L, 6000L))
+    a.mergeSummary(d)
+    b.mergeSummaryPruned(d)
+    assert(snapshot(a) === snapshot(b))
+  }
+
+  test("oversized delta falls back to the full merge") {
+    val (a, _) = freshStore(); val (b, _) = freshStore()
+    seed(a, 50); seed(b, 50)
+    val d = delta((1L to 40L))
+    a.mergeSummary(d)
+    val (rewritten, total) = b.mergeSummaryPruned(d, maxDeltaKeys = 10)
+    assert(snapshot(a) === snapshot(b))
+    assert(rewritten == total, "fallback should report a full rewrite")
+  }
+}
