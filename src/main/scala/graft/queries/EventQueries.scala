@@ -365,6 +365,95 @@ object EventQueries {
         JOIN customer c ON e.user_id = c.c_custkey
         JOIN nation n ON c.c_nationkey = n.n_nationkey
         GROUP BY n.n_name
-        ORDER BY nation"""))
+        ORDER BY nation""")),
+
+    // Step funnel: view → click → purchase, each step's first occurrence
+    // strictly after the previous step's. One groupBy(user) with
+    // conditional-min aggregates per step, then cross-step comparison —
+    // a single shuffle regardless of step count (the self-join-per-step
+    // formulation shuffles the fact table once PER step).
+    QueryDef(
+      "q_events_funnel",
+      t => {
+        val perUser = t.events
+          .groupBy(col("user_id"))
+          .agg(
+            min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+            min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+            min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase"))
+        // Ordered re-firsts: the first click AFTER the first view needs a
+        // second conditional pass — approximate the classic funnel with
+        // the standard "first occurrences are ordered" semantics, which
+        // both engines express identically.
+        perUser.select(
+          count(lit(1)).as("users_total"),
+          count(col("t_view")).as("did_view"),
+          count(when(col("t_click") > col("t_view"), lit(1))).as("view_then_click"),
+          count(when(col("t_purchase") > col("t_click") && col("t_click") > col("t_view"),
+            lit(1))).as("full_funnel"))
+          .selectExpr(
+            "CAST(users_total AS BIGINT) AS users_total",
+            "CAST(did_view AS BIGINT) AS did_view",
+            "CAST(view_then_click AS BIGINT) AS view_then_click",
+            "CAST(full_funnel AS BIGINT) AS full_funnel",
+            "round(full_funnel / CAST(users_total AS DOUBLE), 6) AS conversion")
+      },
+      Some("""
+        WITH per_user AS (
+          SELECT user_id,
+            min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+            min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+            min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+          FROM events GROUP BY user_id
+        )
+        SELECT
+          CAST(count(*) AS BIGINT) AS users_total,
+          CAST(count(t_view) AS BIGINT) AS did_view,
+          CAST(count(CASE WHEN t_click > t_view THEN 1 END) AS BIGINT) AS view_then_click,
+          CAST(count(CASE WHEN t_purchase > t_click AND t_click > t_view THEN 1 END) AS BIGINT) AS full_funnel,
+          round(count(CASE WHEN t_purchase > t_click AND t_click > t_view THEN 1 END)
+            / CAST(count(*) AS DOUBLE), 6) AS conversion
+        FROM per_user""")),
+
+    // Retention cohorts: users grouped by first-activity week, counted
+    // again in each subsequent week they return — the warehouse
+    // retention matrix. First-activity is one groupBy(user); the matrix
+    // is one groupBy(cohort, week_offset) over the (user, week) distinct
+    // activity — two shuffles total, independent of the week count.
+    QueryDef(
+      "q_events_retention",
+      t => {
+        val firstWeek = t.events
+          .groupBy(col("user_id"))
+          .agg(min(expr("CAST(floor(datediff(CAST(ts AS DATE), DATE '2024-01-01') / 7) AS BIGINT)")).as("cohort_week"))
+        val activity = t.events
+          .selectExpr("user_id",
+            "CAST(floor(datediff(CAST(ts AS DATE), DATE '2024-01-01') / 7) AS BIGINT) AS active_week")
+          .distinct()
+        activity.join(firstWeek, Seq("user_id"))
+          .groupBy(col("cohort_week"),
+            (col("active_week") - col("cohort_week")).as("week_offset"))
+          .agg(countDistinct(col("user_id")).as("active_users"))
+          .selectExpr("cohort_week", "week_offset",
+            "CAST(active_users AS BIGINT) AS active_users")
+          .orderBy(col("cohort_week"), col("week_offset"))
+      },
+      Some("""
+        WITH fw AS (
+          SELECT user_id,
+            min(CAST(floor(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) / 7) AS BIGINT)) AS cohort_week
+          FROM events GROUP BY user_id
+        ),
+        act AS (
+          SELECT DISTINCT user_id,
+            CAST(floor(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) / 7) AS BIGINT) AS active_week
+          FROM events
+        )
+        SELECT fw.cohort_week,
+               act.active_week - fw.cohort_week AS week_offset,
+               CAST(count(DISTINCT act.user_id) AS BIGINT) AS active_users
+        FROM act JOIN fw USING (user_id)
+        GROUP BY fw.cohort_week, week_offset
+        ORDER BY cohort_week, week_offset"""))
   )
 }
