@@ -156,7 +156,8 @@ object GraphOps {
   def shortestPathsOverGroups(spark: SparkSession, membership: DataFrame,
                               groupCol: String, itemCol: String,
                               source: Long, maxHops: Int,
-                              broadcastFrontier: Boolean = true): DataFrame = {
+                              broadcastFrontier: Boolean = true,
+                              stopAtNode: Option[Long] = None): DataFrame = {
     val m = membership
       .select(col(groupCol).cast("long").as("grp"), col(itemCol).cast("long").as("item"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -206,6 +207,14 @@ object GraphOps {
         levels = levels :+ next.select(col("node"), lit(d.toLong).as("dist"))
         reach = next
         prevCount = n
+        // Point-to-point early exit: once the caller's target is in the
+        // reach set its distance is final (BFS level property), so
+        // deeper expansions — including the full-graph saturating level,
+        // the most expensive one — are pure waste. One tiny filter on
+        // the just-cached level per hop.
+        if (stopAtNode.exists(tgt =>
+            nextWide.filter(col("node") === tgt).limit(1).count() > 0))
+          saturated = true
       }
     }
     levels.reduce(_ unionByName _)
@@ -236,7 +245,8 @@ object GraphOps {
                                   groupCol: String, itemCol: String,
                                   source: Long, target: Long, maxHops: Int): DataFrame = {
     import spark.implicits._
-    val dist = shortestPathsOverGroups(spark, membership, groupCol, itemCol, source, maxHops)
+    val dist = shortestPathsOverGroups(spark, membership, groupCol, itemCol,
+        source, maxHops, stopAtNode = Some(target))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val targetDist = dist.filter(col("node") === target).select(col("dist")).collect()
     if (targetDist.isEmpty) {

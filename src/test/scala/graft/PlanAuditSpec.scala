@@ -169,6 +169,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("element_at"), s"LUT lookup fold missing:\n$plan")
   }
 
+  test("q_events_funnel: one shuffle — conditional-min aggs, no per-step self-join") {
+    val plan = formatted("q_events_funnel")
+    assert(!plan.contains("Join"),
+      s"funnel regressed to a per-step self-join:\n$plan")
+    assert(plan.contains("partial_min"), s"no map-side partial step minima:\n$plan")
+  }
+
   test("q_rolling_revenue_7d: frame runs AFTER the per-day pre-aggregation") {
     val plan = formatted("q_rolling_revenue_7d")
     // The window must consume the day-level aggregate (~2.5k rows), not
