@@ -662,6 +662,112 @@ object Warehouse {
           FROM orders GROUP BY 1)
         SELECT day, q, month_name, dow, COALESCE(order_cnt, 0) AS order_cnt
         FROM days LEFT JOIN counts USING (day)
-        ORDER BY day"""))
+        ORDER BY day""")),
+
+    // Z-score anomaly counts per event type: mean/std from exact decimal
+    // sums (sum, sum of squares — one map-side-combined pass), outliers =
+    // |value − mean| > 3σ counted in a second pass against the
+    // broadcast-size per-type stats. Both passes shuffle only the 5-row
+    // type key space.
+    QueryDef(
+      "q_events_anomaly_zscore",
+      t => {
+        val stats = t.events.groupBy(col("event_type"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(28,10)")).as("s1"),
+            sum((col("value") * col("value")).cast("decimal(28,10)")).as("s2"))
+          // Variance math in DOUBLE on top of the exact decimal sums:
+          // decimal×decimal precision/rounding rules differ between
+          // engines, identical IEEE ops on identical inputs do not.
+          .selectExpr("event_type", "n",
+            "CAST(s1 AS DOUBLE) / n AS mean",
+            "sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1)) AS std")
+        t.events
+          .join(broadcast(stats), Seq("event_type"))
+          .groupBy(col("event_type"))
+          .agg(
+            max(col("n")).as("n"),
+            round(max(col("mean")), 6).as("mean"),
+            round(max(col("std")), 6).as("std"),
+            count(when(abs(col("value") - col("mean")) > lit(3) * col("std"), lit(1)))
+              .as("outlier_cnt"))
+          .selectExpr("event_type", "CAST(n AS BIGINT) AS n", "mean", "std",
+            "CAST(outlier_cnt AS BIGINT) AS outlier_cnt")
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        WITH stats AS (
+          SELECT event_type, count(*) AS n,
+                 SUM(CAST(value AS DECIMAL(28,10))) AS s1,
+                 SUM(CAST(value * value AS DECIMAL(28,10))) AS s2
+          FROM events GROUP BY event_type
+        ),
+        st AS (
+          SELECT event_type, n,
+                 CAST(s1 AS DOUBLE) / n AS mean,
+                 sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1)) AS std
+          FROM stats
+        )
+        SELECT e.event_type,
+               CAST(max(st.n) AS BIGINT) AS n,
+               round(max(st.mean), 6) AS mean,
+               round(max(st.std), 6) AS std,
+               CAST(count(CASE WHEN abs(e.value - st.mean) > 3 * st.std THEN 1 END) AS BIGINT) AS outlier_cnt
+        FROM events e JOIN st USING (event_type)
+        GROUP BY e.event_type
+        ORDER BY e.event_type""")),
+
+    // RFM segmentation: recency / frequency / monetary quintiles per
+    // customer (ntile over deterministic orderings, custkey tiebreak),
+    // reported as segment sizes. The quintile windows partition nothing
+    // — but they run on the PER-CUSTOMER aggregate (one row each), so
+    // the single-task sort is over |customers| aggregates, not orders.
+    QueryDef(
+      "q_customer_rfm",
+      t => {
+        val perCust = t.orders.groupBy(col("o_custkey"))
+          .agg(
+            max(col("o_orderdate")).as("last_order"),
+            count(lit(1)).as("freq"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).as("monetary"))
+        val scored = perCust
+          .withColumn("r_score", ntile(5).over(
+            Window.orderBy(col("last_order").desc, col("o_custkey"))))
+          .withColumn("f_score", ntile(5).over(
+            Window.orderBy(col("freq").desc, col("o_custkey"))))
+          .withColumn("m_score", ntile(5).over(
+            Window.orderBy(col("monetary").desc, col("o_custkey"))))
+        scored.groupBy(col("r_score"), col("f_score"), col("m_score"))
+          .agg(count(lit(1)).as("customers"),
+            dsum(col("monetary")).as("segment_value"))
+          .selectExpr("CAST(r_score AS BIGINT) AS r_score",
+            "CAST(f_score AS BIGINT) AS f_score",
+            "CAST(m_score AS BIGINT) AS m_score",
+            "CAST(customers AS BIGINT) AS customers", "segment_value")
+          .orderBy(col("r_score"), col("f_score"), col("m_score"))
+      },
+      Some(s"""
+        WITH per_cust AS (
+          SELECT o_custkey, max(o_orderdate) AS last_order,
+                 count(*) AS freq,
+                 SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+          FROM orders GROUP BY o_custkey
+        ),
+        scored AS (
+          SELECT o_custkey, monetary,
+                 ntile(5) OVER (ORDER BY last_order DESC, o_custkey) AS r_score,
+                 ntile(5) OVER (ORDER BY freq DESC, o_custkey) AS f_score,
+                 ntile(5) OVER (ORDER BY monetary DESC, o_custkey) AS m_score
+          FROM per_cust
+        )
+        SELECT CAST(r_score AS BIGINT) AS r_score,
+               CAST(f_score AS BIGINT) AS f_score,
+               CAST(m_score AS BIGINT) AS m_score,
+               CAST(count(*) AS BIGINT) AS customers,
+               ${sqlSum("monetary")} AS segment_value
+        FROM scored
+        GROUP BY r_score, f_score, m_score
+        ORDER BY r_score, f_score, m_score"""))
   )
 }
