@@ -238,6 +238,88 @@ object PipelineQueries {
                MAX(doc_id) AS last_doc
         FROM c
         GROUP BY source, bin
-        ORDER BY source, bin"""))
+        ORDER BY source, bin""")),
+
+    // End-to-end corpus build: the curation stages COMPOSED into one
+    // declarative plan — quality gate → exact dedup (min-doc_id winner
+    // per content fingerprint) → decontamination (drop docs overlapping
+    // the held-out eval shard's 5-grams) — reported as a per-source
+    // survival funnel. Each stage is the already-verified shape (the
+    // standalone queries above); composing them costs ONE plan, not
+    // three jobs with intermediate materialization, and Catalyst prunes
+    // the doc payload columns each stage doesn't need.
+    QueryDef(
+      "q_docs_corpus_build",
+      t => {
+        val shs = TextOps.shingles(toks, DecontamN)
+        val base = t.documents
+          .selectExpr("doc_id", "source",
+            s"CAST(size($toks) AS BIGINT) AS tok",
+            s"size(filter($toks, x -> x IN ('the','a','of','and','in','to','is'))) / CAST(size($toks) AS DOUBLE) AS stop_ratio",
+            "md5(lower(trim(text))) AS fp",
+            s"$shs AS shs")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val quality = base.filter(col("tok") >= 20 && col("stop_ratio") <= 0.4)
+        // Exact dedup: smallest doc_id survives per fingerprint.
+        val winners = quality.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+        val deduped = quality.join(winners, Seq("fp", "doc_id"), "left_semi")
+        // Decontamination vs the held-out eval shard (doc_id % EvalMod = 0).
+        val contaminated = graft.operators.Decontaminate.overlap(
+          corpus = deduped.select(col("doc_id"), col("shs")),
+          eval = base.filter(col("doc_id") % EvalMod === 0).select(col("doc_id"), col("shs")))
+        val clean = deduped
+          .filter(col("doc_id") % EvalMod =!= 0)
+          .join(contaminated.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        base.groupBy(col("source")).agg(count(lit(1)).as("input_docs"))
+          .join(quality.groupBy(col("source")).agg(count(lit(1)).as("after_quality")), Seq("source"), "left")
+          .join(deduped.groupBy(col("source")).agg(count(lit(1)).as("after_dedup")), Seq("source"), "left")
+          .join(clean.groupBy(col("source"))
+            .agg(count(lit(1)).as("kept"), sum(col("tok")).as("kept_tokens")), Seq("source"), "left")
+          .selectExpr("source", "CAST(input_docs AS BIGINT) AS input_docs",
+            "CAST(coalesce(after_quality, 0) AS BIGINT) AS after_quality",
+            "CAST(coalesce(after_dedup, 0) AS BIGINT) AS after_dedup",
+            "CAST(coalesce(kept, 0) AS BIGINT) AS kept",
+            "CAST(coalesce(kept_tokens, 0) AS BIGINT) AS kept_tokens")
+          .orderBy(col("source"))
+      },
+      Some(s"""
+        WITH base AS (
+          SELECT doc_id, source,
+            CAST(len(s) AS BIGINT) AS tok,
+            len(list_filter(s, x -> x IN ('the','a','of','and','in','to','is'))) / CAST(len(s) AS DOUBLE) AS stop_ratio,
+            md5(lower(trim(text))) AS fp,
+            list_distinct([ s[i] || ' ' || s[i+1] || ' ' || s[i+2] || ' ' || s[i+3] || ' ' || s[i+4]
+                            for i in range(1, greatest(len(s) - ${DecontamN - 2}, 1)) ]) AS shs
+          FROM (SELECT doc_id, source, text, $duckToks s FROM documents)
+        ),
+        quality AS (SELECT * FROM base WHERE tok >= 20 AND stop_ratio <= 0.4),
+        deduped AS (
+          SELECT q.* FROM quality q
+          JOIN (SELECT fp, min(doc_id) AS doc_id FROM quality GROUP BY fp) w
+            ON q.fp = w.fp AND q.doc_id = w.doc_id
+        ),
+        ev AS (SELECT DISTINCT unnest(shs) sh FROM base WHERE doc_id % $EvalMod = 0),
+        contaminated AS (
+          SELECT DISTINCT c.doc_id
+          FROM (SELECT doc_id, unnest(shs) sh FROM deduped) c
+          JOIN ev USING (sh)
+        ),
+        clean AS (
+          SELECT d.* FROM deduped d
+          WHERE d.doc_id % $EvalMod <> 0
+            AND NOT EXISTS (SELECT 1 FROM contaminated x WHERE x.doc_id = d.doc_id)
+        )
+        SELECT b.source,
+          CAST(count(*) AS BIGINT) AS input_docs,
+          CAST(coalesce(max(q.cnt), 0) AS BIGINT) AS after_quality,
+          CAST(coalesce(max(dd.cnt), 0) AS BIGINT) AS after_dedup,
+          CAST(coalesce(max(cl.cnt), 0) AS BIGINT) AS kept,
+          CAST(coalesce(max(cl.toks), 0) AS BIGINT) AS kept_tokens
+        FROM base b
+        LEFT JOIN (SELECT source, count(*) cnt FROM quality GROUP BY source) q USING (source)
+        LEFT JOIN (SELECT source, count(*) cnt FROM deduped GROUP BY source) dd USING (source)
+        LEFT JOIN (SELECT source, count(*) cnt, sum(tok) toks FROM clean GROUP BY source) cl USING (source)
+        GROUP BY b.source
+        ORDER BY b.source"""))
   )
 }
