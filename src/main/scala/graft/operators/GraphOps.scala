@@ -221,6 +221,61 @@ object GraphOps {
       .groupBy(col("node")).agg(min(col("dist")).as("dist"))
   }
 
+  /** BFS that ALSO captures each node's deterministic predecessor,
+    * fused into the level expansion. Parent(n first reached at level d)
+    * = min over n's groups of the min reach-item in that group — equal
+    * to the oracle's "MIN neighbor at dist d-1" because a group
+    * containing n cannot hold any node of dist ≤ d-2 (n would have been
+    * reached earlier), so "min over reach" IS "min over exact level
+    * d-1". The per-level joins are the SAME two the distance BFS runs;
+    * only the distincts become min-aggregates — no separate parent-map
+    * build over the membership table afterwards.
+    * Returns (node, dist, parent) with parent NULL for the source.
+    */
+  private def distWithParents(spark: SparkSession, membership: DataFrame,
+                              groupCol: String, itemCol: String,
+                              source: Long, maxHops: Int,
+                              stopAtNode: Long): DataFrame = {
+    val m = membership
+      .select(col(groupCol).cast("long").as("grp"), col(itemCol).cast("long").as("item"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var reach = spark.range(1).select(lit(source).as("node"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var levels = Vector(reach.select(col("node"), lit(0L).as("dist"),
+      lit(null).cast("long").as("parent")))
+    var prevCount = 1L
+    var d = 0
+    var saturated = false
+    while (d < maxHops && !saturated) {
+      d += 1
+      // min reach-item per touched group (was: distinct grp).
+      val gmin = m.join(broadcast(reach), m("item") === reach("node"))
+        .groupBy(col("grp")).agg(min(col("node")).as("gmin"))
+      // all items of touched groups with their min-over-groups parent
+      // candidate (was: distinct item).
+      val nextWide = m.join(broadcast(gmin), "grp")
+        .groupBy(col("item")).agg(min(col("gmin")).as("parent"))
+        .select(col("item").as("node"), col("parent"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val n = nextWide.count()
+      val next = spark.createDataFrame(nextWide.rdd, nextWide.schema) // lineage cut
+      if (n == prevCount) saturated = true
+      else {
+        levels = levels :+ next.select(col("node"), lit(d.toLong).as("dist"), col("parent"))
+        reach = next.select(col("node"))
+        prevCount = n
+        if (nextWide.filter(col("node") === stopAtNode).limit(1).count() > 0)
+          saturated = true
+      }
+    }
+    // First appearance wins: dist is the struct's leading field, so the
+    // min picks the earliest level's (dist, parent) pair.
+    levels.reduce(_ unionByName _)
+      .groupBy(col("node"))
+      .agg(min(struct(col("dist"), col("parent"))).as("dp"))
+      .select(col("node"), col("dp.dist").as("dist"), col("dp.parent").as("parent"))
+  }
+
   /** Shortest-path NODE SEQUENCE source→target over the implicit
     * co-occurrence graph — the reference's shortestPath returns the
     * path's nodes, not just the distance
@@ -231,12 +286,10 @@ object GraphOps {
     * is unique — and an oracle can reproduce it relationally
     * (parent(n) = MIN(src) over edges with dist(src) = dist(n) - 1).
     *
-    * Scale shape: the parent map is built WITHOUT materializing the
-    * quadratic edge list — per (group, level) minima
-    * (`groupBy(grp, dist).min(item)`), then each node takes the min of
-    * its groups' level-(d-1) minima: two linear shuffles of the
-    * membership table. The back-walk is ≤ maxHops single-row lookups on
-    * the persisted parent map (bounded by the hop limit, not data size).
+    * Scale shape: distances AND parents come out of one fused BFS
+    * ([[distWithParents]] — per-level membership joins only, no
+    * quadratic edge list, no post-hoc parent-map pass), and the
+    * back-walk folds over a single map<node,parent> row in one job.
     *
     * Output: one row per path position `(step, node)`, step 0 = source;
     * empty if `target` is unreachable within `maxHops`.
@@ -245,43 +298,24 @@ object GraphOps {
                                   groupCol: String, itemCol: String,
                                   source: Long, target: Long, maxHops: Int): DataFrame = {
     import spark.implicits._
-    val dist = shortestPathsOverGroups(spark, membership, groupCol, itemCol,
-        source, maxHops, stopAtNode = Some(target))
+    val dp = distWithParents(spark, membership, groupCol, itemCol,
+        source, maxHops, stopAtNode = target)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val targetDist = dist.filter(col("node") === target).select(col("dist")).collect()
+    val targetDist = dp.filter(col("node") === target).select(col("dist")).collect()
     if (targetDist.isEmpty) {
-      dist.unpersist()
+      dp.unpersist()
       return Seq.empty[(Long, Long)].toDF("step", "node")
     }
     val d = targetDist(0).getLong(0)
     if (d == 0) {
-      dist.unpersist()
+      dp.unpersist()
       return Seq((0L, target)).toDF("step", "node")
     }
-    val m = membership
-      .select(col(groupCol).cast("long").as("grp"), col(itemCol).cast("long").as("item"))
-    // (grp, item, dist) for reached items at dist ≤ d(target) only —
-    // deeper levels can never be path ancestors, so they never enter
-    // the parent build. The dist side is the REACHED node set (already
-    // cached): broadcast it when small so the big membership scan joins
-    // map-side instead of shuffling; `md` feeds two consumers (level
-    // minima + the parent join), so persist it — unpersisted it would
-    // run the membership join twice.
-    val pruned = dist.filter(col("dist") <= d)
-    val reachedSmall = dist.count() <= 5000000L
-    val distSide = if (reachedSmall) broadcast(pruned) else pruned
-    val md = m.join(distSide, m("item") === pruned("node"))
-      .select(col("grp"), col("item"), col("dist"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val lvlMinWide = md.groupBy(col("grp"), col("dist"))
-      .agg(min(col("item")).as("lvl_min"))
-      .select(col("grp").as("lm_grp"), col("dist").as("lm_dist"), col("lvl_min"))
-    // lvlMin ≤ one row per (group, level) touched by a reached node —
-    // small exactly when the reached set is (same guard).
-    val lvlMin = if (reachedSmall) broadcast(lvlMinWide) else lvlMinWide
-    val pmWide = md
-      .join(lvlMin, md("grp") === col("lm_grp") && col("lm_dist") === md("dist") - 1)
-      .groupBy(md("item")).agg(min(col("lvl_min")).as("parent"))
+    val reachedSmall = dp.count() <= 5000000L
+    // Path ancestors live at dist 1..d — deeper nodes never enter the
+    // walk map.
+    val pmWide = dp.filter(col("dist") <= d && col("dist") >= 1)
+      .select(col("node").as("item"), col("parent"))
     // The back-walk. Small reached set (the common case, same guard as
     // the broadcasts): the parent map collapses to a single
     // map<node,parent> row and the whole ≤ maxHops walk is a fold over
@@ -326,7 +360,7 @@ object GraphOps {
       }
     require(path.length == d + 1,
       s"BFS invariant broken: expected ${d + 1} path nodes, got ${path.length}")
-    dist.unpersist(); md.unpersist()
+    dp.unpersist()
     path.sortBy(_._1).toDF("step", "node")
   }
 }
