@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Persistent product-quantization index: train ONCE, encode ONCE,
+  * store codebooks + codes as parquet tables, serve many searches from
+  * the stored index — the deployment shape of [[PQ]] at 100 TB (FAISS
+  * writes the trained index to disk for the same reason; retraining per
+  * query, as the self-contained q_embed_pq_topk does for its oracle, is
+  * a correctness harness, not a serving plan).
+  *
+  * Layout under `dir`:
+  *   - `codebooks`: (s, code, c array<double>, cnsq) — m·ksub tiny rows.
+  *   - `codes`:     (vec_id, nsq, codes array<bigint>) — m codes per
+  *     corpus vector; the only per-vector state a search scans.
+  */
+object PQIndex {
+
+  /** Train on `vecs` (vec_id, e) and persist codebooks + encoded corpus
+    * (vec_id ≥ nq are corpus rows; the first nq ids are the query ids
+    * by the family's convention and are not encoded). */
+  def build(spark: SparkSession, vecs: DataFrame, dir: String,
+            m: Int, dsub: Int, ksub: Int, iters: Int, nq: Int): Unit = {
+    val v = vecs.select(col("vec_id"), col("e"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cbs = PQ.fit(v, m, dsub, ksub, iters)
+    val cbRows = cbs.zipWithIndex.flatMap { case (cb, s) =>
+      cb.map(ct => (s, ct.cl, ct.c, ct.cnsq))
+    }
+    import spark.implicits._
+    cbRows.toDF("s", "code", "c", "cnsq")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+    v.filter(col("vec_id") >= nq)
+      .selectExpr("vec_id", s"${VectorOps.normSq("e")} AS nsq",
+        s"${PQ.encodeExpr(cbs, "e", dsub)} AS codes")
+      .write.mode("overwrite").parquet(s"$dir/codes")
+    v.unpersist()
+  }
+
+  /** Stored codebooks back as the driver-resident structure every
+    * search needs (m·ksub rows — bounded by construction). */
+  def loadCodebooks(spark: SparkSession, dir: String): Seq[Seq[KMeans.Cent]] = {
+    val rows = spark.read.parquet(s"$dir/codebooks")
+      .select(col("s"), col("code"), col("c"), col("cnsq")).collect()
+    val m = rows.map(_.getInt(0)).max + 1
+    (0 until m).map(s => rows.filter(_.getInt(0) == s)
+      .map(r => KMeans.Cent(r.getLong(1), r.getSeq[Double](2), r.getDouble(3)))
+      .sortBy(_.cl).toSeq)
+  }
+
+  /** ADC search against the STORED index: LUT from the loaded
+    * codebooks, one scan of the codes table, narrow shortlist window,
+    * exact rerank against `rerankVecs` (vec_id, e, nsq — the vector
+    * source; a stored refine table or the original corpus). */
+  def search(spark: SparkSession, dir: String, queries: DataFrame,
+             rerankVecs: DataFrame, dsub: Int,
+             shortlist: Int, topK: Int): DataFrame = {
+    val cbs = loadCodebooks(spark, dir)
+    val m = cbs.size
+    val q = queries.selectExpr("vec_id AS q_id", "e AS qe",
+      s"${VectorOps.normSq("e")} AS qnsq")
+    val lutRows = PQ.lutFrame(q, cbs, dsub).collect()
+    val luts = lutRows.groupBy(_.getLong(0)).map { case (k, rows) =>
+      k -> (0 until m).map { s =>
+        rows.filter(_.getLong(1) == s).sortBy(_.getLong(2)).map(_.getDouble(3)).toSeq
+      }
+    }
+    val qnsq = q.select(col("q_id"), col("qnsq"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val perQuery = luts.keys.toSeq.sorted.map { qq =>
+      val adc = PQ.adcDotExpr(PQ.lutLiteral(luts(qq)), "codes", m)
+      s"""named_struct('q_id', CAST($qq AS BIGINT),
+         |  'adc', round(($adc) / (sqrt(CAST('${qnsq(qq)}' AS DOUBLE)) * sqrt(nsq)), 6))""".stripMargin
+    }.mkString("array(", ", ", ")")
+    val scored = spark.read.parquet(s"$dir/codes")
+      .selectExpr("vec_id AS cand_id", s"explode($perQuery) AS qa")
+      .select(col("qa.q_id").as("q_id"), col("cand_id"), col("qa.adc").as("adc"))
+    val sl = scored
+      .withColumn("srk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("adc").desc, col("cand_id"))))
+      .filter(col("srk") <= shortlist)
+      .drop("srk")
+    val qv = q.select(col("q_id"), col("qe"), col("qnsq"))
+    val cv = rerankVecs.selectExpr("vec_id AS cand_id", "e AS ce",
+      s"${VectorOps.normSq("e")} AS cnsq")
+    sl.join(broadcast(qv), Seq("q_id")).join(cv, Seq("cand_id"))
+      .selectExpr("q_id", "cand_id", "adc",
+        s"round(${VectorOps.cosine(VectorOps.dot("qe", "ce"), "qnsq", "cnsq")}, 6) AS cosine")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("cand_id"))).cast("long"))
+      .filter(col("rk") <= topK)
+      .select(col("q_id"), col("rk"), col("cand_id"), col("adc"), col("cosine"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+}
