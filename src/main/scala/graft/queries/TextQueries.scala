@@ -402,6 +402,46 @@ object TextQueries {
           round(max(CASE WHEN n = 3 THEN top_cnt END) / CAST(max(CASE WHEN n = 3 THEN total END) AS DOUBLE), 6) AS top3_frac,
           round(max(CASE WHEN n = 2 THEN dup_occ END) / CAST(max(CASE WHEN n = 2 THEN total END) AS DOUBLE), 6) AS dup2_frac,
           round(max(CASE WHEN n = 3 THEN dup_occ END) / CAST(max(CASE WHEN n = 3 THEN total END) AS DOUBLE), 6) AS dup3_frac
-        FROM per GROUP BY doc_id ORDER BY doc_id"""))
+        FROM per GROUP BY doc_id ORDER BY doc_id""")),
+
+    // Skip-gram co-occurrence: (center, context) pair counts within a
+    // ±2 token window — the training-pair extraction step of a
+    // word2vec-style embedding pipeline. Pair generation is PURE
+    // map-side (per-position transform over the token array, no
+    // self-join on position); the only shuffle is the (center, context)
+    // count, map-side combined. Top pairs by count with deterministic
+    // tie-break.
+    QueryDef(
+      "q_text_skipgrams",
+      t => {
+        val pairs =
+          s"""flatten(transform(sequence(1, size(s)), i ->
+             |  filter(transform(sequence(greatest(1, i - 2), least(size(s), i + 2)),
+             |    j -> IF(j = i, NULL, named_struct('center', element_at(s, i), 'context', element_at(s, j)))),
+             |    x -> x IS NOT NULL)))""".stripMargin
+        t.documents.selectExpr(s"$toks AS s")
+          .where(expr("size(s) >= 2"))
+          .selectExpr(s"explode($pairs) AS p")
+          .groupBy(col("p.center").as("center"), col("p.context").as("context"))
+          .agg(count(lit(1)).as("pair_cnt"))
+          .orderBy(col("pair_cnt").desc, col("center"), col("context"))
+          .limit(50)
+      },
+      Some(s"""
+        WITH toks AS (SELECT $duckToks AS s FROM documents),
+        pos AS (
+          SELECT s, unnest(generate_series(1, len(s))) AS i
+          FROM toks WHERE len(s) >= 2
+        ),
+        win AS (
+          SELECT s, i,
+                 unnest(generate_series(greatest(1, i - 2), least(len(s), i + 2))) AS j
+          FROM pos
+        )
+        SELECT s[i] AS center, s[j] AS context, count(*) AS pair_cnt
+        FROM win WHERE j <> i
+        GROUP BY center, context
+        ORDER BY pair_cnt DESC, center, context
+        LIMIT 50"""))
   )
 }

@@ -13,9 +13,11 @@ import org.apache.spark.sql.functions._
   * `MERGE INTO`.
   *
   * Facts are append-only (each batch adds files); derived tables are
-  * rewritten per merge — correct for dimension/summary cardinality. A
-  * 100 TB deployment keeps the same update arithmetic but lands it via
-  * Delta MERGE so only touched files rewrite.
+  * rewritten per merge — correct for dimension/summary cardinality.
+  * [[mergeSummaryPruned]] is the 100 TB shape: footer-stat file pruning
+  * so only the files a delta touches rewrite (what Delta MERGE executes
+  * against its transaction-log stats), with byte-identical carry-over
+  * of everything else.
   */
 final class EventStore(root: String) {
 
