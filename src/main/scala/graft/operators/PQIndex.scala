@@ -39,6 +39,82 @@ object PQIndex {
     v.unpersist()
   }
 
+  /** IVF-PQ variant: codes are PARTITIONED BY the coarse-quantizer cell,
+    * so probing nprobe cells at query time is literal partition pruning
+    * on the codes table — the scan never opens the other cells' files
+    * (asserted in the plan audit). Stores the fitted coarse centroids
+    * alongside the codebooks. */
+  def buildIVF(spark: SparkSession, vecs: DataFrame, dir: String,
+               m: Int, dsub: Int, ksub: Int, iters: Int, nq: Int,
+               coarseK: Int, coarseIters: Int): Unit = {
+    val v = vecs.select(col("vec_id"), col("e"))
+      .selectExpr("vec_id", "e", s"${VectorOps.normSq("e")} AS nsq")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val coarse = KMeans.fit(v, coarseK, coarseIters)
+    val cbs = PQ.fit(v.select(col("vec_id"), col("e")), m, dsub, ksub, iters)
+    import spark.implicits._
+    coarse.map(ct => (ct.cl, ct.c, ct.cnsq)).toDF("cl", "c", "cnsq")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/coarse")
+    cbs.zipWithIndex.flatMap { case (cb, s) => cb.map(ct => (s, ct.cl, ct.c, ct.cnsq)) }
+      .toDF("s", "code", "c", "cnsq")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+    v.filter(col("vec_id") >= nq)
+      .selectExpr("vec_id", "nsq",
+        s"${VectorOps.nearestCentroid(KMeans.literal(coarse), "e", "nsq")}.cl AS cell",
+        s"${PQ.encodeExpr(cbs, "e", dsub)} AS codes")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes")
+    v.unpersist()
+  }
+
+  private def loadCoarse(spark: SparkSession, dir: String): Seq[KMeans.Cent] =
+    spark.read.parquet(s"$dir/coarse").select(col("cl"), col("c"), col("cnsq"))
+      .collect()
+      .map(r => KMeans.Cent(r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+      .sortBy(_.cl).toSeq
+
+  /** ADC search against the cell-partitioned index: per-query probed
+    * cells come from the stored coarse centroids, the codes scan is
+    * filtered to the UNION of probed cells (partition pruning), and the
+    * per-query cell gate keeps each query's ADC to its own cells. */
+  def searchIVF(spark: SparkSession, dir: String, queries: DataFrame,
+                rerankVecs: DataFrame, dsub: Int, nprobe: Int,
+                shortlist: Int, topK: Int): DataFrame = {
+    val coarse = loadCoarse(spark, dir)
+    val cbs = loadCodebooks(spark, dir)
+    val m = cbs.size
+    val q = queries.selectExpr("vec_id AS q_id", "e AS qe",
+      s"${VectorOps.normSq("e")} AS qnsq")
+    val probes: Map[Long, Seq[Long]] = q
+      .selectExpr("q_id",
+        s"${VectorOps.probeCells(KMeans.literal(coarse), "qe", "qnsq", nprobe)} AS cells")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val lutRows = PQ.lutFrame(q, cbs, dsub).collect()
+    val luts = lutRows.groupBy(_.getLong(0)).map { case (k, rows) =>
+      k -> (0 until m).map { s =>
+        rows.filter(_.getLong(1) == s).sortBy(_.getLong(2)).map(_.getDouble(3)).toSeq
+      }
+    }
+    val qnsq = q.select(col("q_id"), col("qnsq"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val allCells = probes.values.flatten.toSeq.distinct.sorted
+    val perQuery = luts.keys.toSeq.sorted.map { qq =>
+      val adc = PQ.adcDotExpr(PQ.lutLiteral(luts(qq)), "codes", m)
+      val cellsIn = probes(qq).mkString("(", ", ", ")")
+      s"""CASE WHEN cell IN $cellsIn THEN named_struct('q_id', CAST($qq AS BIGINT),
+         |  'adc', round(($adc) / (sqrt(CAST('${qnsq(qq)}' AS DOUBLE)) * sqrt(nsq)), 6))
+         |ELSE NULL END""".stripMargin
+    }.mkString("array(", ", ", ")")
+    val scored = spark.read.parquet(s"$dir/codes")
+      .filter(col("cell").isin(allCells: _*)) // → PartitionFilters on the scan
+      .selectExpr("vec_id AS cand_id", s"explode(filter($perQuery, x -> x IS NOT NULL)) AS qa")
+      .select(col("qa.q_id").as("q_id"), col("cand_id"), col("qa.adc").as("adc"))
+    rerank(scored, q, rerankVecs, shortlist, topK)
+  }
+
+  /** Probed-cell-pruned codes scan (exposed for the plan audit). */
+  def prunedCodesScan(spark: SparkSession, dir: String, cells: Seq[Long]): DataFrame =
+    spark.read.parquet(s"$dir/codes").filter(col("cell").isin(cells: _*))
+
   /** Stored codebooks back as the driver-resident structure every
     * search needs (m·ksub rows — bounded by construction). */
   def loadCodebooks(spark: SparkSession, dir: String): Seq[Seq[KMeans.Cent]] = {
@@ -77,6 +153,13 @@ object PQIndex {
     val scored = spark.read.parquet(s"$dir/codes")
       .selectExpr("vec_id AS cand_id", s"explode($perQuery) AS qa")
       .select(col("qa.q_id").as("q_id"), col("cand_id"), col("qa.adc").as("adc"))
+    rerank(scored, q, rerankVecs, shortlist, topK)
+  }
+
+  /** Narrow shortlist window + exact rerank, shared by both search
+    * shapes (wide arrays join back by id only for the rerank). */
+  private def rerank(scored: DataFrame, q: DataFrame, rerankVecs: DataFrame,
+                     shortlist: Int, topK: Int): DataFrame = {
     val sl = scored
       .withColumn("srk", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("adc").desc, col("cand_id"))))
