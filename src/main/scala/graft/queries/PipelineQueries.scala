@@ -122,6 +122,52 @@ object PipelineQueries {
           (CASE WHEN lang = 'en' THEN '80' ELSE '33' END)
         ORDER BY doc_id""")),
 
+    // QUALITY-WEIGHTED (importance) sampling: keep probability
+    // proportional to the doc's quality score — upsample clean text,
+    // downsample junk — via the same deterministic md5-bucket idiom
+    // (never rand(): retried tasks must re-decide identically). The
+    // 60-bit key normalizes to [0,1) and keeps the doc iff
+    // key < quality·scale; pure map-side, stable across runs, engines,
+    // and partitionings. Output aggregates kept counts per quality
+    // decile so the oracle checks the SHAPE of the acceptance curve.
+    QueryDef(
+      "q_docs_importance_sample",
+      t => {
+        val q = s"""(0.4 * least(1.0, size($toks) / 100.0)
+           + 0.3 * (1.0 - size(filter($toks, x -> x IN ('the','a','of','and','in','to','is'))) / CAST(size($toks) AS DOUBLE))
+           + 0.3 * (size(array_distinct($toks)) / CAST(size($toks) AS DOUBLE)))"""
+        val key =
+          "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS DOUBLE) / CAST(pow(2.0, 60) AS DOUBLE)"
+        t.documents
+          .selectExpr("doc_id", s"$q AS quality", s"$key AS key")
+          .selectExpr("doc_id", "quality", "key",
+            "CAST(floor(quality * 10) AS BIGINT) AS decile",
+            "key < quality * 0.8 AS kept")
+          .groupBy(col("decile"))
+          .agg(count(lit(1)).as("docs"),
+            count(when(col("kept"), lit(1))).as("kept_docs"))
+          .selectExpr("decile", "CAST(docs AS BIGINT) AS docs",
+            "CAST(kept_docs AS BIGINT) AS kept_docs",
+            "round(kept_docs / CAST(docs AS DOUBLE), 6) AS keep_rate")
+          .orderBy(col("decile"))
+      },
+      Some(s"""
+        WITH scored AS (
+          SELECT doc_id,
+            (0.4 * least(1.0, len(s) / 100.0)
+             + 0.3 * (1.0 - len(list_filter(s, x -> x IN ('the','a','of','and','in','to','is'))) / CAST(len(s) AS DOUBLE))
+             + 0.3 * (len(list_distinct(s)) / CAST(len(s) AS DOUBLE))) AS quality,
+            CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS DOUBLE) / CAST(pow(2.0, 60) AS DOUBLE) AS key
+          FROM (SELECT doc_id, $duckToks s FROM documents)
+        )
+        SELECT CAST(floor(quality * 10) AS BIGINT) AS decile,
+               CAST(count(*) AS BIGINT) AS docs,
+               CAST(count(CASE WHEN key < quality * 0.8 THEN 1 END) AS BIGINT) AS kept_docs,
+               round(count(CASE WHEN key < quality * 0.8 THEN 1 END) / CAST(count(*) AS DOUBLE), 6) AS keep_rate
+        FROM scored
+        GROUP BY decile
+        ORDER BY decile""")),
+
     // DATA-MIX WEIGHTS: per-language token inventory → corpus share →
     // per-doc sampling weight that would hit a target mix (en 40%, other
     // languages 15% each). The aggregate shrinks to |languages| rows
