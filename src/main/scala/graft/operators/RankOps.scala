@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed exact ranking: global row_number / ntile over a UNIQUE
+  * total order without the single-task sort an unpartitioned
+  * `Window.orderBy` collapses to (Spark plans it as
+  * `Exchange SinglePartition` + one sorting task — a straight OOM/stall
+  * once the ranked frame is a billion rows).
+  *
+  * Shape: range-repartition on the order key (a distributed sort — the
+  * same exchange a global ORDER BY uses), sort within partitions, then
+  * global position = per-partition offset + local position. The offsets
+  * come from ONE count per range partition — bounded driver state
+  * (numShufflePartitions rows, never data rows) riding back as a plan
+  * literal. Local position is `monotonically_increasing_id`'s low bits,
+  * which Spark assigns in row order within each partition — evaluated
+  * ABOVE the local sort, so it is the sorted position (the classic
+  * zipWithIndex shape, kept inside whole-stage codegen; equality with
+  * the window formulation is spec-asserted, see RankOpsSpec).
+  *
+  * The ordering MUST be unique (tiebreak on a key column) — that is
+  * what makes the rank, and therefore every downstream tile boundary,
+  * deterministic and engine-replayable.
+  */
+object RankOps {
+
+  private val LocalBits = 33 // monotonically_increasing_id: pid << 33 | local
+
+  /** `df` plus `out` = exact 1-based global row number in the `order`
+    * total order. The returned frame is persisted (the range shuffle
+    * feeds both the offsets count and the main plan); the caller's
+    * terminal action materializes it — sessions drop it via
+    * catalog.clearCache (Verify/Bench) or their own unpersist. */
+  def withGlobalRowNumber(df: DataFrame, order: Seq[Column], out: String,
+                          partitions: Int = 0): DataFrame =
+    withGlobalRowNumberAndTotal(df, order, out, partitions)._1
+
+  /** Also returns the total row count — already known from the offsets
+    * pass, so tile arithmetic does not need a second action. */
+  def withGlobalRowNumberAndTotal(df: DataFrame, order: Seq[Column], out: String,
+                                  partitions: Int = 0): (DataFrame, Long) = {
+    val spark = df.sparkSession
+    val parts = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    val sorted = df
+      .repartitionByRange(parts, order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn("__mid", monotonically_increasing_id())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // One row per RANGE PARTITION (≤ numShufflePartitions) — bounded
+    // driver state regardless of data size.
+    val counts = sorted
+      .select(shiftright(col("__mid"), LocalBits).cast("int").as("__pid"))
+      .groupBy(col("__pid")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = new Array[Long](parts)
+    var acc = 0L
+    var p = 0
+    while (p < parts) {
+      offsets(p) = acc
+      acc += counts.getOrElse(p, 0L)
+      p += 1
+    }
+    // Offsets ride as a tiny plan-literal map: global rn is a pure
+    // map-side projection — no join, no window, no extra exchange.
+    val offMap = map_from_arrays(
+      array((0 until parts).map(i => lit(i)): _*),
+      array(offsets.map(lit): _*))
+    val rn = sorted
+      .withColumn(out,
+        element_at(offMap, shiftright(col("__mid"), LocalBits).cast("int")) +
+          (col("__mid").bitwiseAND(lit((1L << LocalBits) - 1))) + lit(1L))
+      .drop("__mid")
+    (rn, acc)
+  }
+
+  /** `df` plus `out` = ntile(`tiles`) over the unique `order` — same
+    * semantics as `ntile(n).over(Window.orderBy(order))` (first
+    * `total % n` tiles get the extra row), computed distributed:
+    * boundaries are ARITHMETIC on the exact global row number, so no
+    * quantile estimation and no tie ambiguity. */
+  def withGlobalNtile(df: DataFrame, order: Seq[Column], out: String,
+                      tiles: Int, partitions: Int = 0): DataFrame = {
+    require(tiles > 0, "tiles must be positive")
+    val (rn, total) = withGlobalRowNumberAndTotal(df, order, "__rn", partitions)
+    val base = total / tiles
+    val rem = total % tiles
+    // ntile: first `rem` tiles have base+1 rows, the rest `base`.
+    val cut = rem * (base + 1) // last row number inside the big tiles
+    val tile =
+      if (base == 0) col("__rn") // fewer rows than tiles: tile i = row i
+      else when(col("__rn") <= cut, (col("__rn") - 1) / (base + 1) + 1)
+        .otherwise(lit(rem) + (col("__rn") - cut - 1) / base + 1)
+    rn.withColumn(out, tile.cast("int")).drop("__rn")
+  }
+}

@@ -680,9 +680,12 @@ object Warehouse {
           // Variance math in DOUBLE on top of the exact decimal sums:
           // decimal×decimal precision/rounding rules differ between
           // engines, identical IEEE ops on identical inputs do not.
+          // NULLIF(n-1, 0): a singleton group is 0/0, where Spark's
+          // double division yields NULL but DuckDB yields NaN — the
+          // explicit NULL makes both engines agree (std undefined).
           .selectExpr("event_type", "n",
             "CAST(s1 AS DOUBLE) / n AS mean",
-            "sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1)) AS std")
+            "sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / nullif(n - 1, 0)) AS std")
         t.events
           .join(broadcast(stats), Seq("event_type"))
           .groupBy(col("event_type"))
@@ -706,7 +709,7 @@ object Warehouse {
         st AS (
           SELECT event_type, n,
                  CAST(s1 AS DOUBLE) / n AS mean,
-                 sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1)) AS std
+                 sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / nullif(n - 1, 0)) AS std
           FROM stats
         )
         SELECT e.event_type,
@@ -719,10 +722,15 @@ object Warehouse {
         ORDER BY e.event_type""")),
 
     // RFM segmentation: recency / frequency / monetary quintiles per
-    // customer (ntile over deterministic orderings, custkey tiebreak),
-    // reported as segment sizes. The quintile windows partition nothing
-    // — but they run on the PER-CUSTOMER aggregate (one row each), so
-    // the single-task sort is over |customers| aggregates, not orders.
+    // customer (exact ntile semantics over deterministic orderings,
+    // custkey tiebreak), reported as segment sizes. Each quintile is
+    // RankOps.withGlobalNtile — a distributed range sort + map-side
+    // tile arithmetic on the exact global row number — because the
+    // unpartitioned `ntile().over(Window.orderBy(...))` formulation
+    // collapses to ONE task sorting all |customers| aggregates: fine at
+    // sf0.1, a straight OOM at a billion customers. The oracle keeps
+    // the ntile formulation (equal by construction: same unique total
+    // order, same boundary arithmetic; RankOpsSpec asserts equality).
     QueryDef(
       "q_customer_rfm",
       t => {
@@ -731,13 +739,15 @@ object Warehouse {
             max(col("o_orderdate")).as("last_order"),
             count(lit(1)).as("freq"),
             sum(col("o_totalprice").cast("decimal(18,2)")).as("monetary"))
-        val scored = perCust
-          .withColumn("r_score", ntile(5).over(
-            Window.orderBy(col("last_order").desc, col("o_custkey"))))
-          .withColumn("f_score", ntile(5).over(
-            Window.orderBy(col("freq").desc, col("o_custkey"))))
-          .withColumn("m_score", ntile(5).over(
-            Window.orderBy(col("monetary").desc, col("o_custkey"))))
+        val scored = {
+          import graft.operators.RankOps.withGlobalNtile
+          val r = withGlobalNtile(perCust,
+            Seq(col("last_order").desc, col("o_custkey")), "r_score", 5)
+          val rf = withGlobalNtile(r,
+            Seq(col("freq").desc, col("o_custkey")), "f_score", 5)
+          withGlobalNtile(rf,
+            Seq(col("monetary").desc, col("o_custkey")), "m_score", 5)
+        }
         scored.groupBy(col("r_score"), col("f_score"), col("m_score"))
           .agg(count(lit(1)).as("customers"),
             dsum(col("monetary")).as("segment_value"))

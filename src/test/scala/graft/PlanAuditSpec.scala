@@ -176,6 +176,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("partial_min"), s"no map-side partial step minima:\n$plan")
   }
 
+  test("q_customer_rfm: quintile scoring has no single-partition exchange, no window") {
+    val plan = formatted("q_customer_rfm")
+    // The round-5 shape was three unpartitioned ntile windows — Spark
+    // plans each as `Exchange SinglePartition` + one sorting task over
+    // ALL customer aggregates. The RankOps shape is a distributed range
+    // sort + map-side tile arithmetic: no Window operator and no
+    // single-partition exchange anywhere in the scoring stage.
+    assert(!plan.contains("Window"),
+      s"quintile scoring regressed to an unpartitioned window:\n$plan")
+    assert(!plan.contains("SinglePartition"),
+      s"single-partition exchange in the scoring stage:\n$plan")
+    assert(plan.contains("rangepartitioning"),
+      s"expected a distributed range sort for ranking:\n$plan")
+  }
+
   test("q_rolling_revenue_7d: frame runs AFTER the per-day pre-aggregation") {
     val plan = formatted("q_rolling_revenue_7d")
     // The window must consume the day-level aggregate (~2.5k rows), not
