@@ -22,6 +22,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Same discipline as Bench: frames persisted INSIDE a query (they
+      // are returned lazily, so the query body cannot unpersist them)
+      // are dropped once its terminal write is done — a 90-query run
+      // must not accumulate cache entries.
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

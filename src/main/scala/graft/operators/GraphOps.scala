@@ -230,17 +230,32 @@ object GraphOps {
     * d-1". The per-level joins are the SAME two the distance BFS runs;
     * only the distincts become min-aggregates — no separate parent-map
     * build over the membership table afterwards.
-    * Returns (node, dist, parent) with parent NULL for the source.
+    *
+    * `broadcastFrontier` gates the reach-set and per-level group-minima
+    * broadcasts exactly like [[shortestPathsOverGroups]] — on a large
+    * saturating graph those frames approach the node set and an
+    * unconditional broadcast would exceed driver/executor memory with no
+    * fallback; `false` switches both joins to shuffles.
+    *
+    * Returns (node, dist, parent) with parent NULL for the source —
+    * PERSISTED and already materialized: the per-level caches this BFS
+    * accumulates are unpersisted before returning (they are consumed by
+    * the one materializing count here), so the caller owns exactly one
+    * cache entry and unpersists it when done.
     */
   private def distWithParents(spark: SparkSession, membership: DataFrame,
                               groupCol: String, itemCol: String,
                               source: Long, maxHops: Int,
-                              stopAtNode: Long): DataFrame = {
+                              stopAtNode: Long,
+                              broadcastFrontier: Boolean = true): DataFrame = {
     val m = membership
       .select(col(groupCol).cast("long").as("grp"), col(itemCol).cast("long").as("item"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    def bc(df: DataFrame): DataFrame = if (broadcastFrontier) broadcast(df) else df
+    val levelCaches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var reach = spark.range(1).select(lit(source).as("node"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    levelCaches += reach
     var levels = Vector(reach.select(col("node"), lit(0L).as("dist"),
       lit(null).cast("long").as("parent")))
     var prevCount = 1L
@@ -249,14 +264,15 @@ object GraphOps {
     while (d < maxHops && !saturated) {
       d += 1
       // min reach-item per touched group (was: distinct grp).
-      val gmin = m.join(broadcast(reach), m("item") === reach("node"))
+      val gmin = m.join(bc(reach), m("item") === reach("node"))
         .groupBy(col("grp")).agg(min(col("node")).as("gmin"))
       // all items of touched groups with their min-over-groups parent
       // candidate (was: distinct item).
-      val nextWide = m.join(broadcast(gmin), "grp")
+      val nextWide = m.join(bc(gmin), "grp")
         .groupBy(col("item")).agg(min(col("gmin")).as("parent"))
         .select(col("item").as("node"), col("parent"))
         .persist(StorageLevel.MEMORY_AND_DISK)
+      levelCaches += nextWide
       val n = nextWide.count()
       val next = spark.createDataFrame(nextWide.rdd, nextWide.schema) // lineage cut
       if (n == prevCount) saturated = true
@@ -270,10 +286,15 @@ object GraphOps {
     }
     // First appearance wins: dist is the struct's leading field, so the
     // min picks the earliest level's (dist, parent) pair.
-    levels.reduce(_ unionByName _)
+    val out = levels.reduce(_ unionByName _)
       .groupBy(col("node"))
       .agg(min(struct(col("dist"), col("parent"))).as("dp"))
       .select(col("node"), col("dp.dist").as("dist"), col("dp.parent").as("parent"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    out.count() // materialize BEFORE dropping the level caches it reads
+    levelCaches.foreach(_.unpersist())
+    m.unpersist()
+    out
   }
 
   /** Shortest-path NODE SEQUENCE source→target over the implicit
@@ -296,11 +317,13 @@ object GraphOps {
     */
   def shortestPathNodesOverGroups(spark: SparkSession, membership: DataFrame,
                                   groupCol: String, itemCol: String,
-                                  source: Long, target: Long, maxHops: Int): DataFrame = {
+                                  source: Long, target: Long, maxHops: Int,
+                                  broadcastFrontier: Boolean = true): DataFrame = {
     import spark.implicits._
+    // Already persisted + materialized by distWithParents (which owns
+    // and frees its per-level caches); this function owns `dp`.
     val dp = distWithParents(spark, membership, groupCol, itemCol,
-        source, maxHops, stopAtNode = target)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+        source, maxHops, stopAtNode = target, broadcastFrontier)
     val targetDist = dp.filter(col("node") === target).select(col("dist")).collect()
     if (targetDist.isEmpty) {
       dp.unpersist()

@@ -168,7 +168,9 @@ object PQIndex {
     val qv = q.select(col("q_id"), col("qe"), col("qnsq"))
     val cv = rerankVecs.selectExpr("vec_id AS cand_id", "e AS ce",
       s"${VectorOps.normSq("e")} AS cnsq")
-    sl.join(broadcast(qv), Seq("q_id")).join(cv, Seq("cand_id"))
+    // Broadcast the ≤ |Q|·shortlist shortlist rows into the corpus-side
+    // join — the rerank must never shuffle the corpus vectors.
+    cv.join(broadcast(sl.join(broadcast(qv), Seq("q_id"))), Seq("cand_id"))
       .selectExpr("q_id", "cand_id", "adc",
         s"round(${VectorOps.cosine(VectorOps.dot("qe", "ce"), "qnsq", "cnsq")}, 6) AS cosine")
       .withColumn("rk", row_number().over(

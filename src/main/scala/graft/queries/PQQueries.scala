@@ -280,9 +280,19 @@ object PQQueries {
         Window.partitionBy(col("q_id")).orderBy(col("adc").desc, col("cand_id"))))
       .filter(col("srk") <= Shortlist)
       .drop("srk")
-    val qv = vecs.selectExpr("vec_id AS q_id", "e AS qe", "nsq AS qnsq")
+    // Broadcast ONLY the |Q| query vectors: the unfiltered frame would
+    // ship the whole N×64-double corpus to every executor — harmless at
+    // sf0.1, an executor OOM at real corpus size. The candidate side
+    // stays the full corpus scan, but only |Q|·shortlist rows survive
+    // the inner join on the shortlist ids (PQIndex.rerank has the same
+    // shape by construction).
+    val qv = vecs.filter(col("vec_id") < NQ)
+      .selectExpr("vec_id AS q_id", "e AS qe", "nsq AS qnsq")
     val cv = vecs.selectExpr("vec_id AS cand_id", "e AS ce", "nsq AS cnsq")
-    sl.join(broadcast(qv), Seq("q_id")).join(cv, Seq("cand_id"))
+    // The shortlist (with query vectors attached) is ≤ |Q|·shortlist
+    // rows BY CONSTRUCTION — broadcast it into the corpus-side join so
+    // the rerank never shuffles the corpus vectors.
+    cv.join(broadcast(sl.join(broadcast(qv), Seq("q_id"))), Seq("cand_id"))
       .selectExpr("q_id", "cand_id", "adc",
         s"round(${VectorOps.cosine(VectorOps.dot("qe", "ce"), "qnsq", "cnsq")}, 6) AS cosine")
       .withColumn("rk", row_number().over(

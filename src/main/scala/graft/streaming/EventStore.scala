@@ -91,25 +91,37 @@ final class EventStore(root: String) {
 
   /** Per-file (min, max) of the INT64 merge key, read from the parquet
     * FOOTER — no data pages touched (the same stats Delta keeps in its
-    * transaction log). */
+    * transaction log). `None` when the file carries no usable stats —
+    * zero row groups (Spark writes a schema-only file for an empty
+    * DataFrame), a missing column chunk, or all-null/absent statistics —
+    * and the pruner must treat the file as a conservative HIT (rewrite
+    * it) rather than crash: stats are an optimization, never a
+    * correctness dependency (Delta makes the same no-stats-means-scan
+    * call). */
   private def footerKeyRange(spark: SparkSession, file: java.nio.file.Path,
-                             column: String): (Long, Long) = {
+                             column: String): Option[(Long, Long)] = {
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
       new org.apache.hadoop.fs.Path(file.toUri),
       spark.sessionState.newHadoopConf())
     val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
     try {
+      // Strict per-block: ONE stat-less row group makes the whole file's
+      // range unknown (a partial range would under-cover and wrongly
+      // carry a file that holds delta keys in the stat-less block).
       val ranges = r.getFooter.getBlocks.toArray.map { b =>
         val bm = b.asInstanceOf[org.apache.parquet.hadoop.metadata.BlockMetaData]
-        val cc = bm.getColumns.toArray
+        bm.getColumns.toArray
           .map(_.asInstanceOf[org.apache.parquet.hadoop.metadata.ColumnChunkMetaData])
           .find(_.getPath.toDotString == column)
-          .getOrElse(throw new IllegalStateException(s"no stats for $column in $file"))
-        val st = cc.getStatistics
-        (st.genericGetMin.asInstanceOf[java.lang.Long].longValue(),
-          st.genericGetMax.asInstanceOf[java.lang.Long].longValue())
+          .map(_.getStatistics)
+          .collect {
+            case s if s != null && !s.isEmpty && s.hasNonNullValue =>
+              (s.genericGetMin.asInstanceOf[java.lang.Long].longValue(),
+                s.genericGetMax.asInstanceOf[java.lang.Long].longValue())
+          }
       }
-      (ranges.map(_._1).min, ranges.map(_._2).max)
+      if (ranges.isEmpty || ranges.exists(_.isEmpty)) None
+      else Some((ranges.map(_.get._1).min, ranges.map(_.get._2).max))
     } finally r.close()
   }
 
@@ -138,11 +150,14 @@ final class EventStore(root: String) {
       .collect().map(_.getLong(0)).sorted
     val files = listParquet(p)
     val (hit, carry) = files.partition { f =>
-      val (lo, hi) = footerKeyRange(spark, f, "user_id")
-      // any delta key in [lo, hi]? (keys sorted — binary search)
-      val i = java.util.Arrays.binarySearch(keys, lo)
-      val from = if (i >= 0) i else -i - 1
-      from < keys.length && keys(from) <= hi
+      footerKeyRange(spark, f, "user_id") match {
+        case Some((lo, hi)) =>
+          // any delta key in [lo, hi]? (keys sorted — binary search)
+          val i = java.util.Arrays.binarySearch(keys, lo)
+          val from = if (i >= 0) i else -i - 1
+          from < keys.length && keys(from) <= hi
+        case None => true // no usable stats → conservative rewrite
+      }
     }
     val merged =
       if (hit.isEmpty) // pure inserts: no file holds any delta key

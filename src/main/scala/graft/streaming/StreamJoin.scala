@@ -24,11 +24,21 @@ object StreamJoin {
     * `windowHours` BEFORE the event (streaming attribution: "which
     * recent order is this event about?"). Both inputs must carry an
     * event-time column: `ts` on events, `o_ts` on orders.
+    *
+    * The watermark (allowed lateness) scales with the join interval:
+    * a fixed 1-hour delay under a 24-hour window would silently drop
+    * rows more than 1 hour late in event time, diverging from the
+    * batch-join semantics the operator documents. `lateHours` defaults
+    * to the window bound itself — state is already O(windowHours) of
+    * buffered rows, so matching the lateness to it does not change the
+    * asymptotic state size.
     */
   def eventsWithRecentOrders(events: DataFrame, orders: DataFrame,
-                             windowHours: Int): DataFrame = {
-    val e = events.withWatermark("ts", "1 hour")
-    val o = orders.withWatermark("o_ts", "1 hour")
+                             windowHours: Int,
+                             lateHours: Option[Int] = None): DataFrame = {
+    val late = s"${lateHours.getOrElse(math.max(windowHours, 1))} hours"
+    val e = events.withWatermark("ts", late)
+    val o = orders.withWatermark("o_ts", late)
     e.join(
       o,
       e("user_id") === o("o_custkey") &&
