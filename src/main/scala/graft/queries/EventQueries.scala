@@ -367,11 +367,13 @@ object EventQueries {
         GROUP BY n.n_name
         ORDER BY nation""")),
 
-    // Step funnel: view → click → purchase, each step's first occurrence
-    // strictly after the previous step's. One groupBy(user) with
-    // conditional-min aggregates per step, then cross-step comparison —
-    // a single shuffle regardless of step count (the self-join-per-step
-    // formulation shuffles the fact table once PER step).
+    // Step funnel, FIRST-OCCURRENCES-ORDERED approximation: view →
+    // click → purchase compared on each step's global first occurrence.
+    // ONE shuffle regardless of step count — the cheapest funnel shape,
+    // at the cost of missing users whose first click precedes their
+    // first view but who re-clicked after viewing. The exact
+    // ordered-step semantics is q_events_funnel_ordered below (one
+    // conditional-min pass per step).
     QueryDef(
       "q_events_funnel",
       t => {
@@ -414,6 +416,72 @@ object EventQueries {
           round(count(CASE WHEN t_purchase > t_click AND t_click > t_view THEN 1 END)
             / CAST(count(*) AS DOUBLE), 6) AS conversion
         FROM per_user""")),
+
+    // EXACT ordered-step funnel: first view, then the first click
+    // STRICTLY AFTER that view, then the first purchase STRICTLY AFTER
+    // that click — the semantics the approximate query above trades
+    // away (a user whose first click precedes their first view but who
+    // re-clicked after viewing IS counted here). One extra
+    // conditional-min pass per step: pass k joins events to the
+    // per-user step-(k-1) firsts and min-aggregates on user_id again.
+    // Every pass shuffles on the SAME key over the SAME scan subtree,
+    // so ReuseExchange collapses the three fact shuffles into one
+    // physical exchange — step count adds aggregation passes, not scan
+    // or shuffle volume.
+    QueryDef(
+      "q_events_funnel_ordered",
+      t => {
+        val ev = t.events.select(col("user_id"), col("event_type"), col("ts"))
+        val v = ev.groupBy(col("user_id"))
+          .agg(min(when(col("event_type") === "view", col("ts"))).as("t_view"))
+        val c = ev.join(v, Seq("user_id"))
+          .groupBy(col("user_id"))
+          .agg(
+            max(col("t_view")).as("t_view"), // constant per user — carried
+            min(when(col("event_type") === "click" && col("ts") > col("t_view"),
+              col("ts"))).as("t_click"))
+        val p = ev.join(c, Seq("user_id"))
+          .groupBy(col("user_id"))
+          .agg(
+            max(col("t_view")).as("t_view"),
+            max(col("t_click")).as("t_click"),
+            min(when(col("event_type") === "purchase" && col("ts") > col("t_click"),
+              col("ts"))).as("t_purchase"))
+        p.select(
+          count(lit(1)).as("users_total"),
+          count(col("t_view")).as("did_view"),
+          count(col("t_click")).as("view_then_click"),
+          count(col("t_purchase")).as("full_funnel"))
+          .selectExpr(
+            "CAST(users_total AS BIGINT) AS users_total",
+            "CAST(did_view AS BIGINT) AS did_view",
+            "CAST(view_then_click AS BIGINT) AS view_then_click",
+            "CAST(full_funnel AS BIGINT) AS full_funnel",
+            "round(full_funnel / CAST(users_total AS DOUBLE), 6) AS conversion")
+      },
+      Some("""
+        WITH v AS (
+          SELECT user_id,
+            min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+          FROM events GROUP BY user_id
+        ),
+        c AS (
+          SELECT e.user_id, max(v.t_view) AS t_view,
+            min(CASE WHEN e.event_type = 'click' AND e.ts > v.t_view THEN e.ts END) AS t_click
+          FROM events e JOIN v USING (user_id) GROUP BY e.user_id
+        ),
+        p AS (
+          SELECT e.user_id, max(c.t_view) AS t_view, max(c.t_click) AS t_click,
+            min(CASE WHEN e.event_type = 'purchase' AND e.ts > c.t_click THEN e.ts END) AS t_purchase
+          FROM events e JOIN c USING (user_id) GROUP BY e.user_id
+        )
+        SELECT
+          CAST(count(*) AS BIGINT) AS users_total,
+          CAST(count(t_view) AS BIGINT) AS did_view,
+          CAST(count(t_click) AS BIGINT) AS view_then_click,
+          CAST(count(t_purchase) AS BIGINT) AS full_funnel,
+          round(count(t_purchase) / CAST(count(*) AS DOUBLE), 6) AS conversion
+        FROM p""")),
 
     // Retention cohorts: users grouped by first-activity week, counted
     // again in each subsequent week they return — the warehouse

@@ -1,10 +1,12 @@
 package graft.queries
 
+import scala.collection.concurrent.TrieMap
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.QueryDef
-import graft.operators.{KMeans, PQ, VectorOps}
+import graft.operators.{KMeans, PQ, PQIndex, VectorOps}
 import graft.sources.Tables
 
 /** Product-quantization ANN (operators/PQ): train → encode → ADC scan →
@@ -248,7 +250,41 @@ object PQQueries {
         shortlistRerank(scored, vecs)
       },
       Some(ivfpqOracleSql)),
+
+    // The SERVING path of the same IVF-PQ search: build the persistent
+    // cell-partitioned index ONCE per (session, dataset) via
+    // PQIndex.buildIVF (the q_embed_ivfpq_search twin above retrains
+    // everything inside the query so the oracle can replay the whole
+    // trajectory — a correctness-harness cost), then answer from the
+    // stored codebooks + probed-cell-pruned codes scan. Both trainings
+    // are deterministic relational plans over the same input, so the
+    // search result — and therefore the ORACLE — is identical to the
+    // self-contained twin; what changes is what the bench measures:
+    // search-only latency, the number a 100 TB deployment actually
+    // serves (index build amortizes across queries, like FAISS writing
+    // its index to disk).
+    QueryDef(
+      "q_embed_ivfpq_index_search",
+      t => {
+        val idxDir = indexStage.getOrElseUpdate(
+          (System.identityHashCode(t.spark), t.dir), {
+            val d = java.nio.file.Files
+              .createTempDirectory("graft_ivfpq_idx").toString
+            PQIndex.buildIVF(t.spark, norms(t), d,
+              M, Dsub, Ksub, Iters, NQ, CoarseK, CoarseIters)
+            d
+          })
+        val vecs = norms(t)
+        PQIndex.searchIVF(t.spark, idxDir,
+          vecs.filter(col("vec_id") < NQ).select(col("vec_id"), col("e")),
+          vecs.select(col("vec_id"), col("e")),
+          Dsub, NProbe, Shortlist, TopK)
+      },
+      Some(ivfpqOracleSql)),
   )
+
+  /** Built IVF-PQ index directories, one per (session, dataset). */
+  private val indexStage = TrieMap.empty[(Int, String), String]
 
   /** Train codebooks and build per-query ADC LUTs + query norms —
     * bounded collects (|Q|·m·ksub LUT rows + |Q| norms): the ADC LUT is

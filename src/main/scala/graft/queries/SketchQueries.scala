@@ -19,8 +19,9 @@ import graft.QueryDef
   *     aggregate, map-side partial, mergeable).
   *   - `q_sketch_builtin` — Spark's own HLL++ / KLL sketches
   *     (`approx_count_distinct`, `percentile_approx`): engine-specific
-  *     layouts, so no SQL oracle (driver rows-only check); SketchSpec
-  *     bounds their error against exact aggregation instead.
+  *     layouts, so the query emits deterministic error-BOUND booleans
+  *     (sketch within 3σ / rank-bracket of exact) that the DuckDB twin
+  *     replays as TRUE literals — the hash gate then checks the bounds.
   */
 object SketchQueries {
 
@@ -144,18 +145,38 @@ object SketchQueries {
         FROM est ORDER BY exact_cnt DESC, user_id""")),
 
     // Spark's built-in sketches: HLL++ distinct + KLL-style quantiles.
-    // Deterministic for fixed data (both are merge-commutative), but the
-    // sketch layouts are engine-specific — no DuckDB twin; SketchSpec
-    // asserts the error bounds against exact aggregation.
+    // The sketch layouts are engine-specific, so raw sketch outputs can
+    // never hash-match another engine — instead the query emits
+    // deterministic BOUND columns: booleans asserting each sketch lands
+    // inside an error envelope computed from EXACT aggregation in the
+    // same pass. The DuckDB twin computes the exact side and emits TRUE
+    // literals — a drifting sketch flips a boolean and fails the hash
+    // gate, which is precisely the contract a sketch can honor.
+    //   - hll_ok: |HLL − exact| ≤ 3σ = 3·rsd·exact (rsd = 0.02).
+    //   - p50_ok/p95_ok: percentile_approx(accuracy 1000 ⇒ rank error
+    //     ≤ 0.1%) returns a data element whose value must sit between
+    //     the exact interpolated percentiles ±1% of rank — a 10× margin.
     QueryDef(
       "q_sketch_builtin",
       t => t.events
         .groupBy(col("event_type"))
         .agg(
-          approx_count_distinct(col("user_id"), rsd = 0.02).as("hll_users"),
-          percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50_value"),
-          percentile_approx(col("value"), lit(0.95), lit(1000)).as("p95_value"))
+          countDistinct(col("user_id")).as("exact_d"),
+          approx_count_distinct(col("user_id"), rsd = 0.02).as("hll"),
+          percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50s"),
+          percentile_approx(col("value"), lit(0.95), lit(1000)).as("p95s"),
+          expr("percentile(value, array(0.49, 0.51, 0.94, 0.96))").as("pb"))
+        .selectExpr(
+          "event_type",
+          "CAST(exact_d AS BIGINT) AS exact_distinct",
+          "abs(CAST(hll AS DOUBLE) - CAST(exact_d AS DOUBLE)) <= 0.06 * CAST(exact_d AS DOUBLE) AS hll_ok",
+          "p50s BETWEEN pb[0] AND pb[1] AS p50_ok",
+          "p95s BETWEEN pb[2] AND pb[3] AS p95_ok")
         .orderBy(col("event_type")),
-      None),
+      Some("""
+        SELECT event_type,
+          CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+          TRUE AS hll_ok, TRUE AS p50_ok, TRUE AS p95_ok
+        FROM events GROUP BY event_type ORDER BY event_type""")),
   )
 }

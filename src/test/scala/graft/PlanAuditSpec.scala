@@ -74,8 +74,13 @@ class PlanAuditSpec extends SparkSpec {
       s"read schema not pruned to props/event_type:\n$plan")
   }
 
-  test("q_dedup_ngram_jaccard: capped one-shuffle index, no raw-index self-join") {
-    val plan = formatted("q_dedup_ngram_jaccard")
+  test("dedup verify pipeline: capped one-shuffle index, no raw-index self-join") {
+    // q_dedup_ngram_jaccard/_components now consume the STAGED verified
+    // pairs (their own plans are a checkpoint scan), so the audit runs
+    // on the pipeline the stage materializes.
+    spark.sharedState.cacheManager.clearCache()
+    val df = graft.queries.DedupQueries.jaccardPipeline(Tables(spark, dir))
+    val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
     assert(plan.contains("graft_collect_capped"),
       s"bounded-state capped collect missing from plan:\n$plan")
     // The quadratic raw inverted-index self-join must stay gone: the only

@@ -18,13 +18,12 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
-  test("oracle SQL exists for every query or is explicitly absent") {
+  test("every query has a DuckDB oracle") {
+    // Since round 6 even q_sketch_builtin is oracle-checked (its output
+    // is deterministic error-bound booleans, not raw sketch values), so
+    // the oracle-less set must stay EMPTY — a new query without an
+    // oracle gets only the driver's weaker rows>0 smoke and fails here.
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // Queries without an oracle only get the driver's rows>0 smoke —
-    // keep the list deliberate. q_sketch_builtin surfaces Spark's own
-    // HLL++/percentile_approx sketches, whose layouts no other engine
-    // reproduces; KMinSpec bounds their error against exact aggregation.
-    assert(noOracle == Set("q_sketch_builtin"),
-      s"unexpected oracle-less queries: $noOracle")
+    assert(noOracle.isEmpty, s"unexpected oracle-less queries: $noOracle")
   }
 }
