@@ -48,4 +48,24 @@ class KafkaWireSpec extends SparkSpec {
       .withColumn("value", col("value").cast("binary"))
     assert(KafkaWire.parseEvents(wire).isStreaming)
   }
+
+  test("probe: .load() fails ONLY on the missing connector jar (KAFKA_PROBE.md)") {
+    // The end-to-end gap is ENVIRONMENTAL, not code: this executes
+    // `.load()` for real and pins the failure to DataSource.lookupDataSource
+    // (no spark-sql-kafka-0-10 on the classpath) — everything before the
+    // classpath lookup (option map, reader wiring) succeeded. If this
+    // test ever FAILS because load() worked, the sandbox gained the
+    // connector and the full broker round-trip test should replace it —
+    // see KAFKA_PROBE.md for the artifact inventory proving neither the
+    // connector, kafka-clients, nor a broker exists here.
+    val err = intercept[Exception] {
+      KafkaWire.reader(spark, KafkaWire.SourceConfig()).load()
+    }
+    val msg = (err.getMessage + Option(err.getCause).map(_.getMessage).getOrElse(""))
+      .toLowerCase
+    assert(msg.contains("kafka"), s"expected the kafka source lookup failure, got: $err")
+    assert(msg.contains("failed to find") || msg.contains("classnotfound") ||
+      msg.contains("data source"),
+      s"expected a classpath lookup failure (not a connection error): $err")
+  }
 }
