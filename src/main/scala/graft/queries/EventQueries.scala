@@ -421,32 +421,31 @@ object EventQueries {
     // STRICTLY AFTER that view, then the first purchase STRICTLY AFTER
     // that click — the semantics the approximate query above trades
     // away (a user whose first click precedes their first view but who
-    // re-clicked after viewing IS counted here). One extra
-    // conditional-min pass per step: pass k joins events to the
-    // per-user step-(k-1) firsts and min-aggregates on user_id again.
-    // Every pass shuffles on the SAME key over the SAME scan subtree,
-    // so ReuseExchange collapses the three fact shuffles into one
-    // physical exchange — step count adds aggregation passes, not scan
-    // or shuffle volume.
+    // re-clicked after viewing IS counted here). Shape: chained
+    // per-user window minima — step k's conditional min reads step
+    // k-1's column inside the SAME user partition, so the whole chain
+    // is ONE fact shuffle (hashpartitioning(user_id)) + one local sort,
+    // with each extra funnel step adding only a WindowExec pass over
+    // already-partitioned rows. (The join-per-step formulation re-scans
+    // and re-shuffles the fact once per step; plan-audited: no Join,
+    // exactly one fact exchange.)
     QueryDef(
       "q_events_funnel_ordered",
       t => {
-        val ev = t.events.select(col("user_id"), col("event_type"), col("ts"))
-        val v = ev.groupBy(col("user_id"))
-          .agg(min(when(col("event_type") === "view", col("ts"))).as("t_view"))
-        val c = ev.join(v, Seq("user_id"))
-          .groupBy(col("user_id"))
-          .agg(
-            max(col("t_view")).as("t_view"), // constant per user — carried
+        val byUser = Window.partitionBy(col("user_id"))
+        val w = t.events.select(col("user_id"), col("event_type"), col("ts"))
+          .withColumn("t_view",
+            min(when(col("event_type") === "view", col("ts"))).over(byUser))
+          .withColumn("t_click",
             min(when(col("event_type") === "click" && col("ts") > col("t_view"),
-              col("ts"))).as("t_click"))
-        val p = ev.join(c, Seq("user_id"))
-          .groupBy(col("user_id"))
-          .agg(
-            max(col("t_view")).as("t_view"),
-            max(col("t_click")).as("t_click"),
+              col("ts"))).over(byUser))
+          .withColumn("t_purchase",
             min(when(col("event_type") === "purchase" && col("ts") > col("t_click"),
-              col("ts"))).as("t_purchase"))
+              col("ts"))).over(byUser))
+        // One row per user (no exchange: already partitioned by user).
+        val p = w.groupBy(col("user_id"))
+          .agg(max(col("t_view")).as("t_view"), max(col("t_click")).as("t_click"),
+            max(col("t_purchase")).as("t_purchase"))
         p.select(
           count(lit(1)).as("users_total"),
           count(col("t_view")).as("did_view"),

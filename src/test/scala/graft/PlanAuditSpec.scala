@@ -196,6 +196,21 @@ class PlanAuditSpec extends SparkSpec {
       s"expected a distributed range sort for ranking:\n$plan")
   }
 
+  test("q_events_funnel_ordered: chained window minima — one fact shuffle, no join") {
+    val plan = formatted("q_events_funnel_ordered")
+    // Step k reads step k-1's column inside the same user partition: a
+    // Join here means the funnel regressed to re-shuffling the fact per
+    // step; more than one hashpartitioning exchange means the window
+    // chain lost its shared partitioning.
+    assert(!plan.contains("Join"),
+      s"ordered funnel regressed to a join per step:\n$plan")
+    // Formatted mode puts the partitioning in the node's Arguments line.
+    val exchanges = "hashpartitioning\\(".r.findAllIn(plan).size
+    assert(exchanges == 1,
+      s"expected exactly one fact exchange, saw $exchanges:\n$plan")
+    assert(plan.contains("Window"), s"window chain missing:\n$plan")
+  }
+
   test("q_rolling_revenue_7d: frame runs AFTER the per-day pre-aggregation") {
     val plan = formatted("q_rolling_revenue_7d")
     // The window must consume the day-level aggregate (~2.5k rows), not

@@ -77,6 +77,21 @@ class MergePrunedSpec extends SparkSpec {
     assert(snapshot(a) === snapshot(b))
   }
 
+  test("summary created from an EMPTY frame doesn't poison later pruned merges") {
+    // Spark writes a schema-only parquet file (zero row groups) for an
+    // empty DataFrame; footerKeyRange must treat it as a stats-less
+    // conservative hit, not crash on min()-of-empty / all-null stats
+    // (round-5 advice #1: this was an UnsupportedOperationException on
+    // every subsequent mergeSummaryPruned).
+    val (store, _) = freshStore()
+    store.mergeSummary(delta(Seq.empty[Long])) // summary = one empty file
+    val (a, _) = freshStore()
+    a.mergeSummary(delta(Seq(1L, 2L)))
+    val (rewritten, total) = store.mergeSummaryPruned(delta(Seq(1L, 2L)))
+    assert(snapshot(store) === snapshot(a))
+    assert(rewritten == total, "stats-less file must count as a rewrite hit")
+  }
+
   test("oversized delta falls back to the full merge") {
     val (a, _) = freshStore(); val (b, _) = freshStore()
     seed(a, 50); seed(b, 50)
