@@ -40,4 +40,18 @@ class PQIndexPlanAuditSpec extends SparkSpec {
     assert(cells.subsetOf(Set(0L, 3L)), s"pruned scan leaked cells: $cells")
     vecs.unpersist()
   }
+
+  test("q_embed_ivfpq_index_search: the SERVING plan scans pruned cells, no cross join") {
+    // The registered query (not just the raw scan helper): its plan must
+    // carry the probed-cell PartitionFilters at the codes table and stay
+    // free of cross joins — the shape a 100 TB deployment executes.
+    spark.sharedState.cacheManager.clearCache()
+    val df = graft.SparkEntry.queries("q_embed_ivfpq_index_search")(
+      spark, SparkSpec.Sf0001)
+    val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"probed cells did not reach the codes scan as partition filters:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"serving search regressed to a cross join:\n$plan")
+  }
 }
