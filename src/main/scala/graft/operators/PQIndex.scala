@@ -66,6 +66,28 @@ object PQIndex {
     v.unpersist()
   }
 
+  /** Incremental index maintenance: encode NEW corpus vectors with the
+    * STORED quantizers (coarse centroids + codebooks — training is not
+    * repeated) and append their codes into the cell-partitioned table.
+    * This is how a streaming 100 TB deployment keeps the index current:
+    * appends cost one encode pass over the delta, searches see the new
+    * vectors immediately via the same partition-pruned scan, and the
+    * quantizers are retrained only when drift warrants a full rebuild
+    * (FAISS's add() vs train() split). Parquet append to a partitioned
+    * table only touches the delta's cell directories.
+    */
+  def appendIVF(spark: SparkSession, vecs: DataFrame, dir: String,
+                dsub: Int): Unit = {
+    val coarse = loadCoarse(spark, dir)
+    val cbs = loadCodebooks(spark, dir)
+    vecs.select(col("vec_id"), col("e"))
+      .selectExpr("vec_id", "e", s"${VectorOps.normSq("e")} AS nsq")
+      .selectExpr("vec_id", "nsq",
+        s"${VectorOps.nearestCentroid(KMeans.literal(coarse), "e", "nsq")}.cl AS cell",
+        s"${PQ.encodeExpr(cbs, "e", dsub)} AS codes")
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/codes")
+  }
+
   private def loadCoarse(spark: SparkSession, dir: String): Seq[KMeans.Cent] =
     spark.read.parquet(s"$dir/coarse").select(col("cl"), col("c"), col("cnsq"))
       .collect()

@@ -67,5 +67,29 @@ class KafkaWireSpec extends SparkSpec {
     assert(msg.contains("failed to find") || msg.contains("classnotfound") ||
       msg.contains("data source"),
       s"expected a classpath lookup failure (not a connection error): $err")
+
+    // Sink side (S8), same boundary: the wire frame is built (toWire
+    // ran), writeStream is configured with the exact sink options, and
+    // only the provider lookup fails.
+    implicit val sc = spark.sqlContext
+    val spark0 = spark
+    import spark0.implicits._
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, String, Double, java.sql.Timestamp, String)]
+    val events = mem.toDF()
+      .toDF("event_id", "user_id", "event_type", "value", "ts", "props")
+    val sinkErr = intercept[Exception] {
+      KafkaWire.toWire(events, "yelp-reviews").writeStream
+        .format("kafka")
+        .options(KafkaWire.sinkOptions(KafkaWire.SinkConfig()))
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft_kchk").toString)
+        .start()
+    }
+    val sinkMsg = (sinkErr.getMessage +
+      Option(sinkErr.getCause).map(_.getMessage).getOrElse("")).toLowerCase
+    assert(sinkMsg.contains("kafka") &&
+      (sinkMsg.contains("failed to find") || sinkMsg.contains("classnotfound") ||
+        sinkMsg.contains("data source")),
+      s"expected the kafka sink lookup failure, got: $sinkErr")
   }
 }
