@@ -286,6 +286,52 @@ object PipelineQueries {
         GROUP BY source, bin
         ORDER BY source, bin""")),
 
+    // Token-window chunking: split each document into fixed-size token
+    // windows with overlap (64-token chunks, 48-token stride — the
+    // RAG-indexing / long-context-pretraining chunker; overlap keeps
+    // boundary-straddling passages retrievable). Pure MAP-SIDE: the
+    // window starts are a per-row sequence, the slices are array ops on
+    // the already-split tokens, so the explode multiplies rows by
+    // ~W/S ≈ 1.3 and nothing shuffles but the final ORDER BY. Chunk
+    // identity travels as an md5 fingerprint so the output stays narrow
+    // (a real pipeline would carry the chunk text or token ids to the
+    // tokenizer).
+    QueryDef(
+      "q_docs_chunk",
+      t => {
+        val W = 64 // window tokens
+        val S = 48 // stride (W − S = 16 tokens of overlap)
+        t.documents
+          .selectExpr("doc_id", s"$toks AS t")
+          .selectExpr("doc_id", "CAST(size(t) AS BIGINT) AS n_tokens",
+            s"""posexplode(transform(
+               |  sequence(0, CASE WHEN size(t) <= $W THEN 0
+               |    ELSE CAST(ceil((size(t) - $W) / CAST($S AS DOUBLE)) AS INT) END),
+               |  i -> named_struct(
+               |    'ct', CAST(size(slice(t, i * $S + 1, $W)) AS BIGINT),
+               |    'fp', md5(concat_ws(' ', slice(t, i * $S + 1, $W)))))) AS (chunk_id, c)""".stripMargin)
+          .selectExpr("doc_id", "n_tokens",
+            "CAST(chunk_id AS BIGINT) AS chunk_id",
+            "c.ct AS chunk_tokens", "c.fp AS chunk_fp")
+          .orderBy(col("doc_id"), col("chunk_id"))
+      },
+      Some(s"""
+        WITH tk AS (
+          SELECT doc_id, $duckToks AS t FROM documents
+        ),
+        ix AS (
+          SELECT doc_id, t, len(t) AS n_tokens,
+            unnest(generate_series(0, CASE WHEN len(t) <= 64 THEN 0
+              ELSE CAST(ceil((len(t) - 64) / 48.0) AS INT) END)) AS chunk_id
+          FROM tk
+        )
+        SELECT doc_id,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(chunk_id AS BIGINT) AS chunk_id,
+               CAST(len(t[chunk_id*48+1 : chunk_id*48+64]) AS BIGINT) AS chunk_tokens,
+               md5(array_to_string(t[chunk_id*48+1 : chunk_id*48+64], ' ')) AS chunk_fp
+        FROM ix ORDER BY doc_id, chunk_id""")),
+
     // End-to-end corpus build: the curation stages COMPOSED into one
     // declarative plan — quality gate → exact dedup (min-doc_id winner
     // per content fingerprint) → decontamination (drop docs overlapping
