@@ -368,52 +368,86 @@ object EmbeddingQueries {
     // bound (double-vs-decimal drift ≲ 1e-12).
     QueryDef(
       "q_embed_neardup",
-      t => {
-        val (bands, bits) = (8, 4)
-        val n = norms(t)
-          .selectExpr("vec_id", "label", "e", "nsq",
-            s"${VectorOps.bandBuckets("e", bands, bits, 64)} AS bks")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val keys = n.select(col("label"), col("vec_id"),
-          posexplode(col("bks")).as(Seq("band", "bucket")))
-        val cand = keys.as("x").join(keys.as("y"),
-            col("x.label") === col("y.label") &&
-              col("x.band") === col("y.band") &&
-              col("x.bucket") === col("y.bucket") &&
-              col("x.vec_id") < col("y.vec_id"))
-          .select(col("x.label").as("label"),
-            col("x.vec_id").as("a"), col("y.vec_id").as("b"))
-          .distinct()
-        val va = n.select(col("vec_id").as("a"), col("e").as("ea"), col("nsq").as("na"))
-        val vb = n.select(col("vec_id").as("b"), col("e").as("eb"), col("nsq").as("nb"))
-        cand.join(va, Seq("a")).join(vb, Seq("b"))
-          .withColumn("__approx",
-            expr(VectorOps.cosine("graft_dot(ea, eb)", "na", "nb")))
-          .filter(col("__approx") >= 0.34999)
-          .selectExpr("label", "a", "b",
-            s"round(${VectorOps.cosine(VectorOps.dot("ea", "eb"), "na", "nb")}, 6) AS cosine")
-          .filter(col("cosine") >= 0.35)
-          .orderBy(col("a"), col("b"))
-      },
-      Some {
-        val (bands, bits) = (8, 4)
-        val keyUnion = (0 until bands).map { band =>
-          s"SELECT vec_id, label, $band AS band, ${VectorOps.duckBandBucket("e", band, bits, 64)} AS bucket FROM n"
-        }.mkString("\n          UNION ALL ")
-        s"""
-        WITH n AS (SELECT vec_id, label, e, nsq FROM ${duckNorms(64)} z),
+      t => neardupPairs(t).orderBy(col("a"), col("b")),
+      Some(s"""
+        WITH $duckNeardupCtes
+        SELECT label, a, b, cosine FROM pairs ORDER BY a, b""")),
+
+    // Embedding near-dup pairs → semantic dedup GROUPS: the same
+    // min-label connected components that turn text near-dup pairs into
+    // clusters (q_dedup_components), here over the verified cosine
+    // graph — the "keep one per semantic cluster" decision a
+    // training-data pipeline makes after embedding-based dedup. Oracle:
+    // recursive reachability closure over the identical pair SQL.
+    QueryDef(
+      "q_embed_dedup_groups",
+      t => graft.operators.GraphOps.connectedComponents(
+          t.spark,
+          neardupPairs(t).select(col("a").as("src"), col("b").as("dst")),
+          maxIter = 20)
+        .select(col("node").as("vec_id"), col("component"))
+        .orderBy(col("vec_id")),
+      Some(s"""
+        WITH RECURSIVE $duckNeardupCtes,
+        edges AS (SELECT a s, b d FROM pairs UNION ALL SELECT b, a FROM pairs),
+        reach(node, lab) AS (
+          SELECT DISTINCT s, s FROM edges
+          UNION
+          SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.node)
+        SELECT node AS vec_id, MIN(lab) AS component
+        FROM reach GROUP BY node ORDER BY vec_id"""))
+  )
+
+  /** Banded-LSH candidate generation + two-phase cosine verify, shared
+    * by the pair report and the dedup-groups clustering. Pairs are
+    * within-label (the label gate keeps the candidate space honest on
+    * the synthetic fixture). */
+  private def neardupPairs(t: Tables): DataFrame = {
+    val (bands, bits) = (8, 4)
+    val n = norms(t)
+      .selectExpr("vec_id", "label", "e", "nsq",
+        s"${VectorOps.bandBuckets("e", bands, bits, 64)} AS bks")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keys = n.select(col("label"), col("vec_id"),
+      posexplode(col("bks")).as(Seq("band", "bucket")))
+    val cand = keys.as("x").join(keys.as("y"),
+        col("x.label") === col("y.label") &&
+          col("x.band") === col("y.band") &&
+          col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.label").as("label"),
+        col("x.vec_id").as("a"), col("y.vec_id").as("b"))
+      .distinct()
+    val va = n.select(col("vec_id").as("a"), col("e").as("ea"), col("nsq").as("na"))
+    val vb = n.select(col("vec_id").as("b"), col("e").as("eb"), col("nsq").as("nb"))
+    cand.join(va, Seq("a")).join(vb, Seq("b"))
+      .withColumn("__approx",
+        expr(VectorOps.cosine("graft_dot(ea, eb)", "na", "nb")))
+      .filter(col("__approx") >= 0.34999)
+      .selectExpr("label", "a", "b",
+        s"round(${VectorOps.cosine(VectorOps.dot("ea", "eb"), "na", "nb")}, 6) AS cosine")
+      .filter(col("cosine") >= 0.35)
+  }
+
+  /** The near-dup WITH blocks (through the verified `pairs` CTE),
+    * shared by the pair oracle and the groups-closure oracle. */
+  private lazy val duckNeardupCtes: String = {
+    val (bands, bits) = (8, 4)
+    val keyUnion = (0 until bands).map { band =>
+      s"SELECT vec_id, label, $band AS band, ${VectorOps.duckBandBucket("e", band, bits, 64)} AS bucket FROM n"
+    }.mkString("\n          UNION ALL ")
+    s"""n AS (SELECT vec_id, label, e, nsq FROM ${duckNorms(64)} z),
         keys AS (
           $keyUnion),
         cand AS (
           SELECT DISTINCT x.label, x.vec_id a, y.vec_id b
           FROM keys x JOIN keys y
             ON x.label = y.label AND x.band = y.band AND x.bucket = y.bucket
-              AND x.vec_id < y.vec_id)
-        SELECT c.label, c.a, c.b,
-          round(${VectorOps.duckDot("x.e", "y.e", 64)} / (sqrt(x.nsq) * sqrt(y.nsq)), 6) cosine
-        FROM cand c JOIN n x ON x.vec_id = c.a JOIN n y ON y.vec_id = c.b
-        WHERE round(${VectorOps.duckDot("x.e", "y.e", 64)} / (sqrt(x.nsq) * sqrt(y.nsq)), 6) >= 0.35
-        ORDER BY a, b"""
-      })
-  )
+              AND x.vec_id < y.vec_id),
+        pairs AS (
+          SELECT c.label, c.a, c.b,
+            round(${VectorOps.duckDot("x.e", "y.e", 64)} / (sqrt(x.nsq) * sqrt(y.nsq)), 6) cosine
+          FROM cand c JOIN n x ON x.vec_id = c.a JOIN n y ON y.vec_id = c.b
+          WHERE round(${VectorOps.duckDot("x.e", "y.e", 64)} / (sqrt(x.nsq) * sqrt(y.nsq)), 6) >= 0.35)"""
+  }
 }
