@@ -286,6 +286,59 @@ object PipelineQueries {
         GROUP BY source, bin
         ORDER BY source, bin""")),
 
+    // Corpus-statistics fluency scoring (the CCNet-style "does this doc
+    // look like the corpus" filter): per document, the mean corpus
+    // probability of its tokens and the fraction of corpus-rare tokens.
+    // NOTE the arithmetic is INTEGER sums + one final double division:
+    // the canonical formulation (mean log-prob / perplexity) needs
+    // ln(), which is not IEEE-exact — glibc and the JVM may differ in
+    // the last ulp, so a cross-engine hash gate cannot carry
+    // transcendentals (the repo's double discipline: only +,*,/,sqrt,
+    // all exactly specified by IEEE-754). mean_token_p ranks documents
+    // identically to mean token probability under any monotone
+    // transform, so the FILTER this feeds is unchanged.
+    //
+    // Scale shape: corpus term counts are one map-side-combined shuffle
+    // keyed by token (vocab-sized output); scoring re-joins the
+    // exploded tokens to the counts (token-keyed shuffle, or a
+    // broadcast once the Zipf head is pruned) and aggregates back per
+    // doc. Nothing quadratic, no text shuffled after the explode.
+    QueryDef(
+      "q_docs_token_rarity",
+      t => {
+        val RareDf = 2
+        val tk = t.documents.selectExpr("doc_id", s"explode($toks) AS tok")
+        val counts = tk.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        val total = counts.agg(sum(col("cnt")).cast("long").as("total"))
+        tk.join(counts, Seq("tok"))
+          .groupBy(col("doc_id"))
+          .agg(
+            count(lit(1)).as("n_tokens"),
+            sum(col("cnt")).as("sum_cnt"),
+            count(when(col("cnt") <= RareDf, lit(1))).as("rare_cnt"))
+          .crossJoin(broadcast(total)) // 1-row scalar frame
+          .selectExpr(
+            "doc_id",
+            "CAST(n_tokens AS BIGINT) AS n_tokens",
+            // sum_cnt/(n·total): one IEEE-exact division over exact ints
+            "round(CAST(sum_cnt AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * CAST(total AS DOUBLE)), 9) AS mean_token_p",
+            "round(CAST(rare_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS rare_frac")
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH tk AS (
+          SELECT doc_id, unnest($duckToks) AS tok FROM documents
+        ),
+        counts AS (SELECT tok, COUNT(*) AS cnt FROM tk GROUP BY tok),
+        total AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM counts)
+        SELECT tk.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               round(CAST(SUM(c.cnt) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * CAST(MAX(total.total) AS DOUBLE)), 9) AS mean_token_p,
+               round(CAST(COUNT(CASE WHEN c.cnt <= 2 THEN 1 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS rare_frac
+        FROM tk JOIN counts c USING (tok) CROSS JOIN total
+        GROUP BY tk.doc_id
+        ORDER BY tk.doc_id""")),
+
     // Token-window chunking: split each document into fixed-size token
     // windows with overlap (64-token chunks, 48-token stride — the
     // RAG-indexing / long-context-pretraining chunker; overlap keeps
