@@ -367,6 +367,54 @@ object EventQueries {
         GROUP BY n.n_name
         ORDER BY nation""")),
 
+    // Join-key skew diagnostics — the report you run BEFORE deciding to
+    // salt (q_events_salted_nation is the remedy; this is the
+    // diagnosis): the heaviest keys with their share of the fact table
+    // and their ratio to the median key, plus the global key-count
+    // distribution. Per-key counts are ONE map-side-combined shuffle
+    // (vocab-of-keys output); the distribution stats are a second pass
+    // over that key frame, the top-k is a TakeOrdered, and the 1-row
+    // stats frame broadcasts onto the winners.
+    QueryDef(
+      "q_events_key_skew",
+      t => {
+        val perKey = t.events.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("cnt"))
+        val stats = perKey.agg(
+          sum(col("cnt")).cast("long").as("total"),
+          count(lit(1)).cast("long").as("n_keys"),
+          round(expr("percentile(cnt, 0.5)"), 6).as("p50_cnt"),
+          round(expr("percentile(cnt, 0.99)"), 6).as("p99_cnt"))
+        perKey.orderBy(col("cnt").desc, col("user_id")).limit(10)
+          .crossJoin(broadcast(stats)) // 1-row scalar frame
+          .selectExpr(
+            "user_id", "CAST(cnt AS BIGINT) AS cnt",
+            "round(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share",
+            "total AS total_events", "n_keys", "p50_cnt", "p99_cnt",
+            "round(CAST(cnt AS DOUBLE) / p50_cnt, 6) AS skew_vs_median")
+          .orderBy(col("cnt").desc, col("user_id"))
+      },
+      Some("""
+        WITH pk AS (
+          SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id
+        ),
+        st AS (
+          SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+                 CAST(COUNT(*) AS BIGINT) AS n_keys,
+                 round(quantile_cont(cnt, 0.5), 6) AS p50_cnt,
+                 round(quantile_cont(cnt, 0.99), 6) AS p99_cnt
+          FROM pk
+        ),
+        top AS (
+          SELECT user_id, cnt FROM pk ORDER BY cnt DESC, user_id LIMIT 10
+        )
+        SELECT t.user_id, CAST(t.cnt AS BIGINT) AS cnt,
+               round(CAST(t.cnt AS DOUBLE) / CAST(st.total AS DOUBLE), 6) AS share,
+               st.total AS total_events, st.n_keys, st.p50_cnt, st.p99_cnt,
+               round(CAST(t.cnt AS DOUBLE) / st.p50_cnt, 6) AS skew_vs_median
+        FROM top t CROSS JOIN st
+        ORDER BY cnt DESC, user_id""")),
+
     // Step funnel, FIRST-OCCURRENCES-ORDERED approximation: view →
     // click → purchase compared on each step's global first occurrence.
     // ONE shuffle regardless of step count — the cheapest funnel shape,
