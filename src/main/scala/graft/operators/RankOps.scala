@@ -77,6 +77,85 @@ object RankOps {
     (rn, acc)
   }
 
+  /** Exact interpolated percentiles (type-7, the `percentile` /
+    * `quantile_cont` definition: h = (n−1)q + 1 over the sorted values,
+    * linear interpolation between ranks ⌊h⌋ and ⌈h⌉) computed WITHOUT
+    * buffering the value set: Spark's exact `percentile` aggregate
+    * holds every value of the group in ONE aggregation buffer — a
+    * straight OOM once the ranked frame is a billion rows — whereas
+    * this is a distributed range sort + a filter to the ≤ 2·|qs|
+    * boundary ranks (bounded driver state). Ties need no rule: rank
+    * positions are unique even when values repeat.
+    *
+    * Returns (n, q → value); NaN values when the frame is empty. The
+    * interpolation arithmetic matches both engines' formula shape
+    * (lower + frac·(upper − lower), IEEE-exact given exact inputs).
+    */
+  def exactPercentiles(df: DataFrame, value: Column, qs: Seq[Double],
+                       partitions: Int = 0): (Long, Map[Double, Double]) = {
+    val (rn, n) = withGlobalRowNumberAndTotal(
+      df.select(value.cast("double").as("__v")), Seq(col("__v")), "__rn", partitions)
+    if (n == 0) return (0L, qs.map(_ -> Double.NaN).toMap)
+    // 0-based h = (n−1)·q, exactly the double expression Spark's
+    // Percentile and DuckDB's quantile_cont evaluate — a 1-based
+    // (h+1) variant differs in the last ulp after the extra add.
+    val targets = qs.map { q =>
+      val h = (n - 1) * q
+      val lo = math.floor(h).toLong
+      (q, lo + 1, math.min(lo + 2, n), h - lo)
+    }
+    val need = targets.flatMap(t => Seq(t._2, t._3)).distinct
+    val vals = rn.filter(col("__rn").isin(need: _*))
+      .select(col("__rn"), col("__v"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val out = targets.map { case (q, lo, hi, f) =>
+      q -> (vals(lo) + f * (vals(hi) - vals(lo)))
+    }.toMap
+    (n, out)
+  }
+
+  /** Grouped exact type-7 percentiles, distributed: one global ranking
+    * ordered by (group, value) — each group is a CONTIGUOUS rank span,
+    * split across range partitions when the group outgrows one (the
+    * scale property the buffering `percentile` aggregate and even a
+    * partitioned window lack: no task ever owns a whole group). The
+    * per-group spans (start offset, size) come from one bounded
+    * aggregate over the ranked frame (|groups| rows), the boundary
+    * ranks from one filter (≤ 2·|qs| rows per group). Intended for
+    * dimension-keyed groupings where |groups| is driver-bounded.
+    *
+    * Returns group → (group row count, q → value).
+    */
+  def exactPercentilesBy(df: DataFrame, group: Column, value: Column,
+                         qs: Seq[Double], partitions: Int = 0)
+      : Map[Any, (Long, Map[Double, Double])] = {
+    val base = df.select(group.as("__g"), value.cast("double").as("__v"))
+    val (rn, total) = withGlobalRowNumberAndTotal(
+      base, Seq(col("__g"), col("__v")), "__rn", partitions)
+    if (total == 0) return Map.empty
+    val spans = rn.groupBy(col("__g"))
+      .agg(count(lit(1)).as("n"), min(col("__rn")).as("start"))
+      .collect().map(r => (r.get(0), r.getLong(1), r.getLong(2)))
+    val targets = spans.flatMap { case (g, n, start) =>
+      qs.map { q =>
+        // 0-based h, same expression both engines evaluate (see
+        // exactPercentiles).
+        val h = (n - 1) * q
+        val lo = math.floor(h).toLong
+        (g, q, start + lo, math.min(start + lo + 1, start + n - 1), h - lo)
+      }
+    }
+    val need = targets.flatMap(t => Seq(t._3, t._4)).distinct.toSeq
+    val vals = rn.filter(col("__rn").isin(need: _*))
+      .select(col("__rn"), col("__v"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    spans.map { case (g, n, _) =>
+      g -> (n, targets.filter(_._1 == g).map { case (_, q, lo, hi, f) =>
+        q -> (vals(lo) + f * (vals(hi) - vals(lo)))
+      }.toMap)
+    }.toMap
+  }
+
   /** `df` plus `out` = ntile(`tiles`) over the unique `order` — same
     * semantics as `ntile(n).over(Window.orderBy(order))` (first
     * `total % n` tiles get the extra row), computed distributed:

@@ -372,26 +372,35 @@ object EventQueries {
     // diagnosis): the heaviest keys with their share of the fact table
     // and their ratio to the median key, plus the global key-count
     // distribution. Per-key counts are ONE map-side-combined shuffle
-    // (vocab-of-keys output); the distribution stats are a second pass
-    // over that key frame, the top-k is a TakeOrdered, and the 1-row
-    // stats frame broadcasts onto the winners.
+    // (vocab-of-keys output, persisted — it feeds three passes); the
+    // p50/p99 come from RankOps.exactPercentiles — a distributed range
+    // sort + boundary-rank lookup, NOT Spark's exact `percentile`
+    // aggregate, which buffers every value in one aggregation buffer
+    // (the single-task shape this suite deliberately avoids); the top-k
+    // is a TakeOrdered; the totals ride as literals.
     QueryDef(
       "q_events_key_skew",
       t => {
         val perKey = t.events.groupBy(col("user_id"))
           .agg(count(lit(1)).as("cnt"))
-        val stats = perKey.agg(
-          sum(col("cnt")).cast("long").as("total"),
-          count(lit(1)).cast("long").as("n_keys"),
-          round(expr("percentile(cnt, 0.5)"), 6).as("p50_cnt"),
-          round(expr("percentile(cnt, 0.99)"), 6).as("p99_cnt"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val (nKeys, pcts) = graft.operators.RankOps
+          .exactPercentiles(perKey, col("cnt"), Seq(0.5, 0.99))
+        val total = perKey.agg(sum(col("cnt"))).collect()(0).getLong(0)
+        // The exact unrounded percentiles ride as round-trippable double
+        // literals; rounding happens IN the engine (round parity with
+        // the oracle), and the skew ratio divides by the ROUNDED median
+        // exactly as the oracle's CTE does.
         perKey.orderBy(col("cnt").desc, col("user_id")).limit(10)
-          .crossJoin(broadcast(stats)) // 1-row scalar frame
           .selectExpr(
             "user_id", "CAST(cnt AS BIGINT) AS cnt",
-            "round(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share",
-            "total AS total_events", "n_keys", "p50_cnt", "p99_cnt",
-            "round(CAST(cnt AS DOUBLE) / p50_cnt, 6) AS skew_vs_median")
+            s"round(CAST(cnt AS DOUBLE) / CAST($total AS DOUBLE), 6) AS share",
+            s"CAST($total AS BIGINT) AS total_events",
+            s"CAST($nKeys AS BIGINT) AS n_keys",
+            s"round(CAST('${pcts(0.5)}' AS DOUBLE), 6) AS p50_cnt",
+            s"round(CAST('${pcts(0.99)}' AS DOUBLE), 6) AS p99_cnt")
+          .withColumn("skew_vs_median",
+            round(col("cnt").cast("double") / col("p50_cnt"), 6))
           .orderBy(col("cnt").desc, col("user_id"))
       },
       Some("""

@@ -611,13 +611,27 @@ object Warehouse {
     // values are engine-identical (approx sketches would not be).
     QueryDef(
       "q_percentiles",
-      t => t.orders
-        .groupBy(col("o_orderpriority"))
-        .agg(
-          round(expr("percentile(o_totalprice, 0.5)"), 6).as("median_price"),
-          round(expr("percentile(o_totalprice, 0.9)"), 6).as("p90_price"),
-          count(lit(1)).as("order_cnt"))
-        .orderBy(col("o_orderpriority")),
+      // Exact grouped percentiles WITHOUT the buffering aggregate:
+      // Spark's `percentile` holds every group value in one aggregation
+      // buffer (a fifth of the fact table per buffer here — OOM at
+      // scale); RankOps.exactPercentilesBy ranks (group, value) in one
+      // distributed range sort where a big group SPANS partitions, then
+      // reads back only the boundary ranks. The exact values ride as
+      // round-trippable literals and round in-engine.
+      t => {
+        val stats = graft.operators.RankOps.exactPercentilesBy(
+          t.orders, col("o_orderpriority"), col("o_totalprice"), Seq(0.5, 0.9))
+        val rows = stats.toSeq
+          .map { case (g, (n, p)) => (g.asInstanceOf[String], p(0.5), p(0.9), n) }
+          .sortBy(_._1)
+        import t.spark.implicits._
+        rows.toDF("o_orderpriority", "__p50", "__p90", "order_cnt")
+          .selectExpr("o_orderpriority",
+            "round(__p50, 6) AS median_price",
+            "round(__p90, 6) AS p90_price",
+            "CAST(order_cnt AS BIGINT) AS order_cnt")
+          .orderBy(col("o_orderpriority"))
+      },
       Some("""
         SELECT o_orderpriority,
           round(quantile_cont(o_totalprice, 0.5), 6) AS median_price,

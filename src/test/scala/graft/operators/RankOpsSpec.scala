@@ -44,6 +44,38 @@ class RankOpsSpec extends SparkSpec {
     }
   }
 
+  test("exactPercentiles matches Spark's buffering percentile aggregate bit-for-bit") {
+    for (n <- Seq(1, 2, 17, 103, 1000)) {
+      // Ties included: values repeat every 11 — values-at-rank stay
+      // deterministic regardless of tie order.
+      val df = fixture(n).select(col("v").cast("double").as("x"))
+      val (cnt, got) = RankOps.exactPercentiles(df, col("x"), Seq(0.5, 0.9, 0.99))
+      val want = df.agg(expr("percentile(x, array(0.5, 0.9, 0.99))")).collect()(0)
+        .getSeq[Double](0)
+      assert(cnt == df.count())
+      assert(got(0.5) == want(0), s"n=$n p50")
+      assert(got(0.9) == want(1), s"n=$n p90")
+      assert(got(0.99) == want(2), s"n=$n p99")
+      spark.sharedState.cacheManager.clearCache()
+    }
+  }
+
+  test("exactPercentilesBy matches the grouped percentile aggregate bit-for-bit") {
+    val df = fixture(500)
+      .select((col("id") % 7).as("g"), col("v").cast("double").as("x"))
+    val got = RankOps.exactPercentilesBy(df, col("g"), col("x"), Seq(0.5, 0.9))
+    val want = df.groupBy(col("g"))
+      .agg(expr("percentile(x, array(0.5, 0.9))").as("p"), count(lit(1)).as("n"))
+      .collect().map(r => r.get(0) -> (r.getSeq[Double](1), r.getLong(2))).toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (g, (p, n)) =>
+      val (gn, gp) = got(g)
+      assert(gn == n, s"g=$g count")
+      assert(gp(0.5) == p(0) && gp(0.9) == p(1), s"g=$g values")
+    }
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("row numbers are a permutation of 1..n regardless of partition skew") {
     val df = fixture(103)
     // More partitions than rows → many empty range partitions.
