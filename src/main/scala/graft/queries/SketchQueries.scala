@@ -158,21 +158,32 @@ object SketchQueries {
     //     the exact interpolated percentiles ±1% of rank — a 10× margin.
     QueryDef(
       "q_sketch_builtin",
-      t => t.events
-        .groupBy(col("event_type"))
-        .agg(
-          countDistinct(col("user_id")).as("exact_d"),
-          approx_count_distinct(col("user_id"), rsd = 0.02).as("hll"),
-          percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50s"),
-          percentile_approx(col("value"), lit(0.95), lit(1000)).as("p95s"),
-          expr("percentile(value, array(0.49, 0.51, 0.94, 0.96))").as("pb"))
-        .selectExpr(
-          "event_type",
-          "CAST(exact_d AS BIGINT) AS exact_distinct",
-          "abs(CAST(hll AS DOUBLE) - CAST(exact_d AS DOUBLE)) <= 0.06 * CAST(exact_d AS DOUBLE) AS hll_ok",
-          "p50s BETWEEN pb[0] AND pb[1] AS p50_ok",
-          "p95s BETWEEN pb[2] AND pb[3] AS p95_ok")
-        .orderBy(col("event_type")),
+      t => {
+        // The exact percentile brackets come from the distributed
+        // ranking machinery (RankOps.exactPercentilesBy), not from the
+        // buffering `percentile` aggregate — the error-bound harness
+        // must not itself carry a does-not-scale aggregation buffer.
+        val brackets = graft.operators.RankOps.exactPercentilesBy(
+          t.events, col("event_type"), col("value"),
+          Seq(0.49, 0.51, 0.94, 0.96))
+        val bracketCase = (q: Double) => brackets.toSeq
+          .map { case (g, (_, p)) => s"WHEN '${g.toString}' THEN CAST('${p(q)}' AS DOUBLE)" }
+          .mkString("CASE event_type ", " ", " END")
+        t.events
+          .groupBy(col("event_type"))
+          .agg(
+            countDistinct(col("user_id")).as("exact_d"),
+            approx_count_distinct(col("user_id"), rsd = 0.02).as("hll"),
+            percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50s"),
+            percentile_approx(col("value"), lit(0.95), lit(1000)).as("p95s"))
+          .selectExpr(
+            "event_type",
+            "CAST(exact_d AS BIGINT) AS exact_distinct",
+            "abs(CAST(hll AS DOUBLE) - CAST(exact_d AS DOUBLE)) <= 0.06 * CAST(exact_d AS DOUBLE) AS hll_ok",
+            s"p50s BETWEEN ${bracketCase(0.49)} AND ${bracketCase(0.51)} AS p50_ok",
+            s"p95s BETWEEN ${bracketCase(0.94)} AND ${bracketCase(0.96)} AS p95_ok")
+          .orderBy(col("event_type"))
+      },
       Some("""
         SELECT event_type,
           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
