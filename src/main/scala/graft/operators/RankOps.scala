@@ -29,6 +29,30 @@ object RankOps {
 
   private val LocalBits = 33 // monotonically_increasing_id: pid << 33 | local
 
+  /** Above this many boundary ranks the literal `isin` list stops being
+    * a sane plan node (it is compiled into the predicate); fetch via a
+    * broadcast semi-join on a ranks frame instead. Keeps the operator's
+    * contract self-enforcing when a caller passes a high-cardinality
+    * grouping (2·|qs|·|groups| boundary ranks). */
+  private[operators] val IsinFetchMax = 512
+
+  /** Fetch the `__v` value at each needed global rank. Small lists ride
+    * as an `isin` literal (partition-prunable after the range sort);
+    * large lists become a broadcast semi-join so the plan never carries
+    * a multi-thousand-entry predicate. Either way the collect is
+    * ≤ |need| boundary rows — bounded driver state by construction. */
+  private def fetchRankValues(rn: DataFrame, need: Seq[Long]): Map[Long, Double] = {
+    val picked =
+      if (need.size <= IsinFetchMax) rn.filter(col("__rn").isin(need: _*))
+      else {
+        val spark = rn.sparkSession
+        import spark.implicits._
+        rn.join(broadcast(need.toDF("__rn")), Seq("__rn"), "left_semi")
+      }
+    picked.select(col("__rn"), col("__v"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+  }
+
   /** `df` plus `out` = exact 1-based global row number in the `order`
     * total order. The returned frame is persisted (the range shuffle
     * feeds both the offsets count and the main plan); the caller's
@@ -90,11 +114,18 @@ object RankOps {
     * Returns (n, q → value); NaN values when the frame is empty. The
     * interpolation arithmetic matches both engines' formula shape
     * (lower + frac·(upper − lower), IEEE-exact given exact inputs).
+    *
+    * NULL values are dropped before ranking (and n counts only non-null
+    * rows) — the semantics of the aggregates this replaces: Spark's
+    * `percentile` and DuckDB's `quantile_cont` both ignore NULLs, so a
+    * drop-in replacement must too (ranking them would inflate n and can
+    * land a boundary rank on a NULL row).
     */
   def exactPercentiles(df: DataFrame, value: Column, qs: Seq[Double],
                        partitions: Int = 0): (Long, Map[Double, Double]) = {
     val (rn, n) = withGlobalRowNumberAndTotal(
-      df.select(value.cast("double").as("__v")), Seq(col("__v")), "__rn", partitions)
+      df.select(value.cast("double").as("__v")).filter(col("__v").isNotNull),
+      Seq(col("__v")), "__rn", partitions)
     if (n == 0) return (0L, qs.map(_ -> Double.NaN).toMap)
     // 0-based h = (n−1)·q, exactly the double expression Spark's
     // Percentile and DuckDB's quantile_cont evaluate — a 1-based
@@ -105,9 +136,7 @@ object RankOps {
       (q, lo + 1, math.min(lo + 2, n), h - lo)
     }
     val need = targets.flatMap(t => Seq(t._2, t._3)).distinct
-    val vals = rn.filter(col("__rn").isin(need: _*))
-      .select(col("__rn"), col("__v"))
-      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val vals = fetchRankValues(rn, need)
     val out = targets.map { case (q, lo, hi, f) =>
       q -> (vals(lo) + f * (vals(hi) - vals(lo)))
     }.toMap
@@ -122,7 +151,14 @@ object RankOps {
     * per-group spans (start offset, size) come from one bounded
     * aggregate over the ranked frame (|groups| rows), the boundary
     * ranks from one filter (≤ 2·|qs| rows per group). Intended for
-    * dimension-keyed groupings where |groups| is driver-bounded.
+    * dimension-keyed groupings where |groups| is driver-bounded; above
+    * [[IsinFetchMax]] boundary ranks the fetch switches to a broadcast
+    * semi-join automatically, so a high-cardinality grouping degrades to
+    * a still-correct plan instead of a pathological literal predicate.
+    *
+    * NULL values are dropped before ranking (group row counts are
+    * non-null counts) — matching `percentile` / `quantile_cont`; see
+    * [[exactPercentiles]].
     *
     * Returns group → (group row count, q → value).
     */
@@ -130,6 +166,7 @@ object RankOps {
                          qs: Seq[Double], partitions: Int = 0)
       : Map[Any, (Long, Map[Double, Double])] = {
     val base = df.select(group.as("__g"), value.cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
     val (rn, total) = withGlobalRowNumberAndTotal(
       base, Seq(col("__g"), col("__v")), "__rn", partitions)
     if (total == 0) return Map.empty
@@ -146,9 +183,7 @@ object RankOps {
       }
     }
     val need = targets.flatMap(t => Seq(t._3, t._4)).distinct.toSeq
-    val vals = rn.filter(col("__rn").isin(need: _*))
-      .select(col("__rn"), col("__v"))
-      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val vals = fetchRankValues(rn, need)
     spans.map { case (g, n, _) =>
       g -> (n, targets.filter(_._1 == g).map { case (_, q, lo, hi, f) =>
         q -> (vals(lo) + f * (vals(hi) - vals(lo)))

@@ -76,6 +76,55 @@ class RankOpsSpec extends SparkSpec {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("exactPercentiles ignores NULLs exactly like the percentile aggregate") {
+    // 1 in 3 values NULL: n must be the non-null count and no boundary
+    // rank may land on a NULL row (the aggregate it replaces skips them).
+    val df = (0 until 200)
+      .map(i => (i, if (i % 3 == 0) None else Some(((i * 37) % 91).toDouble)))
+      .toDF("id", "x")
+    val (cnt, got) = RankOps.exactPercentiles(df, col("x"), Seq(0.25, 0.5, 0.95))
+    val want = df.agg(expr("percentile(x, array(0.25, 0.5, 0.95))")).collect()(0)
+      .getSeq[Double](0)
+    assert(cnt == df.filter(col("x").isNotNull).count())
+    assert(got(0.25) == want(0) && got(0.5) == want(1) && got(0.95) == want(2))
+    // Grouped variant: per-group n is the non-null count too.
+    val gGot = RankOps.exactPercentilesBy(df, col("id") % 4, col("x"), Seq(0.5))
+    val gWant = df.groupBy((col("id") % 4).as("g"))
+      .agg(expr("percentile(x, 0.5)").as("p"), count(col("x")).as("n"))
+      .collect().map(r => r.get(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(gGot.keySet == gWant.keySet)
+    gWant.foreach { case (g, (p, n)) =>
+      val (gn, gp) = gGot(g)
+      assert(gn == n && gp(0.5) == p, s"g=$g")
+    }
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("high-cardinality grouping takes the semi-join fetch path, same values") {
+    // 400 groups × 2 qs × 2 boundary ranks ≈ 1600 needed ranks —
+    // well past IsinFetchMax, so fetchRankValues must switch to the
+    // broadcast semi-join and still return bit-identical percentiles.
+    val df = (0 until 4000)
+      .map(i => (i % 400, ((i * 37) % 997).toDouble)).toDF("g", "x")
+    assert(400 * 2 * 2 > RankOps.IsinFetchMax)
+    val got = RankOps.exactPercentilesBy(df, col("g"), col("x"), Seq(0.5, 0.9))
+    val want = df.groupBy(col("g"))
+      .agg(expr("percentile(x, array(0.5, 0.9))").as("p"))
+      .collect().map(r => r.get(0) -> r.getSeq[Double](1)).toMap
+    assert(got.size == 400)
+    // Spark's Percentile interpolates as (1−f)·lo + f·hi; RankOps (and
+    // DuckDB's quantile_cont, the committed oracle target) as
+    // lo + f·(hi−lo). The forms differ only in the final ulp, so this
+    // cross-engine check is ulp-tolerant — exact parity with DuckDB is
+    // what the q_percentiles hash gate asserts.
+    def ulpEq(a: Double, b: Double) = (a - b).abs <= 2 * math.ulp(a.abs.max(b.abs))
+    want.foreach { case (g, p) =>
+      val (_, gp) = got(g)
+      assert(ulpEq(gp(0.5), p(0)) && ulpEq(gp(0.9), p(1)), s"g=$g")
+    }
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("row numbers are a permutation of 1..n regardless of partition skew") {
     val df = fixture(103)
     // More partitions than rows → many empty range partitions.
