@@ -68,8 +68,14 @@ object Bench {
       val w = new java.io.PrintWriter(new java.io.File("bench.json"))
       try w.println(json) finally w.close()
     } catch { case _: Throwable => () }
+    graft.operators.Stages.drop(spark) // release staged frames/index dirs
     spark.stop()
     // Printed LAST so nothing from Spark shutdown interleaves after it.
-    println(json)
+    // COMPACT form (no reps_raw): the driver captures a bounded tail of
+    // sbt output and the full line has outgrown it (r6's round artifact
+    // carried parsed:null with the line's head clipped); the per-rep
+    // samples stay in bench.json, which is committed per round.
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"action":"noop-write","stat":"median","raw_in":"bench.json"}""")
   }
 }

@@ -43,6 +43,7 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    graft.operators.Stages.drop(spark) // release staged frames/index dirs
     spark.stop()
   }
 }

@@ -1,0 +1,263 @@
+package graft.operators
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Persistent, INCREMENTALLY MAINTAINED text near-dup index: the
+  * lifecycle form of the n-gram Jaccard pipeline in
+  * queries/DedupQueries.scala. `build` mines a corpus once and persists
+  * the DF-capped shingle index, the verified pairs, and the dedup
+  * components as parquet stage tables; `append` ingests a new slice by
+  * mining ONLY new×all candidates — the existing corpus is never
+  * re-paired — and folds the new pairs into the stored components by
+  * re-running min-label propagation on the AFFECTED components only.
+  *
+  * This is the dedup-on-ingest shape of the reference's `INSERT IGNORE`
+  * loader (reference init/mysql_loader.py:435-439 — incremental by
+  * construction because MySQL keeps the unique index current per row);
+  * at 100 TB a crawl slice lands as a delta batch, and re-mining the
+  * whole corpus per slice (what a session-scoped stage forces) is the
+  * difference between an hourly ingest and an impossible one. The
+  * embedding twin is [[PQIndex.appendIVF]] (FAISS's add()/train()
+  * split); this is the text side.
+  *
+  * Append-path parity with full recompute is EXACT, including the one
+  * subtle case: a shingle whose document frequency crosses the cap
+  * BECAUSE of the delta (rare → hot). Full recompute would drop it from
+  * the index, which can retroactively de-candidate a stored pair whose
+  * only shared rare shingles all went hot. `append` detects those
+  * shingles, rechecks just the stored pairs whose BOTH endpoints carried
+  * one (a pair can only lose candidacy through a shingle both docs
+  * contain, so the recheck set is bounded by the delta), and drops the
+  * ones with no surviving rare witness — byte-for-byte the pairs a
+  * from-scratch mine of the final corpus produces (spec-asserted, and
+  * the q_dedup_incremental oracle replays full-corpus semantics).
+  *
+  * Layout under `dir`:
+  *   - `docs`:       (doc_id, shs array<string>) — per-doc shingle sets
+  *     (the verify join's input; parquet-append per delta).
+  *   - `groups`:     (sh, ids array<bigint> | NULL, df bigint) — the
+  *     DF-capped inverted index WITH the true document frequency: `df`
+  *     is what lets an append decide rare/hot for the MERGED corpus
+  *     without recounting it.
+  *   - `pairs`:      (a, b, jaccard) — verified near-dup pairs.
+  *   - `components`: (doc_id, component) — min-label dedup clusters.
+  */
+object DedupIndex {
+
+  /** Pair expansion over capped groups: every a<b pair inside each
+    * rare group, with `c_rare` = number of groups the pair shares.
+    * Groups are ≤ cap ids by construction, so this is a bounded
+    * map-side array op (shared with DedupQueries.pairCounts — the
+    * one-shot pipeline and the index build mine identically). */
+  private[graft] def pairCounts(grouped: DataFrame): DataFrame =
+    grouped
+      .filter(col("ids").isNotNull && size(col("ids")) >= 2)
+      .selectExpr("""explode(flatten(transform(ids,
+        (a, i) -> transform(slice(ids, i + 2, size(ids)),
+                            b -> named_struct('a', a, 'b', b))))) AS p""")
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("c_rare"))
+
+  /** DF-capped index with true document frequency, one shuffle:
+    * `graft_collect_capped` bounds aggregation state at cap+1 ids (hot
+    * shingles collapse to NULL inside the aggregate), `count` rides the
+    * same grouping. `inv` rows must be distinct (doc_id, sh) — true for
+    * shingle sets — so df is the document frequency. */
+  private def groupsWithDf(inv: DataFrame, cap: Int): DataFrame =
+    inv.groupBy(col("sh"))
+      .agg(expr(s"graft_collect_capped(doc_id, $cap)").as("ids"),
+        count(lit(1)).as("df"))
+
+  private def inv(docs: DataFrame): DataFrame =
+    docs.selectExpr("doc_id", "explode(shs) AS sh")
+
+  /** Exact-Jaccard verify of candidate pairs against the full shingle
+    * sets (the step that DEFINES the output; candidates only gate what
+    * gets verified). */
+  private def verify(cands: DataFrame, docs: DataFrame): DataFrame =
+    cands
+      .join(docs.select(col("doc_id").as("a"), col("shs").as("sa")), "a")
+      .join(docs.select(col("doc_id").as("b"), col("shs").as("sb")), "b")
+      .withColumn("c", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("jaccard",
+        round(col("c") / (size(col("sa")) + size(col("sb")) - col("c")).cast("double"), 6))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("a"), col("b"), col("jaccard"))
+
+  /** Mine + persist the full index for `docs` (doc_id, shs; shingles
+    * distinct per doc). Candidate generation and verification follow
+    * the one-shot pipeline exactly (DF cap before pair expansion, exact
+    * Jaccard on full sets — see DedupQueries for the scale rationale). */
+  def build(spark: SparkSession, docs: DataFrame, dir: String, cap: Int,
+            maxIter: Int = 20): Unit = {
+    val d = docs.select(col("doc_id"), col("shs"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    d.write.mode("overwrite").parquet(s"$dir/docs")
+    val grouped = groupsWithDf(inv(d), cap)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    grouped.write.mode("overwrite").parquet(s"$dir/groups")
+    val pairs = verify(pairCounts(grouped).select(col("a"), col("b")), d)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    pairs.write.mode("overwrite").parquet(s"$dir/pairs")
+    GraphOps.connectedComponents(spark,
+        pairs.select(col("a").as("src"), col("b").as("dst")), maxIter)
+      .select(col("node").as("doc_id"), col("component"))
+      .write.mode("overwrite").parquet(s"$dir/components")
+    pairs.unpersist(); grouped.unpersist(); d.unpersist()
+  }
+
+  /** Ingest a delta batch: mine new×all candidates only, fold verified
+    * new pairs into the stored components, keep exact full-recompute
+    * parity (see object doc for the rare→hot recheck).
+    *
+    * Contract: `newDocs` doc_ids must be unseen (checked — the parquet
+    * append has no key constraint to catch a duplicate, and a silent
+    * double-insert would corrupt every downstream count; the check is a
+    * delta-broadcast semi-join against the stored ids, the same price
+    * the reference pays for its unique index on every INSERT IGNORE).
+    *
+    * Scale notes: the delta's candidate EXPANSION touches only groups
+    * containing a delta shingle (semi-join on the delta's shingle keys
+    * — in a production layout `groups` is bucketed by `sh` so this is a
+    * co-located, pruned lookup), and every mined pair has ≥1 new
+    * endpoint — old×old pairs were either already stored or already
+    * rejected, and document frequencies only grow, so an old×old pair's
+    * candidacy cannot improve. The verify join is candidate-bounded. */
+  def append(spark: SparkSession, newDocs: DataFrame, dir: String, cap: Int,
+             maxIter: Int = 20): Unit = {
+    val nd = newDocs.select(col("doc_id"), col("shs"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val newIds = nd.select(col("doc_id"))
+    val dupes = spark.read.parquet(s"$dir/docs").select(col("doc_id"))
+      .join(broadcast(newIds), Seq("doc_id"), "left_semi").count()
+    require(dupes == 0L,
+      s"append: $dupes delta doc_ids already present in $dir/docs")
+    nd.write.mode("append").parquet(s"$dir/docs")
+    val docsAll = spark.read.parquet(s"$dir/docs")
+
+    // Merged index: true df adds; ids concat while the merged group is
+    // still rare (both inputs are complete lists when their own df ≤
+    // cap), NULL once it crosses — identical to re-aggregating the
+    // final corpus. array_sort keeps the a<b expansion's sorted-ids
+    // invariant.
+    val dg = groupsWithDf(inv(nd), cap)
+      .withColumnRenamed("ids", "dids").withColumnRenamed("df", "ddf")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val og = spark.read.parquet(s"$dir/groups")
+      .withColumnRenamed("ids", "oids").withColumnRenamed("df", "odf")
+    val merged = og.join(dg, Seq("sh"), "full_outer")
+      .select(col("sh"),
+        (coalesce(col("odf"), lit(0L)) + coalesce(col("ddf"), lit(0L))).as("df"),
+        col("oids"), col("dids"))
+      .select(col("sh"),
+        when(col("df") > cap, lit(null))
+          .otherwise(array_sort(concat(
+            coalesce(col("oids"), expr("array()")),
+            coalesce(col("dids"), expr("array()"))))).as("ids"),
+        col("df"))
+    merged.write.mode("overwrite").parquet(s"$dir/groups__new")
+    val mg = spark.read.parquet(s"$dir/groups__new")
+
+    // Delta candidates: rare merged groups containing a delta shingle,
+    // expanded, kept only when ≥1 endpoint is new.
+    val mineG = mg.filter(col("ids").isNotNull && size(col("ids")) >= 2)
+      .join(dg.select(col("sh")), Seq("sh"), "left_semi")
+    val cands = pairCounts(mineG).select(col("a"), col("b"))
+      .join(newIds.select(col("doc_id").as("a")).withColumn("na", lit(true)),
+        Seq("a"), "left")
+      .join(newIds.select(col("doc_id").as("b")).withColumn("nb", lit(true)),
+        Seq("b"), "left")
+      .filter(col("na").isNotNull || col("nb").isNotNull)
+      .select(col("a"), col("b"))
+    val newPairs = verify(cands, docsAll)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // Rare→hot recheck: shingles the delta pushed over the cap, the old
+    // docs that carried them, and the stored pairs where BOTH endpoints
+    // did (the only pairs that can lose candidacy — see object doc).
+    // A suspect survives iff some shared shingle is still rare in the
+    // merged index; the witness scan is restricted to the suspects'
+    // docs, so the whole recheck is delta-bounded.
+    val docsH = og.join(dg, Seq("sh"))
+      .filter(col("odf") <= cap && col("odf") + col("ddf") > cap)
+      .select(explode(col("oids")).as("doc_id")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val op = spark.read.parquet(s"$dir/pairs")
+    val suspects = op
+      .join(docsH.select(col("doc_id").as("a")), Seq("a"), "left_semi")
+      .join(docsH.select(col("doc_id").as("b")), Seq("b"), "left_semi")
+    val rareIdxH = mg.filter(col("ids").isNotNull)
+      .select(col("sh"), explode(col("ids")).as("doc_id"))
+      .join(docsH, Seq("doc_id"), "left_semi")
+    val stillCand = suspects.select(col("a"), col("b"))
+      .join(rareIdxH.select(col("doc_id").as("a"), col("sh")), Seq("a"))
+      .join(rareIdxH.select(col("doc_id").as("b"), col("sh")), Seq("sh", "b"))
+      .select(col("a"), col("b")).distinct()
+    val dropped = suspects.select(col("a"), col("b"))
+      .join(stillCand, Seq("a", "b"), "left_anti")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val retained = op.join(dropped, Seq("a", "b"), "left_anti")
+    retained.unionByName(newPairs)
+      .write.mode("overwrite").parquet(s"$dir/pairs__new")
+
+    // Component fold: only components touched by a new or dropped pair
+    // are re-propagated (from their ACTUAL retained pairs — a dropped
+    // pair may have split one); everything else passes through
+    // unchanged. Unaffected components cannot change: all their pairs
+    // are retained and no new pair touches them (a new pair's old
+    // endpoints put their components in the affected set by
+    // construction), so their membership and min label are identical.
+    val oc = spark.read.parquet(s"$dir/components")
+    val touched = newPairs.select(col("a").as("doc_id"))
+      .unionByName(newPairs.select(col("b").as("doc_id")))
+      .unionByName(dropped.select(col("a").as("doc_id")))
+      .unionByName(dropped.select(col("b").as("doc_id")))
+      .distinct()
+    val affected = oc.join(touched, Seq("doc_id"), "left_semi")
+      .select(col("component")).distinct()
+    val keep = oc.join(affected, Seq("component"), "left_anti")
+    val affStored = retained.select(col("a"), col("b"))
+      .join(oc.select(col("doc_id").as("a"), col("component")), Seq("a"))
+      .join(affected, Seq("component"), "left_semi")
+      .select(col("a"), col("b"))
+    val edges = affStored.unionByName(newPairs.select(col("a"), col("b")))
+      .select(col("a").as("src"), col("b").as("dst"))
+    GraphOps.connectedComponents(spark, edges, maxIter)
+      .select(col("node").as("doc_id"), col("component"))
+      .unionByName(keep.select(col("doc_id"), col("component")))
+      .write.mode("overwrite").parquet(s"$dir/components__new")
+
+    swapIn(s"$dir/groups"); swapIn(s"$dir/pairs"); swapIn(s"$dir/components")
+    dropped.unpersist(); docsH.unpersist(); newPairs.unpersist()
+    dg.unpersist(); nd.unpersist()
+  }
+
+  def pairs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/pairs")
+
+  def components(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/components")
+
+  /** Commit `<target>__new` over `target` (write-tmp-then-move, the
+    * EventStore.swapIn idiom: readers of the old directory are never
+    * torn; single-writer assumption). */
+  private def swapIn(target: String): Unit = {
+    val tmp = Paths.get(target + "__new")
+    val tgt = Paths.get(target)
+    val old = Paths.get(target + "__old")
+    deleteRec(old)
+    Files.move(tgt, old, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(tmp, tgt, StandardCopyOption.ATOMIC_MOVE)
+    deleteRec(old)
+  }
+
+  private def deleteRec(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+    }
+}

@@ -1,6 +1,5 @@
 package graft.queries
 
-import scala.collection.concurrent.TrieMap
 import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.DataFrame
@@ -76,15 +75,10 @@ object DedupQueries {
     * shingles the pair shares — the count falls out of pair expansion
     * for free and feeds the Jaccard upper-bound prefilter below.
     * Groups are ≤ τ ids by construction, so expansion is a bounded
-    * map-side array op. */
+    * map-side array op (shared with the incremental index —
+    * operators/DedupIndex.scala mines the identical shape). */
   private def pairCounts(grouped: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    grouped
-      .filter(col("ids").isNotNull && size(col("ids")) >= 2)
-      .selectExpr("""explode(flatten(transform(ids,
-        (a, i) -> transform(slice(ids, i + 2, size(ids)),
-                            b -> named_struct('a', a, 'b', b))))) AS p""")
-      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-      .agg(count(lit(1)).as("c_rare"))
+    graft.operators.DedupIndex.pairCounts(grouped)
 
   /** Verified near-dup pairs (a, b, jaccard ≥ 0.5) over the whole
     * pipeline: DF-capped candidate generation, then a COUNT-based
@@ -157,28 +151,20 @@ object DedupQueries {
   private[graft] def jaccardPipeline(t: Tables): DataFrame =
     jaccardPipeline(t, ArrayBuffer.empty[DataFrame])
 
-  private val pairStage = TrieMap.empty[(Int, String), DataFrame]
-
   /** Verified near-dup pairs (a, b, jaccard), STAGED once per
     * (session, dataset): `q_dedup_ngram_jaccard` reports them and
     * `q_dedup_components` clusters them — the production near-dup
     * pipeline runs verification ONCE and feeds both consumers from the
     * staged result, it never re-mines candidates per downstream query
-    * (round-3 task #5 / round-5 Next #3). `localCheckpoint` is the
-    * in-session staging table: eager (pays the pipeline at first use —
-    * Bench's untimed target-SF pass), lineage-truncated, and it
-    * survives `catalog.clearCache` exactly like the parquet staging
-    * table (à la PQIndex) this becomes at 100 TB. The pipeline's
-    * intermediate caches are unpersisted as soon as the stage is
-    * materialized.
-    */
+    * (round-3 task #5 / round-5 Next #3). The stage is an eager
+    * lineage-cut frame that survives `catalog.clearCache` exactly like
+    * the parquet staging table (à la PQIndex) this becomes at 100 TB;
+    * [[graft.operators.Stages]] owns its lifecycle (sessionUUID keys,
+    * released by `Stages.drop`). */
   private[graft] def verifiedPairs(t: Tables): DataFrame =
-    pairStage.getOrElseUpdate((System.identityHashCode(t.spark), t.dir), {
-      val caches = ArrayBuffer.empty[DataFrame]
-      val out = jaccardPipeline(t, caches).localCheckpoint()
-      caches.foreach(_.unpersist())
-      out
-    })
+    graft.operators.Stages.frame(t.spark, s"dedup_pairs:${t.dir}") { caches =>
+      jaccardPipeline(t, caches)
+    }
 
   /** Shared oracle for the verified near-dup pairs (the pipeline query
     * and its staged reader produce the identical frame). */
@@ -200,6 +186,32 @@ object DedupQueries {
         WHERE round(len(list_intersect(sa.shs, sb.shs)) /
             CAST(len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs)) AS DOUBLE), 6) >= 0.5
         ORDER BY a, b"""
+
+  /** Full-corpus dedup-components oracle (recursive-CTE reachability
+    * closure over the verified pair graph) — shared by the one-shot
+    * clustering query and the incremental-index lifecycle query, whose
+    * build+append result must equal from-scratch recompute exactly. */
+  private lazy val componentsOracle = s"""
+        WITH RECURSIVE sh AS $duckShingles,
+        inv AS (SELECT doc_id, unnest(shs) sh FROM sh),
+        df AS (SELECT sh, COUNT(*) n FROM inv GROUP BY sh),
+        inv2 AS (SELECT i.doc_id, i.sh FROM inv i JOIN df USING (sh)
+                 WHERE df.n <= $ShingleDfCap),
+        cand AS (
+          SELECT DISTINCT x.doc_id a, y.doc_id b
+          FROM inv2 x JOIN inv2 y ON x.sh = y.sh AND x.doc_id < y.doc_id),
+        pairs AS (
+          SELECT a, b FROM cand
+          JOIN sh sa ON a = sa.doc_id JOIN sh sb ON b = sb.doc_id
+          WHERE round(len(list_intersect(sa.shs, sb.shs)) /
+            CAST(len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs)) AS DOUBLE), 6) >= 0.5),
+        edges AS (SELECT a s, b d FROM pairs UNION ALL SELECT b, a FROM pairs),
+        reach(node, lab) AS (
+          SELECT DISTINCT s, s FROM edges
+          UNION
+          SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.node)
+        SELECT node AS doc_id, MIN(lab) AS component
+        FROM reach GROUP BY node ORDER BY doc_id"""
 
   /** DuckDB twin: doc_id → distinct 3-gram shingle list. */
   private val duckShingles =
@@ -327,27 +339,33 @@ object DedupQueries {
           .select(col("node").as("doc_id"), col("component"))
           .orderBy(col("doc_id"))
       },
-      Some(s"""
-        WITH RECURSIVE sh AS $duckShingles,
-        inv AS (SELECT doc_id, unnest(shs) sh FROM sh),
-        df AS (SELECT sh, COUNT(*) n FROM inv GROUP BY sh),
-        inv2 AS (SELECT i.doc_id, i.sh FROM inv i JOIN df USING (sh)
-                 WHERE df.n <= $ShingleDfCap),
-        cand AS (
-          SELECT DISTINCT x.doc_id a, y.doc_id b
-          FROM inv2 x JOIN inv2 y ON x.sh = y.sh AND x.doc_id < y.doc_id),
-        pairs AS (
-          SELECT a, b FROM cand
-          JOIN sh sa ON a = sa.doc_id JOIN sh sb ON b = sb.doc_id
-          WHERE round(len(list_intersect(sa.shs, sb.shs)) /
-            CAST(len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs)) AS DOUBLE), 6) >= 0.5),
-        edges AS (SELECT a s, b d FROM pairs UNION ALL SELECT b, a FROM pairs),
-        reach(node, lab) AS (
-          SELECT DISTINCT s, s FROM edges
-          UNION
-          SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.node)
-        SELECT node AS doc_id, MIN(lab) AS component
-        FROM reach GROUP BY node ORDER BY doc_id""")),
+      Some(componentsOracle)),
+
+    // INCREMENTAL index maintenance — the dedup-on-ingest lifecycle
+    // (operators/DedupIndex.scala; reference semantics: `INSERT IGNORE`
+    // keeps dedup current per inserted row, init/mysql_loader.py:435-439).
+    // The query runs the WHOLE lifecycle each invocation so the bench
+    // measures it: build the persistent index on ~80% of the corpus,
+    // append the remaining ~20% as a delta batch (new×all candidate
+    // mining only — never all×all — plus the rare→hot recheck and the
+    // affected-components-only label fold), then report the folded
+    // components. The oracle replays FULL-CORPUS semantics, so the gate
+    // asserts build+append == from-scratch recompute exactly. The doc_id
+    // % 5 split scatters the delta across dup clusters, so appends both
+    // extend existing components and create new ones.
+    QueryDef(
+      "q_dedup_incremental",
+      t => {
+        import graft.operators.{DedupIndex, Stages}
+        val dir = Stages.freshDir(t.spark, s"dedup_idx:${t.dir}")
+        val all = t.documents.selectExpr("doc_id", s"$shs AS shs")
+        DedupIndex.build(t.spark, all.filter(col("doc_id") % 5 =!= 0),
+          dir, ShingleDfCap)
+        DedupIndex.append(t.spark, all.filter(col("doc_id") % 5 === 0),
+          dir, ShingleDfCap)
+        DedupIndex.components(t.spark, dir).orderBy(col("doc_id"))
+      },
+      Some(componentsOracle)),
 
     // SimHash near-dup: 32-bit shingle simhash per doc (map-side fold),
     // pigeonhole banding on 4 byte-chunks (hamming ≤ 3 ⇒ ≥1 chunk

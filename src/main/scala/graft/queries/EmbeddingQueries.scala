@@ -402,20 +402,16 @@ object EmbeddingQueries {
         FROM reach GROUP BY node ORDER BY vec_id"""))
   )
 
-  /** Staged verified pairs: computed once per (session, dataset) and
-    * lineage-cut (localCheckpoint survives catalog.clearCache — the
+  /** Staged verified pairs: computed once per (session, dataset) as an
+    * eager lineage-cut frame that survives catalog.clearCache — the
     * in-session analogue of the staging parquet table this becomes at
-    * 100 TB); the pipeline's cache is freed once the stage exists. */
-  private val pairStage =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
-
+    * 100 TB. [[graft.operators.Stages]] owns the lifecycle (sessionUUID
+    * keys, released by `Stages.drop`); the pipeline's caches are freed
+    * once the stage exists. */
   private def stagedNeardupPairs(t: Tables): DataFrame =
-    pairStage.getOrElseUpdate((System.identityHashCode(t.spark), t.dir), {
-      val caches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-      val out = neardupPairs(t, caches).localCheckpoint()
-      caches.foreach(_.unpersist())
-      out
-    })
+    graft.operators.Stages.frame(t.spark, s"embed_neardup_pairs:${t.dir}") { caches =>
+      neardupPairs(t, caches)
+    }
 
   /** Banded-LSH candidate generation + two-phase cosine verify, shared
     * by the pair report and the dedup-groups clustering. Pairs are

@@ -1,6 +1,5 @@
 package graft.queries
 
-import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
@@ -266,14 +265,11 @@ object PQQueries {
     QueryDef(
       "q_embed_ivfpq_index_search",
       t => {
-        val idxDir = indexStage.getOrElseUpdate(
-          (System.identityHashCode(t.spark), t.dir), {
-            val d = java.nio.file.Files
-              .createTempDirectory("graft_ivfpq_idx").toString
+        val idxDir = graft.operators.Stages.tempDir(
+          t.spark, s"ivfpq_idx:${t.dir}") { d =>
             PQIndex.buildIVF(t.spark, norms(t), d,
               M, Dsub, Ksub, Iters, NQ, CoarseK, CoarseIters)
-            d
-          })
+          }
         val vecs = norms(t)
         PQIndex.searchIVF(t.spark, idxDir,
           vecs.filter(col("vec_id") < NQ).select(col("vec_id"), col("e")),
@@ -282,9 +278,6 @@ object PQQueries {
       },
       Some(ivfpqOracleSql)),
   )
-
-  /** Built IVF-PQ index directories, one per (session, dataset). */
-  private val indexStage = TrieMap.empty[(Int, String), String]
 
   /** Train codebooks and build per-query ADC LUTs + query norms —
     * bounded collects (|Q|·m·ksub LUT rows + |Q| norms): the ADC LUT is

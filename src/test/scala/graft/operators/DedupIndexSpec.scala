@@ -1,0 +1,115 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The incremental dedup index must be INDISTINGUISHABLE from a
+  * from-scratch mine of the final corpus — pairs and components both —
+  * including the rare→hot edge: a shingle whose document frequency
+  * crosses the cap because of a delta retroactively de-candidates
+  * stored pairs that had no other rare witness. cap=3 here so every
+  * transition is easy to stage.
+  */
+class DedupIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Cap = 3
+
+  private def df(rows: Seq[(Long, Seq[String])]): DataFrame =
+    rows.toDF("doc_id", "shs")
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_dedupidx_test").toString
+
+  private def sortedRows(d: DataFrame): Seq[String] =
+    d.collect().map(_.toString).sorted.toSeq
+
+  private def assertParity(dir: String, all: Seq[(Long, Seq[String])]): Unit = {
+    val full = tmp()
+    DedupIndex.build(spark, df(all), full, Cap)
+    assert(sortedRows(DedupIndex.pairs(spark, dir)) ==
+      sortedRows(DedupIndex.pairs(spark, full)), "pairs != full recompute")
+    assert(sortedRows(DedupIndex.components(spark, dir)) ==
+      sortedRows(DedupIndex.components(spark, full)), "components != full recompute")
+  }
+
+  // Base corpus, built to exercise every append path:
+  //  - 1,2: identical docs whose only shingles are s1 (rare, df=2) and
+  //    s2 (HOT in base: df=6 > cap) — the stored pair's sole rare
+  //    witness is s1, which the delta pushes over the cap → the pair
+  //    must be DROPPED and its component dissolved.
+  //  - 4,5 / 6,7: stored pairs the delta never touches (4,5 passes
+  //    through the fold untouched; 6,7's group gains delta member 25,
+  //    which must NOT re-emit the old×old pair (6,7)).
+  //  - 3: pairs with delta doc 22 (cross-split near-dup).
+  private val base: Seq[(Long, Seq[String])] = Seq(
+    1L -> Seq("s1", "s2"),
+    2L -> Seq("s1", "s2"),
+    3L -> Seq("t1", "t2"),
+    4L -> Seq("v1", "v2"),
+    5L -> Seq("v1", "v2"),
+    6L -> Seq("w1", "w2"),
+    7L -> Seq("w1", "w2"),
+    // s2 filler: make s2 hot already in the base index (df=6).
+    10L -> Seq("s2", "f1"),
+    11L -> Seq("s2", "f2"),
+    12L -> Seq("s2", "f3"),
+    13L -> Seq("s2", "f4"))
+
+  // Delta: pushes s1 to df=4 (> cap) via 20/21 (which pair with nobody
+  // — Jaccard 1/3), adds the cross-split pair 22≈3, a new-new pair
+  // 23≈24, and 25 sharing still-rare w1 with the 6/7 group.
+  private val delta: Seq[(Long, Seq[String])] = Seq(
+    20L -> Seq("s1", "z1"),
+    21L -> Seq("s1", "z2"),
+    22L -> Seq("t1", "t2"),
+    23L -> Seq("u1", "u2"),
+    24L -> Seq("u1", "u2"),
+    25L -> Seq("w1", "q9"))
+
+  test("build then append == full recompute, incl. rare→hot de-candidacy") {
+    val dir = tmp()
+    DedupIndex.build(spark, df(base), dir, Cap)
+    // Precondition: the at-risk pair exists before the append.
+    assert(sortedRows(DedupIndex.pairs(spark, dir).select("a", "b"))
+      .contains("[1,2]"))
+    DedupIndex.append(spark, df(delta), dir, Cap)
+    val pairs = DedupIndex.pairs(spark, dir)
+    // The de-candidated pair is gone, its component dissolved...
+    assert(!sortedRows(pairs.select("a", "b")).contains("[1,2]"))
+    assert(DedupIndex.components(spark, dir)
+      .filter(col("doc_id").isin(1L, 2L)).count() == 0)
+    // ...the old×old pair in the extended w1 group appears exactly once...
+    assert(pairs.filter(col("a") === 6L && col("b") === 7L).count() == 1)
+    assert(pairs.groupBy("a", "b").count().filter(col("count") > 1).count() == 0)
+    // ...and the whole index equals a from-scratch mine.
+    assertParity(dir, base ++ delta)
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("successive appends stay exact (three delta batches)") {
+    val dir = tmp()
+    val batches = delta.grouped(2).toSeq
+    DedupIndex.build(spark, df(base), dir, Cap)
+    var sofar = base
+    batches.foreach { b =>
+      DedupIndex.append(spark, df(b), dir, Cap)
+      sofar = sofar ++ b
+    }
+    assertParity(dir, sofar)
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("append refuses duplicate doc_ids") {
+    val dir = tmp()
+    DedupIndex.build(spark, df(base), dir, Cap)
+    val e = intercept[IllegalArgumentException] {
+      DedupIndex.append(spark, df(Seq(1L -> Seq("x1", "x2"))), dir, Cap)
+    }
+    assert(e.getMessage.contains("already present"))
+    spark.sharedState.cacheManager.clearCache()
+  }
+}
