@@ -1,0 +1,50 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicBoolean
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
+
+/** Unpersist a query's intermediate caches AFTER its terminal action —
+  * the missing half of the persist discipline for query bodies that
+  * RETURN a lazy plan reading those caches (the body cannot unpersist
+  * before returning or the action recomputes the pipeline; leaving the
+  * handles leaked them into the session until some harness called
+  * `catalog.clearCache`, which a long-lived session serving many
+  * queries never does).
+  *
+  * Mechanism: a one-shot [[QueryExecutionListener]]. Every Dataset
+  * action materializes through a fresh [[QueryExecution]] whose `id` is
+  * drawn from a global monotonic counter, so an execution with
+  * `id > result.queryExecution.id` must have been CREATED after the
+  * query body finished — i.e. the caller's terminal materialization
+  * (collects inside the body complete before registration but their
+  * completion events may still be in flight on the async listener bus;
+  * the id gate ignores them). On that first post-body action — success
+  * or failure — the caches are unpersisted and the listener removed.
+  */
+object CacheJanitor {
+
+  def afterTerminalAction(result: DataFrame, caches: Seq[DataFrame]): DataFrame = {
+    if (caches.isEmpty) return result
+    val spark = result.sparkSession
+    val bodyMaxId = result.queryExecution.id
+    val done = new AtomicBoolean(false)
+    val listener = new QueryExecutionListener {
+      private def cleanup(qe: QueryExecution): Unit =
+        if (qe.id > bodyMaxId && done.compareAndSet(false, true)) {
+          caches.foreach(c =>
+            try c.unpersist(blocking = false) catch { case _: Throwable => () })
+          try spark.listenerManager.unregister(this)
+          catch { case _: Throwable => () }
+        }
+      override def onSuccess(funcName: String, qe: QueryExecution,
+                             durationNs: Long): Unit = cleanup(qe)
+      override def onFailure(funcName: String, qe: QueryExecution,
+                             exception: Exception): Unit = cleanup(qe)
+    }
+    spark.listenerManager.register(listener)
+    result
+  }
+}

@@ -55,9 +55,9 @@ object RankOps {
 
   /** `df` plus `out` = exact 1-based global row number in the `order`
     * total order. The returned frame is persisted (the range shuffle
-    * feeds both the offsets count and the main plan); the caller's
-    * terminal action materializes it — sessions drop it via
-    * catalog.clearCache (Verify/Bench) or their own unpersist. */
+    * feeds both the offsets count and the main plan); use the Tracked
+    * variant + graft.CacheJanitor to release it after the caller's
+    * terminal action. */
   def withGlobalRowNumber(df: DataFrame, order: Seq[Column], out: String,
                           partitions: Int = 0): DataFrame =
     withGlobalRowNumberAndTotal(df, order, out, partitions)._1
@@ -65,7 +65,19 @@ object RankOps {
   /** Also returns the total row count — already known from the offsets
     * pass, so tile arithmetic does not need a second action. */
   def withGlobalRowNumberAndTotal(df: DataFrame, order: Seq[Column], out: String,
-                                  partitions: Int = 0): (DataFrame, Long) = {
+                                  partitions: Int = 0): (DataFrame, Long) =
+    withGlobalRowNumberTracked(df, order, out, partitions,
+      scala.collection.mutable.ArrayBuffer.empty[DataFrame])
+
+  /** As above, but the internal persist handle (the range-sorted frame
+    * both the offsets count and the ranked plan read) lands in `caches`
+    * so the caller can unpersist it once its boundary fetches are done —
+    * the percentile helpers below return pure driver values and release
+    * it before returning; lazy consumers hand it to graft.CacheJanitor. */
+  def withGlobalRowNumberTracked(df: DataFrame, order: Seq[Column], out: String,
+                                 partitions: Int,
+                                 caches: scala.collection.mutable.ArrayBuffer[DataFrame])
+      : (DataFrame, Long) = {
     val spark = df.sparkSession
     val parts = if (partitions > 0) partitions
       else spark.sessionState.conf.numShufflePartitions
@@ -74,6 +86,7 @@ object RankOps {
       .sortWithinPartitions(order: _*)
       .withColumn("__mid", monotonically_increasing_id())
       .persist(StorageLevel.MEMORY_AND_DISK)
+    caches += sorted
     // One row per RANGE PARTITION (≤ numShufflePartitions) — bounded
     // driver state regardless of data size.
     val counts = sorted
@@ -123,10 +136,11 @@ object RankOps {
     */
   def exactPercentiles(df: DataFrame, value: Column, qs: Seq[Double],
                        partitions: Int = 0): (Long, Map[Double, Double]) = {
-    val (rn, n) = withGlobalRowNumberAndTotal(
+    val caches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val (rn, n) = withGlobalRowNumberTracked(
       df.select(value.cast("double").as("__v")).filter(col("__v").isNotNull),
-      Seq(col("__v")), "__rn", partitions)
-    if (n == 0) return (0L, qs.map(_ -> Double.NaN).toMap)
+      Seq(col("__v")), "__rn", partitions, caches)
+    if (n == 0) { caches.foreach(_.unpersist()); return (0L, qs.map(_ -> Double.NaN).toMap) }
     // 0-based h = (n−1)·q, exactly the double expression Spark's
     // Percentile and DuckDB's quantile_cont evaluate — a 1-based
     // (h+1) variant differs in the last ulp after the extra add.
@@ -137,58 +151,110 @@ object RankOps {
     }
     val need = targets.flatMap(t => Seq(t._2, t._3)).distinct
     val vals = fetchRankValues(rn, need)
+    // Everything returned is driver state — release the ranked frame's
+    // cache now rather than leaking it into the session.
+    caches.foreach(_.unpersist())
     val out = targets.map { case (q, lo, hi, f) =>
       q -> (vals(lo) + f * (vals(hi) - vals(lo)))
     }.toMap
     (n, out)
   }
 
-  /** Grouped exact type-7 percentiles, distributed: one global ranking
-    * ordered by (group, value) — each group is a CONTIGUOUS rank span,
-    * split across range partitions when the group outgrows one (the
-    * scale property the buffering `percentile` aggregate and even a
-    * partitioned window lack: no task ever owns a whole group). The
-    * per-group spans (start offset, size) come from one bounded
-    * aggregate over the ranked frame (|groups| rows), the boundary
-    * ranks from one filter (≤ 2·|qs| rows per group). Intended for
-    * dimension-keyed groupings where |groups| is driver-bounded; above
-    * [[IsinFetchMax]] boundary ranks the fetch switches to a broadcast
-    * semi-join automatically, so a high-cardinality grouping degrades to
-    * a still-correct plan instead of a pathological literal predicate.
+  /** Grouped exact order statistics, distributed, in TWO passes over
+    * the sorted frame: one global ranking ordered by (group, value) —
+    * each group a CONTIGUOUS rank span, split across range partitions
+    * when the group outgrows one (the scale property the buffering
+    * `percentile` aggregate and even a partitioned window lack: no task
+    * ever owns a whole group) — then the values at the caller-chosen
+    * 0-based LOCAL ranks `ranks(groupCount)` of each group.
     *
-    * NULL values are dropped before ranking (group row counts are
-    * non-null counts) — matching `percentile` / `quantile_cont`; see
-    * [[exactPercentiles]].
+    * The pass structure is the whole point: the per-(range-partition ×
+    * group) aggregate that materializes the sort ALSO yields, in the
+    * same bounded collect (≤ partitions·|groups| rows), the partition
+    * offsets AND every group's span — start = min over partitions of
+    * (partition offset + first in-partition position of the group, read
+    * straight off `monotonically_increasing_id`'s low bits, so no
+    * driver-side ordering assumptions on the group type) — leaving just
+    * one boundary filter (via [[fetchRankValues]]: `isin` literal or
+    * broadcast semi-join above [[IsinFetchMax]]).
+    *
+    * NULLs are dropped before ranking (counts are non-null counts);
+    * returns group → (count, localRank → value).
+    */
+  def groupedValuesAtRanks(df: DataFrame, group: Column, value: Column,
+                           ranks: Long => Seq[Long], partitions: Int = 0)
+      : Map[Any, (Long, Map[Long, Double])] = {
+    val spark = df.sparkSession
+    val parts = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    val sorted = df.select(group.as("__g"), value.cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+      .repartitionByRange(parts, col("__g"), col("__v"))
+      .sortWithinPartitions(col("__g"), col("__v"))
+      .withColumn("__mid", monotonically_increasing_id())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val local = col("__mid").bitwiseAND(lit((1L << LocalBits) - 1))
+    val pg = sorted
+      .select(shiftright(col("__mid"), LocalBits).cast("int").as("__pid"),
+        col("__g"), local.as("__l"))
+      .groupBy(col("__pid"), col("__g"))
+      .agg(count(lit(1)).as("n"), min(col("__l")).as("first"))
+      .collect().map(r => (r.getInt(0), r.get(1), r.getLong(2), r.getLong(3)))
+    if (pg.isEmpty) { sorted.unpersist(); return Map.empty }
+    val offsets = new Array[Long](parts)
+    val pidTotals = pg.groupBy(_._1).map { case (p, rs) => p -> rs.map(_._3).sum }
+    var acc = 0L
+    var p = 0
+    while (p < parts) {
+      offsets(p) = acc
+      acc += pidTotals.getOrElse(p, 0L)
+      p += 1
+    }
+    // 1-based global first rank and total count per group.
+    val spans = pg.groupBy(_._2).map { case (g, rs) =>
+      (g, rs.map(_._3).sum, rs.map(r => offsets(r._1) + r._4).min + 1L)
+    }.toSeq
+    val targets = spans.flatMap { case (g, n, start) =>
+      ranks(n).map(l => (g, l, start + l))
+    }
+    val offMap = map_from_arrays(
+      array((0 until parts).map(i => lit(i)): _*),
+      array(offsets.map(lit): _*))
+    val rn = sorted.withColumn("__rn",
+      element_at(offMap, shiftright(col("__mid"), LocalBits).cast("int")) +
+        local + lit(1L))
+    val vals = fetchRankValues(rn, targets.map(_._3).distinct)
+    sorted.unpersist() // returned maps are pure driver state
+    spans.map { case (g, n, _) =>
+      g -> (n, targets.filter(_._1 == g).map { case (_, l, gr) => l -> vals(gr) }.toMap)
+    }.toMap
+  }
+
+  /** Grouped exact type-7 percentiles — interpolation over
+    * [[groupedValuesAtRanks]] (see there for the distribution shape;
+    * boundary ranks per q are ⌊h⌋ and ⌈h⌉, h = (n−1)·q — the same
+    * 0-based expression both engines evaluate, see [[exactPercentiles]]).
+    * Intended for dimension-keyed groupings where |groups| is
+    * driver-bounded. NULL values are dropped (group row counts are
+    * non-null counts) — matching `percentile` / `quantile_cont`.
     *
     * Returns group → (group row count, q → value).
     */
   def exactPercentilesBy(df: DataFrame, group: Column, value: Column,
                          qs: Seq[Double], partitions: Int = 0)
       : Map[Any, (Long, Map[Double, Double])] = {
-    val base = df.select(group.as("__g"), value.cast("double").as("__v"))
-      .filter(col("__v").isNotNull)
-    val (rn, total) = withGlobalRowNumberAndTotal(
-      base, Seq(col("__g"), col("__v")), "__rn", partitions)
-    if (total == 0) return Map.empty
-    val spans = rn.groupBy(col("__g"))
-      .agg(count(lit(1)).as("n"), min(col("__rn")).as("start"))
-      .collect().map(r => (r.get(0), r.getLong(1), r.getLong(2)))
-    val targets = spans.flatMap { case (g, n, start) =>
-      qs.map { q =>
-        // 0-based h, same expression both engines evaluate (see
-        // exactPercentiles).
-        val h = (n - 1) * q
-        val lo = math.floor(h).toLong
-        (g, q, start + lo, math.min(start + lo + 1, start + n - 1), h - lo)
-      }
+    def bounds(n: Long): Seq[(Double, Long, Long, Double)] = qs.map { q =>
+      val h = (n - 1) * q
+      val lo = math.floor(h).toLong
+      (q, lo, math.min(lo + 1, n - 1), h - lo)
     }
-    val need = targets.flatMap(t => Seq(t._3, t._4)).distinct.toSeq
-    val vals = fetchRankValues(rn, need)
-    spans.map { case (g, n, _) =>
-      g -> (n, targets.filter(_._1 == g).map { case (_, q, lo, hi, f) =>
-        q -> (vals(lo) + f * (vals(hi) - vals(lo)))
-      }.toMap)
-    }.toMap
+    groupedValuesAtRanks(df, group, value, n => bounds(n).flatMap(t => Seq(t._2, t._3)),
+        partitions)
+      .map { case (g, (n, vals)) =>
+        g -> (n, bounds(n).map { case (q, lo, hi, f) =>
+          q -> (vals(lo) + f * (vals(hi) - vals(lo)))
+        }.toMap)
+      }
   }
 
   /** `df` plus `out` = ntile(`tiles`) over the unique `order` — same
@@ -197,9 +263,19 @@ object RankOps {
     * boundaries are ARITHMETIC on the exact global row number, so no
     * quantile estimation and no tie ambiguity. */
   def withGlobalNtile(df: DataFrame, order: Seq[Column], out: String,
-                      tiles: Int, partitions: Int = 0): DataFrame = {
+                      tiles: Int, partitions: Int = 0): DataFrame =
+    withGlobalNtileTracked(df, order, out, tiles, partitions,
+      scala.collection.mutable.ArrayBuffer.empty[DataFrame])
+
+  /** As [[withGlobalNtile]], with the internal sort cache exposed via
+    * `caches` — hand it to graft.CacheJanitor so a lazy consumer's
+    * terminal action releases it instead of leaking it to the session. */
+  def withGlobalNtileTracked(df: DataFrame, order: Seq[Column], out: String,
+                             tiles: Int, partitions: Int,
+                             caches: scala.collection.mutable.ArrayBuffer[DataFrame])
+      : DataFrame = {
     require(tiles > 0, "tiles must be positive")
-    val (rn, total) = withGlobalRowNumberAndTotal(df, order, "__rn", partitions)
+    val (rn, total) = withGlobalRowNumberTracked(df, order, "__rn", partitions, caches)
     val base = total / tiles
     val rem = total % tiles
     // ntile: first `rem` tiles have base+1 rows, the rest `base`.

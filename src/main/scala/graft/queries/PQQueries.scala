@@ -208,7 +208,7 @@ object PQQueries {
         val scored = corpus
           .selectExpr("cand_id", s"explode($perQuery) AS qa")
           .select(col("qa.q_id").as("q_id"), col("cand_id"), col("qa.adc").as("adc"))
-        shortlistRerank(scored, vecs)
+        graft.CacheJanitor.afterTerminalAction(shortlistRerank(scored, vecs), Seq(vecs))
       },
       Some(oracleSql)),
 
@@ -246,7 +246,7 @@ object PQQueries {
         val scored = corpus
           .selectExpr("cand_id", s"explode(filter($perQuery, x -> x IS NOT NULL)) AS qa")
           .select(col("qa.q_id").as("q_id"), col("cand_id"), col("qa.adc").as("adc"))
-        shortlistRerank(scored, vecs)
+        graft.CacheJanitor.afterTerminalAction(shortlistRerank(scored, vecs), Seq(vecs))
       },
       Some(ivfpqOracleSql)),
 

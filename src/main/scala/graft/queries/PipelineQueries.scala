@@ -85,10 +85,12 @@ object PipelineQueries {
         // makes the explode a cheap array walk (8.9 → 1.9 s at sf0.1).
         val docs = t.documents.selectExpr("doc_id", s"$shs AS shs")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        graft.operators.Decontaminate.overlap(
-            corpus = docs.filter(col("doc_id") % EvalMod =!= 0),
-            eval = docs.filter(col("doc_id") % EvalMod === 0))
-          .orderBy(col("doc_id"))
+        graft.CacheJanitor.afterTerminalAction(
+          graft.operators.Decontaminate.overlap(
+              corpus = docs.filter(col("doc_id") % EvalMod =!= 0),
+              eval = docs.filter(col("doc_id") % EvalMod === 0))
+            .orderBy(col("doc_id")),
+          Seq(docs))
       },
       Some(s"""
         WITH sh AS (
@@ -426,6 +428,7 @@ object PipelineQueries {
             "CAST(coalesce(kept, 0) AS BIGINT) AS kept",
             "CAST(coalesce(kept_tokens, 0) AS BIGINT) AS kept_tokens")
           .orderBy(col("source"))
+          .transform(out => graft.CacheJanitor.afterTerminalAction(out, Seq(base)))
       },
       Some(s"""
         WITH base AS (

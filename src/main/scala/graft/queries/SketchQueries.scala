@@ -120,6 +120,7 @@ object SketchQueries {
             "CAST(cms_cnt AS BIGINT) AS cms_cnt",
             "CAST(cms_cnt - exact_cnt AS BIGINT) AS overcount")
           .orderBy(col("exact_cnt").desc, col("user_id"))
+          .transform(out => graft.CacheJanitor.afterTerminalAction(out, Seq(ev)))
       },
       Some(s"""
         WITH cells AS (
@@ -155,33 +156,57 @@ object SketchQueries {
     //   - hll_ok: |HLL − exact| ≤ 3σ = 3·rsd·exact (rsd = 0.02).
     //   - p50_ok/p95_ok: percentile_approx(accuracy 1000 ⇒ rank error
     //     ≤ 0.1%) returns a data element whose value must sit between
-    //     the exact interpolated percentiles ±1% of rank — a 10× margin.
+    //     the exact data elements at rank h ± max(1% of n, 1 rank) — a
+    //     10× margin, floored at one rank so tiny groups keep a
+    //     non-degenerate envelope.
     QueryDef(
       "q_sketch_builtin",
       t => {
-        // The exact percentile brackets come from the distributed
-        // ranking machinery (RankOps.exactPercentilesBy), not from the
-        // buffering `percentile` aggregate — the error-bound harness
-        // must not itself carry a does-not-scale aggregation buffer.
-        val brackets = graft.operators.RankOps.exactPercentilesBy(
+        // Exact bracket VALUES via the distributed ranking machinery
+        // (no buffering percentile aggregate — the error-bound harness
+        // must not itself carry a does-not-scale aggregation buffer):
+        // element values at local ranks h ± max(1% of n, 1 rank),
+        // h = (n−1)q. The ±1-rank floor keeps the envelope meaningful
+        // on tiny groups, where a pure rank-fraction bracket collapses
+        // below one element and can exclude the element the sketch
+        // correctly returns. groupedValuesAtRanks is TWO passes over
+        // the sorted frame (fused span/offset aggregate + boundary
+        // fetch) — the cheapest exact formulation.
+        def bracketRanks(n: Long): Seq[(Double, Long, Long)] =
+          Seq(0.5, 0.95).map { q =>
+            val h = (n - 1) * q
+            val d = math.max(0.01 * (n - 1), 1.0)
+            (q, math.max(0L, math.floor(h - d).toLong),
+              math.min(n - 1L, math.ceil(h + d).toLong))
+          }
+        val brackets = graft.operators.RankOps.groupedValuesAtRanks(
           t.events, col("event_type"), col("value"),
-          Seq(0.49, 0.51, 0.94, 0.96))
-        val bracketCase = (q: Double) => brackets.toSeq
-          .map { case (g, (_, p)) => s"WHEN '${g.toString}' THEN CAST('${p(q)}' AS DOUBLE)" }
+          n => bracketRanks(n).flatMap(x => Seq(x._2, x._3)))
+        val bracket = (q: Double, hi: Boolean) => brackets.toSeq
+          .map { case (g, (n, vals)) =>
+            val (_, lo, up) = bracketRanks(n).find(_._1 == q).get
+            s"WHEN '$g' THEN CAST('${vals(if (hi) up else lo)}' AS DOUBLE)" }
           .mkString("CASE event_type ", " ", " END")
-        t.events
+        // The exact-distinct side runs as its OWN aggregate joined back
+        // on the 4 group rows: countDistinct mixed into the sketch
+        // aggregate forces Catalyst's EXPAND plan (every row duplicated
+        // per distinct group) — measured 3× the cost of the two
+        // aggregates run separately.
+        val sketches = t.events
           .groupBy(col("event_type"))
           .agg(
-            countDistinct(col("user_id")).as("exact_d"),
             approx_count_distinct(col("user_id"), rsd = 0.02).as("hll"),
             percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50s"),
             percentile_approx(col("value"), lit(0.95), lit(1000)).as("p95s"))
+        val exact = t.events.select(col("event_type"), col("user_id")).distinct()
+          .groupBy(col("event_type")).agg(count(lit(1)).as("exact_d"))
+        sketches.join(exact, Seq("event_type"))
           .selectExpr(
             "event_type",
             "CAST(exact_d AS BIGINT) AS exact_distinct",
             "abs(CAST(hll AS DOUBLE) - CAST(exact_d AS DOUBLE)) <= 0.06 * CAST(exact_d AS DOUBLE) AS hll_ok",
-            s"p50s BETWEEN ${bracketCase(0.49)} AND ${bracketCase(0.51)} AS p50_ok",
-            s"p95s BETWEEN ${bracketCase(0.94)} AND ${bracketCase(0.96)} AS p95_ok")
+            s"p50s BETWEEN ${bracket(0.5, false)} AND ${bracket(0.5, true)} AS p50_ok",
+            s"p95s BETWEEN ${bracket(0.95, false)} AND ${bracket(0.95, true)} AS p95_ok")
           .orderBy(col("event_type"))
       },
       Some("""

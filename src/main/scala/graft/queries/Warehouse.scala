@@ -753,16 +753,17 @@ object Warehouse {
             max(col("o_orderdate")).as("last_order"),
             count(lit(1)).as("freq"),
             sum(col("o_totalprice").cast("decimal(18,2)")).as("monetary"))
+        val caches = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
         val scored = {
-          import graft.operators.RankOps.withGlobalNtile
-          val r = withGlobalNtile(perCust,
-            Seq(col("last_order").desc, col("o_custkey")), "r_score", 5)
-          val rf = withGlobalNtile(r,
-            Seq(col("freq").desc, col("o_custkey")), "f_score", 5)
-          withGlobalNtile(rf,
-            Seq(col("monetary").desc, col("o_custkey")), "m_score", 5)
+          import graft.operators.RankOps.withGlobalNtileTracked
+          val r = withGlobalNtileTracked(perCust,
+            Seq(col("last_order").desc, col("o_custkey")), "r_score", 5, 0, caches)
+          val rf = withGlobalNtileTracked(r,
+            Seq(col("freq").desc, col("o_custkey")), "f_score", 5, 0, caches)
+          withGlobalNtileTracked(rf,
+            Seq(col("monetary").desc, col("o_custkey")), "m_score", 5, 0, caches)
         }
-        scored.groupBy(col("r_score"), col("f_score"), col("m_score"))
+        val out = scored.groupBy(col("r_score"), col("f_score"), col("m_score"))
           .agg(count(lit(1)).as("customers"),
             dsum(col("monetary")).as("segment_value"))
           .selectExpr("CAST(r_score AS BIGINT) AS r_score",
@@ -770,6 +771,7 @@ object Warehouse {
             "CAST(m_score AS BIGINT) AS m_score",
             "CAST(customers AS BIGINT) AS customers", "segment_value")
           .orderBy(col("r_score"), col("f_score"), col("m_score"))
+        graft.CacheJanitor.afterTerminalAction(out, caches.toSeq)
       },
       Some(s"""
         WITH per_cust AS (
