@@ -88,6 +88,33 @@ object DedupIndex {
       .filter(col("jaccard") >= 0.5)
       .select(col("a"), col("b"), col("jaccard"))
 
+  /** The COUNT-based Jaccard upper bound that must kill almost every
+    * candidate BEFORE the exact verify (the candidate set is
+    * quadratic-ish in bucket sizes while true matches are rare — the
+    * verify join must never run on raw candidates; see
+    * DedupQueries.jaccardMatches, whose bound this generalizes).
+    * `cands` carries (a, b, c_rare) where c_rare counts shared shingles
+    * within some KNOWN-rare group family; `known` gives each doc's
+    * count `kc` of its shingles in that family, so a pair's true
+    * intersection c satisfies c ≤ c_rare + min(sz_a−kc_a, sz_b−kc_b) —
+    * it can only beat the counted overlap via shingles OUTSIDE the
+    * counted family — and J ≤ J(c_ub) since J is increasing in c.
+    * round(J,6) ≥ 0.5 ⇒ J ≥ 0.4999995 ≫ 0.499999: zero recall loss. */
+  private[graft] def boundedVerify(cands: DataFrame, docs: DataFrame,
+                                   known: DataFrame): DataFrame = {
+    val meta = docs.select(col("doc_id"), size(col("shs")).cast("long").as("sz"))
+      .join(known, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("sz"),
+        (col("sz") - coalesce(col("kc"), lit(0L))).as("o"))
+    val survivors = cands
+      .join(meta.select(col("doc_id").as("a"), col("sz").as("sza"), col("o").as("oa")), Seq("a"))
+      .join(meta.select(col("doc_id").as("b"), col("sz").as("szb"), col("o").as("ob")), Seq("b"))
+      .withColumn("cub", col("c_rare") + least(col("oa"), col("ob")))
+      .filter(col("cub") / (col("sza") + col("szb") - col("cub")) >= 0.499999)
+      .select(col("a"), col("b"))
+    verify(survivors, docs)
+  }
+
   /** Mine + persist the full index for `docs` (doc_id, shs; shingles
     * distinct per doc). Candidate generation and verification follow
     * the one-shot pipeline exactly (DF cap before pair expansion, exact
@@ -100,14 +127,21 @@ object DedupIndex {
     val grouped = groupsWithDf(inv(d), cap)
       .persist(StorageLevel.MEMORY_AND_DISK)
     grouped.write.mode("overwrite").parquet(s"$dir/groups")
-    val pairs = verify(pairCounts(grouped).select(col("a"), col("b")), d)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    pairs.write.mode("overwrite").parquet(s"$dir/pairs")
+    // Known family = ALL rare groups: kc is each doc's rare-shingle
+    // count, so the bound is exactly the one-shot pipeline's.
+    val rareCnt = grouped.filter(col("ids").isNotNull)
+      .select(explode(col("ids")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("kc"))
+    boundedVerify(pairCounts(grouped), d, rareCnt)
+      .write.mode("overwrite").parquet(s"$dir/pairs")
+    // CC reads the just-written pairs table: zero lineage under the
+    // iterative loop (see the fold in `append` for why that matters).
     GraphOps.connectedComponents(spark,
-        pairs.select(col("a").as("src"), col("b").as("dst")), maxIter)
+        spark.read.parquet(s"$dir/pairs")
+          .select(col("a").as("src"), col("b").as("dst")), maxIter)
       .select(col("node").as("doc_id"), col("component"))
       .write.mode("overwrite").parquet(s"$dir/components")
-    pairs.unpersist(); grouped.unpersist(); d.unpersist()
+    grouped.unpersist(); d.unpersist()
   }
 
   /** Ingest a delta batch: mine new×all candidates only, fold verified
@@ -163,17 +197,24 @@ object DedupIndex {
     val mg = spark.read.parquet(s"$dir/groups__new")
 
     // Delta candidates: rare merged groups containing a delta shingle,
-    // expanded, kept only when ≥1 endpoint is new.
-    val mineG = mg.filter(col("ids").isNotNull && size(col("ids")) >= 2)
+    // expanded, kept only when ≥1 endpoint is new. The known family for
+    // the upper bound is "rare groups containing a delta shingle" —
+    // kc (and the whole mining/prefilter pass) stays DELTA-BOUNDED,
+    // while shared shingles outside that family fold into the
+    // min(sz−kc) slack exactly like hot shingles do in the full mine.
+    val mgDelta = mg.filter(col("ids").isNotNull)
       .join(dg.select(col("sh")), Seq("sh"), "left_semi")
-    val cands = pairCounts(mineG).select(col("a"), col("b"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val kc = mgDelta.select(explode(col("ids")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("kc"))
+    val cands = pairCounts(mgDelta)
       .join(newIds.select(col("doc_id").as("a")).withColumn("na", lit(true)),
         Seq("a"), "left")
       .join(newIds.select(col("doc_id").as("b")).withColumn("nb", lit(true)),
         Seq("b"), "left")
       .filter(col("na").isNotNull || col("nb").isNotNull)
-      .select(col("a"), col("b"))
-    val newPairs = verify(cands, docsAll)
+      .select(col("a"), col("b"), col("c_rare"))
+    val newPairs = boundedVerify(cands, docsAll, kc)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // Rare→hot recheck: shingles the delta pushed over the cap, the old
@@ -220,20 +261,36 @@ object DedupIndex {
     val affected = oc.join(touched, Seq("doc_id"), "left_semi")
       .select(col("component")).distinct()
     val keep = oc.join(affected, Seq("component"), "left_anti")
-    val affStored = retained.select(col("a"), col("b"))
-      .join(oc.select(col("doc_id").as("a"), col("component")), Seq("a"))
-      .join(affected, Seq("component"), "left_semi")
-      .select(col("a"), col("b"))
-    val edges = affStored.unionByName(newPairs.select(col("a"), col("b")))
+    // Fold edges from the just-written pairs table: a final pair rides
+    // into the re-propagation iff it is NOT wholly inside an unaffected
+    // old component (stored pairs have both endpoints in one component;
+    // a brand-new doc has no old label — NULL — and always rides).
+    // Reading pairs__new instead of re-deriving retained∪newPairs, and
+    // lineage-cutting the tiny edge set before the iterative CC, is
+    // load-bearing: every CC-internal action (setup persists, per-
+    // iteration label joins) re-evaluates its input's LOGICAL plan, and
+    // with the whole append pipeline as lineage that re-evaluation cost
+    // ~3 s per action — 20 s of fold for a 100-edge graph (measured).
+    // After the cut the CC sees a LogicalRDD and the fold is
+    // milliseconds again.
+    val edges0 = spark.read.parquet(s"$dir/pairs__new")
+      .join(oc.select(col("doc_id").as("a"), col("component").as("ca")), Seq("a"), "left")
+      .join(affected.select(col("component").as("ca")).withColumn("aff", lit(true)),
+        Seq("ca"), "left")
+      .filter(col("ca").isNull || col("aff").isNotNull)
       .select(col("a").as("src"), col("b").as("dst"))
-    GraphOps.connectedComponents(spark, edges, maxIter)
+    val edgesRdd = edges0.rdd.localCheckpoint()
+    edgesRdd.count()
+    GraphOps.connectedComponents(spark,
+        spark.createDataFrame(edgesRdd, edges0.schema), maxIter)
       .select(col("node").as("doc_id"), col("component"))
       .unionByName(keep.select(col("doc_id"), col("component")))
       .write.mode("overwrite").parquet(s"$dir/components__new")
+    edgesRdd.unpersist(blocking = false)
 
     swapIn(s"$dir/groups"); swapIn(s"$dir/pairs"); swapIn(s"$dir/components")
     dropped.unpersist(); docsH.unpersist(); newPairs.unpersist()
-    dg.unpersist(); nd.unpersist()
+    mgDelta.unpersist(); dg.unpersist(); nd.unpersist()
   }
 
   def pairs(spark: SparkSession, dir: String): DataFrame =

@@ -75,12 +75,27 @@ object PQIndex {
     * quantizers are retrained only when drift warrants a full rebuild
     * (FAISS's add() vs train() split). Parquet append to a partitioned
     * table only touches the delta's cell directories.
+    *
+    * Contract: `vecs` is CORPUS-ONLY — rows with `vec_id < nq` (the
+    * family's query-id convention, the same ids `buildIVF` excludes)
+    * are filtered out so an unfiltered delta cannot silently pollute
+    * the serving index with query vectors; and delta vec_ids must be
+    * unseen — parquet append has no key constraint, so a double-append
+    * is checked here (a delta-broadcast semi-join against stored ids,
+    * the price every keyed store pays on insert).
     */
   def appendIVF(spark: SparkSession, vecs: DataFrame, dir: String,
-                dsub: Int): Unit = {
+                dsub: Int, nq: Int = 0): Unit = {
     val coarse = loadCoarse(spark, dir)
     val cbs = loadCodebooks(spark, dir)
-    vecs.select(col("vec_id"), col("e"))
+    val delta = vecs.select(col("vec_id"), col("e"))
+      .filter(col("vec_id") >= nq)
+    val dupes = spark.read.parquet(s"$dir/codes").select(col("vec_id"))
+      .join(broadcast(delta.select(col("vec_id"))), Seq("vec_id"), "left_semi")
+      .count()
+    require(dupes == 0L,
+      s"appendIVF: $dupes delta vec_ids already encoded in $dir/codes")
+    delta
       .selectExpr("vec_id", "e", s"${VectorOps.normSq("e")} AS nsq")
       .selectExpr("vec_id", "nsq",
         s"${VectorOps.nearestCentroid(KMeans.literal(coarse), "e", "nsq")}.cl AS cell",

@@ -108,30 +108,13 @@ object DedupQueries {
       .persist(StorageLevel.MEMORY_AND_DISK)
     caches += grouped
     // Per-doc rare-shingle count (count of non-hot groups the doc is
-    // in); hot count = total − rare. Docs whose shingles are ALL hot
-    // have no surviving group — coalesce restores them.
+    // in; docs whose shingles are ALL hot have no surviving group — the
+    // bound's coalesce restores them). Prefilter + exact verify live in
+    // DedupIndex.boundedVerify, shared with the incremental index.
     val rareCnt = grouped.filter(col("ids").isNotNull)
       .select(explode(col("ids")).as("doc_id"))
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("rc"))
-    val meta = docs.select(col("doc_id"), size(col("shs")).cast("long").as("sz"))
-      .join(rareCnt, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("sz"),
-        (col("sz") - coalesce(col("rc"), lit(0L))).as("h"))
-    val survivors = pairCounts(grouped)
-      .join(meta.select(col("doc_id").as("a"), col("sz").as("sza"), col("h").as("ha")), Seq("a"))
-      .join(meta.select(col("doc_id").as("b"), col("sz").as("szb"), col("h").as("hb")), Seq("b"))
-      .withColumn("cub", col("c_rare") + least(col("ha"), col("hb")))
-      // round(J,6) ≥ 0.5 ⇒ J ≥ 0.4999995 ⇒ J(cub) ≥ 0.4999995 ≫ 0.499999.
-      .filter(col("cub") / (col("sza") + col("szb") - col("cub")) >= 0.499999)
-      .select(col("a"), col("b"))
-    survivors
-      .join(docs.select(col("doc_id").as("a"), col("shs").as("sa")), "a")
-      .join(docs.select(col("doc_id").as("b"), col("shs").as("sb")), "b")
-      .withColumn("c", size(array_intersect(col("sa"), col("sb"))).cast("long"))
-      .withColumn("jaccard",
-        round(col("c") / (size(col("sa")) + size(col("sb")) - col("c")).cast("double"), 6))
-      .filter(col("jaccard") >= 0.5)
-      .select(col("a"), col("b"), col("jaccard"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("kc"))
+    graft.operators.DedupIndex.boundedVerify(pairCounts(grouped), docs, rareCnt)
   }
 
   /** The full candidate→verify pipeline as ONE lazy plan — exposed

@@ -103,6 +103,29 @@ class DedupIndexSpec extends SparkSpec {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("dedup-on-ingest: a document stream appends batches via foreachBatch") {
+    // The reference deduplicates AT INSERT (INSERT IGNORE per arriving
+    // row, init/mysql_loader.py:435-439); the streaming twin is a doc
+    // stream whose micro-batches fold into the persistent index — after
+    // the stream drains, the index equals a from-scratch mine of
+    // everything ever ingested.
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = tmp()
+    DedupIndex.build(spark, df(base), dir, Cap)
+    val mem = MemoryStream[(Long, Seq[String])]
+    val q = mem.toDF().toDF("doc_id", "shs").writeStream
+      .option("checkpointLocation", tmp())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        DedupIndex.append(spark, b, dir, Cap)
+      }
+      .start()
+    delta.grouped(3).foreach { batch => mem.addData(batch); q.processAllAvailable() }
+    q.stop()
+    assertParity(dir, base ++ delta)
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("append refuses duplicate doc_ids") {
     val dir = tmp()
     DedupIndex.build(spark, df(base), dir, Cap)

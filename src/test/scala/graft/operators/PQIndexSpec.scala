@@ -63,8 +63,18 @@ class PQIndexSpec extends SparkSpec {
     val dirB = java.nio.file.Files.createTempDirectory("graft_pqb").toString
     PQIndex.buildIVF(spark, vecs, dirA, m = 8, dsub = 8, ksub = 8, iters = 2,
       nq = 300, coarseK = 8, coarseIters = 3)
+    // UNFILTERED delta slice: appendIVF's nq gate must drop the query
+    // ids (vec_id < 5) itself — the corpus-only contract is enforced in
+    // the operator, not left to caller hygiene.
     PQIndex.appendIVF(spark,
-      vecs.filter(col("vec_id") >= 5 && col("vec_id") < 300), dirA, dsub = 8)
+      vecs.filter(col("vec_id") < 300), dirA, dsub = 8, nq = 5)
+    // Double-append of already-encoded ids must refuse, not silently
+    // duplicate (parquet append has no key constraint to catch it).
+    val dup = intercept[IllegalArgumentException] {
+      PQIndex.appendIVF(spark,
+        vecs.filter(col("vec_id") >= 5 && col("vec_id") < 10), dirA, dsub = 8)
+    }
+    assert(dup.getMessage.contains("already encoded"))
     PQIndex.buildIVF(spark, vecs, dirB, m = 8, dsub = 8, ksub = 8, iters = 2,
       nq = 5, coarseK = 8, coarseIters = 3)
     def codes(d: String) = spark.read.parquet(s"$d/codes")
