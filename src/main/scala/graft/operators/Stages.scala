@@ -38,6 +38,11 @@ object Stages {
   /** Staged directories (built index files), deleted on drop. */
   private val dirs = TrieMap.empty[Key, Path]
 
+  // Backstop for processes that never call drop (shared test JVMs, a
+  // crashed harness): stage directories must not outlive the JVM.
+  Runtime.getRuntime.addShutdownHook(new Thread(() =>
+    try dirs.values.foreach(deleteRec) catch { case _: Throwable => () }))
+
   /** Stable per-session-object identifier: `sessionUUID` is assigned at
     * session construction and never reused, unlike an identity hash
     * which the JVM may recycle after GC. */
