@@ -70,6 +70,13 @@ object GraphOps {
     * Spark algorithms need an action per iteration.
     */
   def connectedComponents(spark: SparkSession, edges: DataFrame, maxIter: Int): DataFrame = {
+    // CALLER CONTRACT: pass `edges` with SHALLOW lineage (a staged
+    // LogicalRDD, a just-written table, a localCheckpoint). Every
+    // action inside this loop re-ANALYZES the input's logical plan even
+    // when its data is cached; with a deep pipeline as lineage that
+    // cost ~3 s per action — 20 s for a 100-edge fold (measured,
+    // DedupIndex.append round 7).
+    //
     // The undirected closure references `edges` TWICE (one union branch
     // per direction): persist the input first or its whole upstream
     // pipeline (for dedup components, the capped-index candidate

@@ -341,6 +341,9 @@ object DedupQueries {
       t => {
         import graft.operators.{DedupIndex, Stages}
         val dir = Stages.freshDir(t.spark, s"dedup_idx:${t.dir}")
+        // The two doc_id filters PARTITION the corpus, and both push
+        // below the shingle projection — each side shingles only its
+        // own docs, so no work is duplicated between the stages.
         val all = t.documents.selectExpr("doc_id", s"$shs AS shs")
         DedupIndex.build(t.spark, all.filter(col("doc_id") % 5 =!= 0),
           dir, ShingleDfCap)
