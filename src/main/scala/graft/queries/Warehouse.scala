@@ -491,6 +491,48 @@ object Warehouse {
           GROUP BY y, q)
         ORDER BY y, q""")),
 
+    // S5 lifecycle, TRANSACTIONAL: the summary upsert run through the
+    // manifest-log table (sources/TxTable.scala) — seed a snapshot from
+    // the pre-1997 orders, then MERGE the remainder as a delta batch in
+    // one atomic commit (optimistic read-transform-commit, the
+    // ON DUPLICATE KEY UPDATE twin; reference init/mysql_loader.py:
+    // 1044-1057 gets the same guarantees from InnoDB). Partial sums
+    // stay DECIMAL inside the table, so merged partials equal the
+    // oracle's one-shot aggregate bit-for-bit after the single final
+    // cast — the arithmetic that makes incremental summaries exact.
+    QueryDef(
+      "q_tx_summary_merge",
+      t => {
+        import graft.operators.Stages
+        import graft.sources.TxTable
+        import org.apache.spark.sql.types.StructType
+        val dir = Stages.freshDir(t.spark, s"tx_summary:${t.dir}")
+        TxTable.init(t.spark, dir,
+          StructType.fromDDL("custkey BIGINT, order_cnt BIGINT, total_spent DECIMAL(38,2)"))
+        def agg(df: org.apache.spark.sql.DataFrame) = df
+          .groupBy(col("o_custkey").as("custkey"))
+          .agg(count(lit(1)).as("order_cnt"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).as("total_spent"))
+        TxTable.overwrite(t.spark, dir,
+          agg(t.orders.filter(col("o_orderdate") < "1997-01-01")))
+        val delta = agg(t.orders.filter(col("o_orderdate") >= "1997-01-01"))
+        TxTable.merge(t.spark, dir) { cur =>
+          cur.unionByName(delta)
+            .groupBy(col("custkey"))
+            .agg(sum(col("order_cnt")).as("order_cnt"),
+              sum(col("total_spent")).as("total_spent"))
+        }
+        TxTable.read(t.spark, dir)
+          .select(col("custkey"),
+            col("order_cnt").cast("long").as("order_cnt"),
+            col("total_spent").cast("double").as("total_spent"))
+          .orderBy(col("custkey"))
+      },
+      Some(s"""
+        SELECT o_custkey AS custkey, COUNT(*) AS order_cnt,
+          ${sqlSum("o_totalprice")} AS total_spent
+        FROM orders GROUP BY 1 ORDER BY 1""")),
+
     // A22/J7 (summary build) — per-customer totals from BOTH facts,
     // each aggregated separately then joined: the idiomatic fix for the
     // reference's multi-fact join inflation (init/mysql_loader.py:1080-1104
