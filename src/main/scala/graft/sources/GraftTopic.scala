@@ -8,12 +8,14 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.write.{DataWriter, LogicalWriteInfo, PhysicalWriteInfo, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources.DataSourceRegister
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{BinaryType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -54,12 +56,13 @@ class GraftTopicProvider extends TableProvider with DataSourceRegister {
 }
 
 private[sources] final class GraftTopicTable(cfg: GraftTopic.Config)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft-topic(${cfg.topics.mkString(",")})"
   override def schema(): StructType = graft.streaming.KafkaWire.wireSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.MICRO_BATCH_READ).asJava
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    Set(TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    require(cfg.topics.nonEmpty, "graft-topic source requires subscribe")
     new ScanBuilder {
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = graft.streaming.KafkaWire.wireSchema
@@ -67,6 +70,70 @@ private[sources] final class GraftTopicTable(cfg: GraftTopic.Config)
           new GraftTopicStream(cfg)
       }
     }
+  }
+
+  /** Producer side (reference streaming/producer.py:317-358): rows of
+    * `KafkaWire.toWire`'s shape — `value` binary required, `key` binary
+    * and `topic` string optional (the `topic` option is the fallback,
+    * as in the Kafka sink). Tasks BUFFER their rows into commit
+    * messages; the DRIVER appends them to the per-partition logs at
+    * epoch commit, preserving Kafka's per-key ordering (the keyed
+    * partitioner is the broker's, and a single committer serializes the
+    * appends a multi-task file write would tear). Epoch retries can
+    * re-append — at-least-once, the real Kafka sink's semantics. */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val s = info.schema()
+    def idx(n: String) = s.fieldNames.indexOf(n)
+    val vi = idx("value")
+    require(vi >= 0 && s(vi).dataType == BinaryType,
+      "graft-topic sink requires a binary `value` column")
+    val ki = idx("key")
+    val ti = idx("topic")
+    require(ti >= 0 || cfg.topics.nonEmpty,
+      "graft-topic sink needs a `topic` column or a topic option")
+    require(ti < 0 || s(ti).dataType == StringType, "`topic` must be string")
+    val defaultTopic = cfg.topics.headOption.getOrElse("")
+    new WriteBuilder {
+      override def buildForStreaming(): StreamingWrite =
+        new GraftTopicStreamingWrite(cfg, defaultTopic, ki, vi, ti)
+    }
+  }
+}
+
+private[sources] final case class GraftTopicRecords(
+    rows: Seq[(String, Array[Byte], Array[Byte])]) extends WriterCommitMessage
+
+private[sources] final case class GraftTopicWriterFactory(
+    defaultTopic: String, ki: Int, vi: Int, ti: Int)
+  extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+      : DataWriter[InternalRow] = new DataWriter[InternalRow] {
+    private val buf = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Array[Byte], Array[Byte])]
+    override def write(r: InternalRow): Unit = buf += ((
+      if (ti >= 0 && !r.isNullAt(ti)) r.getUTF8String(ti).toString else defaultTopic,
+      if (ki >= 0 && !r.isNullAt(ki)) r.getBinary(ki) else null,
+      r.getBinary(vi)))
+    override def commit(): WriterCommitMessage = GraftTopicRecords(buf.toSeq)
+    override def abort(): Unit = buf.clear()
+    override def close(): Unit = ()
+  }
+}
+
+private[sources] final class GraftTopicStreamingWrite(
+    cfg: GraftTopic.Config, defaultTopic: String,
+    ki: Int, vi: Int, ti: Int) extends StreamingWrite {
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    GraftTopicWriterFactory(defaultTopic, ki, vi, ti) // standalone: ships to tasks
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case GraftTopicRecords(rows) => rows.foreach { case (topic, key, value) =>
+        GraftTopic.send(cfg.dir, topic, cfg.partitions, key, value,
+          tsMicros = epochId) // deterministic stamp: the epoch, not wall clock
+      }
+      case _ => ()
+    }
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
 }
 
 /** Offsets: topic → partition → next line to read (i.e. count of lines
@@ -219,10 +286,15 @@ object GraftTopic {
 
   private[sources] def config(o: CaseInsensitiveStringMap): Config = {
     require(o.containsKey("brokerDir"), "graft-topic requires brokerDir")
-    require(o.containsKey("subscribe"), "graft-topic requires subscribe")
+    // Source path: `subscribe` (checked at scan build). Sink path: the
+    // `topic` option as the default topic — same split as the Kafka
+    // connector's subscribe vs topic options.
+    val topics = Option(o.get("subscribe")).orElse(Option(o.get("topic")))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
     Config(
       o.get("brokerDir"),
-      o.get("subscribe").split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+      topics,
       Option(o.get("partitions")).map(_.toInt).getOrElse(1),
       Option(o.get("startingOffsets")).getOrElse("earliest"),
       Option(o.get("maxOffsetsPerTrigger")).map(_.toLong))

@@ -135,6 +135,41 @@ class GraftTopicSourceSpec extends SparkSpec {
     assert(sizes.size >= 4) // 10 rows at ≤3/batch can't fit in 3 batches
   }
 
+  test("streaming SINK: wire frames round-trip through the broker log") {
+    // The producer side as a real DSv2 StreamingWrite: a streamed wire
+    // frame lands in the per-partition logs (driver-committed per
+    // epoch, so appends are never torn), and the SOURCE reads it back
+    // through the unchanged ingest — the reference's producer→consumer
+    // loop (streaming/producer.py → consumer.py) with both ends now
+    // executable DataSourceV2 code.
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val broker = Files.createTempDirectory("graft_broker").toString
+    val mem = MemoryStream[(Long, Long, String, Double, Long, String)]
+    val wire = KafkaWire.toWire(
+      StreamIngest.normalize(mem.toDF().toDF(
+        "event_id", "user_id", "event_type", "value", "ts", "props")),
+      Topic)
+    val q = wire.writeStream
+      .format("graft-topic")
+      .option("brokerDir", broker)
+      .option("partitions", Parts.toString)
+      .option("checkpointLocation", Files.createTempDirectory("ck").toString)
+      .start()
+    mem.addData((1L to 6L).map(i =>
+      (i, i % 3 + 10, "click", 1.0, 1710000000000000000L, "{}")): _*)
+    q.processAllAvailable()
+    q.stop()
+    // Read back through the source + ingest: all 6 events, keyed
+    // partitioning intact.
+    val store = new EventStore(Files.createTempDirectory("graft_store").toString)
+    val sizes = drain(broker, Files.createTempDirectory("ck2").toString, store)
+    assert(sizes.sum == 6 && store.facts(spark).count() == 6)
+    assert(store.table(spark, "dim_user").count() == 3)
+  }
+
   test("startingOffsets=latest skips the backlog; checkpoint then owns progress") {
     val broker = Files.createTempDirectory("graft_broker").toString
     val ckpt = Files.createTempDirectory("graft_ckpt").toString
