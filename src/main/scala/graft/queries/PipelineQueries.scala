@@ -341,6 +341,77 @@ object PipelineQueries {
         GROUP BY tk.doc_id
         ORDER BY tk.doc_id""")),
 
+    // EXACT SUBSTRING DEDUP (the Lee et al. "Deduplicating Training
+    // Data" span family): find every k-token window that occurs in ≥2
+    // documents and report, per doc, how many windows and how many
+    // TOKEN POSITIONS duplicated spans cover — the measurement that
+    // drives span-removal decisions (full-doc dedup misses partially
+    // copied text; this catches the copied SPANS). Distributed shape:
+    // window fingerprints are map-side md5s (one per position, no
+    // text shuffled — the 16-byte hash is the join key), the document
+    // frequency pass is one shuffle of O(tokens) narrow rows (the same
+    // inverted-index cost the shingle pipeline pays), and the span
+    // coverage explode runs ONLY on duplicated windows — rare on a
+    // clean corpus, which is what makes this tractable where the
+    // reference suffix-array formulation is single-node. A production
+    // deployment persists the window index like DedupIndex does the
+    // shingle index.
+    QueryDef(
+      "q_docs_substring_dedup",
+      t => {
+        val k = 12
+        val base = t.documents.selectExpr("doc_id", s"$toks AS t")
+          .filter(size(col("t")) >= k)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val wins = base.selectExpr("doc_id",
+          s"""explode(transform(sequence(1, size(t) - ${k - 1}),
+              i -> named_struct('i', i, 'g', md5(concat_ws(' ', slice(t, i, $k)))))) AS w""")
+          .select(col("doc_id"), col("w.i").as("i"), col("w.g").as("g"))
+        val dupGrams = wins.groupBy(col("g"))
+          .agg(countDistinct(col("doc_id")).as("df"))
+          .filter(col("df") >= 2)
+          .select(col("g"))
+        val dwins = wins.join(dupGrams, Seq("g"), "left_semi")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val cnt = dwins.groupBy(col("doc_id")).agg(count(lit(1)).as("dup_windows"))
+        val cov = dwins
+          .selectExpr("doc_id", s"explode(sequence(i, i + ${k - 1})) AS pos")
+          .distinct()
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("covered"))
+        val out = base.select(col("doc_id"), size(col("t")).cast("long").as("total_tokens"))
+          .join(cnt, Seq("doc_id"), "left")
+          .join(cov, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("dup_windows"), lit(0L)).cast("long").as("dup_windows"),
+            coalesce(col("covered"), lit(0L)).cast("long").as("covered_tokens"),
+            col("total_tokens"))
+          .orderBy(col("doc_id"))
+        graft.CacheJanitor.afterTerminalAction(out, Seq(base, dwins))
+      },
+      Some(s"""
+        WITH base AS (
+          SELECT doc_id, $duckToks s FROM documents
+          WHERE len($duckToks) >= 12),
+        wins AS (
+          SELECT doc_id, i.i, md5(array_to_string(s[i.i : i.i + 11], ' ')) g
+          FROM base, LATERAL (SELECT unnest(generate_series(1, len(s) - 11)) AS i) i),
+        dup AS (
+          SELECT g FROM wins GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+        dwins AS (SELECT w.doc_id, w.i FROM wins w JOIN dup USING (g)),
+        cnt AS (SELECT doc_id, COUNT(*) dup_windows FROM dwins GROUP BY doc_id),
+        cov AS (
+          SELECT doc_id, COUNT(DISTINCT pos) covered FROM (
+            SELECT doc_id, unnest(generate_series(i, i + 11)) pos FROM dwins) z
+          GROUP BY doc_id)
+        SELECT b.doc_id,
+          CAST(coalesce(cnt.dup_windows, 0) AS BIGINT) AS dup_windows,
+          CAST(coalesce(cov.covered, 0) AS BIGINT) AS covered_tokens,
+          CAST(len(b.s) AS BIGINT) AS total_tokens
+        FROM base b
+        LEFT JOIN cnt USING (doc_id)
+        LEFT JOIN cov USING (doc_id)
+        ORDER BY b.doc_id""")),
+
     // Token-window chunking: split each document into fixed-size token
     // windows with overlap (64-token chunks, 48-token stride — the
     // RAG-indexing / long-context-pretraining chunker; overlap keeps
