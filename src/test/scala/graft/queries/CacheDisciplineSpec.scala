@@ -17,7 +17,7 @@ class CacheDisciplineSpec extends SparkSpec {
     "q_sketch_builtin", "q_sketch_cms_heavy_hitters",
     "q_embed_pq_topk", "q_embed_ivfpq_search",
     "q_docs_decontaminate", "q_docs_corpus_build",
-    "q_customer_rfm")
+    "q_docs_substring_dedup", "q_customer_rfm")
 
   private def cacheEmpty: Boolean = spark.sharedState.cacheManager.isEmpty
 
