@@ -28,9 +28,12 @@ import org.apache.spark.sql.types.StructType
   * POSIX here; object stores need a conditional-put, which is exactly
   * what Delta requires of its log store too):
   *  - **Atomic commits.** Data directories are fully written BEFORE the
-  *    commit file is created with `Files.createFile` (create-exclusive).
-  *    A crash in between leaves orphan data invisible to every reader;
-  *    [[vacuum]] reclaims it.
+  *    commit file is claimed via `Files.createLink` from an already-
+  *    written manifest (link(2): atomic, create-exclusive, and the
+  *    commit file is complete the instant it exists — a crashed writer
+  *    can never leave an empty or torn manifest). A crash before the
+  *    claim leaves orphan data invisible to every reader; [[vacuum]]
+  *    reclaims it after a retention window.
   *  - **Snapshot isolation.** [[read]] resolves the file list once; the
   *    returned frame scans those literal paths forever after,
   *    regardless of later commits (old versions' files are never
@@ -63,35 +66,41 @@ object TxTable {
     writeCommit(commitFile(dir, 0L), schema.toDDL, Seq.empty)
   }
 
-  /** Latest committed snapshot. A just-claimed version's manifest is
-    * moved into place an instant after the claim (see [[writeCommit]]);
-    * a reader landing inside that window spins briefly — the only
-    * alternative primitive, rename-without-replace, is NOT atomic-
-    * exclusive on POSIX (rename(2) silently replaces), so the claim
-    * must stay a create-exclusive. */
-  def snapshot(dir: String): Snapshot = {
-    val latest = Files.list(logDir(dir)).iterator().asScala
-      .map(_.getFileName.toString)
+  /** List a directory's entry names, closing the stream (Files.list
+    * holds a directory fd until closed; merge's retry loop calls this
+    * repeatedly under contention, so leaks would accumulate). */
+  private def listNames(p: Path): Seq[String] = {
+    val s = Files.list(p)
+    try s.iterator().asScala.map(_.getFileName.toString).toVector
+    finally s.close()
+  }
+
+  private def commitVersions(dir: String): Seq[Long] =
+    listNames(logDir(dir))
       .filter(_.endsWith(".commit"))
       .map(n => n.stripPrefix("v").stripSuffix(".commit").toLong)
-      .max
+      .sorted
+
+  /** Latest committed snapshot. [[writeCommit]] claims a version by
+    * hard-linking an already-written manifest into place, so a commit
+    * file is complete the instant it exists. An empty/unparsable commit
+    * can therefore only be debris from a crashed pre-link-era claim; it
+    * is treated as never-committed and the predecessor wins. */
+  def snapshot(dir: String): Snapshot = {
     implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
-    var attempt = 0
-    while (true) {
-      val json = Files.readString(commitFile(dir, latest))
-      try {
+    val versions = commitVersions(dir)
+    // Walk newest → oldest: skip crashed (empty) claims.
+    versions.reverseIterator.foreach { v =>
+      val json = Files.readString(commitFile(dir, v))
+      if (json.nonEmpty) {
         val m = org.json4s.jackson.JsonMethods.parse(json)
-        return Snapshot(latest,
+        return Snapshot(v,
           (m \ "schema").extract[String],
           (m \ "dirs").extract[Seq[String]])
-      } catch { case e: Throwable =>
-        attempt += 1
-        if (attempt > 100) throw new IllegalStateException(
-          s"commit v$latest unreadable after ${attempt} attempts", e)
-        Thread.sleep(10)
       }
     }
-    throw new IllegalStateException("unreachable")
+    throw new IllegalStateException(
+      s"no readable commit in $dir (${versions.size} claim files, all empty)")
   }
 
   /** The table AT `snap`: scans the snapshot's literal paths, immune to
@@ -107,22 +116,34 @@ object TxTable {
   def read(spark: SparkSession, dir: String): DataFrame =
     read(spark, dir, snapshot(dir))
 
-  /** Commit `df` as version `expected.version + 1`, REPLACING the table
+  /** Commit `df` as the version after `expected`, REPLACING the table
     * contents (pass `keepExisting = true` for an append). Throws
     * [[ConcurrentCommitException]] — after cleaning up its data — if
-    * another writer claimed the version first. */
+    * another writer committed first. Claim files that exist but are
+    * EMPTY are dead claims from crashed pre-link-era writers: they were
+    * never commits (no reader resolves them), so the claim walks past
+    * them instead of treating them as a competing writer. */
   def commit(spark: SparkSession, dir: String, df: DataFrame,
              expected: Snapshot, keepExisting: Boolean = false): Snapshot = {
     val u = UUID.randomUUID().toString
     df.write.parquet(s"$dir/data/$u")
     val dirs = (if (keepExisting) expected.dirs else Seq.empty) :+ u
-    val next = expected.version + 1
-    try writeCommit(commitFile(dir, next), df.schema.toDDL, dirs)
-    catch { case _: FileAlreadyExistsException =>
-      deleteRec(Paths.get(dir, "data", u)) // lost the race: our data never became visible
-      throw new ConcurrentCommitException(next)
+    var next = expected.version + 1
+    while (true) {
+      try {
+        writeCommit(commitFile(dir, next), df.schema.toDDL, dirs)
+        return Snapshot(next, df.schema.toDDL, dirs)
+      } catch { case _: FileAlreadyExistsException =>
+        val existing = commitFile(dir, next)
+        if (Files.exists(existing) && Files.size(existing) == 0L) {
+          next += 1 // dead claim: skip over it, our snapshot is still current
+        } else {
+          deleteRec(Paths.get(dir, "data", u)) // lost the race: our data never became visible
+          throw new ConcurrentCommitException(next)
+        }
+      }
     }
-    Snapshot(next, df.schema.toDDL, dirs)
+    throw new IllegalStateException("unreachable")
   }
 
   def append(spark: SparkSession, dir: String, df: DataFrame): Snapshot =
@@ -157,44 +178,73 @@ object TxTable {
   /** Delete data directories not referenced by the newest `keepLast`
     * manifests (and drop older manifests): reclaims crash orphans and
     * superseded versions. Readers pinned to vacuumed versions fail on
-    * next scan — the documented time-travel limit, as in Delta. */
-  def vacuum(dir: String, keepLast: Int = 1): Unit = {
-    val versions = Files.list(logDir(dir)).iterator().asScala
-      .map(_.getFileName.toString)
-      .filter(_.endsWith(".commit"))
-      .map(n => n.stripPrefix("v").stripSuffix(".commit").toLong)
-      .toSeq.sorted
-    val keep = versions.takeRight(keepLast)
+    * next scan — the documented time-travel limit, as in Delta.
+    *
+    * Orphan data directories referenced by NO manifest are reclaimed
+    * only once older than `orphanRetentionMs` (Delta's retention
+    * approach): [[commit]] writes `dir/data/<uuid>` BEFORE claiming the
+    * commit file, so a freshly-written unreferenced directory may be an
+    * in-flight commit's data — deleting it would let the commit succeed
+    * referencing deleted files. Directories referenced by DROPPED
+    * manifests are never in-flight (their commit completed) and are
+    * reclaimed immediately. Pass `orphanRetentionMs = 0` only when no
+    * writer can be concurrent (e.g. single-process tests). */
+  def vacuum(dir: String, keepLast: Int = 1,
+             orphanRetentionMs: Long = 10L * 60 * 1000): Unit = {
     implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
-    val live = keep.flatMap { v =>
-      (org.json4s.jackson.JsonMethods.parse(Files.readString(commitFile(dir, v)))
-        \ "dirs").extract[Seq[String]]
-    }.toSet
-    Files.list(Paths.get(dir, "data")).iterator().asScala
-      .filter(p => !live.contains(p.getFileName.toString))
-      .foreach(deleteRec)
-    versions.dropRight(keepLast).foreach(v => Files.delete(commitFile(dir, v)))
+    def dirsOf(v: Long): Seq[String] = {
+      val json = Files.readString(commitFile(dir, v))
+      if (json.isEmpty) Seq.empty // dead claim from a crashed writer
+      else (org.json4s.jackson.JsonMethods.parse(json) \ "dirs").extract[Seq[String]]
+    }
+    val versions = commitVersions(dir)
+    // keepLast counts REAL commits; dead (empty) claim files are debris
+    // and always droppable.
+    val real = versions.filter(v => Files.size(commitFile(dir, v)) > 0L)
+    val keep = real.takeRight(keepLast)
+    val drop = versions.filterNot(keep.toSet)
+    val live = keep.flatMap(dirsOf).toSet
+    val superseded = drop.flatMap(dirsOf).toSet -- live
+    val cutoff = System.currentTimeMillis() - orphanRetentionMs
+    val dataRoot = Paths.get(dir, "data")
+    listNames(dataRoot).foreach { name =>
+      val p = dataRoot.resolve(name)
+      if (superseded.contains(name)) deleteRec(p)
+      else if (!live.contains(name) &&
+               Files.getLastModifiedTime(p).toMillis < cutoff) deleteRec(p)
+    }
+    drop.foreach(v => Files.delete(commitFile(dir, v)))
+    // Unclaimed manifest temp files from crashed writers (writeCommit
+    // crash before link): same retention as data orphans.
+    listNames(logDir(dir)).filter(_.endsWith(".tmp")).foreach { n =>
+      val p = logDir(dir).resolve(n)
+      if (Files.getLastModifiedTime(p).toMillis < cutoff) Files.deleteIfExists(p)
+    }
   }
 
   private def writeCommit(path: Path, schemaDdl: String, dirs: Seq[String]): Unit = {
     implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
     val json = org.json4s.jackson.Serialization.write(
       Map("schema" -> schemaDdl, "dirs" -> dirs))
-    // create-exclusive claims the version; write content after. Readers
-    // tolerate the (microscopic) window by re-reading an empty/partial
-    // commit's predecessor? No — keep it simple and correct: write to a
-    // temp name, then ATOMIC_MOVE onto the claimed file, so a reader
-    // never observes a half-written manifest.
-    Files.createFile(path) // atomic claim; throws if the version exists
-    val tmp = path.resolveSibling(path.getFileName.toString + ".tmp")
+    // Content must be durable BEFORE the claim: write the manifest to a
+    // private temp name, then claim the version with link(2) — atomic
+    // and create-exclusive (fails EEXIST), and the commit file is
+    // complete the instant it exists. A writer crash before the link
+    // leaves only an unclaimed temp file; a crash after it is a
+    // completed commit. No window in which readers can observe an
+    // empty or half-written manifest.
+    val tmp = path.resolveSibling(
+      path.getFileName.toString + "." + UUID.randomUUID().toString + ".tmp")
     Files.writeString(tmp, json)
-    Files.move(tmp, path, java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    try Files.createLink(path, tmp) // atomic claim; throws if the version exists
+    finally Files.deleteIfExists(tmp)
   }
 
   private def deleteRec(p: Path): Unit =
     if (Files.exists(p)) {
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+      val w = Files.walk(p)
+      try w.sorted(java.util.Comparator.reverseOrder())
         .forEach(f => Files.delete(f))
+      finally w.close()
     }
 }
