@@ -21,8 +21,12 @@ import org.apache.spark.sql.util.QueryExecutionListener
   * query body finished — i.e. the caller's terminal materialization
   * (collects inside the body complete before registration but their
   * completion events may still be in flight on the async listener bus;
-  * the id gate ignores them). On that first post-body action — success
-  * or failure — the caches are unpersisted and the listener removed.
+  * the id gate ignores them). `collect()`/`show()` on the returned
+  * frame REUSE the frame's own QueryExecution instead of creating a
+  * fresh one, so the same instance completing (`qe eq
+  * result.queryExecution`) is by definition the terminal action and
+  * triggers cleanup too. On that first post-body action — success or
+  * failure — the caches are unpersisted and the listener removed.
   */
 object CacheJanitor {
 
@@ -33,7 +37,8 @@ object CacheJanitor {
     val done = new AtomicBoolean(false)
     val listener = new QueryExecutionListener {
       private def cleanup(qe: QueryExecution): Unit =
-        if (qe.id > bodyMaxId && done.compareAndSet(false, true)) {
+        if ((qe.id > bodyMaxId || (qe eq result.queryExecution)) &&
+            done.compareAndSet(false, true)) {
           caches.foreach(c =>
             try c.unpersist(blocking = false) catch { case _: Throwable => () })
           try spark.listenerManager.unregister(this)

@@ -2,7 +2,7 @@ package graft.sources
 
 import java.io.{BufferedReader, FileReader, FileWriter}
 import java.nio.file.{Files, Paths}
-import java.util.Base64
+import java.util.{Base64, UUID}
 
 import scala.jdk.CollectionConverters._
 
@@ -31,14 +31,19 @@ import org.apache.spark.unsafe.types.UTF8String
   * streaming/consumer.py:23-33 — subscribe list, offset reset, the
   * consumer poll loop whose progress the checkpoint replaces).
   *
-  * Broker model: `brokerDir/<topic>/p<k>.log`, one append-only log file
-  * per partition; a record is one line `base64(key)\tbase64(value)\tts`
-  * and its OFFSET is its line number — Kafka's (topic, partition,
-  * offset) coordinates verbatim. Appends-only means a (start, end]
-  * range is immutable and every micro-batch replayable, which is what
-  * makes checkpoint recovery exact. `latestOffset` counts lines per
-  * partition (a real broker indexes; at spec scale the scan is the
-  * honest, obviously-correct choice).
+  * Broker model: `brokerDir/<topic>/p<k>.log`, one append-only MANIFEST
+  * per partition. A manifest line is either an inline record
+  * `base64(key)\tbase64(value)\tts` (the lightweight [[GraftTopic.send]]
+  * producer) or a segment reference `@<relPath>\t<count>` naming an
+  * immutable file of `count` records under the topic dir (the streaming
+  * sink's epoch commit — Kafka's own log-segment shape). A record's
+  * OFFSET is its position in the flattened sequence, so offsets are
+  * dense, monotone in commit order across both producers, and a
+  * (start, end] range is immutable and replayable — which is what makes
+  * checkpoint recovery exact. Readers skip whole segments by count
+  * without opening them; `latestOffset` sums manifest entries (a real
+  * broker indexes; at spec scale the scan is the honest,
+  * obviously-correct choice).
   *
   * Options: `brokerDir`, `subscribe` (comma-separated topics),
   * `partitions` (per topic, default 1), `startingOffsets`
@@ -75,12 +80,15 @@ private[sources] final class GraftTopicTable(cfg: GraftTopic.Config)
   /** Producer side (reference streaming/producer.py:317-358): rows of
     * `KafkaWire.toWire`'s shape — `value` binary required, `key` binary
     * and `topic` string optional (the `topic` option is the fallback,
-    * as in the Kafka sink). Tasks BUFFER their rows into commit
-    * messages; the DRIVER appends them to the per-partition logs at
-    * epoch commit, preserving Kafka's per-key ordering (the keyed
-    * partitioner is the broker's, and a single committer serializes the
-    * appends a multi-task file write would tear). Epoch retries can
-    * re-append — at-least-once, the real Kafka sink's semantics. */
+    * as in the Kafka sink). Scale shape: tasks STREAM their rows
+    * directly into partition-exclusive segment files (no task-side
+    * buffering, no row payloads in commit messages); the DRIVER's epoch
+    * commit appends one manifest REFERENCE line per segment to each
+    * partition log — bytes move task→storage, only paths/counts move
+    * through the driver. Per-key ordering holds because the keyed
+    * partitioner routes a key to one broker partition and the driver
+    * serializes manifest appends in task order. Epoch retries re-commit
+    * fresh segments — at-least-once, the real Kafka sink's semantics. */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val s = info.schema()
     def idx(n: String) = s.fieldNames.indexOf(n)
@@ -100,22 +108,49 @@ private[sources] final class GraftTopicTable(cfg: GraftTopic.Config)
   }
 }
 
-private[sources] final case class GraftTopicRecords(
-    rows: Seq[(String, Array[Byte], Array[Byte])]) extends WriterCommitMessage
+/** One committed segment: rows for exactly one (topic, broker
+  * partition), already durable at `relPath` under the topic dir.
+  * The ONLY payload a task sends to the driver. */
+private[sources] final case class GraftTopicSegments(
+    segs: Seq[(String, Int, String, Long)]) // (topic, partition, relPath, count)
+  extends WriterCommitMessage
 
 private[sources] final case class GraftTopicWriterFactory(
-    defaultTopic: String, ki: Int, vi: Int, ti: Int)
+    dir: String, partitions: Int, defaultTopic: String, ki: Int, vi: Int, ti: Int)
   extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : DataWriter[InternalRow] = new DataWriter[InternalRow] {
-    private val buf = scala.collection.mutable.ArrayBuffer
-      .empty[(String, Array[Byte], Array[Byte])]
-    override def write(r: InternalRow): Unit = buf += ((
-      if (ti >= 0 && !r.isNullAt(ti)) r.getUTF8String(ti).toString else defaultTopic,
-      if (ki >= 0 && !r.isNullAt(ki)) r.getBinary(ki) else null,
-      r.getBinary(vi)))
-    override def commit(): WriterCommitMessage = GraftTopicRecords(buf.toSeq)
-    override def abort(): Unit = buf.clear()
+    // One open segment per (topic, broker partition), created lazily,
+    // streamed to as rows arrive — task memory is O(open files), never
+    // O(rows). Names carry epoch/task/uuid so retries never collide.
+    private val open = scala.collection.mutable.LinkedHashMap
+      .empty[(String, Int), (String, FileWriter, Array[Long])]
+    private val enc = Base64.getEncoder
+    override def write(r: InternalRow): Unit = {
+      val topic =
+        if (ti >= 0 && !r.isNullAt(ti)) r.getUTF8String(ti).toString else defaultTopic
+      val key = if (ki >= 0 && !r.isNullAt(ki)) r.getBinary(ki) else null
+      val p = GraftTopic.partitionFor(key, partitions)
+      val (_, w, n) = open.getOrElseUpdate((topic, p), {
+        val rel = s"segments/e$epochId-t$taskId-p$p-${UUID.randomUUID()}.seg"
+        val path = Paths.get(dir, topic, rel)
+        Files.createDirectories(path.getParent)
+        (rel, new FileWriter(path.toFile), Array(0L))
+      })
+      w.write((if (key == null) "" else enc.encodeToString(key)) + "\t" +
+        enc.encodeToString(r.getBinary(vi)) + "\t" + epochId + "\n")
+      n(0) += 1
+    }
+    override def commit(): WriterCommitMessage = {
+      open.values.foreach(_._2.close()) // durable BEFORE the driver sees the path
+      GraftTopicSegments(open.iterator.map { case ((t, p), (rel, _, n)) =>
+        (t, p, rel, n(0))
+      }.toSeq)
+    }
+    override def abort(): Unit = open.foreach { case ((t, _), (rel, w, _)) =>
+      try w.close() catch { case _: Throwable => () }
+      Files.deleteIfExists(Paths.get(dir, t, rel)) // never referenced
+    }
     override def close(): Unit = ()
   }
 }
@@ -124,16 +159,25 @@ private[sources] final class GraftTopicStreamingWrite(
     cfg: GraftTopic.Config, defaultTopic: String,
     ki: Int, vi: Int, ti: Int) extends StreamingWrite {
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    GraftTopicWriterFactory(defaultTopic, ki, vi, ti) // standalone: ships to tasks
+    GraftTopicWriterFactory(cfg.dir, cfg.partitions, defaultTopic, ki, vi, ti)
+  /** Epoch commit = append one `@relPath\tcount` reference line per
+    * segment to its partition manifest, in task order — the TxTable
+    * idiom at log granularity: data durable first, visibility via a
+    * tiny serialized commit record, no row bytes through the driver. */
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case GraftTopicRecords(rows) => rows.foreach { case (topic, key, value) =>
-        GraftTopic.send(cfg.dir, topic, cfg.partitions, key, value,
-          tsMicros = epochId) // deterministic stamp: the epoch, not wall clock
+      case GraftTopicSegments(segs) => segs.foreach { case (topic, p, rel, n) =>
+        GraftTopic.appendSegmentRef(cfg.dir, topic, p, rel, n)
       }
       case _ => ()
     }
-  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach { // unreferenced segments: reclaim eagerly
+      case GraftTopicSegments(segs) => segs.foreach { case (topic, _, rel, _) =>
+        Files.deleteIfExists(Paths.get(cfg.dir, topic, rel))
+      }
+      case _ => ()
+    }
 }
 
 /** Offsets: topic → partition → next line to read (i.e. count of lines
@@ -203,12 +247,7 @@ private[sources] final class GraftTopicStream(cfg: GraftTopic.Config)
         from.getOrElse(t, Map.empty).getOrElse(p, 0L)))
     val total = avail.map(_._3).sum
     if (total <= cap) return GraftTopicOffset(end)
-    val scaled = avail.map { case (t, p, a) => (t, p, a, a * cap / total) }
-    var slack = cap - scaled.map(_._4).sum
-    val take = scaled.map { case (t, p, a, q) =>
-      val extra = if (slack > 0 && q < a) { slack -= 1; 1L } else 0L
-      ((t, p), q + extra)
-    }.toMap
+    val take = GraftTopic.prorate(avail, cap)
     GraftTopicOffset(cfg.topics.map { t =>
       t -> (0 until cfg.partitions).map { p =>
         p -> (from.getOrElse(t, Map.empty).getOrElse(p, 0L) + take((t, p)))
@@ -237,7 +276,7 @@ private[sources] final class GraftTopicStream(cfg: GraftTopic.Config)
   private def endOffsets(): GraftTopicOffset =
     GraftTopicOffset(cfg.topics.map(t =>
       t -> (0 until cfg.partitions)
-        .map(p => p -> GraftTopic.lineCount(GraftTopic.logFile(cfg.dir, t, p)))
+        .map(p => p -> GraftTopic.recordCount(GraftTopic.logFile(cfg.dir, t, p)))
         .toMap).toMap)
 }
 
@@ -250,14 +289,14 @@ private[sources] final class GraftTopicReaderFactory
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val r = partition.asInstanceOf[GraftTopicRange]
     new PartitionReader[InternalRow] {
-      private val in = new BufferedReader(new FileReader(r.file))
-      private var line = 0L
+      private val topicDir = Paths.get(r.file).getParent
+      private val manifest = new BufferedReader(new FileReader(r.file))
+      private var seg: BufferedReader = _ // open segment, if inside one
+      private var segLeft = 0L
+      private var pos = 0L // offset of the NEXT record in the flattened log
       private var current: InternalRow = _
-      override def next(): Boolean = {
-        while (line < r.from && in.readLine() != null) line += 1
-        if (line >= r.until) return false
-        val raw = in.readLine()
-        if (raw == null) return false // torn tail: stop at what exists
+
+      private def emit(raw: String): Boolean = {
         val f = raw.split("\t", -1)
         val dec = Base64.getDecoder
         current = new GenericInternalRow(Array[Any](
@@ -265,14 +304,47 @@ private[sources] final class GraftTopicReaderFactory
           dec.decode(f(1)),
           UTF8String.fromString(r.topic),
           r.partition,
-          line,
+          pos,
           f(2).toLong,
           0)) // timestampType: CREATE_TIME, as the Kafka wire reports
-        line += 1
+        pos += 1
         true
       }
+
+      override def next(): Boolean = {
+        while (pos < r.until) {
+          if (seg != null) {
+            if (segLeft == 0) { seg.close(); seg = null }
+            else {
+              val raw = seg.readLine()
+              if (raw == null) { seg.close(); seg = null; return false } // torn (crash mid-segment write: unreachable, refs commit after close)
+              segLeft -= 1
+              if (pos >= r.from) return emit(raw) else pos += 1
+            }
+          } else {
+            val raw = manifest.readLine()
+            if (raw == null) return false // torn tail: stop at what exists
+            if (raw.startsWith("@")) {
+              val f = raw.substring(1).split("\t")
+              if (f.length < 2) return false // torn reference line
+              val n = f(1).toLong
+              if (pos + n <= r.from) pos += n // skip whole segment unopened
+              else {
+                seg = new BufferedReader(
+                  new FileReader(topicDir.resolve(f(0)).toFile))
+                segLeft = n
+              }
+            } else if (pos >= r.from) return emit(raw)
+            else pos += 1
+          }
+        }
+        false
+      }
       override def get(): InternalRow = current
-      override def close(): Unit = in.close()
+      override def close(): Unit = {
+        if (seg != null) seg.close()
+        manifest.close()
+      }
     }
   }
 }
@@ -303,22 +375,78 @@ object GraftTopic {
   private[sources] def logFile(dir: String, topic: String, partition: Int): String =
     s"$dir/$topic/p$partition.log"
 
-  private[sources] def lineCount(file: String): Long = {
+  /** Records visible in a partition manifest: inline lines count 1,
+    * `@ref` lines their committed count. A torn tail (crash mid-append)
+    * stops the count at what's complete — readers stop at the same
+    * point, so offsets and scans always agree. */
+  private[sources] def recordCount(file: String): Long = {
     val p = Paths.get(file)
     if (!Files.exists(p)) return 0L
     val in = new BufferedReader(new FileReader(file))
-    try { var n = 0L; while (in.readLine() != null) n += 1; n }
-    finally in.close()
+    try {
+      var n = 0L
+      var raw = in.readLine()
+      while (raw != null) {
+        if (raw.startsWith("@")) {
+          val f = raw.substring(1).split("\t")
+          if (f.length < 2) return n // torn reference line
+          n += f(1).toLong
+        } else n += 1
+        raw = in.readLine()
+      }
+      n
+    } finally in.close()
   }
 
-  /** Keyed send: partition = hash(key) mod partitions (Kafka's default
-    * partitioner shape — one key's records stay ORDERED within one
-    * partition, the property the sessionizer downstream relies on).
-    * Single-writer per partition, like the reference's one producer. */
+  /** Kafka's default-partitioner shape: hash(key) mod partitions — one
+    * key's records stay ORDERED within one partition, the property the
+    * sessionizer downstream relies on. Shared by [[send]] and the
+    * streaming sink's task writers so both producers agree. */
+  private[sources] def partitionFor(key: Array[Byte], partitions: Int): Int =
+    if (key == null) 0
+    else math.floorMod(java.util.Arrays.hashCode(key), partitions)
+
+  /** Driver-side epoch commit: make an already-durable segment visible
+    * by appending its reference line to the partition manifest. */
+  private[sources] def appendSegmentRef(dir: String, topic: String,
+                                        partition: Int, relPath: String,
+                                        count: Long): Unit = {
+    val path = Paths.get(logFile(dir, topic, partition))
+    Files.createDirectories(path.getParent)
+    val w = new FileWriter(path.toFile, true)
+    try w.write(s"@$relPath\t$count\n") finally w.close()
+  }
+
+  /** Largest-remainder proration of `cap` rows across partitions by
+    * availability: quotas floor(a*cap/total) via BigInt (a*cap overflows
+    * Long for large backlogs × large caps — a negative quotient would
+    * under-admit to 0), then the rounding slack goes to the largest
+    * remainders, (topic, partition) order breaking exact ties
+    * deterministically. Callers guarantee total > cap. */
+  private[sources] def prorate(avail: Seq[(String, Int, Long)], cap: Long)
+      : Map[(String, Int), Long] = {
+    val total = avail.map(_._3).sum
+    val scaled = avail.map { case (t, p, a) =>
+      val prod = BigInt(a) * cap
+      (t, p, a, (prod / total).toLong, (prod % total).toLong)
+    }
+    var slack = cap - scaled.map(_._4).sum
+    val extras = scala.collection.mutable.Set.empty[(String, Int)]
+    scaled.sortBy { case (t, p, _, _, rem) => (-rem, t, p) }.foreach {
+      case (t, p, a, q, _) =>
+        if (slack > 0 && q < a) { extras += ((t, p)); slack -= 1 }
+    }
+    scaled.map { case (t, p, _, q, _) =>
+      ((t, p), q + (if (extras((t, p))) 1L else 0L))
+    }.toMap
+  }
+
+  /** Keyed send: the lightweight single-record producer (tests, the
+    * generator). Single-writer per partition, like the reference's one
+    * producer; records land inline in the partition manifest. */
   def send(dir: String, topic: String, partitions: Int,
            key: Array[Byte], value: Array[Byte], tsMicros: Long): Unit = {
-    val p = if (key == null) 0
-      else math.floorMod(java.util.Arrays.hashCode(key), partitions)
+    val p = partitionFor(key, partitions)
     val path = Paths.get(logFile(dir, topic, p))
     Files.createDirectories(path.getParent)
     val enc = Base64.getEncoder
