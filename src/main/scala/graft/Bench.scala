@@ -1,5 +1,8 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+import scala.collection.mutable
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -17,6 +20,9 @@ object Bench {
     // JIT/codegen warmup on the smallest SF (different data from the
     // timed run): exercises every query's codegen + parquet reader paths
     // so the timed loop measures the engine, not JVM compilation.
+    // Warmup failures are tolerated (a query may legitimately need the
+    // target SF's layout) — but a query that also fails in the TIMED
+    // loop is a hard error, never a fast timing.
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)
       SparkEntry.queries.foreach { case (_, fn) =>
@@ -40,18 +46,41 @@ object Bench {
     // Median of `reps` timings per query: this shared host shows large
     // transient load spikes (identical suites have swung 31→69 s), so a
     // single sample can misattribute host noise to a plan change.
-    val raw = SparkEntry.queries.map { case (name, fn) =>
-      val ts = (1 to reps).map { _ =>
+    //
+    // A query that throws in the timed loop records NO timing — round 8
+    // showed that time-to-exception (~0.05 s) silently IMPROVES the
+    // suite total while the query is in fact dead. Errors are collected
+    // per query, emitted in the JSON, and fail the run (exit 1).
+    val errors = mutable.LinkedHashMap.empty[String, String]
+    val raw = SparkEntry.queries.flatMap { case (name, fn) =>
+      val ts = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
-        try act(fn(spark, sfDir)) catch { case _: Throwable => () }
+        val ok =
+          try { act(fn(spark, sfDir)); true }
+          catch {
+            case e: Throwable =>
+              errors.getOrElseUpdate(name,
+                s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("").take(300)}")
+              false
+          }
         val elapsed = (System.nanoTime() - t0) / 1e9
         // Drop frames persisted inside the query: keeps each timing
         // independent and avoids cross-query executor-memory pressure.
         spark.catalog.clearCache()
-        elapsed
+        if (ok) Some(elapsed) else None
       }
-      name -> ts
+      if (ts.nonEmpty) Some(name -> ts) else None
     }
+    def esc(s: String): String =
+      s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case '\n' => "\\n"
+        case '\r' => "\\r"
+        case '\t' => "\\t"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      }
     val results = raw.map { case (name, ts) => name -> ts.sorted.apply(ts.size / 2) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -59,9 +88,12 @@ object Bench {
     // transient host-load window (one wild rep) without re-running.
     val rawJson = raw.map { case (k, ts) => s"\"" + k + "\":" + ts.mkString("[", ",", "]") }
       .mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) => s"\"" + esc(k) + "\":\"" + esc(v) + "\"" }
+      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"action":"noop-write","stat":"median","reps_raw":$rawJson}"""
+    val common =
+      s""""value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"error_count":${errors.size},"sf":"$sfDir","reps":$reps,"action":"noop-write","stat":"median""""
+    val json = s"""{"metric":"total",$common,"reps_raw":$rawJson}"""
     // Authoritative copy on disk: sbt interleaves its own lines with
     // forked stdout, which has truncated the driver's capture twice.
     try {
@@ -75,7 +107,12 @@ object Bench {
     // sbt output and the full line has outgrown it (r6's round artifact
     // carried parsed:null with the line's head clipped); the per-rep
     // samples stay in bench.json, which is committed per round.
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"action":"noop-write","stat":"median","raw_in":"bench.json"}""")
+    println(s"""{"metric":"total",$common,"raw_in":"bench.json"}""")
+    // Any dead query is a FAILED bench run: exit non-zero so the driver
+    // (and CI) cannot mistake time-to-exception for an improvement.
+    if (errors.nonEmpty) {
+      System.err.println(s"bench: ${errors.size} queries failed: ${errors.keys.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

@@ -27,6 +27,16 @@ import org.apache.spark.sql.util.QueryExecutionListener
   * result.queryExecution`) is by definition the terminal action and
   * triggers cleanup too. On that first post-body action — success or
   * failure — the caches are unpersisted and the listener removed.
+  *
+  * CONTRACT: the query body must NOT run an action on the frame it
+  * returns (e.g. a warm-up `result.collect()` before calling this).
+  * Such an action's completion event is still in flight on the async
+  * listener bus at registration time, matches `qe eq
+  * result.queryExecution`, and unpersists the caches before the
+  * caller's real terminal action — an uncached recompute (perf only,
+  * never a correctness break). Actions on OTHER frames inside the body
+  * are fine (the id gate ignores them); an action on the returned frame
+  * belongs after this call, where it IS the terminal action.
   */
 object CacheJanitor {
 

@@ -124,30 +124,38 @@ private[sources] final case class GraftTopicWriterFactory(
     // streamed to as rows arrive — task memory is O(open files), never
     // O(rows). Names carry epoch/task/uuid so retries never collide.
     private val open = scala.collection.mutable.LinkedHashMap
-      .empty[(String, Int), (String, FileWriter, Array[Long])]
+      .empty[(String, Int), (String, java.io.FileOutputStream, java.io.Writer, Array[Long])]
     private val enc = Base64.getEncoder
     override def write(r: InternalRow): Unit = {
       val topic =
         if (ti >= 0 && !r.isNullAt(ti)) r.getUTF8String(ti).toString else defaultTopic
       val key = if (ki >= 0 && !r.isNullAt(ki)) r.getBinary(ki) else null
       val p = GraftTopic.partitionFor(key, partitions)
-      val (_, w, n) = open.getOrElseUpdate((topic, p), {
+      val (_, _, w, n) = open.getOrElseUpdate((topic, p), {
         val rel = s"segments/e$epochId-t$taskId-p$p-${UUID.randomUUID()}.seg"
         val path = Paths.get(dir, topic, rel)
         Files.createDirectories(path.getParent)
-        (rel, new FileWriter(path.toFile), Array(0L))
+        val fos = new java.io.FileOutputStream(path.toFile)
+        (rel, fos, new java.io.BufferedWriter(
+          new java.io.OutputStreamWriter(fos, java.nio.charset.StandardCharsets.UTF_8)), Array(0L))
       })
       w.write((if (key == null) "" else enc.encodeToString(key)) + "\t" +
         enc.encodeToString(r.getBinary(vi)) + "\t" + epochId + "\n")
       n(0) += 1
     }
     override def commit(): WriterCommitMessage = {
-      open.values.foreach(_._2.close()) // durable BEFORE the driver sees the path
-      GraftTopicSegments(open.iterator.map { case ((t, p), (rel, _, n)) =>
+      // flush + fsync BEFORE the driver sees the path: without the sync a
+      // host crash can persist the (later) manifest ref but not these
+      // bytes, yielding a dangling reference. Readers additionally
+      // tolerate missing/short segments as torn tail (defense in depth).
+      open.values.foreach { case (_, fos, w, _) =>
+        w.flush(); fos.getFD.sync(); w.close()
+      }
+      GraftTopicSegments(open.iterator.map { case ((t, p), (rel, _, _, n)) =>
         (t, p, rel, n(0))
       }.toSeq)
     }
-    override def abort(): Unit = open.foreach { case ((t, _), (rel, w, _)) =>
+    override def abort(): Unit = open.foreach { case ((t, _), (rel, _, w, _)) =>
       try w.close() catch { case _: Throwable => () }
       Files.deleteIfExists(Paths.get(dir, t, rel)) // never referenced
     }
@@ -160,6 +168,14 @@ private[sources] final class GraftTopicStreamingWrite(
     ki: Int, vi: Int, ti: Int) extends StreamingWrite {
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
     GraftTopicWriterFactory(cfg.dir, cfg.partitions, defaultTopic, ki, vi, ti)
+  /** Refs this instance has durably appended to a manifest. If commit
+    * fails partway, Spark calls abort on the SAME instance with all
+    * messages — deleting an already-referenced segment there would
+    * poison the partition (recordCount counts phantom records, readers
+    * hit FileNotFound forever). Abort may only reclaim segments whose
+    * ref never landed. */
+  private val referenced = scala.collection.mutable.Set.empty[(String, String)]
+
   /** Epoch commit = append one `@relPath\tcount` reference line per
     * segment to its partition manifest, in task order — the TxTable
     * idiom at log granularity: data durable first, visibility via a
@@ -168,13 +184,15 @@ private[sources] final class GraftTopicStreamingWrite(
     messages.foreach {
       case GraftTopicSegments(segs) => segs.foreach { case (topic, p, rel, n) =>
         GraftTopic.appendSegmentRef(cfg.dir, topic, p, rel, n)
+        referenced += ((topic, rel))
       }
       case _ => ()
     }
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
-    messages.foreach { // unreferenced segments: reclaim eagerly
+    messages.foreach { // reclaim eagerly — but ONLY unreferenced segments
       case GraftTopicSegments(segs) => segs.foreach { case (topic, _, rel, _) =>
-        Files.deleteIfExists(Paths.get(cfg.dir, topic, rel))
+        if (!referenced((topic, rel)))
+          Files.deleteIfExists(Paths.get(cfg.dir, topic, rel))
       }
       case _ => ()
     }
@@ -296,46 +314,56 @@ private[sources] final class GraftTopicReaderFactory
       private var pos = 0L // offset of the NEXT record in the flattened log
       private var current: InternalRow = _
 
-      private def emit(raw: String): Boolean = {
-        val f = raw.split("\t", -1)
-        val dec = Base64.getDecoder
+      private def emit(rec: (Array[Byte], Array[Byte], Long)): Boolean = {
         current = new GenericInternalRow(Array[Any](
-          if (f(0).isEmpty) null else dec.decode(f(0)),
-          dec.decode(f(1)),
+          rec._1,
+          rec._2,
           UTF8String.fromString(r.topic),
           r.partition,
           pos,
-          f(2).toLong,
+          rec._3,
           0)) // timestampType: CREATE_TIME, as the Kafka wire reports
         pos += 1
         true
       }
 
+      /** Any malformed line — torn tail, a torn line merged with a later
+        * append, a missing/short segment after a host crash — degrades to
+        * "stop at what exists", NEVER an exception: a poisoned partition
+        * must not kill the stream. [[GraftTopic.recordCount]] applies the
+        * identical validation so offsets and scans agree. */
       override def next(): Boolean = {
         while (pos < r.until) {
           if (seg != null) {
             if (segLeft == 0) { seg.close(); seg = null }
             else {
               val raw = seg.readLine()
-              if (raw == null) { seg.close(); seg = null; return false } // torn (crash mid-segment write: unreachable, refs commit after close)
+              if (raw == null) { seg.close(); seg = null; return false } // short segment (host crash): torn tail
               segLeft -= 1
-              if (pos >= r.from) return emit(raw) else pos += 1
+              GraftTopic.parseInline(raw) match {
+                case Some(rec) => if (pos >= r.from) return emit(rec) else pos += 1
+                case None => seg.close(); seg = null; return false // garbled segment line
+              }
             }
           } else {
             val raw = manifest.readLine()
             if (raw == null) return false // torn tail: stop at what exists
             if (raw.startsWith("@")) {
-              val f = raw.substring(1).split("\t")
-              if (f.length < 2) return false // torn reference line
-              val n = f(1).toLong
-              if (pos + n <= r.from) pos += n // skip whole segment unopened
-              else {
-                seg = new BufferedReader(
-                  new FileReader(topicDir.resolve(f(0)).toFile))
-                segLeft = n
+              GraftTopic.parseRef(raw) match {
+                case None => return false // torn/garbled reference line
+                case Some((rel, n)) =>
+                  if (pos + n <= r.from) pos += n // skip whole segment unopened
+                  else {
+                    val f = topicDir.resolve(rel).toFile
+                    if (!f.isFile) return false // dangling ref (host crash)
+                    seg = new BufferedReader(new FileReader(f))
+                    segLeft = n
+                  }
               }
-            } else if (pos >= r.from) return emit(raw)
-            else pos += 1
+            } else GraftTopic.parseInline(raw) match {
+              case Some(rec) => if (pos >= r.from) return emit(rec) else pos += 1
+              case None => return false // torn inline line
+            }
           }
         }
         false
@@ -375,23 +403,58 @@ object GraftTopic {
   private[sources] def logFile(dir: String, topic: String, partition: Int): String =
     s"$dir/$topic/p$partition.log"
 
-  /** Records visible in a partition manifest: inline lines count 1,
-    * `@ref` lines their committed count. A torn tail (crash mid-append)
-    * stops the count at what's complete — readers stop at the same
-    * point, so offsets and scans always agree. */
+  /** A well-formed `@relPath\tcount` reference line. Returns None for a
+    * torn tail OR a torn line a later append concatenated onto
+    * (`'@seg1\t' + '@seg2\t7\n'` → count field `'@seg2'`): both must
+    * degrade to torn-tail handling, not NumberFormatException. */
+  private[sources] def parseRef(raw: String): Option[(String, Long)] = {
+    val f = raw.substring(1).split("\t")
+    if (f.length < 2) None
+    else
+      try Some((f(0), f(1).toLong))
+      catch { case _: NumberFormatException => None }
+  }
+
+  /** A well-formed inline record line `base64(key)\tbase64(value)\tts`.
+    * None for torn/garbled lines (fewer than 3 fields, non-numeric ts,
+    * undecodable base64) — shared by the reader and [[recordCount]] so a
+    * torn line is invisible to BOTH, keeping offsets and scans in
+    * agreement. */
+  private[sources] def parseInline(raw: String): Option[(Array[Byte], Array[Byte], Long)] = {
+    val f = raw.split("\t", -1)
+    if (f.length < 3) None
+    else
+      try {
+        val dec = Base64.getDecoder
+        Some((
+          if (f(0).isEmpty) null else dec.decode(f(0)),
+          dec.decode(f(1)),
+          f(2).toLong))
+      } catch {
+        case _: NumberFormatException | _: IllegalArgumentException => None
+      }
+  }
+
+  /** Records visible in a partition manifest: well-formed inline lines
+    * count 1, `@ref` lines with an EXISTING segment file their committed
+    * count. Torn/garbled lines and dangling refs (host crash before the
+    * segment fsync) stop the count — the reader applies the identical
+    * validation and stops at the same point, so offsets and scans always
+    * agree. */
   private[sources] def recordCount(file: String): Long = {
     val p = Paths.get(file)
     if (!Files.exists(p)) return 0L
+    val topicDir = p.getParent
     val in = new BufferedReader(new FileReader(file))
     try {
       var n = 0L
       var raw = in.readLine()
       while (raw != null) {
-        if (raw.startsWith("@")) {
-          val f = raw.substring(1).split("\t")
-          if (f.length < 2) return n // torn reference line
-          n += f(1).toLong
-        } else n += 1
+        if (raw.startsWith("@")) parseRef(raw) match {
+          case Some((rel, c)) if Files.isRegularFile(topicDir.resolve(rel)) => n += c
+          case _ => return n // torn reference line or dangling ref
+        } else if (parseInline(raw).isDefined) n += 1
+        else return n // torn inline line
         raw = in.readLine()
       }
       n

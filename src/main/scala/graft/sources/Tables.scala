@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, TimestampType}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Typed access to the driver-generated star schema
   * (`/root/testdata/sf*` — see TESTDATA.md).
@@ -30,10 +30,14 @@ final case class Tables(spark: SparkSession, dir: String) {
   def orders: DataFrame   = load("orders")
   def lineitem: DataFrame = load("lineitem")
 
-  /** Event stream table. The generator writes `ts` as Parquet
-    * INT64 TIMESTAMP(NANOS), which Spark only reads via the
-    * `nanosAsLong` legacy flag; normalize back to a µs TimestampType
-    * column so downstream code sees a plain timestamp.
+  /** Event stream table, normalized so downstream code always sees `ts`
+    * as a plain µs TimestampType regardless of how the generator wrote
+    * the file. Observed formats across testdata generations:
+    *   - INT64 TIMESTAMP(NANOS)  → Spark reads LongType (`nanosAsLong`)
+    *   - TIMESTAMP(MICROS, adjustedToUTC=false) → TimestampNTZType
+    *   - TIMESTAMP(MICROS, adjustedToUTC=true)  → TimestampType
+    * The NTZ→TZ cast is exact: the session timezone is pinned to UTC at
+    * session build, so wall-clock micros map 1:1 onto epoch micros.
     */
   def events: DataFrame = {
     val raw = load("events")
@@ -42,6 +46,8 @@ final case class Tables(spark: SparkSession, dir: String) {
         // Exact integer ns→µs: `/` would promote to double and epoch-ns
         // (~8e17) exceeds double's 2^53 exact range, giving ±1µs errors.
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
       case TimestampType => raw
       case other =>
         throw new IllegalStateException(s"unexpected ts type: $other")

@@ -116,35 +116,73 @@ object TxTable {
   def read(spark: SparkSession, dir: String): DataFrame =
     read(spark, dir, snapshot(dir))
 
-  /** Commit `df` as the version after `expected`, REPLACING the table
-    * contents (pass `keepExisting = true` for an append). Throws
-    * [[ConcurrentCommitException]] — after cleaning up its data — if
-    * another writer committed first. Claim files that exist but are
-    * EMPTY are dead claims from crashed pre-link-era writers: they were
-    * never commits (no reader resolves them), so the claim walks past
-    * them instead of treating them as a competing writer. */
-  def commit(spark: SparkSession, dir: String, df: DataFrame,
-             expected: Snapshot, keepExisting: Boolean = false): Snapshot = {
-    val u = UUID.randomUUID().toString
-    df.write.parquet(s"$dir/data/$u")
-    val dirs = (if (keepExisting) expected.dirs else Seq.empty) :+ u
-    var next = expected.version + 1
+  /** True iff `dir` holds an initialized table (a readable commit). */
+  def exists(dir: String): Boolean =
+    Files.isDirectory(logDir(dir)) && commitVersions(dir).nonEmpty
+
+  /** Claim the first free version ≥ `firstCandidate` for `dirs`. Claim
+    * files that exist but are EMPTY are dead claims from crashed
+    * pre-link-era writers: they were never commits (no reader resolves
+    * them), so the claim walks past them instead of treating them as a
+    * competing writer. Throws [[ConcurrentCommitException]] on a real
+    * competing commit (caller owns staged-data cleanup). */
+  private def claimFrom(dir: String, dirs: Seq[String], schemaDdl: String,
+                        firstCandidate: Long): Snapshot = {
+    var next = firstCandidate
     while (true) {
       try {
-        writeCommit(commitFile(dir, next), df.schema.toDDL, dirs)
-        return Snapshot(next, df.schema.toDDL, dirs)
+        writeCommit(commitFile(dir, next), schemaDdl, dirs)
+        return Snapshot(next, schemaDdl, dirs)
       } catch { case _: FileAlreadyExistsException =>
         val existing = commitFile(dir, next)
-        if (Files.exists(existing) && Files.size(existing) == 0L) {
+        if (Files.exists(existing) && Files.size(existing) == 0L)
           next += 1 // dead claim: skip over it, our snapshot is still current
-        } else {
-          deleteRec(Paths.get(dir, "data", u)) // lost the race: our data never became visible
-          throw new ConcurrentCommitException(next)
-        }
+        else throw new ConcurrentCommitException(next)
       }
     }
     throw new IllegalStateException("unreachable")
   }
+
+  /** Commit `df` as the version after `expected`, REPLACING the table
+    * contents (pass `keepExisting = true` for an append). Throws
+    * [[ConcurrentCommitException]] — after cleaning up its data — if
+    * another writer committed first. */
+  def commit(spark: SparkSession, dir: String, df: DataFrame,
+             expected: Snapshot, keepExisting: Boolean = false): Snapshot = {
+    val u = stage(dir, df)
+    val dirs = (if (keepExisting) expected.dirs else Seq.empty) :+ u
+    try claimFrom(dir, dirs, df.schema.toDDL, expected.version + 1)
+    catch { case e: ConcurrentCommitException =>
+      deleteRec(Paths.get(dir, "data", u)) // lost the race: our data never became visible
+      throw e
+    }
+  }
+
+  /** Write `df` as a STAGED (not yet visible) data directory of the
+    * table; returns its name for [[commitStaged]]. Staged files are
+    * readable at [[stagedPath]] — multi-step pipelines can materialize
+    * intermediate tables (cutting lineage) and only make them visible
+    * once every stage has landed. Invisible to all readers until
+    * committed; reclaimed by [[vacuum]] after the retention window if
+    * never committed. */
+  def stage(dir: String, df: DataFrame): String = {
+    val u = UUID.randomUUID().toString
+    df.write.parquet(stagedPath(dir, u))
+    u
+  }
+
+  def stagedPath(dir: String, uuid: String): String = s"$dir/data/$uuid"
+
+  /** Make previously [[stage]]d data the table's contents (or an
+    * appended part with `keepExisting = true`), retrying past concurrent
+    * commits — the staged directory is immutable, so a retry re-claims
+    * without rewriting data. */
+  def commitStaged(dir: String, uuid: String, schema: StructType,
+                   keepExisting: Boolean = false): Snapshot =
+    retrying(dir) { s =>
+      claimFrom(dir, (if (keepExisting) s.dirs else Seq.empty) :+ uuid,
+        schema.toDDL, s.version + 1)
+    }
 
   def append(spark: SparkSession, dir: String, df: DataFrame): Snapshot =
     retrying(dir)(s => commit(spark, dir, df, s, keepExisting = true))

@@ -45,7 +45,14 @@ class TxTableSpec extends SparkSpec {
     // Simulate a crash between data write and commit: orphan data dir.
     Seq((666L, 666L)).toDF("k", "v").write.parquet(s"$dir/data/orphan-crash")
     assert(TxTable.read(spark, dir).collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // Default retention (10 min) must KEEP a fresh orphan — it may be an
+    // in-flight commit's data directory, and deleting it would let that
+    // commit succeed referencing deleted files.
     TxTable.vacuum(dir, keepLast = 1)
+    assert(Files.exists(Paths.get(dir, "data", "orphan-crash")),
+      "fresh orphan reclaimed under default retention")
+    // Single-process-test mode: retention 0 reclaims it immediately.
+    TxTable.vacuum(dir, keepLast = 1, orphanRetentionMs = 0L)
     assert(!Files.exists(Paths.get(dir, "data", "orphan-crash")))
     assert(TxTable.read(spark, dir).count() == 1) // live version untouched
   }
