@@ -1,10 +1,10 @@
 package graft.operators
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
+
+import graft.sources.TxTable
 
 /** Persistent, INCREMENTALLY MAINTAINED text near-dup index: the
   * lifecycle form of the n-gram Jaccard pipeline in
@@ -36,9 +36,11 @@ import org.apache.spark.storage.StorageLevel
   * from-scratch mine of the final corpus produces (spec-asserted, and
   * the q_dedup_incremental oracle replays full-corpus semantics).
   *
-  * Layout under `dir`:
+  * Layout under `dir` (each a [[TxTable]] — manifest-commit versioning,
+  * so appends are atomic across readers and [[markBase]]/[[restoreBase]]
+  * get Delta-RESTORE time travel for free):
   *   - `docs`:       (doc_id, shs array<string>) — per-doc shingle sets
-  *     (the verify join's input; parquet-append per delta).
+  *     (the verify join's input; one append commit per delta).
   *   - `groups`:     (sh, ids array<bigint> | NULL, df bigint) — the
   *     DF-capped inverted index WITH the true document frequency: `df`
   *     is what lets an append decide rare/hot for the MERGED corpus
@@ -119,28 +121,36 @@ object DedupIndex {
     * distinct per doc). Candidate generation and verification follow
     * the one-shot pipeline exactly (DF cap before pair expansion, exact
     * Jaccard on full sets — see DedupQueries for the scale rationale). */
+  /** Init-if-needed + overwrite: one atomic manifest commit per stage
+    * table (build has no concurrent readers to protect, but the same
+    * primitive everywhere keeps the lifecycle uniform). */
+  private def putTable(spark: SparkSession, dir: String, df: DataFrame): Unit = {
+    if (!TxTable.exists(dir)) TxTable.init(spark, dir, df.schema)
+    TxTable.overwrite(spark, dir, df)
+    ()
+  }
+
   def build(spark: SparkSession, docs: DataFrame, dir: String, cap: Int,
             maxIter: Int = 20): Unit = {
     val d = docs.select(col("doc_id"), col("shs"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    d.write.mode("overwrite").parquet(s"$dir/docs")
+    putTable(spark, s"$dir/docs", d)
     val grouped = groupsWithDf(inv(d), cap)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    grouped.write.mode("overwrite").parquet(s"$dir/groups")
+    putTable(spark, s"$dir/groups", grouped)
     // Known family = ALL rare groups: kc is each doc's rare-shingle
     // count, so the bound is exactly the one-shot pipeline's.
     val rareCnt = grouped.filter(col("ids").isNotNull)
       .select(explode(col("ids")).as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("kc"))
-    boundedVerify(pairCounts(grouped), d, rareCnt)
-      .write.mode("overwrite").parquet(s"$dir/pairs")
-    // CC reads the just-written pairs table: zero lineage under the
+    putTable(spark, s"$dir/pairs", boundedVerify(pairCounts(grouped), d, rareCnt))
+    // CC reads the just-committed pairs table: zero lineage under the
     // iterative loop (see the fold in `append` for why that matters).
-    GraphOps.connectedComponents(spark,
-        spark.read.parquet(s"$dir/pairs")
-          .select(col("a").as("src"), col("b").as("dst")), maxIter)
-      .select(col("node").as("doc_id"), col("component"))
-      .write.mode("overwrite").parquet(s"$dir/components")
+    putTable(spark, s"$dir/components",
+      GraphOps.connectedComponents(spark,
+          TxTable.read(spark, s"$dir/pairs")
+            .select(col("a").as("src"), col("b").as("dst")), maxIter)
+        .select(col("node").as("doc_id"), col("component")))
     grouped.unpersist(); d.unpersist()
   }
 
@@ -166,12 +176,12 @@ object DedupIndex {
     val nd = newDocs.select(col("doc_id"), col("shs"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val newIds = nd.select(col("doc_id"))
-    val dupes = spark.read.parquet(s"$dir/docs").select(col("doc_id"))
+    val dupes = TxTable.read(spark, s"$dir/docs").select(col("doc_id"))
       .join(broadcast(newIds), Seq("doc_id"), "left_semi").count()
     require(dupes == 0L,
       s"append: $dupes delta doc_ids already present in $dir/docs")
-    nd.write.mode("append").parquet(s"$dir/docs")
-    val docsAll = spark.read.parquet(s"$dir/docs")
+    TxTable.append(spark, s"$dir/docs", nd)
+    val docsAll = TxTable.read(spark, s"$dir/docs")
 
     // Merged index: true df adds; ids concat while the merged group is
     // still rare (both inputs are complete lists when their own df ≤
@@ -181,7 +191,7 @@ object DedupIndex {
     val dg = groupsWithDf(inv(nd), cap)
       .withColumnRenamed("ids", "dids").withColumnRenamed("df", "ddf")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val og = spark.read.parquet(s"$dir/groups")
+    val og = TxTable.read(spark, s"$dir/groups")
       .withColumnRenamed("ids", "oids").withColumnRenamed("df", "odf")
     val merged = og.join(dg, Seq("sh"), "full_outer")
       .select(col("sh"),
@@ -193,8 +203,11 @@ object DedupIndex {
             coalesce(col("oids"), expr("array()")),
             coalesce(col("dids"), expr("array()"))))).as("ids"),
         col("df"))
-    merged.write.mode("overwrite").parquet(s"$dir/groups__new")
-    val mg = spark.read.parquet(s"$dir/groups__new")
+    // Stage (invisible until the final commits): the staged files double
+    // as the lineage-cut read the delta-bounded passes below need.
+    val groupsSchema = merged.schema
+    val uGroups = TxTable.stage(s"$dir/groups", merged)
+    val mg = spark.read.parquet(TxTable.stagedPath(s"$dir/groups", uGroups))
 
     // Delta candidates: rare merged groups containing a delta shingle,
     // expanded, kept only when ≥1 endpoint is new. The known family for
@@ -227,7 +240,7 @@ object DedupIndex {
       .filter(col("odf") <= cap && col("odf") + col("ddf") > cap)
       .select(explode(col("oids")).as("doc_id")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val op = spark.read.parquet(s"$dir/pairs")
+    val op = TxTable.read(spark, s"$dir/pairs")
     val suspects = op
       .join(docsH.select(col("doc_id").as("a")), Seq("a"), "left_semi")
       .join(docsH.select(col("doc_id").as("b")), Seq("b"), "left_semi")
@@ -242,8 +255,9 @@ object DedupIndex {
       .join(stillCand, Seq("a", "b"), "left_anti")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val retained = op.join(dropped, Seq("a", "b"), "left_anti")
-    retained.unionByName(newPairs)
-      .write.mode("overwrite").parquet(s"$dir/pairs__new")
+    val pairsOut = retained.unionByName(newPairs)
+    val pairsSchema = pairsOut.schema
+    val uPairs = TxTable.stage(s"$dir/pairs", pairsOut)
 
     // Component fold: only components touched by a new or dropped pair
     // are re-propagated (from their ACTUAL retained pairs — a dropped
@@ -252,7 +266,7 @@ object DedupIndex {
     // are retained and no new pair touches them (a new pair's old
     // endpoints put their components in the affected set by
     // construction), so their membership and min label are identical.
-    val oc = spark.read.parquet(s"$dir/components")
+    val oc = TxTable.read(spark, s"$dir/components")
     val touched = newPairs.select(col("a").as("doc_id"))
       .unionByName(newPairs.select(col("b").as("doc_id")))
       .unionByName(dropped.select(col("a").as("doc_id")))
@@ -265,15 +279,15 @@ object DedupIndex {
     // into the re-propagation iff it is NOT wholly inside an unaffected
     // old component (stored pairs have both endpoints in one component;
     // a brand-new doc has no old label — NULL — and always rides).
-    // Reading pairs__new instead of re-deriving retained∪newPairs, and
-    // lineage-cutting the tiny edge set before the iterative CC, is
-    // load-bearing: every CC-internal action (setup persists, per-
-    // iteration label joins) re-evaluates its input's LOGICAL plan, and
-    // with the whole append pipeline as lineage that re-evaluation cost
-    // ~3 s per action — 20 s of fold for a 100-edge graph (measured).
-    // After the cut the CC sees a LogicalRDD and the fold is
-    // milliseconds again.
-    val edges0 = spark.read.parquet(s"$dir/pairs__new")
+    // Reading the staged pairs files instead of re-deriving
+    // retained∪newPairs, and lineage-cutting the tiny edge set before
+    // the iterative CC, is load-bearing: every CC-internal action
+    // (setup persists, per-iteration label joins) re-evaluates its
+    // input's LOGICAL plan, and with the whole append pipeline as
+    // lineage that re-evaluation cost ~3 s per action — 20 s of fold
+    // for a 100-edge graph (measured). After the cut the CC sees a
+    // LogicalRDD and the fold is milliseconds again.
+    val edges0 = spark.read.parquet(TxTable.stagedPath(s"$dir/pairs", uPairs))
       .join(oc.select(col("doc_id").as("a"), col("component").as("ca")), Seq("a"), "left")
       .join(affected.select(col("component").as("ca")).withColumn("aff", lit(true)),
         Seq("ca"), "left")
@@ -281,40 +295,59 @@ object DedupIndex {
       .select(col("a").as("src"), col("b").as("dst"))
     val edgesRdd = edges0.rdd.localCheckpoint()
     edgesRdd.count()
-    GraphOps.connectedComponents(spark,
+    val componentsOut = GraphOps.connectedComponents(spark,
         spark.createDataFrame(edgesRdd, edges0.schema), maxIter)
       .select(col("node").as("doc_id"), col("component"))
       .unionByName(keep.select(col("doc_id"), col("component")))
-      .write.mode("overwrite").parquet(s"$dir/components__new")
+    val componentsSchema = componentsOut.schema
+    val uComponents = TxTable.stage(s"$dir/components", componentsOut)
     edgesRdd.unpersist(blocking = false)
 
-    swapIn(s"$dir/groups"); swapIn(s"$dir/pairs"); swapIn(s"$dir/components")
+    // All three new versions are fully materialized; three atomic
+    // manifest claims make them visible. Unlike the old dir-swap (move
+    // target → old, move tmp → target) there is NO window in which a
+    // new reader resolving the table finds nothing — it sees either the
+    // pre-append or post-append version (superseded versions are
+    // reclaimed by TxTable.vacuum, never at commit time).
+    TxTable.commitStaged(s"$dir/groups", uGroups, groupsSchema)
+    TxTable.commitStaged(s"$dir/pairs", uPairs, pairsSchema)
+    TxTable.commitStaged(s"$dir/components", uComponents, componentsSchema)
     dropped.unpersist(); docsH.unpersist(); newPairs.unpersist()
     mgDelta.unpersist(); dg.unpersist(); nd.unpersist()
   }
 
   def pairs(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/pairs")
+    TxTable.read(spark, s"$dir/pairs")
 
   def components(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/components")
+    TxTable.read(spark, s"$dir/components")
 
-  /** Commit `<target>__new` over `target` (write-tmp-then-move, the
-    * EventStore.swapIn idiom: readers of the old directory are never
-    * torn; single-writer assumption). */
-  private def swapIn(target: String): Unit = {
-    val tmp = Paths.get(target + "__new")
-    val tgt = Paths.get(target)
-    val old = Paths.get(target + "__old")
-    deleteRec(old)
-    Files.move(tgt, old, StandardCopyOption.ATOMIC_MOVE)
-    Files.move(tmp, tgt, StandardCopyOption.ATOMIC_MOVE)
-    deleteRec(old)
+  private val StageTables = Seq("docs", "groups", "pairs", "components")
+  private def basePath(dir: String) = java.nio.file.Paths.get(dir, "BASE_VERSIONS.json")
+
+  /** Record the stage tables' CURRENT versions as the restore point for
+    * [[restoreBase]] — call once after a base build. This is what lets
+    * a benchmark (or an ingest rollback) measure/replay the MARGINAL
+    * append repeatedly against an identical base: restore is a
+    * manifest-only commit (Delta RESTORE), so resetting a 100 TB index
+    * costs four tiny file claims, not a rewrite. */
+  def markBase(dir: String): Unit = {
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    val versions = StageTables.map(t => t -> TxTable.snapshot(s"$dir/$t").version).toMap
+    java.nio.file.Files.writeString(basePath(dir),
+      org.json4s.jackson.Serialization.write(versions))
   }
 
-  private def deleteRec(p: java.nio.file.Path): Unit =
-    if (Files.exists(p)) {
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => Files.delete(f))
+  /** Reset every stage table to the [[markBase]] restore point (no-op
+    * for tables already there). Data committed after the mark stays on
+    * disk until TxTable.vacuum — pinned readers are never broken. */
+  def restoreBase(spark: SparkSession, dir: String): Unit = {
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    val versions = org.json4s.jackson.JsonMethods
+      .parse(java.nio.file.Files.readString(basePath(dir)))
+      .extract[Map[String, Long]]
+    StageTables.foreach { t =>
+      TxTable.restore(spark, s"$dir/$t", versions(t))
     }
+  }
 }

@@ -168,15 +168,17 @@ object RankOps {
     * ever owns a whole group) — then the values at the caller-chosen
     * 0-based LOCAL ranks `ranks(groupCount)` of each group.
     *
-    * The pass structure is the whole point: the per-(range-partition ×
-    * group) aggregate that materializes the sort ALSO yields, in the
-    * same bounded collect (≤ partitions·|groups| rows), the partition
-    * offsets AND every group's span — start = min over partitions of
-    * (partition offset + first in-partition position of the group, read
-    * straight off `monotonically_increasing_id`'s low bits, so no
-    * driver-side ordering assumptions on the group type) — leaving just
-    * one boundary filter (via [[fetchRankValues]]: `isin` literal or
-    * broadcast semi-join above [[IsinFetchMax]]).
+    * Driver state is strictly tiered: the offsets pass collects ONE row
+    * per range partition (never per group); group spans — count and
+    * first global rank, the latter a distributed `min` of (partition
+    * offset + in-partition position, read straight off
+    * `monotonically_increasing_id`'s low bits) — aggregate in ONE
+    * shuffle and collect one row per GROUP, which is the size of the
+    * returned map itself (an operator returning a driver map cannot do
+    * better; callers with result-scale group cardinality should keep
+    * the spans frame distributed instead). The boundary fetch is
+    * [[fetchRankValues]]: `isin` literal or broadcast semi-join above
+    * [[IsinFetchMax]].
     *
     * NULLs are dropped before ranking (counts are non-null counts);
     * returns group → (count, localRank → value).
@@ -194,15 +196,14 @@ object RankOps {
       .withColumn("__mid", monotonically_increasing_id())
       .persist(StorageLevel.MEMORY_AND_DISK)
     val local = col("__mid").bitwiseAND(lit((1L << LocalBits) - 1))
-    val pg = sorted
-      .select(shiftright(col("__mid"), LocalBits).cast("int").as("__pid"),
-        col("__g"), local.as("__l"))
-      .groupBy(col("__pid"), col("__g"))
-      .agg(count(lit(1)).as("n"), min(col("__l")).as("first"))
-      .collect().map(r => (r.getInt(0), r.get(1), r.getLong(2), r.getLong(3)))
-    if (pg.isEmpty) { sorted.unpersist(); return Map.empty }
+    val pid = shiftright(col("__mid"), LocalBits).cast("int")
+    // Pass 1 — partition offsets: ≤ `parts` rows of driver state,
+    // independent of group cardinality.
+    val pidTotals = sorted.select(pid.as("__pid"))
+      .groupBy(col("__pid")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    if (pidTotals.isEmpty) { sorted.unpersist(); return Map.empty }
     val offsets = new Array[Long](parts)
-    val pidTotals = pg.groupBy(_._1).map { case (p, rs) => p -> rs.map(_._3).sum }
     var acc = 0L
     var p = 0
     while (p < parts) {
@@ -210,23 +211,28 @@ object RankOps {
       acc += pidTotals.getOrElse(p, 0L)
       p += 1
     }
-    // 1-based global first rank and total count per group.
-    val spans = pg.groupBy(_._2).map { case (g, rs) =>
-      (g, rs.map(_._3).sum, rs.map(r => offsets(r._1) + r._4).min + 1L)
-    }.toSeq
-    val targets = spans.flatMap { case (g, n, start) =>
-      ranks(n).map(l => (g, l, start + l))
-    }
     val offMap = map_from_arrays(
       array((0 until parts).map(i => lit(i)): _*),
       array(offsets.map(lit): _*))
+    // Pass 2 — group spans, aggregated DISTRIBUTED on the 0-based
+    // global position (offset + local; group spans are contiguous after
+    // the range sort, so min(position) is the span start): the collect
+    // is one row per group — exactly the output's own cardinality.
+    val gpos = (element_at(offMap, pid) + local).as("__p0")
+    val spans = sorted.select(col("__g"), gpos)
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("n"), (min(col("__p0")) + 1L).as("start"))
+      .collect().map(r => (r.get(0), r.getLong(1), r.getLong(2)))
+    val targets = spans.flatMap { case (g, n, start) =>
+      ranks(n).map(l => (g, l, start + l))
+    }
     val rn = sorted.withColumn("__rn",
-      element_at(offMap, shiftright(col("__mid"), LocalBits).cast("int")) +
-        local + lit(1L))
-    val vals = fetchRankValues(rn, targets.map(_._3).distinct)
+      element_at(offMap, pid) + local + lit(1L))
+    val vals = fetchRankValues(rn, targets.map(_._3).distinct.toSeq)
     sorted.unpersist() // returned maps are pure driver state
+    val byGroup = targets.groupBy(_._1)
     spans.map { case (g, n, _) =>
-      g -> (n, targets.filter(_._1 == g).map { case (_, l, gr) => l -> vals(gr) }.toMap)
+      g -> (n, byGroup(g).map { case (_, l, gr) => l -> vals(gr) }.toMap)
     }.toMap
   }
 

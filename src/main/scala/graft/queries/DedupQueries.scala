@@ -353,6 +353,32 @@ object DedupQueries {
       },
       Some(componentsOracle)),
 
+    // MARGINAL append cost over a PRE-BUILT index — the number a 100 TB
+    // operator actually watches (the lifecycle query above times
+    // build+append together, which drowns the per-slice ingest cost in
+    // the one-time build). The base index is built once per session
+    // (Stages.tempDir) and marked; every invocation then RESTOREs the
+    // stage tables to the mark — a manifest-only commit, Delta RESTORE —
+    // and appends the same delta, so the timed work is exactly one
+    // delta ingest and the result (hence the oracle) is identical on
+    // every rep. Same full-corpus closure oracle as the lifecycle.
+    QueryDef(
+      "q_dedup_index_append",
+      t => {
+        import graft.operators.{DedupIndex, Stages}
+        val all = t.documents.selectExpr("doc_id", s"$shs AS shs")
+        val dir = Stages.tempDir(t.spark, s"dedup_base:${t.dir}") { d =>
+          DedupIndex.build(t.spark, all.filter(col("doc_id") % 5 =!= 0),
+            d, ShingleDfCap)
+          DedupIndex.markBase(d)
+        }
+        DedupIndex.restoreBase(t.spark, dir)
+        DedupIndex.append(t.spark, all.filter(col("doc_id") % 5 === 0),
+          dir, ShingleDfCap)
+        DedupIndex.components(t.spark, dir).orderBy(col("doc_id"))
+      },
+      Some(componentsOracle)),
+
     // SimHash near-dup: 32-bit shingle simhash per doc (map-side fold),
     // pigeonhole banding on 4 byte-chunks (hamming ≤ 3 ⇒ ≥1 chunk
     // equal), exact hamming verify on candidates only.

@@ -190,6 +190,25 @@ object TxTable {
   def overwrite(spark: SparkSession, dir: String, df: DataFrame): Snapshot =
     retrying(dir)(s => commit(spark, dir, df, s))
 
+  /** Delta's RESTORE: make `version`'s contents the newest version via
+    * a FRESH commit referencing the same data directories — append-only
+    * time travel (nothing is deleted; [[vacuum]] still governs
+    * reclamation, and a restored-to version's directories are live
+    * again, so vacuum keeps them). No-op when `version` is already
+    * newest. */
+  def restore(spark: SparkSession, dir: String, version: Long): Snapshot = {
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    val json = Files.readString(commitFile(dir, version))
+    require(json.nonEmpty, s"cannot restore $dir to dead claim v$version")
+    val m = org.json4s.jackson.JsonMethods.parse(json)
+    val ddl = (m \ "schema").extract[String]
+    val dirs = (m \ "dirs").extract[Seq[String]]
+    retrying(dir) { s =>
+      if (s.version == version) s
+      else claimFrom(dir, dirs, ddl, s.version + 1)
+    }
+  }
+
   /** Optimistic read-modify-write: `transform` sees a CONSISTENT
     * snapshot; the result commits only if that snapshot is still
     * current, else the loop re-reads and re-applies — the upsert/merge

@@ -1,36 +1,52 @@
 package graft.streaming
 
 import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.sources.TxTable
+
 /** Parquet-backed table store with the two upsert shapes the reference
   * uses (SURVEY.md §2.1 S4/S5): insert-if-absent (`INSERT IGNORE`) and
-  * arithmetic merge (`ON DUPLICATE KEY UPDATE`). Each write goes to a
-  * fresh directory and swaps in atomically-enough for a single writer
-  * (write tmp → move into place), mirroring how a transactional table
-  * format commits; with Delta available this entire class collapses to
-  * `MERGE INTO`.
+  * arithmetic merge (`ON DUPLICATE KEY UPDATE`).
   *
-  * Facts are append-only (each batch adds files); derived tables are
-  * rewritten per merge — correct for dimension/summary cardinality.
-  * [[mergeSummaryPruned]] is the 100 TB shape: footer-stat file pruning
-  * so only the files a delta touches rewrite (what Delta MERGE executes
-  * against its transaction-log stats), with byte-identical carry-over
-  * of everything else.
+  * Every table is a [[TxTable]] — the manifest-log format whose commits
+  * are an atomic version-file claim. Earlier rounds committed rewrites
+  * by directory swap (move target → old, move tmp → target), which has
+  * a window where the target path does not exist: a new reader
+  * resolving between the two moves failed with NoSuchFile. The manifest
+  * commit has no such window — a reader resolves either the old or the
+  * new version, never nothing — and brings snapshot isolation (a pinned
+  * plan scans its version's files regardless of later commits) and
+  * serialized writers for free. The reference gets all three from
+  * InnoDB (init/mysql_loader.py:1044-1057); with Delta available this
+  * entire class collapses to `MERGE INTO`.
+  *
+  * Facts are append-only (each batch commits one immutable data dir);
+  * derived tables are rewritten per merge — correct for
+  * dimension/summary cardinality. [[mergeSummaryPruned]] is the 100 TB
+  * shape: footer-stat file pruning so only the files a delta touches
+  * rewrite (what Delta MERGE executes against its transaction-log
+  * stats), with byte-identical carry-over of everything else.
+  *
+  * Superseded versions accumulate until [[vacuum]] — the Delta model:
+  * time-travel-until-vacuumed, bounded disk via periodic retention-
+  * aware cleanup, never a commit-time delete that could break a
+  * concurrent pinned reader.
   */
 final class EventStore(root: String) {
 
   private def dir(name: String) = s"$root/$name"
 
-  private def readOrEmpty(spark: SparkSession, name: String, like: DataFrame): DataFrame = {
-    val p = dir(name)
-    val nonEmpty = Files.exists(Paths.get(p)) && {
-      val s = Files.list(Paths.get(p))
-      try s.findFirst().isPresent finally s.close()
-    }
-    if (nonEmpty) spark.read.parquet(p) else like.limit(0)
-  }
+  private def ensureInit(spark: SparkSession, name: String,
+                         schema: org.apache.spark.sql.types.StructType): Unit =
+    if (!TxTable.exists(dir(name))) TxTable.init(spark, dir(name), schema)
+
+  private def readOrEmpty(spark: SparkSession, name: String, like: DataFrame): DataFrame =
+    if (TxTable.exists(dir(name))) TxTable.read(spark, dir(name)) else like.limit(0)
 
   /** Normalized fact schema (ts already µs TimestampType). */
   private val factSchema = org.apache.spark.sql.types.StructType(
@@ -39,24 +55,27 @@ final class EventStore(root: String) {
       case f => f
     })
 
-  def facts(spark: SparkSession): DataFrame = {
-    val p = dir("fact_events")
-    if (Files.exists(Paths.get(p))) spark.read.parquet(p)
+  def facts(spark: SparkSession): DataFrame =
+    if (TxTable.exists(dir("fact_events"))) TxTable.read(spark, dir("fact_events"))
     else spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), factSchema)
+
+  def appendFacts(df: DataFrame): Unit = {
+    ensureInit(df.sparkSession, "fact_events", df.schema)
+    TxTable.append(df.sparkSession, dir("fact_events"), df)
   }
 
-  def appendFacts(df: DataFrame): Unit =
-    df.write.mode("append").parquet(dir("fact_events"))
-
   def table(spark: SparkSession, name: String): DataFrame =
-    spark.read.parquet(dir(name))
+    TxTable.read(spark, dir(name))
 
-  /** S4: first-writer-wins keyed insert. */
+  /** S4: first-writer-wins keyed insert — one atomic merge commit. */
   def insertIfAbsent(name: String, updates: DataFrame, key: String): Unit = {
-    val existing = readOrEmpty(updates.sparkSession, name, updates)
-    val merged = existing.unionByName(
-      updates.join(existing.select(key), Seq(key), "left_anti"))
-    swapIn(name, merged)
+    val spark = updates.sparkSession
+    ensureInit(spark, name, updates.schema)
+    TxTable.merge(spark, dir(name)) { existing =>
+      existing.unionByName(
+        updates.join(existing.select(key), Seq(key), "left_anti"))
+    }
+    ()
   }
 
   /** The ON-DUPLICATE-KEY-UPDATE arithmetic, shared by the full and the
@@ -73,20 +92,29 @@ final class EventStore(root: String) {
       greatest(col("e_ts"), col("last_ts")).as("last_ts"))
   }
 
-  /** S5/A21: arithmetic merge of per-user deltas into running totals. */
-  def mergeSummary(delta: DataFrame): Unit =
-    swapIn("summary_user", mergeFrames(
-      readOrEmpty(delta.sparkSession, "summary_user", delta), delta))
+  /** S5/A21: arithmetic merge of per-user deltas into running totals —
+    * [[TxTable.merge]]'s optimistic read-transform-commit, so the
+    * summary update IS the transactional upsert (lost updates are
+    * impossible even under writer contention, which the old single-
+    * writer swap could not promise). */
+  def mergeSummary(delta: DataFrame): Unit = {
+    val spark = delta.sparkSession
+    ensureInit(spark, "summary_user",
+      mergeFrames(delta.limit(0), delta.limit(0)).schema)
+    TxTable.merge(spark, dir("summary_user"))(existing => mergeFrames(existing, delta))
+    ()
+  }
 
   /** Lay the summary out as `files` range-clustered, in-file-sorted
     * parquet files on the merge key — the layout [[mergeSummaryPruned]]
     * prunes against (Delta/Iceberg call this OPTIMIZE ZORDER; on plain
-    * parquet it is a range repartition before the commit). */
+    * parquet it is a range repartition committed as a new version). */
   def clusterSummary(spark: SparkSession, files: Int): Unit = {
-    val cur = table(spark, "summary_user")
-    swapIn("summary_user",
+    TxTable.merge(spark, dir("summary_user")) { cur =>
       cur.repartitionByRange(files, col("user_id"))
-        .sortWithinPartitions(col("user_id")))
+        .sortWithinPartitions(col("user_id"))
+    }
+    ()
   }
 
   /** Per-file (min, max) of the INT64 merge key, read from the parquet
@@ -129,8 +157,16 @@ final class EventStore(root: String) {
     * 100 TB): only summary files whose footer key range intersects the
     * delta's keys are read and rewritten; every other file is carried
     * into the new table version UNCHANGED. On a transactional format
-    * the carry is a metadata entry; on plain parquet it is a file copy
-    * into the tmp commit dir — same correctness, demo-scale I/O.
+    * the carry is a metadata entry; here it is a file copy into the
+    * staged commit dir — same correctness, demo-scale I/O.
+    *
+    * Commits via [[TxTable]] staged data: the rewritten rows land in an
+    * invisible staged directory, carries are copied in, then one atomic
+    * manifest claim makes the new version visible — readers pinned to
+    * the old version keep their files (nothing is deleted until
+    * [[vacuum]]). Single-writer path: the prune set is computed from
+    * one snapshot, so a concurrent writer would be a lost update —
+    * [[mergeSummary]] is the contention-safe variant.
     *
     * Size guard: the delta's distinct key set must collect (micro-batch
     * sized); above `maxDeltaKeys` fall back to the full-rewrite merge
@@ -139,16 +175,16 @@ final class EventStore(root: String) {
     */
   def mergeSummaryPruned(delta: DataFrame, maxDeltaKeys: Int = 100000): (Long, Long) = {
     val spark = delta.sparkSession
-    val p = Paths.get(dir("summary_user"))
-    if (!Files.exists(p)) { mergeSummary(delta); return (0L, 0L) }
+    if (!TxTable.exists(dir("summary_user"))) { mergeSummary(delta); return (0L, 0L) }
     if (delta.select(col("user_id")).distinct().limit(maxDeltaKeys + 1).count() > maxDeltaKeys) {
       mergeSummary(delta)
-      val n = listParquet(p).size.toLong
+      val n = snapshotFiles(TxTable.snapshot(dir("summary_user")), "summary_user").size.toLong
       return (n, n)
     }
+    val snap = TxTable.snapshot(dir("summary_user"))
     val keys = delta.select(col("user_id")).distinct()
       .collect().map(_.getLong(0)).sorted
-    val files = listParquet(p)
+    val files = snapshotFiles(snap, "summary_user")
     val (hit, carry) = files.partition { f =>
       footerKeyRange(spark, f, "user_id") match {
         case Some((lo, hi)) =>
@@ -164,24 +200,29 @@ final class EventStore(root: String) {
         delta.select(
           col("user_id"), col("event_cnt"),
           col("total_value").cast("decimal(18,2)").as("total_value"), col("last_ts"))
-      else mergeFrames(spark.read.parquet(hit.map(_.toString): _*), delta)
-    // Manual commit: rewritten rows + byte-identical carries, then the
-    // same tmp-then-move swap every store write uses.
-    val tmp = Paths.get(dir("summary_user__tmp"))
-    deleteRec(tmp)
-    merged.write.mode("overwrite").parquet(tmp.toString)
+      else mergeFrames(spark.read.schema(
+          org.apache.spark.sql.types.StructType.fromDDL(snap.schemaDdl))
+          .parquet(hit.map(_.toString): _*), delta)
+    // Staged commit: rewritten rows + byte-identical carries become one
+    // new data dir, visible only at the manifest claim.
+    val u = TxTable.stage(dir("summary_user"), merged)
+    val staged = Paths.get(TxTable.stagedPath(dir("summary_user"), u))
     carry.zipWithIndex.foreach { case (f, i) =>
-      Files.copy(f, tmp.resolve(s"carry-$i-${f.getFileName}"),
+      Files.copy(f, staged.resolve(s"carry-$i-${f.getFileName}"),
         StandardCopyOption.COPY_ATTRIBUTES)
     }
-    val target = p
-    val old = Paths.get(dir("summary_user__old"))
-    deleteRec(old)
-    Files.move(target, old, StandardCopyOption.ATOMIC_MOVE)
-    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
-    deleteRec(old)
+    TxTable.commitStaged(dir("summary_user"), u, merged.schema)
     (hit.size.toLong, files.size.toLong)
   }
+
+  /** Parquet data files of a snapshot (manifest-listed dirs only — the
+    * version-aware replacement for walking the table directory, which
+    * would also see superseded versions awaiting vacuum). */
+  private def snapshotFiles(snap: TxTable.Snapshot,
+                            name: String): Seq[java.nio.file.Path] =
+    snap.dirs.flatMap { d =>
+      listParquet(Paths.get(TxTable.stagedPath(dir(name), d)))
+    }
 
   private def listParquet(p: java.nio.file.Path): Seq[java.nio.file.Path] =
     if (!Files.exists(p)) Seq.empty
@@ -197,55 +238,43 @@ final class EventStore(root: String) {
     * 10-second batches turns a 100 TB table into millions of KB-files —
     * scan planning then dominates query time. Rewrites the store into
     * ceil(bytes / targetBytes) files, range-clustered and sorted by
-    * event time so ts predicates prune whole files via parquet min/max.
-    * Same tmp-then-move commit as every other store write; the read
-    * plan targets the OLD directory while the tmp writes, so the swap
-    * is never torn. Returns (filesBefore, filesAfter).
+    * event time so ts predicates prune whole files via parquet min/max,
+    * committed as one new version (readers never torn — they hold the
+    * old manifest). Returns (filesBefore, filesAfter).
     *
     * (With Delta/Iceberg this is OPTIMIZE + ZORDER; the arithmetic —
     * size-targeted bin-packing plus time clustering — is the same.)
     */
   def compactFacts(spark: SparkSession,
                    targetBytes: Long = 128L * 1024 * 1024): (Long, Long) = {
-    val p = Paths.get(dir("fact_events"))
-    def parquetFiles: Seq[java.nio.file.Path] =
-      if (!Files.exists(p)) Seq.empty
-      else {
-        val s = Files.walk(p)
-        try s.toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path])
-          .filter(_.toString.endsWith(".parquet"))
-        finally s.close()
-      }
-    val before = parquetFiles
+    if (!TxTable.exists(dir("fact_events"))) return (0L, 0L)
+    val before = snapshotFiles(TxTable.snapshot(dir("fact_events")), "fact_events")
     if (before.isEmpty) return (0L, 0L)
     val totalBytes = before.map(Files.size(_)).sum
     val parts = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
     if (before.size <= parts) return (before.size.toLong, before.size.toLong)
-    swapIn("fact_events", spark.read.parquet(dir("fact_events"))
-      .repartitionByRange(parts, col("ts"), col("event_id"))
-      .sortWithinPartitions(col("ts"), col("event_id")))
-    (before.size.toLong, parquetFiles.size.toLong)
-  }
-
-  /** Write-tmp-then-move commit: readers of the old directory are never
-    * torn; single-writer assumption (one streaming query), as in the
-    * reference's single consumer. */
-  private def swapIn(name: String, df: DataFrame): Unit = {
-    val tmp = dir(name + "__tmp")
-    df.write.mode("overwrite").parquet(tmp)
-    val target = Paths.get(dir(name))
-    if (Files.exists(target)) {
-      val old = Paths.get(dir(name + "__old"))
-      deleteRec(old)
-      Files.move(target, old, StandardCopyOption.ATOMIC_MOVE)
-      Files.move(Paths.get(tmp), target, StandardCopyOption.ATOMIC_MOVE)
-      deleteRec(old)
-    } else Files.move(Paths.get(tmp), target, StandardCopyOption.ATOMIC_MOVE)
-  }
-
-  private def deleteRec(p: java.nio.file.Path): Unit =
-    if (Files.exists(p)) {
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => Files.delete(f))
+    TxTable.merge(spark, dir("fact_events")) { cur =>
+      cur.repartitionByRange(parts, col("ts"), col("event_id"))
+        .sortWithinPartitions(col("ts"), col("event_id"))
     }
+    val after = snapshotFiles(TxTable.snapshot(dir("fact_events")), "fact_events")
+    (before.size.toLong, after.size.toLong)
+  }
+
+  /** Reclaim superseded versions and crash orphans across every table
+    * in the store (Delta's VACUUM). Readers pinned to vacuumed versions
+    * fail on their next scan — schedule with a retention that outlives
+    * the longest query, exactly as Delta documents. */
+  def vacuum(keepLast: Int = 1,
+             orphanRetentionMs: Long = 10L * 60 * 1000): Unit = {
+    val rootP = Paths.get(root)
+    if (!Files.isDirectory(rootP)) return
+    val s = Files.list(rootP)
+    val tables =
+      try s.iterator().asScala.map(_.getFileName.toString).toVector
+      finally s.close()
+    tables.foreach { t =>
+      if (TxTable.exists(dir(t))) TxTable.vacuum(dir(t), keepLast, orphanRetentionMs)
+    }
+  }
 }

@@ -135,4 +135,23 @@ class DedupIndexSpec extends SparkSpec {
     assert(e.getMessage.contains("already present"))
     spark.sharedState.cacheManager.clearCache()
   }
+
+  test("markBase/restoreBase: the same delta replays repeatedly against one base") {
+    // The marginal-append bench shape: build once, mark, then
+    // restore+append N times — every rep must (a) pass the duplicate
+    // check (restore really rewound docs) and (b) produce the identical
+    // full-recompute-parity result.
+    val dir = tmp()
+    DedupIndex.build(spark, df(base), dir, Cap)
+    DedupIndex.markBase(dir)
+    val results = (1 to 3).map { _ =>
+      DedupIndex.restoreBase(spark, dir)
+      DedupIndex.append(spark, df(delta), dir, Cap)
+      (sortedRows(DedupIndex.pairs(spark, dir)),
+        sortedRows(DedupIndex.components(spark, dir)))
+    }
+    assert(results.distinct.size == 1, "reps diverged")
+    assertParity(dir, base ++ delta)
+    spark.sharedState.cacheManager.clearCache()
+  }
 }

@@ -125,6 +125,27 @@ class RankOpsSpec extends SparkSpec {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("1e5 groups: driver collects stay parts-sized + result-sized, values exact") {
+    // The grouped rank operator must scale in GROUP CARDINALITY: its
+    // per-partition collect is ≤ `parts` rows and its span collect is
+    // one row per group (= the returned map's own size) — never the old
+    // per-(partition × group) product, and never an O(G²) driver fold.
+    // 10^5 groups × 3 rows runs in seconds iff that holds; the value
+    // check is exact (medians of {g, g+1, g+2} = g+1, no interpolation
+    // ambiguity).
+    val g = 100000
+    val df = spark.range(3L * g)
+      .select((col("id") % g).as("g"),
+        expr(s"CAST(id % $g + id DIV $g AS DOUBLE)").as("x"))
+    val got = RankOps.groupedValuesAtRanks(df, col("g"), col("x"), n => Seq(n / 2))
+    assert(got.size == g)
+    Seq(0L, 1L, 77777L, (g - 1).toLong).foreach { k =>
+      val (n, at) = got(k)
+      assert(n == 3L && at(1L) == k + 1.0, s"g=$k got ($n, $at)")
+    }
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("row numbers are a permutation of 1..n regardless of partition skew") {
     val df = fixture(103)
     // More partitions than rows → many empty range partitions.

@@ -48,14 +48,20 @@ class MergePrunedSpec extends SparkSpec {
   test("files outside the delta key range carry over byte-identical") {
     val (store, root) = freshStore()
     seed(store, 400)
-    val dirP = Paths.get(s"$root/summary_user")
+    // List only the CURRENT version's files: superseded versions stay on
+    // disk until vacuum (snapshot isolation), so a raw directory walk
+    // would count the old files as "surviving" and prove nothing.
     def fileHashes() = {
-      val s = Files.walk(dirP)
-      try s.toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path])
-        .filter(_.toString.endsWith(".parquet"))
+      val tbl = s"$root/summary_user"
+      graft.sources.TxTable.snapshot(tbl).dirs
+        .flatMap { d =>
+          val s = Files.walk(Paths.get(graft.sources.TxTable.stagedPath(tbl, d)))
+          try s.toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path])
+            .filter(_.toString.endsWith(".parquet"))
+          finally s.close()
+        }
         .map(f => java.util.Arrays.hashCode(Files.readAllBytes(f)) -> Files.size(f))
         .sorted
-      finally s.close()
     }
     val before = fileHashes()
     val (rewritten, total) = store.mergeSummaryPruned(delta(Seq(1L, 2L)))
