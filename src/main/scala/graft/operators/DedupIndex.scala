@@ -44,7 +44,10 @@ import graft.sources.TxTable
   *   - `groups`:     (sh, ids array<bigint> | NULL, df bigint) — the
   *     DF-capped inverted index WITH the true document frequency: `df`
   *     is what lets an append decide rare/hot for the MERGED corpus
-  *     without recounting it.
+  *     without recounting it. Stored LSM-style as per-delta SEGMENTS
+  *     (one row per segment × shingle); the logical view is the
+  *     associative per-shingle fold `mergeSegments`, and
+  *     [[compactGroups]] is the scheduled segment OPTIMIZE.
   *   - `pairs`:      (a, b, jaccard) — verified near-dup pairs.
   *   - `components`: (doc_id, component) — min-label dedup clusters.
   */
@@ -183,40 +186,49 @@ object DedupIndex {
     TxTable.append(spark, s"$dir/docs", nd)
     val docsAll = TxTable.read(spark, s"$dir/docs")
 
-    // Merged index: true df adds; ids concat while the merged group is
-    // still rare (both inputs are complete lists when their own df ≤
-    // cap), NULL once it crosses — identical to re-aggregating the
-    // final corpus. array_sort keeps the a<b expansion's sorted-ids
-    // invariant.
-    val dg = groupsWithDf(inv(nd), cap)
-      .withColumnRenamed("ids", "dids").withColumnRenamed("df", "ddf")
+    // LSM-SHAPED index maintenance: the delta's own DF-capped groups
+    // become a NEW SEGMENT of the `groups` table (one append-only
+    // commit, delta-sized) — the old index is NEVER rewritten. The
+    // logical index is the per-shingle re-aggregation of the segments
+    // ([[mergeSegments]]): df adds across segments; ids concat while
+    // the merged df ≤ cap (each contributing segment's list is then
+    // complete) and NULL once it crosses — associative, so segment
+    // order and count never change results and [[compactGroups]] can
+    // fold segments at any time.
+    //
+    // Why not merge-in-place: a text delta's shingles spread across the
+    // whole key space (measured: a 20% corpus slice touches every
+    // range-clustered file), so footer-range file pruning — right for
+    // the numeric-keyed summary merge (EventStore.mergeSummaryPruned) —
+    // degenerates into a full rewrite here, and even the pruned-commit
+    // machinery then costs a full-index sort per append. The LSM shape
+    // WRITES O(delta) and READS the old segments only through
+    // broadcast-semi-filtered scans (map-side filter on the delta's
+    // bounded shingle set: no shuffle, no sort of the full index). At
+    // 100 TB the segments are additionally sh-bucketed so those scans
+    // prune to co-located buckets, and compaction is the scheduled
+    // OPTIMIZE every LSM/Delta deployment already runs.
+    val dgSeg = groupsWithDf(inv(nd), cap)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val og = TxTable.read(spark, s"$dir/groups")
-      .withColumnRenamed("ids", "oids").withColumnRenamed("df", "odf")
-    val merged = og.join(dg, Seq("sh"), "full_outer")
-      .select(col("sh"),
-        (coalesce(col("odf"), lit(0L)) + coalesce(col("ddf"), lit(0L))).as("df"),
-        col("oids"), col("dids"))
-      .select(col("sh"),
-        when(col("df") > cap, lit(null))
-          .otherwise(array_sort(concat(
-            coalesce(col("oids"), expr("array()")),
-            coalesce(col("dids"), expr("array()"))))).as("ids"),
-        col("df"))
-    // Stage (invisible until the final commits): the staged files double
-    // as the lineage-cut read the delta-bounded passes below need.
-    val groupsSchema = merged.schema
-    val uGroups = TxTable.stage(s"$dir/groups", merged)
-    val mg = spark.read.parquet(TxTable.stagedPath(s"$dir/groups", uGroups))
+    val dg = dgSeg
+      .withColumnRenamed("ids", "dids").withColumnRenamed("df", "ddf")
+    val og = TxTable.read(spark, s"$dir/groups") // rows per (segment, sh)
+    val deltaShs = dgSeg.select(col("sh"))
+    // Stage the new segment now; committed (keepExisting=true) at the
+    // end with the other tables.
+    val groupsSchema = dgSeg.schema
+    val uGroups = TxTable.stage(s"$dir/groups", dgSeg)
 
-    // Delta candidates: rare merged groups containing a delta shingle,
+    // Delta candidates: rare MERGED groups containing a delta shingle,
     // expanded, kept only when ≥1 endpoint is new. The known family for
     // the upper bound is "rare groups containing a delta shingle" —
     // kc (and the whole mining/prefilter pass) stays DELTA-BOUNDED,
     // while shared shingles outside that family fold into the
     // min(sz−kc) slack exactly like hot shingles do in the full mine.
-    val mgDelta = mg.filter(col("ids").isNotNull)
-      .join(dg.select(col("sh")), Seq("sh"), "left_semi")
+    val mgDelta = mergeSegments(
+        og.unionByName(dgSeg)
+          .join(broadcast(deltaShs), Seq("sh"), "left_semi"), cap)
+      .filter(col("ids").isNotNull)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val kc = mgDelta.select(explode(col("ids")).as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("kc"))
@@ -235,8 +247,13 @@ object DedupIndex {
     // did (the only pairs that can lose candidacy — see object doc).
     // A suspect survives iff some shared shingle is still rare in the
     // merged index; the witness scan is restricted to the suspects'
-    // docs, so the whole recheck is delta-bounded.
-    val docsH = og.join(dg, Seq("sh"))
+    // docs, so the whole recheck is delta-bounded. The OLD side's
+    // per-shingle (merged ids, merged df) comes from re-aggregating the
+    // old segments over the delta's shingles — delta-bounded again.
+    val ogDelta = mergeSegments(
+        og.join(broadcast(deltaShs), Seq("sh"), "left_semi"), cap)
+      .withColumnRenamed("ids", "oids").withColumnRenamed("df", "odf")
+    val docsH = ogDelta.join(dg, Seq("sh"))
       .filter(col("odf") <= cap && col("odf") + col("ddf") > cap)
       .select(explode(col("oids")).as("doc_id")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -244,7 +261,17 @@ object DedupIndex {
     val suspects = op
       .join(docsH.select(col("doc_id").as("a")), Seq("a"), "left_semi")
       .join(docsH.select(col("doc_id").as("b")), Seq("b"), "left_semi")
-    val rareIdxH = mg.filter(col("ids").isNotNull)
+    // Witness index: merged rows still rare, restricted to the
+    // suspects' docs. Their shingle universe is the suspects' own
+    // shingle sets (a row can only explode to a docsH doc if its sh is
+    // one of that doc's shingles), so the segment re-aggregation is
+    // bounded by the suspect set, not the corpus.
+    val hShs = docsAll.join(docsH, Seq("doc_id"), "left_semi")
+      .select(explode(col("shs")).as("sh")).distinct()
+    val rareIdxH = mergeSegments(
+        og.unionByName(dgSeg)
+          .join(broadcast(hShs), Seq("sh"), "left_semi"), cap)
+      .filter(col("ids").isNotNull)
       .select(col("sh"), explode(col("ids")).as("doc_id"))
       .join(docsH, Seq("doc_id"), "left_semi")
     val stillCand = suspects.select(col("a"), col("b"))
@@ -304,16 +331,17 @@ object DedupIndex {
     edgesRdd.unpersist(blocking = false)
 
     // All three new versions are fully materialized; three atomic
-    // manifest claims make them visible. Unlike the old dir-swap (move
+    // manifest claims make them visible (groups as an APPENDED segment,
+    // pairs/components as replacements). Unlike the old dir-swap (move
     // target → old, move tmp → target) there is NO window in which a
     // new reader resolving the table finds nothing — it sees either the
     // pre-append or post-append version (superseded versions are
     // reclaimed by TxTable.vacuum, never at commit time).
-    TxTable.commitStaged(s"$dir/groups", uGroups, groupsSchema)
+    TxTable.commitStaged(s"$dir/groups", uGroups, groupsSchema, keepExisting = true)
     TxTable.commitStaged(s"$dir/pairs", uPairs, pairsSchema)
     TxTable.commitStaged(s"$dir/components", uComponents, componentsSchema)
     dropped.unpersist(); docsH.unpersist(); newPairs.unpersist()
-    mgDelta.unpersist(); dg.unpersist(); nd.unpersist()
+    mgDelta.unpersist(); dgSeg.unpersist(); nd.unpersist()
   }
 
   def pairs(spark: SparkSession, dir: String): DataFrame =
@@ -321,6 +349,34 @@ object DedupIndex {
 
   def components(spark: SparkSession, dir: String): DataFrame =
     TxTable.read(spark, s"$dir/components")
+
+  /** Logical index view over LSM segments: per-shingle re-aggregation
+    * of per-segment (ids, df) rows. df adds; ids concat while the
+    * MERGED df ≤ cap — every contributing segment's list is complete
+    * then, since a segment-local df can't exceed the total — and NULL
+    * once it crosses, identical to aggregating the final corpus in one
+    * pass. Associative and order-independent (array_sort restores the
+    * a<b expansion's sorted-ids invariant), which is what makes
+    * segment appends and [[compactGroups]] result-transparent. */
+  private def mergeSegments(segs: DataFrame, cap: Int): DataFrame =
+    segs.groupBy(col("sh"))
+      .agg(sum(col("df")).as("df"),
+        flatten(collect_list(col("ids"))).as("allids"))
+      .select(col("sh"),
+        when(col("df") > cap, lit(null))
+          .otherwise(array_sort(col("allids"))).as("ids"),
+        col("df"))
+
+  /** LSM compaction: fold all index segments into one (the scheduled
+    * OPTIMIZE of a segment-structured table). Never changes query
+    * results — [[mergeSegments]] is associative — only the segment
+    * count the per-append scans touch. Single-writer, like every
+    * compaction here. */
+  def compactGroups(spark: SparkSession, dir: String, cap: Int): Unit = {
+    TxTable.overwrite(spark, s"$dir/groups",
+      mergeSegments(TxTable.read(spark, s"$dir/groups"), cap))
+    ()
+  }
 
   private val StageTables = Seq("docs", "groups", "pairs", "components")
   private def basePath(dir: String) = java.nio.file.Paths.get(dir, "BASE_VERSIONS.json")

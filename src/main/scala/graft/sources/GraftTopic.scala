@@ -168,19 +168,27 @@ private[sources] final class GraftTopicStreamingWrite(
     ki: Int, vi: Int, ti: Int) extends StreamingWrite {
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
     GraftTopicWriterFactory(cfg.dir, cfg.partitions, defaultTopic, ki, vi, ti)
-  /** Refs this instance has durably appended to a manifest. If commit
-    * fails partway, Spark calls abort on the SAME instance with all
-    * messages — deleting an already-referenced segment there would
-    * poison the partition (recordCount counts phantom records, readers
-    * hit FileNotFound forever). Abort may only reclaim segments whose
-    * ref never landed. */
+  /** Refs the CURRENT epoch's commit has durably appended to a
+    * manifest. If commit fails partway, Spark calls abort on the SAME
+    * instance with all messages — deleting an already-referenced
+    * segment there would poison the partition (recordCount counts
+    * phantom records, readers hit FileNotFound forever). Abort may only
+    * reclaim segments whose ref never landed. Epoch-scoped (epochs are
+    * serial in a micro-batch stream): the set resets when a new epoch
+    * starts committing, so driver memory stays bounded at one epoch's
+    * segment count over an arbitrarily long stream. */
   private val referenced = scala.collection.mutable.Set.empty[(String, String)]
+  private var trackedEpoch = Long.MinValue
+
+  private def epochScope(epochId: Long): Unit =
+    if (epochId != trackedEpoch) { referenced.clear(); trackedEpoch = epochId }
 
   /** Epoch commit = append one `@relPath\tcount` reference line per
     * segment to its partition manifest, in task order — the TxTable
     * idiom at log granularity: data durable first, visibility via a
     * tiny serialized commit record, no row bytes through the driver. */
-  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    epochScope(epochId)
     messages.foreach {
       case GraftTopicSegments(segs) => segs.foreach { case (topic, p, rel, n) =>
         GraftTopic.appendSegmentRef(cfg.dir, topic, p, rel, n)
@@ -188,7 +196,9 @@ private[sources] final class GraftTopicStreamingWrite(
       }
       case _ => ()
     }
-  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+  }
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    epochScope(epochId)
     messages.foreach { // reclaim eagerly — but ONLY unreferenced segments
       case GraftTopicSegments(segs) => segs.foreach { case (topic, _, rel, _) =>
         if (!referenced((topic, rel)))
@@ -196,6 +206,7 @@ private[sources] final class GraftTopicStreamingWrite(
       }
       case _ => ()
     }
+  }
 }
 
 /** Offsets: topic → partition → next line to read (i.e. count of lines

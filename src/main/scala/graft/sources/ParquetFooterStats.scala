@@ -1,0 +1,62 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+
+/** Per-file (min, max) column ranges read from parquet FOOTERS — no
+  * data pages touched: the same per-file stats a transactional format
+  * (Delta/Iceberg) keeps in its commit log, read from the files
+  * themselves since plain parquet has no log. Used by the pruned merge
+  * (EventStore.mergeSummaryPruned) to decide which files a delta
+  * actually touches.
+  *
+  * `None` when a file carries no usable stats — zero row groups (Spark
+  * writes a schema-only file for an empty DataFrame), a missing column
+  * chunk, or absent/all-null statistics — and callers must treat the
+  * file as a conservative HIT (rewrite it) rather than crash: stats are
+  * an optimization, never a correctness dependency.
+  *
+  * Strict per-block: ONE stat-less row group makes the whole file's
+  * range unknown (a partial range would under-cover and wrongly carry a
+  * file that holds delta keys in the stat-less block).
+  *
+  * For string (BINARY/UTF8) columns the returned values are BOUNDS, not
+  * necessarily exact extrema: parquet-mr may truncate binary stats, but
+  * truncation preserves bound direction (a truncated min is a prefix,
+  * hence ≤ the true min; a truncated max gets its last byte bumped,
+  * hence ≥ the true max) — so intersection tests may over-hit, never
+  * under-hit.
+  */
+object ParquetFooterStats {
+
+  private def blockStats(spark: SparkSession, file: java.nio.file.Path,
+                         column: String): Option[Seq[org.apache.parquet.column.statistics.Statistics[_]]] = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(file.toUri),
+      spark.sessionState.newHadoopConf())
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val perBlock = r.getFooter.getBlocks.toArray.map { b =>
+        val bm = b.asInstanceOf[org.apache.parquet.hadoop.metadata.BlockMetaData]
+        bm.getColumns.toArray
+          .map(_.asInstanceOf[org.apache.parquet.hadoop.metadata.ColumnChunkMetaData])
+          .find(_.getPath.toDotString == column)
+          .map(_.getStatistics)
+          .collect {
+            case s if s != null && !s.isEmpty && s.hasNonNullValue => s
+          }
+      }
+      if (perBlock.isEmpty || perBlock.exists(_.isEmpty)) None
+      else Some(perBlock.map(_.get).toSeq)
+    } finally r.close()
+  }
+
+  /** (min, max) of an INT64 column across all row groups. */
+  def longRange(spark: SparkSession, file: java.nio.file.Path,
+                column: String): Option[(Long, Long)] =
+    blockStats(spark, file, column).map { stats =>
+      val mins = stats.map(_.genericGetMin.asInstanceOf[java.lang.Long].longValue())
+      val maxs = stats.map(_.genericGetMax.asInstanceOf[java.lang.Long].longValue())
+      (mins.min, maxs.max)
+    }
+
+}

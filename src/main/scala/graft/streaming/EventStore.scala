@@ -117,41 +117,13 @@ final class EventStore(root: String) {
     ()
   }
 
-  /** Per-file (min, max) of the INT64 merge key, read from the parquet
-    * FOOTER — no data pages touched (the same stats Delta keeps in its
-    * transaction log). `None` when the file carries no usable stats —
-    * zero row groups (Spark writes a schema-only file for an empty
-    * DataFrame), a missing column chunk, or all-null/absent statistics —
-    * and the pruner must treat the file as a conservative HIT (rewrite
-    * it) rather than crash: stats are an optimization, never a
-    * correctness dependency (Delta makes the same no-stats-means-scan
-    * call). */
+  /** Per-file (min, max) of the INT64 merge key — see
+    * [[graft.sources.ParquetFooterStats]] (shared with DedupIndex's
+    * pruned inverted-index merge) for the no-stats-means-rewrite
+    * contract. */
   private def footerKeyRange(spark: SparkSession, file: java.nio.file.Path,
-                             column: String): Option[(Long, Long)] = {
-    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-      new org.apache.hadoop.fs.Path(file.toUri),
-      spark.sessionState.newHadoopConf())
-    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-    try {
-      // Strict per-block: ONE stat-less row group makes the whole file's
-      // range unknown (a partial range would under-cover and wrongly
-      // carry a file that holds delta keys in the stat-less block).
-      val ranges = r.getFooter.getBlocks.toArray.map { b =>
-        val bm = b.asInstanceOf[org.apache.parquet.hadoop.metadata.BlockMetaData]
-        bm.getColumns.toArray
-          .map(_.asInstanceOf[org.apache.parquet.hadoop.metadata.ColumnChunkMetaData])
-          .find(_.getPath.toDotString == column)
-          .map(_.getStatistics)
-          .collect {
-            case s if s != null && !s.isEmpty && s.hasNonNullValue =>
-              (s.genericGetMin.asInstanceOf[java.lang.Long].longValue(),
-                s.genericGetMax.asInstanceOf[java.lang.Long].longValue())
-          }
-      }
-      if (ranges.isEmpty || ranges.exists(_.isEmpty)) None
-      else Some((ranges.map(_.get._1).min, ranges.map(_.get._2).max))
-    } finally r.close()
-  }
+                             column: String): Option[(Long, Long)] =
+    graft.sources.ParquetFooterStats.longRange(spark, file, column)
 
   /** File-pruned MERGE (the shape Delta's `MERGE INTO` executes at
     * 100 TB): only summary files whose footer key range intersects the

@@ -136,6 +136,34 @@ class DedupIndexSpec extends SparkSpec {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("append writes only a delta segment; compaction is result-transparent") {
+    import graft.sources.TxTable
+    def segments(dir: String): Seq[String] = TxTable.snapshot(s"$dir/groups").dirs
+    val dir = tmp()
+    DedupIndex.build(spark, df(base), dir, Cap)
+    val baseSegs = segments(dir)
+    assert(baseSegs.size == 1)
+    // LSM shape: the old index is never rewritten — the append ADDS one
+    // segment (its own delta groups) and keeps every base segment.
+    DedupIndex.append(spark, df(delta), dir, Cap)
+    val afterSegs = segments(dir)
+    assert(afterSegs.size == 2, s"expected base+delta segments, got $afterSegs")
+    assert(baseSegs.forall(afterSegs.contains), "append rewrote the base segment")
+    val componentsBefore = sortedRows(DedupIndex.components(spark, dir))
+    val pairsBefore = sortedRows(DedupIndex.pairs(spark, dir))
+    // Compaction folds segments without changing any result, and a
+    // FURTHER append on the compacted index stays exact (parity vs
+    // from-scratch recompute of the final corpus).
+    DedupIndex.compactGroups(spark, dir, Cap)
+    assert(segments(dir).size == 1)
+    assert(sortedRows(DedupIndex.components(spark, dir)) == componentsBefore)
+    assert(sortedRows(DedupIndex.pairs(spark, dir)) == pairsBefore)
+    val more = Seq(200L -> Seq("zz_a", "zz_b", "s1"))
+    DedupIndex.append(spark, df(more), dir, Cap)
+    assertParity(dir, base ++ delta ++ more)
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("markBase/restoreBase: the same delta replays repeatedly against one base") {
     // The marginal-append bench shape: build once, mark, then
     // restore+append N times — every rep must (a) pass the duplicate
