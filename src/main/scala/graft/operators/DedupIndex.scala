@@ -219,15 +219,35 @@ object DedupIndex {
     val groupsSchema = dgSeg.schema
     val uGroups = TxTable.stage(s"$dir/groups", dgSeg)
 
+    // The OLD side's per-shingle (merged ids, merged df) over the
+    // delta's shingles: ONE broadcast-semi-filtered re-aggregation of
+    // the old segments — the only pass this append makes over the
+    // stored index (the merged-with-delta view below derives from it
+    // arithmetically; no second scan).
+    val ogDelta = mergeSegments(
+        og.join(broadcast(deltaShs), Seq("sh"), "left_semi"), cap)
+      .withColumnRenamed("ids", "oids").withColumnRenamed("df", "odf")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
     // Delta candidates: rare MERGED groups containing a delta shingle,
-    // expanded, kept only when ≥1 endpoint is new. The known family for
-    // the upper bound is "rare groups containing a delta shingle" —
-    // kc (and the whole mining/prefilter pass) stays DELTA-BOUNDED,
-    // while shared shingles outside that family fold into the
-    // min(sz−kc) slack exactly like hot shingles do in the full mine.
-    val mgDelta = mergeSegments(
-        og.unionByName(dgSeg)
-          .join(broadcast(deltaShs), Seq("sh"), "left_semi"), cap)
+    // expanded, kept only when ≥1 endpoint is new. Merged view = old
+    // view ⊕ delta via the two-way merge formula (df adds; ids concat
+    // while ≤ cap, NULL past it) — mergeSegments restricted to these
+    // shingles would compute exactly this. The known family for the
+    // upper bound is "rare groups containing a delta shingle" — kc
+    // (and the whole mining/prefilter pass) stays DELTA-BOUNDED, while
+    // shared shingles outside that family fold into the min(sz−kc)
+    // slack exactly like hot shingles do in the full mine.
+    val mgDelta = ogDelta.join(dg, Seq("sh"), "full_outer")
+      .select(col("sh"),
+        (coalesce(col("odf"), lit(0L)) + coalesce(col("ddf"), lit(0L))).as("df"),
+        col("oids"), col("dids"))
+      .select(col("sh"),
+        when(col("df") > cap, lit(null))
+          .otherwise(array_sort(concat(
+            coalesce(col("oids"), expr("array()")),
+            coalesce(col("dids"), expr("array()"))))).as("ids"),
+        col("df"))
       .filter(col("ids").isNotNull)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val kc = mgDelta.select(explode(col("ids")).as("doc_id"))
@@ -247,40 +267,39 @@ object DedupIndex {
     // did (the only pairs that can lose candidacy — see object doc).
     // A suspect survives iff some shared shingle is still rare in the
     // merged index; the witness scan is restricted to the suspects'
-    // docs, so the whole recheck is delta-bounded. The OLD side's
-    // per-shingle (merged ids, merged df) comes from re-aggregating the
-    // old segments over the delta's shingles — delta-bounded again.
-    val ogDelta = mergeSegments(
-        og.join(broadcast(deltaShs), Seq("sh"), "left_semi"), cap)
-      .withColumnRenamed("ids", "oids").withColumnRenamed("df", "odf")
+    // docs, so the whole recheck is delta-bounded — and most appends
+    // cross NO shingle over the cap, so the empty-docsH early-exit
+    // skips the witness re-aggregation entirely.
     val docsH = ogDelta.join(dg, Seq("sh"))
       .filter(col("odf") <= cap && col("odf") + col("ddf") > cap)
       .select(explode(col("oids")).as("doc_id")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val op = TxTable.read(spark, s"$dir/pairs")
-    val suspects = op
-      .join(docsH.select(col("doc_id").as("a")), Seq("a"), "left_semi")
-      .join(docsH.select(col("doc_id").as("b")), Seq("b"), "left_semi")
-    // Witness index: merged rows still rare, restricted to the
-    // suspects' docs. Their shingle universe is the suspects' own
-    // shingle sets (a row can only explode to a docsH doc if its sh is
-    // one of that doc's shingles), so the segment re-aggregation is
-    // bounded by the suspect set, not the corpus.
-    val hShs = docsAll.join(docsH, Seq("doc_id"), "left_semi")
-      .select(explode(col("shs")).as("sh")).distinct()
-    val rareIdxH = mergeSegments(
-        og.unionByName(dgSeg)
-          .join(broadcast(hShs), Seq("sh"), "left_semi"), cap)
-      .filter(col("ids").isNotNull)
-      .select(col("sh"), explode(col("ids")).as("doc_id"))
-      .join(docsH, Seq("doc_id"), "left_semi")
-    val stillCand = suspects.select(col("a"), col("b"))
-      .join(rareIdxH.select(col("doc_id").as("a"), col("sh")), Seq("a"))
-      .join(rareIdxH.select(col("doc_id").as("b"), col("sh")), Seq("sh", "b"))
-      .select(col("a"), col("b")).distinct()
-    val dropped = suspects.select(col("a"), col("b"))
-      .join(stillCand, Seq("a", "b"), "left_anti")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dropped = (if (docsH.isEmpty) op.select(col("a"), col("b")).limit(0)
+    else {
+      val suspects = op
+        .join(docsH.select(col("doc_id").as("a")), Seq("a"), "left_semi")
+        .join(docsH.select(col("doc_id").as("b")), Seq("b"), "left_semi")
+      // Witness index: merged rows still rare, restricted to the
+      // suspects' docs. Their shingle universe is the suspects' own
+      // shingle sets (a row can only explode to a docsH doc if its sh
+      // is one of that doc's shingles), so the segment re-aggregation
+      // is bounded by the suspect set, not the corpus.
+      val hShs = docsAll.join(docsH, Seq("doc_id"), "left_semi")
+        .select(explode(col("shs")).as("sh")).distinct()
+      val rareIdxH = mergeSegments(
+          og.unionByName(dgSeg)
+            .join(broadcast(hShs), Seq("sh"), "left_semi"), cap)
+        .filter(col("ids").isNotNull)
+        .select(col("sh"), explode(col("ids")).as("doc_id"))
+        .join(docsH, Seq("doc_id"), "left_semi")
+      val stillCand = suspects.select(col("a"), col("b"))
+        .join(rareIdxH.select(col("doc_id").as("a"), col("sh")), Seq("a"))
+        .join(rareIdxH.select(col("doc_id").as("b"), col("sh")), Seq("sh", "b"))
+        .select(col("a"), col("b")).distinct()
+      suspects.select(col("a"), col("b"))
+        .join(stillCand, Seq("a", "b"), "left_anti")
+    }).persist(StorageLevel.MEMORY_AND_DISK)
     val retained = op.join(dropped, Seq("a", "b"), "left_anti")
     val pairsOut = retained.unionByName(newPairs)
     val pairsSchema = pairsOut.schema
@@ -341,7 +360,7 @@ object DedupIndex {
     TxTable.commitStaged(s"$dir/pairs", uPairs, pairsSchema)
     TxTable.commitStaged(s"$dir/components", uComponents, componentsSchema)
     dropped.unpersist(); docsH.unpersist(); newPairs.unpersist()
-    mgDelta.unpersist(); dgSeg.unpersist(); nd.unpersist()
+    mgDelta.unpersist(); ogDelta.unpersist(); dgSeg.unpersist(); nd.unpersist()
   }
 
   def pairs(spark: SparkSession, dir: String): DataFrame =
