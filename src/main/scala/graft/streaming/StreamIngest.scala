@@ -82,6 +82,20 @@ object StreamIngest {
         count(lit(1)).as("event_cnt"),
         sum(col("value").cast("decimal(18,2)")).as("total_value"),
         max(col("ts")).as("last_ts")))
+      // Retention: every derived-table merge above committed a new
+      // version whose predecessor is now superseded — without cleanup a
+      // week of 10-second batches holds every historical summary on
+      // disk. Vacuum with a multi-version window (concurrent readers
+      // resolve at most a few commits behind this single writer) and
+      // the default orphan retention (never reclaims a possibly
+      // in-flight commit's data). Manifest listings are tiny; this is
+      // the bounded, per-batch cost Delta pays in its log checkpoint.
+      store.vacuum(keepLast = VacuumKeepVersions)
     } finally fresh.unpersist()
   }
+
+  /** Versions retained per table at each batch vacuum: a pinned reader
+    * older than this many commits behind the stream breaks on its next
+    * scan (the documented Delta-style time-travel limit). */
+  val VacuumKeepVersions = 8
 }

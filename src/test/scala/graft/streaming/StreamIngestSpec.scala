@@ -66,6 +66,39 @@ class StreamIngestSpec extends SparkSpec {
     assert(dimTime.filter(col("dow_actual").isNull).count() == 0)
   }
 
+  test("per-batch vacuum keeps derived-table disk bounded over a long stream") {
+    val root = Files.createTempDirectory("graft_vac").toString
+    val store = new EventStore(root)
+    // 12 batches: summary_user alone would otherwise hold 12 historical
+    // versions (each a full rewrite) — the vacuum wired into applyBatch
+    // must cap manifests AND superseded data directories at the
+    // retention window, while the newest version stays correct.
+    (1 to 12).foreach { i =>
+      StreamIngest.applyBatch(StreamIngest.normalize(mkEvents(
+        (i.toLong, i.toLong % 3, "click", 1.0, f"2024-03-${i}%02dT10:00:00Z"))), store)
+    }
+    def counts(table: String): (Long, Long) = {
+      val logs = Files.list(java.nio.file.Paths.get(root, table, "_log"))
+      val nLog = try logs.count() finally logs.close()
+      val data = Files.list(java.nio.file.Paths.get(root, table, "data"))
+      val nData = try data.count() finally data.close()
+      (nLog, nData)
+    }
+    Seq("summary_user", "dim_user", "dim_time").foreach { t =>
+      val (nLog, nData) = counts(t)
+      assert(nLog <= StreamIngest.VacuumKeepVersions,
+        s"$t manifests unbounded: $nLog")
+      // ≤ keepLast versions, each referencing one rewrite dir (+1 slack
+      // for a commit racing the count).
+      assert(nData <= StreamIngest.VacuumKeepVersions + 1,
+        s"$t data dirs unbounded: $nData")
+    }
+    // The stream's results survive the cleanup.
+    assert(store.facts(spark).count() == 12)
+    assert(store.table(spark, "summary_user")
+      .agg(sum(col("event_cnt"))).collect()(0).getLong(0) == 12L)
+  }
+
   test("streaming query end-to-end over MemoryStream") {
     val s = spark
     import s.implicits._
