@@ -35,6 +35,26 @@ class PlanAuditSpec extends SparkSpec {
     df.queryExecution.explainString(ExplainMode.fromString("formatted"))
   }
 
+  test("TxTable.read keeps parquet pushdown: filters and pruned schema reach the scan") {
+    // The manifest layer must be plan-transparent: a TxTable is read as
+    // literal parquet paths, so Catalyst's pushdown and column pruning
+    // apply exactly as on a raw directory — a predicate-opaque reader
+    // here would un-optimize EVERY store-backed query at once.
+    import org.apache.spark.sql.functions._
+    val tdir = java.nio.file.Files.createTempDirectory("graft_txplan").toString
+    val df = spark.range(1000).select(col("id").as("k"), (col("id") * 2).as("v"),
+      lit("pad").as("w"))
+    graft.sources.TxTable.init(spark, tdir, df.schema)
+    graft.sources.TxTable.overwrite(spark, tdir, df)
+    val q = graft.sources.TxTable.read(spark, tdir)
+      .filter(col("k") > 500).select(col("v"))
+    val plan = q.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(plan.contains("PushedFilters: [IsNotNull(k), GreaterThan(k,500)]"),
+      s"filter not pushed through TxTable.read:\n$plan")
+    assert(!plan.contains("ReadSchema: struct<k:bigint,v:bigint,w:string>"),
+      "column pruning lost through TxTable.read")
+  }
+
   test("q1_agg: filter pushed to parquet, pruned read schema, map-side partial agg") {
     val plan = formatted("q1_agg")
     assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)"),

@@ -108,6 +108,40 @@ class TxTableSpec extends SparkSpec {
     assert(got == Seq((1L, 2L, 10L), (2L, 2L, 12L), (3L, 1L, 3L)))
   }
 
+  test("staged data is invisible until commitStaged; then it IS the table") {
+    val dir = tmp()
+    TxTable.init(spark, dir, schema)
+    TxTable.overwrite(spark, dir, Seq((1L, 1L)).toDF("k", "v"))
+    val df2 = Seq((2L, 2L), (3L, 3L)).toDF("k", "v")
+    val u = TxTable.stage(dir, df2)
+    // Staged files exist on disk and are readable at their path — but no
+    // reader of the TABLE sees them (that is what lets a multi-step
+    // pipeline materialize intermediates before going visible).
+    assert(Files.exists(Paths.get(TxTable.stagedPath(dir, u))))
+    assert(TxTable.read(spark, dir).collect().map(_.getLong(0)).toSeq == Seq(1L))
+    TxTable.commitStaged(dir, u, df2.schema)
+    assert(TxTable.read(spark, dir).collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
+    // keepExisting appends a staged segment instead of replacing.
+    val u2 = TxTable.stage(dir, Seq((4L, 4L)).toDF("k", "v"))
+    TxTable.commitStaged(dir, u2, df2.schema, keepExisting = true)
+    assert(TxTable.read(spark, dir).count() == 3)
+  }
+
+  test("restore re-exposes an old version as a NEW commit (Delta RESTORE)") {
+    val dir = tmp()
+    TxTable.init(spark, dir, schema)
+    TxTable.overwrite(spark, dir, Seq((1L, 1L)).toDF("k", "v")) // v1
+    TxTable.overwrite(spark, dir, Seq((2L, 2L)).toDF("k", "v")) // v2
+    val s = TxTable.restore(spark, dir, 1L)
+    assert(s.version == 3L, "restore must claim a fresh version, not rewind")
+    assert(TxTable.read(spark, dir).collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // Restoring to the version that is already newest is a no-op.
+    assert(TxTable.restore(spark, dir, 3L).version == 3L)
+    // The restored-to dirs are LIVE again: vacuum keeps them.
+    TxTable.vacuum(dir, keepLast = 1, orphanRetentionMs = 0L)
+    assert(TxTable.read(spark, dir).collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("vacuum keeps the newest manifests and breaks older pins (documented)") {
     val dir = tmp()
     TxTable.init(spark, dir, schema)
