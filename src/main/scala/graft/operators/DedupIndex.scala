@@ -376,8 +376,10 @@ object DedupIndex {
     * once it crosses, identical to aggregating the final corpus in one
     * pass. Associative and order-independent (array_sort restores the
     * a<b expansion's sorted-ids invariant), which is what makes
-    * segment appends and [[compactGroups]] result-transparent. */
-  private def mergeSegments(segs: DataFrame, cap: Int): DataFrame =
+    * segment appends and [[compactGroups]] result-transparent
+    * (property-tested against the one-shot aggregation over arbitrary
+    * corpus splits). */
+  private[operators] def mergeSegments(segs: DataFrame, cap: Int): DataFrame =
     segs.groupBy(col("sh"))
       .agg(sum(col("df")).as("df"),
         flatten(collect_list(col("ids"))).as("allids"))

@@ -164,6 +164,32 @@ class DedupIndexSpec extends SparkSpec {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("mergeSegments is split-invariant: any segmentation folds to the one-shot index") {
+    // The LSM design rests on one algebraic fact: aggregating per-split
+    // groups then folding across splits equals aggregating the whole
+    // corpus at once — for EVERY split. Exercise uneven splits (empty
+    // slices, singleton slices, all-in-one) over a corpus with rare,
+    // boundary (df == cap), and hot (df > cap) shingles.
+    val corpus = (1L to 20L).map { i =>
+      i -> (Seq(s"own$i") ++ (if (i <= 6) Seq("rare_pair") else Seq.empty) ++
+        (if (i % 2 == 0) Seq("hot_even") else Seq.empty) ++
+        (if (i <= Cap) Seq("at_cap") else Seq.empty))
+    }
+    def segOf(slice: Seq[(Long, Seq[String])]) =
+      df(slice).selectExpr("doc_id", "explode(shs) AS sh")
+        .groupBy("sh").agg(expr(s"graft_collect_capped(doc_id, $Cap)").as("ids"),
+          count(lit(1)).as("df"))
+    val want = sortedRows(DedupIndex.mergeSegments(segOf(corpus), Cap))
+    Seq(Seq(7, 13), Seq(1, 1, 18), Seq(20), Seq(5, 0, 15)).foreach { sizes =>
+      var rest = corpus
+      val segs = (sizes.map { n => val (h, t) = rest.splitAt(n); rest = t; h } :+ rest)
+        .filter(_.nonEmpty)
+      val folded = DedupIndex.mergeSegments(segs.map(segOf).reduce(_ unionByName _), Cap)
+      assert(sortedRows(folded) == want, s"split $sizes diverged")
+    }
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("markBase/restoreBase: the same delta replays repeatedly against one base") {
     // The marginal-append bench shape: build once, mark, then
     // restore+append N times — every rep must (a) pass the duplicate
