@@ -29,6 +29,7 @@ object GraphOps {
     var visited = spark.range(1)
       .select(lit(source).as("node"), lit(0L).as("dist"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val caches = scala.collection.mutable.ArrayBuffer[DataFrame](e, visited)
     var frontier = visited.select("node")
     var d = 0L
     var done = false
@@ -38,16 +39,24 @@ object GraphOps {
         .select(col("dst").as("node")).distinct()
         .join(visited, Seq("node"), "left_anti")
         .persist(StorageLevel.MEMORY_AND_DISK)
+      caches += next
       if (next.isEmpty) done = true
       else {
         visited = visited
           .unionByName(next.select(col("node"), lit(d).as("dist")))
           .persist(StorageLevel.MEMORY_AND_DISK)
+        caches += visited
         frontier = next
       }
     }
-    e.unpersist()
-    visited
+    // Hand back off the cache manager (see connectedComponents): the
+    // returned set otherwise reads per-hop caches the caller can't
+    // release.
+    val outRdd = visited.rdd.localCheckpoint()
+    outRdd.count()
+    val out = spark.createDataFrame(outRdd, visited.schema)
+    caches.foreach(_.unpersist())
+    out
   }
 
   /** Connected components by min-label propagation: every node adopts
@@ -131,8 +140,19 @@ object GraphOps {
       if (nextSum == prevSum) converged = true
       prevSum = nextSum
     }
+    // Hand the result back OFF the cache manager: the returned frame
+    // used to read the final iteration's persisted cache, which the
+    // caller had no handle to release — every lifecycle invocation
+    // leaked one cached label frame into the session. localCheckpoint
+    // materializes the labels from the still-cached frame into RDD
+    // blocks the ContextCleaner reclaims when the frame is dropped,
+    // and the cache entry itself is released here.
+    val outRdd = labelsCache.rdd.localCheckpoint()
+    outRdd.count() // materialize before the cache below it goes away
+    val out = spark.createDataFrame(outRdd, labelsCache.schema)
+    labelsCache.unpersist()
     undWide.unpersist(); eIn.unpersist()
-    labels
+    out
   }
 
   /** Undirected co-occurrence edges: items sharing a group key, one row
@@ -185,6 +205,7 @@ object GraphOps {
     def bc(df: DataFrame): DataFrame = if (broadcastFrontier) broadcast(df) else df
     var reach = spark.range(1).select(lit(source).as("node"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val caches = scala.collection.mutable.ArrayBuffer[DataFrame](m, reach)
     var levels = Vector(reach.select(col("node"), lit(0L).as("dist")))
     // reach_d = N(reach_{d-1}) ⊇ reach_{d-1}, so an unchanged count
     // means the set is stable and every later level is identical — stop.
@@ -200,6 +221,7 @@ object GraphOps {
       val nextWide = m.join(bc(groups), "grp")
         .select(col("item").as("node")).distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
+      caches += nextWide
       val n = nextWide.count()
       // Lineage cut on the MATERIALIZED level: persist() caches the
       // DATA but the logical plan still contains the whole BFS history,
@@ -224,8 +246,17 @@ object GraphOps {
           saturated = true
       }
     }
-    levels.reduce(_ unionByName _)
+    // Result handed back OFF the cache manager (see the same pattern in
+    // connectedComponents): the min-dist fold reads every level cache,
+    // so materialize it into checkpoint blocks first, then release all
+    // per-level caches — the caller has no handles to them.
+    val resWide = levels.reduce(_ unionByName _)
       .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+    val outRdd = resWide.rdd.localCheckpoint()
+    outRdd.count()
+    val out = spark.createDataFrame(outRdd, resWide.schema)
+    caches.foreach(_.unpersist())
+    out
   }
 
   /** BFS that ALSO captures each node's deterministic predecessor,

@@ -12,12 +12,17 @@ import graft.{SparkSpec, SparkEntry}
   */
 class CacheDisciplineSpec extends SparkSpec {
 
-  // The five sites round 6 flagged + the RankOps-backed consumers.
+  // The five sites round 6 flagged + the RankOps-backed consumers +
+  // the index-lifecycle queries (round 9: DedupIndex persists several
+  // intermediates per build/append and must unpersist them all before
+  // returning).
   private val tracked = Seq(
     "q_sketch_builtin", "q_sketch_cms_heavy_hitters",
     "q_embed_pq_topk", "q_embed_ivfpq_search",
     "q_docs_decontaminate", "q_docs_corpus_build",
-    "q_docs_substring_dedup", "q_customer_rfm")
+    "q_docs_substring_dedup", "q_customer_rfm",
+    "q_dedup_incremental", "q_dedup_index_append",
+    "q_graph_shortest_paths", "q_graph_shortest_path_nodes")
 
   private def cacheEmpty: Boolean = spark.sharedState.cacheManager.isEmpty
 
