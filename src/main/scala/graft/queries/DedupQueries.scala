@@ -236,7 +236,14 @@ object DedupQueries {
     // construction: the stage materializes exactly this plan).
     QueryDef(
       "q_dedup_pairs_pipeline",
-      t => jaccardPipeline(t).orderBy(col("a"), col("b")),
+      t => {
+        // Self-contained run of the staged plan: its persist handles
+        // release after the caller's terminal action (CacheJanitor),
+        // not into the session.
+        val caches = ArrayBuffer.empty[DataFrame]
+        graft.CacheJanitor.afterTerminalAction(
+          jaccardPipeline(t, caches).orderBy(col("a"), col("b")), caches.toSeq)
+      },
       Some(ngramJaccardOracle)),
 
     QueryDef(
@@ -269,7 +276,7 @@ object DedupQueries {
               col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
           .distinct()
-        cand
+        graft.CacheJanitor.afterTerminalAction(cand
           .join(sig.select(col("doc_id").as("a"), col("shs").as("sa")), "a")
           .join(sig.select(col("doc_id").as("b"), col("shs").as("sb")), "b")
           .withColumn("c", size(array_intersect(col("sa"), col("sb"))).cast("long"))
@@ -277,7 +284,7 @@ object DedupQueries {
             round(col("c") / (size(col("sa")) + size(col("sb")) - col("c")).cast("double"), 6))
           .filter(col("jaccard") >= 0.5)
           .select(col("a"), col("b"), col("jaccard"))
-          .orderBy(col("a"), col("b"))
+          .orderBy(col("a"), col("b")), Seq(sig))
       },
       Some(s"""
         WITH sh AS $duckShingles,
@@ -396,13 +403,13 @@ object DedupQueries {
               col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
           .distinct()
-        cand
+        graft.CacheJanitor.afterTerminalAction(cand
           .join(sim.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
           .join(sim.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
           .withColumn("hamming", expr("CAST(bit_count(sha ^ shb) AS BIGINT)"))
           .filter(col("hamming") <= 3)
           .select(col("a"), col("b"), col("hamming"))
-          .orderBy(col("a"), col("b"))
+          .orderBy(col("a"), col("b")), Seq(sim))
       },
       Some(s"""
         WITH sh AS $duckShingles,

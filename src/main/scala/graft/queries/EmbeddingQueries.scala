@@ -276,13 +276,13 @@ object EmbeddingQueries {
         val vecs = norms(t)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val cents = KMeans.fit(vecs, KmK, KmIters)
-        vecs
+        graft.CacheJanitor.afterTerminalAction(vecs
           .selectExpr(
             s"${VectorOps.nearestCentroid(KMeans.literal(cents), "e", "nsq")} AS best")
           .groupBy(col("best.cl").as("cell"))
           .agg(count(lit(1)).as("n"),
             round(Exact.davg(col("best.cos"), 9), 6).as("avg_cos"))
-          .orderBy(col("cell"))
+          .orderBy(col("cell")), Seq(vecs))
       },
       Some {
         val cos = s"round(${VectorOps.duckDot("v.e", "c.c", 64)} / (sqrt(v.nsq) * sqrt(c.cnsq)), 6)"
@@ -326,14 +326,15 @@ object EmbeddingQueries {
           .distinct() // a close pair usually collides in several bands
         val va = n.select(col("vec_id").as("a"), col("e").as("ea"), col("nsq").as("na"))
         val vb = n.select(col("vec_id").as("b"), col("e").as("eb"), col("nsq").as("nb"))
-        cand.join(va, Seq("a")).join(vb, Seq("b"))
-          .withColumn("__approx",
-            expr(VectorOps.cosine("graft_dot(ea, eb)", "na", "nb")))
-          .filter(col("__approx") >= 0.34999)
-          .selectExpr("a", "b",
-            s"round(${VectorOps.cosine(VectorOps.dot("ea", "eb"), "na", "nb")}, 6) AS cosine")
-          .filter(col("cosine") >= 0.35)
-          .orderBy(col("a"), col("b"))
+        graft.CacheJanitor.afterTerminalAction(
+          cand.join(va, Seq("a")).join(vb, Seq("b"))
+            .withColumn("__approx",
+              expr(VectorOps.cosine("graft_dot(ea, eb)", "na", "nb")))
+            .filter(col("__approx") >= 0.34999)
+            .selectExpr("a", "b",
+              s"round(${VectorOps.cosine(VectorOps.dot("ea", "eb"), "na", "nb")}, 6) AS cosine")
+            .filter(col("cosine") >= 0.35)
+            .orderBy(col("a"), col("b")), Seq(n))
       },
       Some {
         val (bands, bits) = (8, 4)
@@ -368,7 +369,11 @@ object EmbeddingQueries {
     // bound (double-vs-decimal drift ≲ 1e-12).
     QueryDef(
       "q_embed_neardup",
-      t => neardupPairs(t).orderBy(col("a"), col("b")),
+      t => {
+        val caches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+        graft.CacheJanitor.afterTerminalAction(
+          neardupPairs(t, caches).orderBy(col("a"), col("b")), caches.toSeq)
+      },
       Some(s"""
         WITH $duckNeardupCtes
         SELECT label, a, b, cosine FROM pairs ORDER BY a, b""")),

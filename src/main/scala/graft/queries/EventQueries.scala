@@ -391,17 +391,18 @@ object EventQueries {
         // literals; rounding happens IN the engine (round parity with
         // the oracle), and the skew ratio divides by the ROUNDED median
         // exactly as the oracle's CTE does.
-        perKey.orderBy(col("cnt").desc, col("user_id")).limit(10)
-          .selectExpr(
-            "user_id", "CAST(cnt AS BIGINT) AS cnt",
-            s"round(CAST(cnt AS DOUBLE) / CAST($total AS DOUBLE), 6) AS share",
-            s"CAST($total AS BIGINT) AS total_events",
-            s"CAST($nKeys AS BIGINT) AS n_keys",
-            s"round(CAST('${pcts(0.5)}' AS DOUBLE), 6) AS p50_cnt",
-            s"round(CAST('${pcts(0.99)}' AS DOUBLE), 6) AS p99_cnt")
-          .withColumn("skew_vs_median",
-            round(col("cnt").cast("double") / col("p50_cnt"), 6))
-          .orderBy(col("cnt").desc, col("user_id"))
+        graft.CacheJanitor.afterTerminalAction(
+          perKey.orderBy(col("cnt").desc, col("user_id")).limit(10)
+            .selectExpr(
+              "user_id", "CAST(cnt AS BIGINT) AS cnt",
+              s"round(CAST(cnt AS DOUBLE) / CAST($total AS DOUBLE), 6) AS share",
+              s"CAST($total AS BIGINT) AS total_events",
+              s"CAST($nKeys AS BIGINT) AS n_keys",
+              s"round(CAST('${pcts(0.5)}' AS DOUBLE), 6) AS p50_cnt",
+              s"round(CAST('${pcts(0.99)}' AS DOUBLE), 6) AS p99_cnt")
+            .withColumn("skew_vs_median",
+              round(col("cnt").cast("double") / col("p50_cnt"), 6))
+            .orderBy(col("cnt").desc, col("user_id")), Seq(perKey))
       },
       Some("""
         WITH pk AS (

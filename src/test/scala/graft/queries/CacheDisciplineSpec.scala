@@ -12,22 +12,20 @@ import graft.{SparkSpec, SparkEntry}
   */
 class CacheDisciplineSpec extends SparkSpec {
 
-  // The five sites round 6 flagged + the RankOps-backed consumers +
-  // the index-lifecycle queries (round 9: DedupIndex persists several
-  // intermediates per build/append and must unpersist them all before
-  // returning).
-  private val tracked = Seq(
-    "q_sketch_builtin", "q_sketch_cms_heavy_hitters",
-    "q_embed_pq_topk", "q_embed_ivfpq_search",
-    "q_docs_decontaminate", "q_docs_corpus_build",
-    "q_docs_substring_dedup", "q_customer_rfm",
-    "q_dedup_incremental", "q_dedup_index_append",
-    "q_graph_shortest_paths", "q_graph_shortest_path_nodes")
+  // EVERY registered query (round 9 — was a tracked subset until the
+  // iterative graph operators turned out to leak caches the subset
+  // never exercised). Session-scoped Stages keep their data as RDD
+  // checkpoint blocks with explicit handles, not cache-manager entries,
+  // so staging passes this gate by construction.
+  private val tracked = SparkEntry.queries.keys.toSeq.sorted
 
   private def cacheEmpty: Boolean = spark.sharedState.cacheManager.isEmpty
 
   tracked.foreach { name =>
     test(s"$name leaves no cache entries after its terminal action") {
+      // Hermetic per query: a leak elsewhere must not cascade into this
+      // test's verdict.
+      spark.sharedState.cacheManager.clearCache()
       val fn = SparkEntry.queries(name)
       fn(spark, "/root/testdata/sf0.001")
         .write.format("noop").mode("overwrite").save()
