@@ -259,8 +259,29 @@ object DedupIndex {
         Seq("b"), "left")
       .filter(col("na").isNotNull || col("nb").isNotNull)
       .select(col("a"), col("b"), col("c_rare"))
-    val newPairs = boundedVerify(cands, docsAll, kc)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // Verify against only the CANDIDATE ENDPOINTS' shingle sets: the
+    // prefilter (sizes) and exact verify otherwise scan the full stored
+    // corpus three times per append (meta + both join sides), when only
+    // the docs a candidate touches matter — candidate-bounded, hence
+    // delta-bounded, like every other per-append read. The semi-join
+    // itself is the one remaining corpus pass, and in a production
+    // layout `docs` is bucketed by doc_id so it prunes to co-located
+    // buckets.
+    val candEnds = cands.select(col("a").as("doc_id"))
+      .unionByName(cands.select(col("b").as("doc_id"))).distinct()
+    // Broadcast: endpoint ids are ≤ 2|cands|, delta-bounded like
+    // newIds/deltaShs above — and a non-broadcast semi here would
+    // SHUFFLE the corpus, costing more than the scans it saves.
+    val docsCand = docsAll.join(broadcast(candEnds), Seq("doc_id"), "left_semi")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // localCheckpoint = persist + LINEAGE CUT: three later actions (the
+    // pairs stage write, the edge checkpoint, the components stage
+    // write) re-analyze this frame's logical plan each time; with the
+    // whole candidate pipeline as lineage that analyzer pass costs more
+    // than the jobs themselves (the same driver-side effect the CC fold
+    // documents).
+    val newPairs = boundedVerify(cands, docsCand, kc).localCheckpoint()
 
     // Rare→hot recheck: shingles the delta pushed over the cap, the old
     // docs that carried them, and the stored pairs where BOTH endpoints
@@ -299,7 +320,7 @@ object DedupIndex {
         .select(col("a"), col("b")).distinct()
       suspects.select(col("a"), col("b"))
         .join(stillCand, Seq("a", "b"), "left_anti")
-    }).persist(StorageLevel.MEMORY_AND_DISK)
+    }).localCheckpoint() // lineage cut — see newPairs above
     val retained = op.join(dropped, Seq("a", "b"), "left_anti")
     val pairsOut = retained.unionByName(newPairs)
     val pairsSchema = pairsOut.schema
@@ -360,6 +381,7 @@ object DedupIndex {
     TxTable.commitStaged(s"$dir/pairs", uPairs, pairsSchema)
     TxTable.commitStaged(s"$dir/components", uComponents, componentsSchema)
     dropped.unpersist(); docsH.unpersist(); newPairs.unpersist()
+    cands.unpersist(); docsCand.unpersist()
     mgDelta.unpersist(); ogDelta.unpersist(); dgSeg.unpersist(); nd.unpersist()
   }
 
