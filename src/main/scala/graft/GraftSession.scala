@@ -38,6 +38,12 @@ object GraftSession {
       // long when this legacy flag is on — Tables.events normalizes back
       // to TimestampType. Harmless for µs/ms files.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Spark still DEFAULTS timestamp writes to deprecated INT96, which
+      // carries no parquet statistics — killing both row-group skipping
+      // on ts predicates and TxTable's commit-time stats harvest.
+      // TIMESTAMP_MICROS is the modern INT64 encoding every engine
+      // (DuckDB included) reads, with full min/max stats.
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
 
   def get(): SparkSession = {
     val spark = builder().getOrCreate()

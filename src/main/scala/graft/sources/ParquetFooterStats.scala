@@ -59,4 +59,43 @@ object ParquetFooterStats {
       (mins.min, maxs.max)
     }
 
+  /** (min, max) for several columns with ONE footer open (the write-time
+    * stats harvest [[TxTable]] runs per commit — per-column opens would
+    * multiply the footer I/O by the column count). Only columns whose
+    * parquet primitive is INT64 and whose every row group carries
+    * non-null stats appear in the result (INT96 timestamps and
+    * stat-less blocks are skipped, not crashed on — absent means
+    * "conservative hit" to every consumer). */
+  def longRanges(conf: org.apache.hadoop.conf.Configuration,
+                 file: java.nio.file.Path,
+                 columns: Seq[String]): Map[String, (Long, Long)] = {
+    if (columns.isEmpty) return Map.empty
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(file.toUri), conf)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val blocks = r.getFooter.getBlocks.toArray
+        .map(_.asInstanceOf[org.apache.parquet.hadoop.metadata.BlockMetaData])
+      if (blocks.isEmpty) return Map.empty
+      columns.flatMap { c =>
+        val perBlock = blocks.map { b =>
+          b.getColumns.toArray
+            .map(_.asInstanceOf[org.apache.parquet.hadoop.metadata.ColumnChunkMetaData])
+            .find(m => m.getPath.toDotString == c &&
+              m.getPrimitiveType.getPrimitiveTypeName ==
+                org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64)
+            .map(_.getStatistics)
+            .collect { case s if s != null && !s.isEmpty && s.hasNonNullValue => s }
+        }
+        if (perBlock.exists(_.isEmpty)) None
+        else {
+          val stats = perBlock.map(_.get)
+          Some(c -> (
+            stats.map(_.genericGetMin.asInstanceOf[java.lang.Long].longValue()).min,
+            stats.map(_.genericGetMax.asInstanceOf[java.lang.Long].longValue()).max))
+        }
+      }.toMap
+    } finally r.close()
+  }
+
 }

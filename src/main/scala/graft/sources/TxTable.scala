@@ -49,7 +49,19 @@ import org.apache.spark.sql.types.StructType
   */
 object TxTable {
 
-  final case class Snapshot(version: Long, schemaDdl: String, dirs: Seq[String])
+  /** `stats`: per data FILE (key `<dataDir>/<fileName>`) → column →
+    * (min, max), for top-level LongType/TimestampType columns
+    * (timestamps as epoch micros — their parquet INT64 encoding).
+    * Computed ONCE at commit time from the just-written footers and
+    * carried forward verbatim by appends/restores — Delta's add-file
+    * statistics on plain parquet: a pruned read or merge consults the
+    * manifest instead of opening one footer per file per operation
+    * (at 100 TB that is millions of footer RPCs per merge, the reason
+    * every transactional format logs stats at write time). A file
+    * absent from `stats` (no usable footer stats, or a commit from
+    * before stats existed) must be treated as a conservative HIT. */
+  final case class Snapshot(version: Long, schemaDdl: String, dirs: Seq[String],
+                            stats: Map[String, Map[String, (Long, Long)]] = Map.empty)
 
   final class ConcurrentCommitException(version: Long)
     extends RuntimeException(
@@ -63,7 +75,7 @@ object TxTable {
   def init(spark: SparkSession, dir: String, schema: StructType): Unit = {
     Files.createDirectories(logDir(dir))
     Files.createDirectories(Paths.get(dir, "data"))
-    writeCommit(commitFile(dir, 0L), schema.toDDL, Seq.empty)
+    writeCommit(commitFile(dir, 0L), schema.toDDL, Seq.empty, Map.empty)
   }
 
   /** List a directory's entry names, closing the stream (Files.list
@@ -96,11 +108,46 @@ object TxTable {
         val m = org.json4s.jackson.JsonMethods.parse(json)
         return Snapshot(v,
           (m \ "schema").extract[String],
-          (m \ "dirs").extract[Seq[String]])
+          (m \ "dirs").extract[Seq[String]],
+          parseStats(m))
       }
     }
     throw new IllegalStateException(
       s"no readable commit in $dir (${versions.size} claim files, all empty)")
+  }
+
+  /** Stats block of a manifest; absent (pre-stats commits) → empty. */
+  private def parseStats(m: org.json4s.JValue): Map[String, Map[String, (Long, Long)]] = {
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    (m \ "stats") match {
+      case org.json4s.JNothing | org.json4s.JNull => Map.empty
+      case js => js.extract[Map[String, Map[String, Seq[Long]]]]
+        .map { case (f, cols) =>
+          f -> cols.collect { case (c, Seq(lo, hi)) => c -> (lo, hi) }
+        }
+    }
+  }
+
+  /** Write-time stats harvest for a just-staged data directory: per-file
+    * (min, max) of every top-level LongType/TimestampType column, read
+    * from the files' own footers exactly once (the one moment the
+    * footers are hot). Keys are `<uuid>/<fileName>` — stable across the
+    * directory's whole lifetime in the log. */
+  private def statsFor(dir: String, uuid: String,
+                       schema: StructType): Map[String, Map[String, (Long, Long)]] = {
+    val cols = schema.fields.collect {
+      case f if f.dataType == org.apache.spark.sql.types.LongType ||
+                f.dataType == org.apache.spark.sql.types.TimestampType ||
+                f.dataType == org.apache.spark.sql.types.TimestampNTZType => f.name
+    }.toSeq
+    if (cols.isEmpty) return Map.empty
+    val root = Paths.get(stagedPath(dir, uuid))
+    if (!Files.isDirectory(root)) return Map.empty
+    val conf = new org.apache.hadoop.conf.Configuration()
+    listNames(root).filter(_.endsWith(".parquet")).flatMap { name =>
+      val ranges = ParquetFooterStats.longRanges(conf, root.resolve(name), cols)
+      if (ranges.isEmpty) None else Some(s"$uuid/$name" -> ranges)
+    }.toMap
   }
 
   /** The table AT `snap`: scans the snapshot's literal paths, immune to
@@ -127,12 +174,14 @@ object TxTable {
     * competing writer. Throws [[ConcurrentCommitException]] on a real
     * competing commit (caller owns staged-data cleanup). */
   private def claimFrom(dir: String, dirs: Seq[String], schemaDdl: String,
-                        firstCandidate: Long): Snapshot = {
+                        firstCandidate: Long,
+                        stats: Map[String, Map[String, (Long, Long)]] = Map.empty)
+      : Snapshot = {
     var next = firstCandidate
     while (true) {
       try {
-        writeCommit(commitFile(dir, next), schemaDdl, dirs)
-        return Snapshot(next, schemaDdl, dirs)
+        writeCommit(commitFile(dir, next), schemaDdl, dirs, stats)
+        return Snapshot(next, schemaDdl, dirs, stats)
       } catch { case _: FileAlreadyExistsException =>
         val existing = commitFile(dir, next)
         if (Files.exists(existing) && Files.size(existing) == 0L)
@@ -151,7 +200,9 @@ object TxTable {
              expected: Snapshot, keepExisting: Boolean = false): Snapshot = {
     val u = stage(dir, df)
     val dirs = (if (keepExisting) expected.dirs else Seq.empty) :+ u
-    try claimFrom(dir, dirs, df.schema.toDDL, expected.version + 1)
+    val stats = (if (keepExisting) expected.stats else Map.empty[String, Map[String, (Long, Long)]]) ++
+      statsFor(dir, u, df.schema)
+    try claimFrom(dir, dirs, df.schema.toDDL, expected.version + 1, stats)
     catch { case e: ConcurrentCommitException =>
       deleteRec(Paths.get(dir, "data", u)) // lost the race: our data never became visible
       throw e
@@ -173,16 +224,33 @@ object TxTable {
 
   def stagedPath(dir: String, uuid: String): String = s"$dir/data/$uuid"
 
+  /** Every data file of `snap` with its manifest stats (empty map when
+    * none were recorded — the caller must treat such files as hits in
+    * any pruning decision). This is the planning input for stats-pruned
+    * scans and merges: one manifest already in memory, zero footer
+    * opens. */
+  def dataFiles(dir: String, snap: Snapshot): Seq[(Path, Map[String, (Long, Long)])] =
+    snap.dirs.flatMap { d =>
+      val root = Paths.get(stagedPath(dir, d))
+      if (!Files.isDirectory(root)) Seq.empty
+      else listNames(root).filter(_.endsWith(".parquet")).map { n =>
+        (root.resolve(n), snap.stats.getOrElse(s"$d/$n", Map.empty))
+      }
+    }
+
   /** Make previously [[stage]]d data the table's contents (or an
     * appended part with `keepExisting = true`), retrying past concurrent
     * commits — the staged directory is immutable, so a retry re-claims
     * without rewriting data. */
   def commitStaged(dir: String, uuid: String, schema: StructType,
-                   keepExisting: Boolean = false): Snapshot =
+                   keepExisting: Boolean = false): Snapshot = {
+    val newStats = statsFor(dir, uuid, schema) // once — not per retry
     retrying(dir) { s =>
       claimFrom(dir, (if (keepExisting) s.dirs else Seq.empty) :+ uuid,
-        schema.toDDL, s.version + 1)
+        schema.toDDL, s.version + 1,
+        (if (keepExisting) s.stats else Map.empty[String, Map[String, (Long, Long)]]) ++ newStats)
     }
+  }
 
   def append(spark: SparkSession, dir: String, df: DataFrame): Snapshot =
     retrying(dir)(s => commit(spark, dir, df, s, keepExisting = true))
@@ -205,7 +273,7 @@ object TxTable {
     val dirs = (m \ "dirs").extract[Seq[String]]
     retrying(dir) { s =>
       if (s.version == version) s
-      else claimFrom(dir, dirs, ddl, s.version + 1)
+      else claimFrom(dir, dirs, ddl, s.version + 1, parseStats(m))
     }
   }
 
@@ -279,10 +347,14 @@ object TxTable {
     }
   }
 
-  private def writeCommit(path: Path, schemaDdl: String, dirs: Seq[String]): Unit = {
+  private def writeCommit(path: Path, schemaDdl: String, dirs: Seq[String],
+                          stats: Map[String, Map[String, (Long, Long)]]): Unit = {
     implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    val statsJson = stats.map { case (f, cols) =>
+      f -> cols.map { case (c, (lo, hi)) => c -> Seq(lo, hi) }
+    }
     val json = org.json4s.jackson.Serialization.write(
-      Map("schema" -> schemaDdl, "dirs" -> dirs))
+      Map("schema" -> schemaDdl, "dirs" -> dirs, "stats" -> statsJson))
     // Content must be durable BEFORE the claim: write the manifest to a
     // private temp name, then claim the version with link(2) — atomic
     // and create-exclusive (fails EEXIST), and the commit file is

@@ -156,9 +156,13 @@ final class EventStore(root: String) {
     val snap = TxTable.snapshot(dir("summary_user"))
     val keys = delta.select(col("user_id")).distinct()
       .collect().map(_.getLong(0)).sorted
-    val files = snapshotFiles(snap, "summary_user")
-    val (hit, carry) = files.partition { f =>
-      footerKeyRange(spark, f, "user_id") match {
+    // Key ranges come from the MANIFEST (recorded once at each commit);
+    // the footer read is only the fallback for files committed before
+    // stats existed. At 100 TB that is the difference between one
+    // in-memory map and a footer RPC per file per merge.
+    val withStats = TxTable.dataFiles(dir("summary_user"), snap)
+    val (hit, carry0) = withStats.partition { case (f, st) =>
+      st.get("user_id").orElse(footerKeyRange(spark, f, "user_id")) match {
         case Some((lo, hi)) =>
           // any delta key in [lo, hi]? (keys sorted — binary search)
           val i = java.util.Arrays.binarySearch(keys, lo)
@@ -167,6 +171,8 @@ final class EventStore(root: String) {
         case None => true // no usable stats → conservative rewrite
       }
     }
+    val files = withStats.map(_._1)
+    val carry = carry0.map(_._1)
     val merged =
       if (hit.isEmpty) // pure inserts: no file holds any delta key
         delta.select(
@@ -174,7 +180,7 @@ final class EventStore(root: String) {
           col("total_value").cast("decimal(18,2)").as("total_value"), col("last_ts"))
       else mergeFrames(spark.read.schema(
           org.apache.spark.sql.types.StructType.fromDDL(snap.schemaDdl))
-          .parquet(hit.map(_.toString): _*), delta)
+          .parquet(hit.map(_._1.toString): _*), delta)
     // Staged commit: rewritten rows + byte-identical carries become one
     // new data dir, visible only at the manifest claim.
     val u = TxTable.stage(dir("summary_user"), merged)
@@ -185,6 +191,38 @@ final class EventStore(root: String) {
     }
     TxTable.commitStaged(dir("summary_user"), u, merged.schema)
     (hit.size.toLong, files.size.toLong)
+  }
+
+  /** Fact rows with `ts` in [fromMicros, toMicros] (epoch µs, closed
+    * interval), scanning ONLY the files whose manifest ts range
+    * intersects the window — file-level time pruning from the stats
+    * recorded at commit ([[TxTable.Snapshot.stats]]). After
+    * [[compactFacts]]'s time clustering, a narrow window reads a few
+    * files of a year-long store; without manifest stats the planner
+    * would enumerate and footer-check every file of every version on
+    * every query. Files with no recorded stats are scanned
+    * conservatively; the residual row filter keeps exactness either
+    * way. Returns (frame, filesScanned, filesTotal).
+    */
+  def factsInRange(spark: SparkSession, fromMicros: Long, toMicros: Long)
+      : (DataFrame, Long, Long) = {
+    val lo = timestamp_micros(lit(fromMicros))
+    val hi = timestamp_micros(lit(toMicros))
+    def residual(df: DataFrame) = df.filter(col("ts") >= lo && col("ts") <= hi)
+    if (!TxTable.exists(dir("fact_events")))
+      return (residual(facts(spark)), 0L, 0L)
+    val snap = TxTable.snapshot(dir("fact_events"))
+    val files = TxTable.dataFiles(dir("fact_events"), snap)
+    val hit = files.collect {
+      case (f, st) if st.get("ts").forall { case (mn, mx) =>
+        mn <= toMicros && mx >= fromMicros } => f
+    }
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(snap.schemaDdl)
+    val df =
+      if (hit.isEmpty)
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+      else residual(spark.read.schema(schema).parquet(hit.map(_.toString): _*))
+    (df, hit.size.toLong, files.size.toLong)
   }
 
   /** Parquet data files of a snapshot (manifest-listed dirs only — the

@@ -142,6 +142,51 @@ class TxTableSpec extends SparkSpec {
     assert(TxTable.read(spark, dir).collect().map(_.getLong(0)).toSeq == Seq(1L))
   }
 
+  test("manifests carry per-file key ranges; appends and restores keep them") {
+    val dir = tmp()
+    TxTable.init(spark, dir, schema)
+    TxTable.overwrite(spark, dir,
+      Seq((5L, 50L), (9L, 90L)).toDF("k", "v").coalesce(1)) // v1
+    val s1 = TxTable.snapshot(dir)
+    val files1 = TxTable.dataFiles(dir, s1)
+    assert(files1.size == 1)
+    assert(files1.head._2.get("k").contains((5L, 9L)),
+      s"commit-time stats missing or wrong: ${files1.head._2}")
+    assert(files1.head._2.get("v").contains((50L, 90L)))
+    // Append: the old file's stats are carried verbatim, the new file's
+    // added — NO footer is reopened for the old data.
+    TxTable.append(spark, dir, Seq((100L, 1L)).toDF("k", "v").coalesce(1)) // v2
+    val files2 = TxTable.dataFiles(dir, TxTable.snapshot(dir))
+    assert(files2.size == 2)
+    assert(files2.flatMap(_._2.get("k")).sorted == Seq((5L, 9L), (100L, 100L)))
+    // Restore back to v1: stats restore with the file list.
+    TxTable.restore(spark, dir, 1L)
+    val files3 = TxTable.dataFiles(dir, TxTable.snapshot(dir))
+    assert(files3.size == 1 && files3.head._2.get("k").contains((5L, 9L)))
+  }
+
+  test("pre-stats manifests (no stats block) parse as conservative no-stats") {
+    val dir = tmp()
+    TxTable.init(spark, dir, schema)
+    TxTable.overwrite(spark, dir, Seq((1L, 1L)).toDF("k", "v"))
+    // Rewrite the newest manifest WITHOUT its stats key — the on-disk
+    // shape every commit had before stats existed.
+    val log = Paths.get(dir, "_log")
+    val newest = Files.list(log).sorted().toArray.last.asInstanceOf[java.nio.file.Path]
+    val json = Files.readString(newest)
+    val stripped = org.json4s.jackson.JsonMethods.compact(
+      org.json4s.jackson.JsonMethods.parse(json).removeField(_._1 == "stats"))
+    assert(stripped != json, "test setup: stats block not found to strip")
+    Files.delete(newest)
+    Files.writeString(newest, stripped)
+    val s = TxTable.snapshot(dir)
+    assert(s.stats.isEmpty, "absent stats block must parse as empty")
+    assert(TxTable.read(spark, dir).count() == 1) // reads unaffected
+    val files = TxTable.dataFiles(dir, s)
+    assert(files.nonEmpty && files.forall(_._2.isEmpty),
+      "files without recorded stats must surface an EMPTY map (= hit)")
+  }
+
   test("vacuum keeps the newest manifests and breaks older pins (documented)") {
     val dir = tmp()
     TxTable.init(spark, dir, schema)

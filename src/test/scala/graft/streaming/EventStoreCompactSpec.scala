@@ -24,4 +24,37 @@ class EventStoreCompactSpec extends SparkSpec {
     // Idempotent: already-compact store is left alone.
     assert(store.compactFacts(spark) == ((1L, 1L)))
   }
+
+  test("time-sliced facts read prunes files from manifest stats, exactly") {
+    val root = Files.createTempDirectory("graft_slice").toString
+    val store = new EventStore(root)
+    val events = Tables(spark, S.Sf0001).events
+    // Append in FOUR disjoint time slices (one file each) so the
+    // manifest records non-overlapping ts ranges per file.
+    val bounds = events.agg(min("ts"), max("ts")).collect()(0)
+    val (tsLo, tsHi) = (bounds.getTimestamp(0).getTime * 1000L,
+      bounds.getTimestamp(1).getTime * 1000L)
+    val span = tsHi - tsLo
+    (0 until 4).foreach { i =>
+      val lo = tsLo + span * i / 4
+      val hi = if (i == 3) tsHi + 1 else tsLo + span * (i + 1) / 4
+      store.appendFacts(events.filter(
+        unix_micros(col("ts")) >= lo && unix_micros(col("ts")) < hi).coalesce(1))
+    }
+    // A window inside slice 1 must scan exactly one of the four files.
+    val qLo = tsLo + span / 4
+    val qHi = tsLo + span * 2 / 5
+    val (pruned, scanned, total) = store.factsInRange(spark, qLo, qHi)
+    assert(total == 4L, s"expected 4 files, saw $total")
+    assert(scanned == 1L, s"manifest pruning should scan 1 file, scanned $scanned")
+    // Exactness: pruned result == full-scan filter, row for row.
+    val expect = store.facts(spark)
+      .filter(unix_micros(col("ts")) >= qLo && unix_micros(col("ts")) <= qHi)
+      .orderBy("event_id").collect().toSeq
+    assert(pruned.orderBy("event_id").collect().toSeq == expect)
+    assert(expect.nonEmpty, "degenerate window: test proves nothing")
+    // An out-of-range window scans nothing and returns empty.
+    val (empty, s0, _) = store.factsInRange(spark, tsHi + span, tsHi + 2 * span)
+    assert(s0 == 0L && empty.isEmpty)
+  }
 }
