@@ -533,6 +533,46 @@ object Warehouse {
           ${sqlSum("o_totalprice")} AS total_spent
         FROM orders GROUP BY 1 ORDER BY 1""")),
 
+    // Stats-pruned time-slice read of a TxTable fact store: the store
+    // is seeded ONCE per session as four week-sliced append commits
+    // (a micro-batch ingest history — each commit's manifest carries
+    // its files' ts ranges, recorded at commit time); every invocation
+    // then runs `factsInRange`, which plans ONLY the files whose
+    // manifest range intersects the queried window — Delta-style
+    // data skipping from log statistics, zero footer opens at read.
+    // The oracle replays the window over the raw events table, so the
+    // gate asserts pruned scan == full scan row for row.
+    QueryDef(
+      "q_tx_time_slice",
+      t => {
+        import graft.operators.Stages
+        def micros(iso: String): Long =
+          java.time.Instant.parse(iso).toEpochMilli * 1000L +
+            java.time.Instant.parse(iso).getNano / 1000L % 1000L
+        val root = Stages.tempDir(t.spark, s"tx_facts:${t.dir}") { d =>
+          val store = new graft.streaming.EventStore(d)
+          val weeks = Seq("2024-01-01", "2024-01-08", "2024-01-15", "2024-01-22", "2024-01-31")
+          weeks.sliding(2).foreach { case Seq(lo, hi) =>
+            store.appendFacts(t.events.filter(
+              col("ts") >= lit(lo).cast("timestamp") && col("ts") < lit(hi).cast("timestamp")))
+          }
+        }
+        val (win, _, _) = new graft.streaming.EventStore(root).factsInRange(
+          t.spark,
+          micros("2024-01-10T00:00:00Z"),
+          micros("2024-01-13T23:59:59.999999Z"))
+        win.select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_str"))
+          .orderBy(col("event_id"))
+      },
+      Some("""
+        SELECT event_id, user_id, event_type, value,
+          strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+          AND ts <= TIMESTAMP '2024-01-13 23:59:59.999999'
+        ORDER BY event_id""")),
+
     // A22/J7 (summary build) — per-customer totals from BOTH facts,
     // each aggregated separately then joined: the idiomatic fix for the
     // reference's multi-fact join inflation (init/mysql_loader.py:1080-1104
