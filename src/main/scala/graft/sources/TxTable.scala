@@ -277,6 +277,61 @@ object TxTable {
     }
   }
 
+  /** Real (non-dead-claim) versions currently in the log, oldest first.
+    * The consumer-facing face of the commit history: an incremental
+    * reader checkpoints the last version it processed and asks
+    * [[readChanges]] for what landed since. */
+  def versions(dir: String): Seq[Long] =
+    commitVersions(dir).filter(v => Files.size(commitFile(dir, v)) > 0L)
+
+  private def snapshotAt(dir: String, version: Long): Snapshot = {
+    val f = commitFile(dir, version)
+    require(Files.exists(f),
+      s"version $version of $dir is gone (vacuumed?) — an incremental " +
+        "consumer's checkpoint must stay within the vacuum retention, " +
+        "exactly as Delta documents for its streaming sources")
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    val json = Files.readString(f)
+    require(json.nonEmpty, s"version $version of $dir is a dead claim")
+    val m = org.json4s.jackson.JsonMethods.parse(json)
+    Snapshot(version, (m \ "schema").extract[String],
+      (m \ "dirs").extract[Seq[String]], parseStats(m))
+  }
+
+  /** Rows ADDED to the table by commits in `(sinceVersion, toVersion]`
+    * — the incremental-consumer read (Delta change-data-feed reduced to
+    * the append-only case): a consumer processes a batch, checkpoints
+    * `toVersion`, and the next call picks up exactly the commits it has
+    * not seen, reading ONLY their data directories. Exactly-once by
+    * construction: commits are atomic and versions dense over real
+    * commits, so `(checkpoint, latest]` ranges tile the history with no
+    * gap or overlap.
+    *
+    * Append-only contract, CHECKED: every directory visible at
+    * `sinceVersion` must still be visible at `toVersion` — a rewrite
+    * (overwrite/merge/compaction) in the range means row-level change
+    * attribution no longer exists, and this throws rather than silently
+    * re-delivering rewritten data (Delta's default streaming behavior
+    * without ignoreChanges). `toVersion` defaults to the newest commit;
+    * returns an empty frame when nothing landed.
+    */
+  def readChanges(spark: SparkSession, dir: String, sinceVersion: Long,
+                  toVersion: Long = -1L): DataFrame = {
+    val to = if (toVersion >= 0) snapshotAt(dir, toVersion) else snapshot(dir)
+    if (to.version == sinceVersion)
+      return read(spark, dir, to.copy(dirs = Seq.empty))
+    require(sinceVersion < to.version,
+      s"sinceVersion $sinceVersion is newer than $dir's version ${to.version}")
+    val since = snapshotAt(dir, sinceVersion)
+    val missing = since.dirs.filterNot(to.dirs.toSet)
+    require(missing.isEmpty,
+      s"$dir is not append-only over ($sinceVersion, ${to.version}]: " +
+        s"${missing.size} data dir(s) were rewritten or compacted away — " +
+        "incremental reads need an append-only range (re-seed the consumer " +
+        "from a full snapshot instead)")
+    read(spark, dir, to.copy(dirs = to.dirs.filterNot(since.dirs.toSet)))
+  }
+
   /** Optimistic read-modify-write: `transform` sees a CONSISTENT
     * snapshot; the result commits only if that snapshot is still
     * current, else the loop re-reads and re-applies — the upsert/merge

@@ -193,6 +193,26 @@ final class EventStore(root: String) {
     (hit.size.toLong, files.size.toLong)
   }
 
+  /** Fact rows appended since `sinceVersion`, plus the version to
+    * checkpoint for the next poll — the downstream-consumer read (the
+    * silver→gold hop of a medallion pipeline): a consumer maintains its
+    * own derived table from exactly the new facts, never re-scanning
+    * the fact history and never coupling to the ingest process. The
+    * fact store is append-only (compaction aside), so
+    * [[graft.sources.TxTable.readChanges]]'s append-only contract
+    * holds; a consumer lagging past the vacuum window or across a
+    * [[compactFacts]] gets a clear error and re-seeds from a full
+    * snapshot — Delta's documented behavior for streaming past
+    * OPTIMIZE/VACUUM. */
+  def factChangesSince(spark: SparkSession, sinceVersion: Long): (DataFrame, Long) = {
+    val head = TxTable.snapshot(dir("fact_events")).version
+    (TxTable.readChanges(spark, dir("fact_events"), sinceVersion, head), head)
+  }
+
+  /** Current commit version of the fact store — the checkpoint seed for
+    * a consumer that wants to start from "now". */
+  def factVersion(): Long = TxTable.snapshot(dir("fact_events")).version
+
   /** Fact rows with `ts` in [fromMicros, toMicros] (epoch µs, closed
     * interval), scanning ONLY the files whose manifest ts range
     * intersects the window — file-level time pruning from the stats

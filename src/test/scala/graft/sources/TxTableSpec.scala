@@ -187,6 +187,44 @@ class TxTableSpec extends SparkSpec {
       "files without recorded stats must surface an EMPTY map (= hit)")
   }
 
+  test("readChanges tiles the commit history exactly-once for a checkpointing consumer") {
+    val dir = tmp()
+    TxTable.init(spark, dir, schema)
+    // A consumer loop: process whatever landed since the checkpoint,
+    // advance the checkpoint to the version it read at. Interleave
+    // appends of known rows; the consumer must see every row exactly
+    // once regardless of how many commits a poll spans.
+    var checkpoint = TxTable.snapshot(dir).version
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def poll(): Unit = {
+      val head = TxTable.snapshot(dir).version
+      seen ++= TxTable.readChanges(spark, dir, checkpoint, head)
+        .collect().map(_.getLong(0))
+      checkpoint = head
+    }
+    TxTable.append(spark, dir, Seq((1L, 1L)).toDF("k", "v"))
+    poll() // one commit
+    TxTable.append(spark, dir, Seq((2L, 2L)).toDF("k", "v"))
+    TxTable.append(spark, dir, Seq((3L, 3L)).toDF("k", "v"))
+    poll() // spans two commits
+    poll() // nothing new → empty, not a re-delivery
+    assert(seen.sorted.toSeq == Seq(1L, 2L, 3L),
+      s"exactly-once violated: $seen")
+    // A rewrite inside the polled range is DETECTED, not silently
+    // re-delivered.
+    TxTable.overwrite(spark, dir, Seq((9L, 9L)).toDF("k", "v"))
+    val e = intercept[IllegalArgumentException] { poll() }
+    assert(e.getMessage.contains("not append-only"))
+    // A vacuumed-away checkpoint version is a clear error, not a scan
+    // of wrong data.
+    TxTable.append(spark, dir, Seq((10L, 10L)).toDF("k", "v"))
+    TxTable.vacuum(dir, keepLast = 1, orphanRetentionMs = 0L)
+    val e2 = intercept[IllegalArgumentException] {
+      TxTable.readChanges(spark, dir, checkpoint)
+    }
+    assert(e2.getMessage.contains("vacuumed"))
+  }
+
   test("vacuum keeps the newest manifests and breaks older pins (documented)") {
     val dir = tmp()
     TxTable.init(spark, dir, schema)
