@@ -275,13 +275,19 @@ object DedupIndex {
     // SHUFFLE the corpus, costing more than the scans it saves.
     val docsCand = docsAll.join(broadcast(candEnds), Seq("doc_id"), "left_semi")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // localCheckpoint = persist + LINEAGE CUT: three later actions (the
-    // pairs stage write, the edge checkpoint, the components stage
+    // RDD localCheckpoint = persist + LINEAGE CUT: three later actions
+    // (the pairs stage write, the edge checkpoint, the components stage
     // write) re-analyze this frame's logical plan each time; with the
     // whole candidate pipeline as lineage that analyzer pass costs more
     // than the jobs themselves (the same driver-side effect the CC fold
-    // documents).
-    val newPairs = boundedVerify(cands, docsCand, kc).localCheckpoint()
+    // documents). The RDD form, not Dataset.localCheckpoint: the
+    // Dataset variant hides the persisted RDD inside a LogicalRDD with
+    // no public handle to release (Stages.scala documents the trap) —
+    // this handle is unpersisted in the cleanup below.
+    val newPairsPlan = boundedVerify(cands, docsCand, kc)
+    val newPairsRdd = newPairsPlan.rdd.localCheckpoint()
+    newPairsRdd.count()
+    val newPairs = spark.createDataFrame(newPairsRdd, newPairsPlan.schema)
 
     // Rare→hot recheck: shingles the delta pushed over the cap, the old
     // docs that carried them, and the stored pairs where BOTH endpoints
@@ -296,7 +302,7 @@ object DedupIndex {
       .select(explode(col("oids")).as("doc_id")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val op = TxTable.read(spark, s"$dir/pairs")
-    val dropped = (if (docsH.isEmpty) op.select(col("a"), col("b")).limit(0)
+    val droppedPlan = (if (docsH.isEmpty) op.select(col("a"), col("b")).limit(0)
     else {
       val suspects = op
         .join(docsH.select(col("doc_id").as("a")), Seq("a"), "left_semi")
@@ -320,7 +326,11 @@ object DedupIndex {
         .select(col("a"), col("b")).distinct()
       suspects.select(col("a"), col("b"))
         .join(stillCand, Seq("a", "b"), "left_anti")
-    }).localCheckpoint() // lineage cut — see newPairs above
+    })
+    // Lineage cut — see newPairs above.
+    val droppedRdd = droppedPlan.rdd.localCheckpoint()
+    droppedRdd.count()
+    val dropped = spark.createDataFrame(droppedRdd, droppedPlan.schema)
     val retained = op.join(dropped, Seq("a", "b"), "left_anti")
     val pairsOut = retained.unionByName(newPairs)
     val pairsSchema = pairsOut.schema
@@ -380,7 +390,8 @@ object DedupIndex {
     TxTable.commitStaged(s"$dir/groups", uGroups, groupsSchema, keepExisting = true)
     TxTable.commitStaged(s"$dir/pairs", uPairs, pairsSchema)
     TxTable.commitStaged(s"$dir/components", uComponents, componentsSchema)
-    dropped.unpersist(); docsH.unpersist(); newPairs.unpersist()
+    droppedRdd.unpersist(blocking = false); docsH.unpersist()
+    newPairsRdd.unpersist(blocking = false)
     cands.unpersist(); docsCand.unpersist()
     mgDelta.unpersist(); ogDelta.unpersist(); dgSeg.unpersist(); nd.unpersist()
   }

@@ -546,9 +546,8 @@ object Warehouse {
       "q_tx_time_slice",
       t => {
         import graft.operators.Stages
-        def micros(iso: String): Long =
-          java.time.Instant.parse(iso).toEpochMilli * 1000L +
-            java.time.Instant.parse(iso).getNano / 1000L % 1000L
+        def micros(iso: String): Long = java.time.temporal.ChronoUnit.MICROS
+          .between(java.time.Instant.EPOCH, java.time.Instant.parse(iso))
         val root = Stages.tempDir(t.spark, s"tx_facts:${t.dir}") { d =>
           val store = new graft.streaming.EventStore(d)
           val weeks = Seq("2024-01-01", "2024-01-08", "2024-01-15", "2024-01-22", "2024-01-31")

@@ -28,36 +28,10 @@ import org.apache.spark.sql.SparkSession
   */
 object ParquetFooterStats {
 
-  private def blockStats(spark: SparkSession, file: java.nio.file.Path,
-                         column: String): Option[Seq[org.apache.parquet.column.statistics.Statistics[_]]] = {
-    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-      new org.apache.hadoop.fs.Path(file.toUri),
-      spark.sessionState.newHadoopConf())
-    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-    try {
-      val perBlock = r.getFooter.getBlocks.toArray.map { b =>
-        val bm = b.asInstanceOf[org.apache.parquet.hadoop.metadata.BlockMetaData]
-        bm.getColumns.toArray
-          .map(_.asInstanceOf[org.apache.parquet.hadoop.metadata.ColumnChunkMetaData])
-          .find(_.getPath.toDotString == column)
-          .map(_.getStatistics)
-          .collect {
-            case s if s != null && !s.isEmpty && s.hasNonNullValue => s
-          }
-      }
-      if (perBlock.isEmpty || perBlock.exists(_.isEmpty)) None
-      else Some(perBlock.map(_.get).toSeq)
-    } finally r.close()
-  }
-
   /** (min, max) of an INT64 column across all row groups. */
   def longRange(spark: SparkSession, file: java.nio.file.Path,
                 column: String): Option[(Long, Long)] =
-    blockStats(spark, file, column).map { stats =>
-      val mins = stats.map(_.genericGetMin.asInstanceOf[java.lang.Long].longValue())
-      val maxs = stats.map(_.genericGetMax.asInstanceOf[java.lang.Long].longValue())
-      (mins.min, maxs.max)
-    }
+    longRanges(spark.sessionState.newHadoopConf(), file, Seq(column)).get(column)
 
   /** (min, max) for several columns with ONE footer open (the write-time
     * stats harvest [[TxTable]] runs per commit — per-column opens would

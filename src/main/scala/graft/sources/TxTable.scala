@@ -316,8 +316,16 @@ object TxTable {
     * returns an empty frame when nothing landed.
     */
   def readChanges(spark: SparkSession, dir: String, sinceVersion: Long,
-                  toVersion: Long = -1L): DataFrame = {
-    val to = if (toVersion >= 0) snapshotAt(dir, toVersion) else snapshot(dir)
+                  toVersion: Long = -1L): DataFrame =
+    readChanges(spark, dir, sinceVersion,
+      if (toVersion >= 0) snapshotAt(dir, toVersion) else snapshot(dir))
+
+  /** [[readChanges]] against an already-resolved head snapshot — a
+    * poll loop that needs the head version for its checkpoint resolves
+    * it once and passes it here, instead of re-reading the manifest
+    * (whose stats block is file-count-sized). */
+  def readChanges(spark: SparkSession, dir: String, sinceVersion: Long,
+                  to: Snapshot): DataFrame = {
     if (to.version == sinceVersion)
       return read(spark, dir, to.copy(dirs = Seq.empty))
     require(sinceVersion < to.version,

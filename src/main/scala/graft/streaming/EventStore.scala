@@ -205,8 +205,8 @@ final class EventStore(root: String) {
     * snapshot — Delta's documented behavior for streaming past
     * OPTIMIZE/VACUUM. */
   def factChangesSince(spark: SparkSession, sinceVersion: Long): (DataFrame, Long) = {
-    val head = TxTable.snapshot(dir("fact_events")).version
-    (TxTable.readChanges(spark, dir("fact_events"), sinceVersion, head), head)
+    val head = TxTable.snapshot(dir("fact_events")) // resolved ONCE per poll
+    (TxTable.readChanges(spark, dir("fact_events"), sinceVersion, head), head.version)
   }
 
   /** Current commit version of the fact store — the checkpoint seed for

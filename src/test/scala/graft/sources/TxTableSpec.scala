@@ -172,7 +172,11 @@ class TxTableSpec extends SparkSpec {
     // Rewrite the newest manifest WITHOUT its stats key — the on-disk
     // shape every commit had before stats existed.
     val log = Paths.get(dir, "_log")
-    val newest = Files.list(log).sorted().toArray.last.asInstanceOf[java.nio.file.Path]
+    val newest = {
+      val s = Files.list(log)
+      try s.sorted().toArray.last.asInstanceOf[java.nio.file.Path]
+      finally s.close()
+    }
     val json = Files.readString(newest)
     val stripped = org.json4s.jackson.JsonMethods.compact(
       org.json4s.jackson.JsonMethods.parse(json).removeField(_._1 == "stats"))
@@ -210,6 +214,9 @@ class TxTableSpec extends SparkSpec {
     poll() // nothing new → empty, not a re-delivery
     assert(seen.sorted.toSeq == Seq(1L, 2L, 3L),
       s"exactly-once violated: $seen")
+    // The version listing a consumer scans for catch-up is dense here
+    // (init + 3 appends, no dead claims).
+    assert(TxTable.versions(dir) == (0L to 3L), s"versions: ${TxTable.versions(dir)}")
     // A rewrite inside the polled range is DETECTED, not silently
     // re-delivered.
     TxTable.overwrite(spark, dir, Seq((9L, 9L)).toDF("k", "v"))
