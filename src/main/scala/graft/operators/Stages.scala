@@ -126,7 +126,11 @@ object Stages {
 
   private def deleteRec(p: Path): Unit =
     if (Files.exists(p)) {
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+      // Close the stream: Files.walk holds directory fds until closed,
+      // and stage-dir cleanup runs once per lifecycle invocation.
+      val w = Files.walk(p)
+      try w.sorted(java.util.Comparator.reverseOrder())
         .forEach(f => Files.delete(f))
+      finally w.close()
     }
 }

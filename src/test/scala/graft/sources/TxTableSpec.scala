@@ -68,7 +68,8 @@ class TxTableSpec extends SparkSpec {
     assert(loser.getMessage.contains("retry"))
     assert(a.version == 1 && TxTable.snapshot(dir).version == 1)
     // The loser's data files were cleaned up, not left as orphans.
-    val dataDirs = Files.list(Paths.get(dir, "data")).count()
+    val dataDirs = { val st = Files.list(Paths.get(dir, "data"))
+      try st.count() finally st.close() }
     assert(dataDirs == 1, s"loser leaked a data dir ($dataDirs present)")
   }
 
@@ -236,9 +237,11 @@ class TxTableSpec extends SparkSpec {
     val dir = tmp()
     TxTable.init(spark, dir, schema)
     (1 to 3).foreach(i => TxTable.overwrite(spark, dir, Seq((i.toLong, i.toLong)).toDF("k", "v")))
-    assert(Files.list(Paths.get(dir, "data")).count() == 3)
+    def nData() = { val st = Files.list(Paths.get(dir, "data"))
+      try st.count() finally st.close() }
+    assert(nData() == 3)
     TxTable.vacuum(dir, keepLast = 1)
-    assert(Files.list(Paths.get(dir, "data")).count() == 1)
+    assert(nData() == 1)
     assert(TxTable.read(spark, dir).collect().map(_.getLong(0)).toSeq == Seq(3L))
   }
 }
