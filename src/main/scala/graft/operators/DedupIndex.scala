@@ -53,6 +53,12 @@ import graft.sources.TxTable
   */
 object DedupIndex {
 
+  /** Driver bound for the pruned component replace's affected-doc
+    * collect; above it the append falls back to a full components
+    * rewrite (a delta touching that much of the corpus approaches one
+    * anyway). */
+  private val MaxReplaceKeys = 100000
+
   /** Pair expansion over capped groups: every a<b pair inside each
     * rare group, with `c_rare` = number of groups the pair shares.
     * Groups are ≤ cap ids by construction, so this is a bounded
@@ -149,11 +155,16 @@ object DedupIndex {
     putTable(spark, s"$dir/pairs", boundedVerify(pairCounts(grouped), d, rareCnt))
     // CC reads the just-committed pairs table: zero lineage under the
     // iterative loop (see the fold in `append` for why that matters).
+    // Components lay out RANGE-CLUSTERED on doc_id: each file covers a
+    // doc_id interval, so the manifest stats let `append`'s
+    // PrunedReplace rewrite only the files an affected-doc set touches.
     putTable(spark, s"$dir/components",
       GraphOps.connectedComponents(spark,
           TxTable.read(spark, s"$dir/pairs")
             .select(col("a").as("src"), col("b").as("dst")), maxIter)
-        .select(col("node").as("doc_id"), col("component")))
+        .select(col("node").as("doc_id"), col("component"))
+        .repartitionByRange(col("doc_id"))
+        .sortWithinPartitions(col("doc_id")))
     grouped.unpersist(); d.unpersist()
   }
 
@@ -329,10 +340,20 @@ object DedupIndex {
     })
     // Lineage cut — see newPairs above.
     val droppedRdd = droppedPlan.rdd.localCheckpoint()
-    droppedRdd.count()
+    val droppedCount = droppedRdd.count()
     val dropped = spark.createDataFrame(droppedRdd, droppedPlan.schema)
-    val retained = op.join(dropped, Seq("a", "b"), "left_anti")
-    val pairsOut = retained.unionByName(newPairs)
+    // PAIRS, write = O(delta) on the common path: when no stored pair
+    // lost candidacy (`dropped` empty — the usual append; a drop needs
+    // a rare→hot cap crossing), every stored pair is retained verbatim
+    // and the verified NEW pairs commit as an appended SEGMENT — the
+    // stored pairs are never rewritten, the same LSM discipline as the
+    // `groups` index (pairs are add-once: a mined pair has ≥1 new
+    // endpoint, so an appended segment can never duplicate a stored
+    // row). Only the rare drop path rewrites the table.
+    val pairsAppendOnly = droppedCount == 0L
+    val pairsOut =
+      if (pairsAppendOnly) newPairs
+      else op.join(dropped, Seq("a", "b"), "left_anti").unionByName(newPairs)
     val pairsSchema = pairsOut.schema
     val uPairs = TxTable.stage(s"$dir/pairs", pairsOut)
 
@@ -351,20 +372,23 @@ object DedupIndex {
       .distinct()
     val affected = oc.join(touched, Seq("doc_id"), "left_semi")
       .select(col("component")).distinct()
-    val keep = oc.join(affected, Seq("component"), "left_anti")
-    // Fold edges from the just-written pairs table: a final pair rides
-    // into the re-propagation iff it is NOT wholly inside an unaffected
-    // old component (stored pairs have both endpoints in one component;
-    // a brand-new doc has no old label — NULL — and always rides).
-    // Reading the staged pairs files instead of re-deriving
-    // retained∪newPairs, and lineage-cutting the tiny edge set before
-    // the iterative CC, is load-bearing: every CC-internal action
-    // (setup persists, per-iteration label joins) re-evaluates its
-    // input's LOGICAL plan, and with the whole append pipeline as
-    // lineage that re-evaluation cost ~3 s per action — 20 s of fold
-    // for a 100-edge graph (measured). After the cut the CC sees a
-    // LogicalRDD and the fold is milliseconds again.
-    val edges0 = spark.read.parquet(TxTable.stagedPath(s"$dir/pairs", uPairs))
+    // Fold edges = the final pairs table, restricted to pairs NOT
+    // wholly inside an unaffected old component (stored pairs have both
+    // endpoints in one component; a brand-new doc has no old label —
+    // NULL — and always rides). On the append-only path the final
+    // table is op ∪ newPairs, both lineage-shallow already (a parquet
+    // scan and a LogicalRDD); the rewrite path reads its staged files.
+    // Lineage-cutting the tiny edge set before the iterative CC is
+    // load-bearing: every CC-internal action (setup persists,
+    // per-iteration label joins) re-evaluates its input's LOGICAL plan,
+    // and with the whole append pipeline as lineage that re-evaluation
+    // cost ~3 s per action — 20 s of fold for a 100-edge graph
+    // (measured). After the cut the CC sees a LogicalRDD and the fold
+    // is milliseconds again.
+    val pairsFinal =
+      if (pairsAppendOnly) op.unionByName(newPairs)
+      else spark.read.parquet(TxTable.stagedPath(s"$dir/pairs", uPairs))
+    val edges0 = pairsFinal
       .join(oc.select(col("doc_id").as("a"), col("component").as("ca")), Seq("a"), "left")
       .join(affected.select(col("component").as("ca")).withColumn("aff", lit(true)),
         Seq("ca"), "left")
@@ -372,24 +396,41 @@ object DedupIndex {
       .select(col("a").as("src"), col("b").as("dst"))
     val edgesRdd = edges0.rdd.localCheckpoint()
     edgesRdd.count()
-    val componentsOut = GraphOps.connectedComponents(spark,
+    val componentsNew = GraphOps.connectedComponents(spark,
         spark.createDataFrame(edgesRdd, edges0.schema), maxIter)
       .select(col("node").as("doc_id"), col("component"))
-      .unionByName(keep.select(col("doc_id"), col("component")))
-    val componentsSchema = componentsOut.schema
-    val uComponents = TxTable.stage(s"$dir/components", componentsOut)
-    edgesRdd.unpersist(blocking = false)
 
-    // All three new versions are fully materialized; three atomic
-    // manifest claims make them visible (groups as an APPENDED segment,
-    // pairs/components as replacements). Unlike the old dir-swap (move
-    // target → old, move tmp → target) there is NO window in which a
-    // new reader resolving the table finds nothing — it sees either the
-    // pre-append or post-append version (superseded versions are
-    // reclaimed by TxTable.vacuum, never at commit time).
+    // Make groups (appended segment) and pairs (appended segment or
+    // rewrite) visible — the data dirs are fully materialized; each
+    // claim is atomic, so a reader resolving mid-append sees either the
+    // pre- or post-append version of each table, never nothing.
     TxTable.commitStaged(s"$dir/groups", uGroups, groupsSchema, keepExisting = true)
-    TxTable.commitStaged(s"$dir/pairs", uPairs, pairsSchema)
-    TxTable.commitStaged(s"$dir/components", uComponents, componentsSchema)
+    TxTable.commitStaged(s"$dir/pairs", uPairs, pairsSchema,
+      keepExisting = pairsAppendOnly)
+
+    // COMPONENTS, write = O(affected) on the common path: the affected
+    // components' membership (delta-bounded — near-dup clusters are
+    // small) is the REPLACED key set; PrunedReplace rewrites only the
+    // files whose manifest doc_id range intersects it and carries the
+    // rest byte-identical (build lays components out range-clustered so
+    // the hit set is proportional to the keys, not the corpus). Above
+    // the driver-bound guard — a delta touching a huge fraction of the
+    // corpus — fall back to the full rewrite, which such a delta
+    // approaches anyway.
+    val affectedDocs = oc.join(affected, Seq("component"), "left_semi")
+      .select(col("doc_id")).limit(MaxReplaceKeys + 1)
+      .collect().map(_.getLong(0))
+    if (affectedDocs.length <= MaxReplaceKeys)
+      graft.sources.PrunedReplace.replaceKeys(
+        spark, s"$dir/components", "doc_id", affectedDocs, componentsNew)
+    else {
+      val keep = oc.join(affected, Seq("component"), "left_anti")
+      val componentsOut = componentsNew
+        .unionByName(keep.select(col("doc_id"), col("component")))
+      val uComponents = TxTable.stage(s"$dir/components", componentsOut)
+      TxTable.commitStaged(s"$dir/components", uComponents, componentsOut.schema)
+    }
+    edgesRdd.unpersist(blocking = false)
     droppedRdd.unpersist(blocking = false); docsH.unpersist()
     newPairsRdd.unpersist(blocking = false)
     cands.unpersist(); docsCand.unpersist()

@@ -1,0 +1,73 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Generalized stats-pruned keyed REPLACE over a [[TxTable]] — the
+  * execution shape of Delta's `MERGE INTO` at scale, factored out of
+  * the summary-specific merge (EventStore.mergeSummaryPruned) so every
+  * keyed derived table gets it: only the files whose manifest key
+  * range intersects the touched keys are read and rewritten; every
+  * other file carries into the new version byte-identical (a metadata
+  * entry on a transactional format; a file copy here). Planning reads
+  * ONE in-memory manifest ([[TxTable.dataFiles]]) — no footer opens
+  * except the pre-stats fallback.
+  *
+  * At 100 TB the replaced key set of an incremental maintenance step
+  * is delta-bounded (thousands) while the table holds millions of
+  * range-clustered files — the hit set is proportional to the keys,
+  * not the table, which is the difference between an hourly ingest
+  * rewriting gigabytes and one rewriting the world.
+  */
+object PrunedReplace {
+
+  /** Commit `(table where keyCol ∉ removeKeys) ∪ upserts` as one new
+    * version. `removeKeys` must be driver-bounded (delta-scale — the
+    * caller guards and falls back to a full rewrite above its bound);
+    * files without usable stats rewrite conservatively. Single-writer,
+    * like every pruned maintenance path here ([[TxTable.merge]] is the
+    * contention-safe full-rewrite variant). Returns
+    * (rewrittenFiles, totalFiles).
+    */
+  def replaceKeys(spark: SparkSession, dir: String, keyCol: String,
+                  removeKeys: Array[Long], upserts: DataFrame): (Long, Long) = {
+    val snap = TxTable.snapshot(dir)
+    val keys = removeKeys.distinct.sorted
+    val files = TxTable.dataFiles(dir, snap)
+    val (hit, carry) = files.partition { case (f, st) =>
+      keys.nonEmpty && (st.get(keyCol)
+        .orElse(ParquetFooterStats.longRange(spark, f, keyCol)) match {
+        case Some((lo, hi)) =>
+          // any removed key in [lo, hi]? (keys sorted — binary search)
+          val i = java.util.Arrays.binarySearch(keys, lo)
+          val from = if (i >= 0) i else -i - 1
+          from < keys.length && keys(from) <= hi
+        case None => true // no usable stats → conservative rewrite
+      })
+    }
+    val schema = StructType.fromDDL(snap.schemaDdl)
+    val rewritten =
+      if (hit.isEmpty) upserts
+      else {
+        val keysDf = spark.createDataset(keys.toSeq)(
+          org.apache.spark.sql.Encoders.scalaLong).toDF(keyCol)
+        spark.read.schema(schema).parquet(hit.map(_._1.toString): _*)
+          .join(broadcast(keysDf), Seq(keyCol), "left_anti")
+          .unionByName(upserts)
+      }
+    // Staged commit: rewritten rows + byte-identical carries become one
+    // new data dir, visible only at the manifest claim (same shape as
+    // the summary merge; commit-time stats re-harvest covers carries).
+    val u = TxTable.stage(dir, rewritten)
+    val staged = Paths.get(TxTable.stagedPath(dir, u))
+    carry.zipWithIndex.foreach { case ((f, _), i) =>
+      Files.copy(f, staged.resolve(s"carry-$i-${f.getFileName}"),
+        StandardCopyOption.COPY_ATTRIBUTES)
+    }
+    TxTable.commitStaged(dir, u, rewritten.schema)
+    (hit.size.toLong, files.size.toLong)
+  }
+}

@@ -164,6 +164,25 @@ class DedupIndexSpec extends SparkSpec {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("clean append never rewrites stored pairs: the table gains a segment") {
+    val dir = tmp()
+    DedupIndex.build(spark, df(base), dir, Cap)
+    val before = graft.sources.TxTable.snapshot(s"$dir/pairs")
+    // A delta with NO rare→hot crossing (fresh shingles only, plus a
+    // new-new pair): the drop set is empty, so the append-only path
+    // must commit the new pairs as an APPENDED segment — every
+    // pre-append data dir still listed, exactly one new one.
+    val clean = Seq(30L -> Seq("x1", "x2"), 31L -> Seq("x1", "x2"))
+    DedupIndex.append(spark, df(clean), dir, Cap)
+    val after = graft.sources.TxTable.snapshot(s"$dir/pairs")
+    assert(before.dirs.forall(after.dirs.contains),
+      "clean append rewrote stored pairs data")
+    assert(after.dirs.size == before.dirs.size + 1,
+      s"expected one appended segment: ${before.dirs.size} -> ${after.dirs.size}")
+    assertParity(dir, base ++ clean)
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("mergeSegments is split-invariant: any segmentation folds to the one-shot index") {
     // The LSM design rests on one algebraic fact: aggregating per-split
     // groups then folding across splits equals aggregating the whole
