@@ -473,6 +473,25 @@ object DedupIndex {
     ()
   }
 
+  /** Whole-index OPTIMIZE: fold the groups segments, collapse the
+    * pairs segments into one, and restore the components table's
+    * doc_id range-clustering (appends fragment it — each pruned
+    * replace lands its rewrites unclustered, and clustering is what
+    * keeps the NEXT replace's hit set proportional to its keys).
+    * Result-transparent by construction: every step rewrites a table
+    * to an equal-content layout. Single-writer, scheduled — the same
+    * OPTIMIZE cadence any LSM/Delta deployment runs. */
+  def compact(spark: SparkSession, dir: String, cap: Int): Unit = {
+    compactGroups(spark, dir, cap)
+    TxTable.overwrite(spark, s"$dir/pairs",
+      TxTable.read(spark, s"$dir/pairs"))
+    TxTable.overwrite(spark, s"$dir/components",
+      TxTable.read(spark, s"$dir/components")
+        .repartitionByRange(col("doc_id"))
+        .sortWithinPartitions(col("doc_id")))
+    ()
+  }
+
   private val StageTables = Seq("docs", "groups", "pairs", "components")
   private def basePath(dir: String) = java.nio.file.Paths.get(dir, "BASE_VERSIONS.json")
 

@@ -151,11 +151,14 @@ class DedupIndexSpec extends SparkSpec {
     assert(baseSegs.forall(afterSegs.contains), "append rewrote the base segment")
     val componentsBefore = sortedRows(DedupIndex.components(spark, dir))
     val pairsBefore = sortedRows(DedupIndex.pairs(spark, dir))
-    // Compaction folds segments without changing any result, and a
-    // FURTHER append on the compacted index stays exact (parity vs
-    // from-scratch recompute of the final corpus).
-    DedupIndex.compactGroups(spark, dir, Cap)
+    // Whole-index compaction folds groups segments, collapses pairs
+    // segments, and re-clusters components — without changing any
+    // result; a FURTHER append on the compacted index stays exact
+    // (parity vs from-scratch recompute of the final corpus).
+    DedupIndex.compact(spark, dir, Cap)
     assert(segments(dir).size == 1)
+    assert(TxTable.snapshot(s"$dir/pairs").dirs.size == 1,
+      "pairs segments not collapsed")
     assert(sortedRows(DedupIndex.components(spark, dir)) == componentsBefore)
     assert(sortedRows(DedupIndex.pairs(spark, dir)) == pairsBefore)
     val more = Seq(200L -> Seq("zz_a", "zz_b", "s1"))
