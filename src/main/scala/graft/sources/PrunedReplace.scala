@@ -33,7 +33,19 @@ object PrunedReplace {
     * (rewrittenFiles, totalFiles).
     */
   def replaceKeys(spark: SparkSession, dir: String, keyCol: String,
-                  removeKeys: Array[Long], upserts: DataFrame): (Long, Long) = {
+                  removeKeys: Array[Long], upserts: DataFrame): (Long, Long) =
+    replaceWith(spark, dir, keyCol, removeKeys)(_ => upserts)
+
+  /** [[replaceKeys]] with the replacement rows DERIVED from the hit
+    * files' rows: `upsertsFor` receives exactly the rows of the files
+    * being rewritten (never the whole table — the pruning applies to
+    * the derivation read too) and returns the rows that replace the
+    * removed keys. This is the arithmetic-merge hook: an upsert that
+    * must combine old and new values per key reads only hit rows.
+    */
+  def replaceWith(spark: SparkSession, dir: String, keyCol: String,
+                  removeKeys: Array[Long])
+                 (upsertsFor: DataFrame => DataFrame): (Long, Long) = {
     val snap = TxTable.snapshot(dir)
     val keys = removeKeys.distinct.sorted
     val files = TxTable.dataFiles(dir, snap)
@@ -49,14 +61,17 @@ object PrunedReplace {
       })
     }
     val schema = StructType.fromDDL(snap.schemaDdl)
+    val hitRows =
+      if (hit.isEmpty)
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+      else spark.read.schema(schema).parquet(hit.map(_._1.toString): _*)
     val rewritten =
-      if (hit.isEmpty) upserts
+      if (hit.isEmpty) upsertsFor(hitRows)
       else {
         val keysDf = spark.createDataset(keys.toSeq)(
           org.apache.spark.sql.Encoders.scalaLong).toDF(keyCol)
-        spark.read.schema(schema).parquet(hit.map(_._1.toString): _*)
-          .join(broadcast(keysDf), Seq(keyCol), "left_anti")
-          .unionByName(upserts)
+        hitRows.join(broadcast(keysDf), Seq(keyCol), "left_anti")
+          .unionByName(upsertsFor(hitRows))
       }
     // Staged commit: rewritten rows + byte-identical carries become one
     // new data dir, visible only at the manifest claim (same shape as

@@ -117,14 +117,6 @@ final class EventStore(root: String) {
     ()
   }
 
-  /** Per-file (min, max) of the INT64 merge key — see
-    * [[graft.sources.ParquetFooterStats]] (shared with DedupIndex's
-    * pruned inverted-index merge) for the no-stats-means-rewrite
-    * contract. */
-  private def footerKeyRange(spark: SparkSession, file: java.nio.file.Path,
-                             column: String): Option[(Long, Long)] =
-    graft.sources.ParquetFooterStats.longRange(spark, file, column)
-
   /** File-pruned MERGE (the shape Delta's `MERGE INTO` executes at
     * 100 TB): only summary files whose footer key range intersects the
     * delta's keys are read and rewritten; every other file is carried
@@ -153,44 +145,20 @@ final class EventStore(root: String) {
       val n = snapshotFiles(TxTable.snapshot(dir("summary_user")), "summary_user").size.toLong
       return (n, n)
     }
-    val snap = TxTable.snapshot(dir("summary_user"))
     val keys = delta.select(col("user_id")).distinct()
       .collect().map(_.getLong(0)).sorted
-    // Key ranges come from the MANIFEST (recorded once at each commit);
-    // the footer read is only the fallback for files committed before
-    // stats existed. At 100 TB that is the difference between one
-    // in-memory map and a footer RPC per file per merge.
-    val withStats = TxTable.dataFiles(dir("summary_user"), snap)
-    val (hit, carry0) = withStats.partition { case (f, st) =>
-      st.get("user_id").orElse(footerKeyRange(spark, f, "user_id")) match {
-        case Some((lo, hi)) =>
-          // any delta key in [lo, hi]? (keys sorted — binary search)
-          val i = java.util.Arrays.binarySearch(keys, lo)
-          val from = if (i >= 0) i else -i - 1
-          from < keys.length && keys(from) <= hi
-        case None => true // no usable stats → conservative rewrite
-      }
+    // The keyed-replace form of the merge: existing rows carrying a
+    // delta key are replaced by their arithmetic merge with the delta
+    // (rows of hit files with OTHER keys survive via the replace's own
+    // anti-join; delta keys in no file are pure inserts). File pruning,
+    // byte-identical carries, and the staged atomic commit are
+    // PrunedReplace's — manifest stats first, footer read only as the
+    // pre-stats fallback — and the merge derivation reads only the HIT
+    // files' rows through the replaceWith hook, never the whole table.
+    graft.sources.PrunedReplace.replaceWith(
+      spark, dir("summary_user"), "user_id", keys) { hitRows =>
+      mergeFrames(hitRows.filter(col("user_id").isInCollection(keys)), delta)
     }
-    val files = withStats.map(_._1)
-    val carry = carry0.map(_._1)
-    val merged =
-      if (hit.isEmpty) // pure inserts: no file holds any delta key
-        delta.select(
-          col("user_id"), col("event_cnt"),
-          col("total_value").cast("decimal(18,2)").as("total_value"), col("last_ts"))
-      else mergeFrames(spark.read.schema(
-          org.apache.spark.sql.types.StructType.fromDDL(snap.schemaDdl))
-          .parquet(hit.map(_._1.toString): _*), delta)
-    // Staged commit: rewritten rows + byte-identical carries become one
-    // new data dir, visible only at the manifest claim.
-    val u = TxTable.stage(dir("summary_user"), merged)
-    val staged = Paths.get(TxTable.stagedPath(dir("summary_user"), u))
-    carry.zipWithIndex.foreach { case (f, i) =>
-      Files.copy(f, staged.resolve(s"carry-$i-${f.getFileName}"),
-        StandardCopyOption.COPY_ATTRIBUTES)
-    }
-    TxTable.commitStaged(dir("summary_user"), u, merged.schema)
-    (hit.size.toLong, files.size.toLong)
   }
 
   /** Fact rows appended since `sinceVersion`, plus the version to
