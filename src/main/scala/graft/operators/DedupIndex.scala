@@ -297,7 +297,7 @@ object DedupIndex {
     // this handle is unpersisted in the cleanup below.
     val newPairsPlan = boundedVerify(cands, docsCand, kc)
     val newPairsRdd = newPairsPlan.rdd.localCheckpoint()
-    newPairsRdd.count()
+    val newPairsCount = newPairsRdd.count()
     val newPairs = spark.createDataFrame(newPairsRdd, newPairsPlan.schema)
 
     // Rare→hot recheck: shingles the delta pushed over the cap, the old
@@ -342,6 +342,17 @@ object DedupIndex {
     val droppedRdd = droppedPlan.rdd.localCheckpoint()
     val droppedCount = droppedRdd.count()
     val dropped = spark.createDataFrame(droppedRdd, droppedPlan.schema)
+    // A delta that mines no pairs and drops none — the common case for
+    // a mostly-unique corpus slice — is a content NO-OP for pairs and
+    // components: skip their staging and commits entirely. Committing
+    // anyway would add one empty pairs segment per append (dead dirs
+    // every future read, stats map, and vacuum must enumerate) and
+    // drive a full carry-copy of the components table for nothing.
+    // Docs and groups still append — the index must reflect the new
+    // docs' shingles so FUTURE deltas can pair against them.
+    if (newPairsCount == 0L && droppedCount == 0L) {
+      TxTable.commitStaged(s"$dir/groups", uGroups, groupsSchema, keepExisting = true)
+    } else {
     // PAIRS, write = O(delta) on the common path: when no stored pair
     // lost candidacy (`dropped` empty — the usual append; a drop needs
     // a rare→hot cap crossing), every stored pair is retained verbatim
@@ -400,14 +411,6 @@ object DedupIndex {
         spark.createDataFrame(edgesRdd, edges0.schema), maxIter)
       .select(col("node").as("doc_id"), col("component"))
 
-    // Make groups (appended segment) and pairs (appended segment or
-    // rewrite) visible — the data dirs are fully materialized; each
-    // claim is atomic, so a reader resolving mid-append sees either the
-    // pre- or post-append version of each table, never nothing.
-    TxTable.commitStaged(s"$dir/groups", uGroups, groupsSchema, keepExisting = true)
-    TxTable.commitStaged(s"$dir/pairs", uPairs, pairsSchema,
-      keepExisting = pairsAppendOnly)
-
     // COMPONENTS, write = O(affected) on the common path: the affected
     // components' membership (delta-bounded — near-dup clusters are
     // small) is the REPLACED key set; PrunedReplace rewrites only the
@@ -416,21 +419,34 @@ object DedupIndex {
     // the hit set is proportional to the keys, not the corpus). Above
     // the driver-bound guard — a delta touching a huge fraction of the
     // corpus — fall back to the full rewrite, which such a delta
-    // approaches anyway.
+    // approaches anyway. STAGED here, committed below.
     val affectedDocs = oc.join(affected, Seq("component"), "left_semi")
       .select(col("doc_id")).limit(MaxReplaceKeys + 1)
       .collect().map(_.getLong(0))
-    if (affectedDocs.length <= MaxReplaceKeys)
-      graft.sources.PrunedReplace.replaceKeys(
-        spark, s"$dir/components", "doc_id", affectedDocs, componentsNew)
-    else {
-      val keep = oc.join(affected, Seq("component"), "left_anti")
-      val componentsOut = componentsNew
-        .unionByName(keep.select(col("doc_id"), col("component")))
-      val uComponents = TxTable.stage(s"$dir/components", componentsOut)
-      TxTable.commitStaged(s"$dir/components", uComponents, componentsOut.schema)
-    }
+    val stagedComponents =
+      if (affectedDocs.length <= MaxReplaceKeys)
+        graft.sources.PrunedReplace.stageReplaceWith(
+          spark, s"$dir/components", "doc_id", affectedDocs)(_ => componentsNew)
+      else {
+        val keep = oc.join(affected, Seq("component"), "left_anti")
+        val componentsOut = componentsNew
+          .unionByName(keep.select(col("doc_id"), col("component")))
+        val u = TxTable.stage(s"$dir/components", componentsOut)
+        graft.sources.PrunedReplace.Staged(s"$dir/components", u,
+          componentsOut.schema, -1L, -1L)
+      }
+
+    // EVERY table's new version is now fully materialized on disk;
+    // visibility is three back-to-back atomic claims — the crash
+    // window is the claims themselves, not the job pipeline above
+    // (there is still no cross-table transaction, same as before: a
+    // crash between claims leaves tables at adjacent versions).
+    TxTable.commitStaged(s"$dir/groups", uGroups, groupsSchema, keepExisting = true)
+    TxTable.commitStaged(s"$dir/pairs", uPairs, pairsSchema,
+      keepExisting = pairsAppendOnly)
+    stagedComponents.commit()
     edgesRdd.unpersist(blocking = false)
+    }
     droppedRdd.unpersist(blocking = false); docsH.unpersist()
     newPairsRdd.unpersist(blocking = false)
     cands.unpersist(); docsCand.unpersist()

@@ -124,13 +124,7 @@ object Stages {
     (frames.keys.count(_.session == s), dirs.keys.count(_.session == s))
   }
 
-  private def deleteRec(p: Path): Unit =
-    if (Files.exists(p)) {
-      // Close the stream: Files.walk holds directory fds until closed,
-      // and stage-dir cleanup runs once per lifecycle invocation.
-      val w = Files.walk(p)
-      try w.sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => Files.delete(f))
-      finally w.close()
-    }
+  // One recursive-delete implementation repo-wide: TxTable owns it
+  // (stream-closing, deepest-first).
+  private def deleteRec(p: Path): Unit = graft.sources.TxTable.deleteRec(p)
 }

@@ -32,9 +32,32 @@ object PrunedReplace {
     * contention-safe full-rewrite variant). Returns
     * (rewrittenFiles, totalFiles).
     */
+  /** A fully-staged (not yet visible) replace: everything is on disk —
+    * rewritten rows and byte-identical carries in one staged dir —
+    * and [[commit]] is a single atomic manifest claim. Multi-table
+    * maintenance stages ALL its tables first and then claims
+    * back-to-back, keeping the crash window to the claims themselves
+    * instead of spanning the job pipeline. */
+  final case class Staged(dir: String, uuid: String,
+                          schema: StructType,
+                          rewrittenFiles: Long, totalFiles: Long) {
+    def commit(): Unit = {
+      TxTable.commitStaged(dir, uuid, schema)
+      ()
+    }
+  }
+
   def replaceKeys(spark: SparkSession, dir: String, keyCol: String,
                   removeKeys: Array[Long], upserts: DataFrame): (Long, Long) =
     replaceWith(spark, dir, keyCol, removeKeys)(_ => upserts)
+
+  def replaceWith(spark: SparkSession, dir: String, keyCol: String,
+                  removeKeys: Array[Long])
+                 (upsertsFor: DataFrame => DataFrame): (Long, Long) = {
+    val st = stageReplaceWith(spark, dir, keyCol, removeKeys)(upsertsFor)
+    st.commit()
+    (st.rewrittenFiles, st.totalFiles)
+  }
 
   /** [[replaceKeys]] with the replacement rows DERIVED from the hit
     * files' rows: `upsertsFor` receives exactly the rows of the files
@@ -42,10 +65,11 @@ object PrunedReplace {
     * the derivation read too) and returns the rows that replace the
     * removed keys. This is the arithmetic-merge hook: an upsert that
     * must combine old and new values per key reads only hit rows.
+    * This staged form materializes everything without committing.
     */
-  def replaceWith(spark: SparkSession, dir: String, keyCol: String,
-                  removeKeys: Array[Long])
-                 (upsertsFor: DataFrame => DataFrame): (Long, Long) = {
+  def stageReplaceWith(spark: SparkSession, dir: String, keyCol: String,
+                       removeKeys: Array[Long])
+                      (upsertsFor: DataFrame => DataFrame): Staged = {
     val snap = TxTable.snapshot(dir)
     val keys = removeKeys.distinct.sorted
     val files = TxTable.dataFiles(dir, snap)
@@ -73,16 +97,15 @@ object PrunedReplace {
         hitRows.join(broadcast(keysDf), Seq(keyCol), "left_anti")
           .unionByName(upsertsFor(hitRows))
       }
-    // Staged commit: rewritten rows + byte-identical carries become one
-    // new data dir, visible only at the manifest claim (same shape as
-    // the summary merge; commit-time stats re-harvest covers carries).
+    // Stage: rewritten rows + byte-identical carries become one
+    // invisible data dir; the caller's commit() is the single atomic
+    // manifest claim (commit-time stats re-harvest covers carries).
     val u = TxTable.stage(dir, rewritten)
     val staged = Paths.get(TxTable.stagedPath(dir, u))
     carry.zipWithIndex.foreach { case ((f, _), i) =>
       Files.copy(f, staged.resolve(s"carry-$i-${f.getFileName}"),
         StandardCopyOption.COPY_ATTRIBUTES)
     }
-    TxTable.commitStaged(dir, u, rewritten.schema)
-    (hit.size.toLong, files.size.toLong)
+    Staged(dir, u, rewritten.schema, hit.size.toLong, files.size.toLong)
   }
 }

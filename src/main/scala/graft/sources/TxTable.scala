@@ -432,7 +432,7 @@ object TxTable {
     finally Files.deleteIfExists(tmp)
   }
 
-  private def deleteRec(p: Path): Unit =
+  private[graft] def deleteRec(p: Path): Unit =
     if (Files.exists(p)) {
       val w = Files.walk(p)
       try w.sorted(java.util.Comparator.reverseOrder())

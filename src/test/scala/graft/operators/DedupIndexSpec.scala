@@ -186,6 +186,26 @@ class DedupIndexSpec extends SparkSpec {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("all-unique delta is a content no-op for pairs/components: no new versions") {
+    import graft.sources.TxTable
+    val dir = tmp()
+    DedupIndex.build(spark, df(base), dir, Cap)
+    val pairsV = TxTable.snapshot(s"$dir/pairs").version
+    val compV = TxTable.snapshot(s"$dir/components").version
+    val groupsSegs = TxTable.snapshot(s"$dir/groups").dirs.size
+    // Docs sharing nothing with anything: zero candidates, zero drops.
+    val unique = Seq(40L -> Seq("uq1", "uq2"), 41L -> Seq("uq3", "uq4"))
+    DedupIndex.append(spark, df(unique), dir, Cap)
+    assert(TxTable.snapshot(s"$dir/pairs").version == pairsV,
+      "no-op append committed a pairs version")
+    assert(TxTable.snapshot(s"$dir/components").version == compV,
+      "no-op append committed a components version")
+    // Docs and groups DO advance: future deltas must see these shingles.
+    assert(TxTable.snapshot(s"$dir/groups").dirs.size == groupsSegs + 1)
+    assertParity(dir, base ++ unique)
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("mergeSegments is split-invariant: any segmentation folds to the one-shot index") {
     // The LSM design rests on one algebraic fact: aggregating per-split
     // groups then folding across splits equals aggregating the whole
