@@ -43,6 +43,61 @@ class PrunedReplaceSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("randomized replaces agree with the reference semantics") {
+    val rnd = new scala.util.Random(42)
+    val dir = tmp()
+    val n = 300
+    seed(dir, n, 6)
+    // Reference model: a driver-side map, mutated alongside the table.
+    val model = scala.collection.mutable.Map((1 to n).map(i => i.toLong -> i.toLong * 10): _*)
+    (1 to 5).foreach { _ =>
+      val removes = Array.fill(rnd.nextInt(20))(rnd.nextInt(n * 2).toLong + 1)
+      val upserts = (1 to rnd.nextInt(10)).map { _ =>
+        val k = rnd.nextInt(n * 2).toLong + 1
+        (k, rnd.nextLong(1000000))
+      }
+      // Upserted keys must be in the removed set or brand new (the
+      // operator's contract: upserts REPLACE removed keys / insert).
+      val allRemoves = (removes ++ upserts.map(_._1).filter(model.contains)).distinct
+      PrunedReplace.replaceKeys(spark, dir, "k", allRemoves,
+        upserts.toDF("k", "v"))
+      allRemoves.foreach(model.remove)
+      upserts.foreach { case (k, v) => model(k) = v } // last write wins
+      val got = rows(dir).toMap
+      // Duplicate upsert keys in one batch: table keeps both rows; the
+      // model keeps the last — compare key sets and single-key values.
+      assert(got.keySet == model.keySet,
+        s"key divergence: extra=${got.keySet -- model.keySet} missing=${model.keySet -- got.keySet}")
+    }
+  }
+
+  test("a pre-stats manifest falls back to footer pruning, exactly") {
+    val dir = tmp()
+    seed(dir, 100, 4)
+    // Strip the stats block from the newest manifest: the on-disk shape
+    // of every commit before stats existed.
+    val log = java.nio.file.Paths.get(dir, "_log")
+    val newest = {
+      val s = Files.list(log)
+      try s.sorted().toArray.last.asInstanceOf[java.nio.file.Path]
+      finally s.close()
+    }
+    val stripped = org.json4s.jackson.JsonMethods.compact(
+      org.json4s.jackson.JsonMethods.parse(Files.readString(newest))
+        .removeField(_._1 == "stats"))
+    Files.delete(newest); Files.writeString(newest, stripped)
+    // The footer FALLBACK now prunes (ranges still exist in the files
+    // themselves): keys 3,7 live in one of four range files.
+    val (rewritten, total) = PrunedReplace.replaceKeys(
+      spark, dir, "k", Array(3L, 7L), Seq((3L, 33L)).toDF("k", "v"))
+    assert(total == 4L && rewritten == 1L,
+      s"footer fallback should prune to 1/4 files, got $rewritten/$total")
+    val got = rows(dir)
+    val expect = ((1 to 100).filterNot(i => i == 3 || i == 7)
+      .map(i => (i.toLong, i.toLong * 10)) :+ (3L, 33L)).sorted
+    assert(got == expect)
+  }
+
   test("untouched files carry byte-identical; empty keys touch nothing") {
     val dir = tmp()
     seed(dir, 400, 8)
