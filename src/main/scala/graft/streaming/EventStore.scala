@@ -173,13 +173,23 @@ final class EventStore(root: String) {
     * snapshot — Delta's documented behavior for streaming past
     * OPTIMIZE/VACUUM. */
   def factChangesSince(spark: SparkSession, sinceVersion: Long): (DataFrame, Long) = {
+    // A consumer may start polling before the first ingest: no store yet
+    // means no changes. Checkpoint 0 — the init commit every store
+    // starts at — so the first poll after creation reads everything.
+    if (!TxTable.exists(dir("fact_events")))
+      return (spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), factSchema), 0L)
     val head = TxTable.snapshot(dir("fact_events")) // resolved ONCE per poll
     (TxTable.readChanges(spark, dir("fact_events"), sinceVersion, head), head.version)
   }
 
   /** Current commit version of the fact store — the checkpoint seed for
-    * a consumer that wants to start from "now". */
-  def factVersion(): Long = TxTable.snapshot(dir("fact_events")).version
+    * a consumer that wants to start from "now" (0 — the init commit —
+    * when the store does not exist yet, matching [[factChangesSince]]'s
+    * pre-ingest contract). */
+  def factVersion(): Long =
+    if (TxTable.exists(dir("fact_events"))) TxTable.snapshot(dir("fact_events")).version
+    else 0L
 
   /** Fact rows with `ts` in [fromMicros, toMicros] (epoch µs, closed
     * interval), scanning ONLY the files whose manifest ts range

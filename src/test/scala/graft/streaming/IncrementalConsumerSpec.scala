@@ -43,6 +43,14 @@ class IncrementalConsumerSpec extends SparkSpec {
       polls += 1
     }
 
+    // Pre-ingest poll: a consumer may start BEFORE the first batch —
+    // it must get an empty delta and a checkpoint (0, the init commit
+    // every store starts at) that composes with whatever lands later,
+    // not a raw filesystem error from the not-yet-created store.
+    assert(store.factVersion() == 0L)
+    poll()
+    assert(state.isEmpty && checkpoint == 0L)
+
     // Interleave: 4 ingest slices, polls after 1 and after 3 (a poll
     // can span several commits), final poll after the last.
     (0 until 4).foreach { i =>
@@ -50,7 +58,7 @@ class IncrementalConsumerSpec extends SparkSpec {
       if (i == 0 || i == 2 || i == 3) poll()
     }
     poll() // idle poll: must be a no-op, not a re-delivery
-    assert(polls == 4)
+    assert(polls == 5)
 
     val expect = store.facts(spark).groupBy(col("event_type"))
       .agg(count(lit(1)).as("cnt"),
