@@ -375,7 +375,8 @@ object DedupIndex {
     // are retained and no new pair touches them (a new pair's old
     // endpoints put their components in the affected set by
     // construction), so their membership and min label are identical.
-    val oc = TxTable.read(spark, s"$dir/components")
+    val ocSnap = TxTable.snapshot(s"$dir/components")
+    val oc = TxTable.read(spark, s"$dir/components", ocSnap)
     val touched = newPairs.select(col("a").as("doc_id"))
       .unionByName(newPairs.select(col("b").as("doc_id")))
       .unionByName(dropped.select(col("a").as("doc_id")))
@@ -433,7 +434,7 @@ object DedupIndex {
           .unionByName(keep.select(col("doc_id"), col("component")))
         val u = TxTable.stage(s"$dir/components", componentsOut)
         graft.sources.PrunedReplace.Staged(s"$dir/components", u,
-          componentsOut.schema, -1L, -1L)
+          componentsOut.schema, -1L, -1L, ocSnap)
       }
 
     // EVERY table's new version is now fully materialized on disk;

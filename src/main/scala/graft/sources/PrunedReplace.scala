@@ -29,20 +29,37 @@ object PrunedReplace {
     * caller guards and falls back to a full rewrite above its bound);
     * files without usable stats rewrite conservatively. Single-writer,
     * like every pruned maintenance path here ([[TxTable.merge]] is the
-    * contention-safe full-rewrite variant). Returns
-    * (rewrittenFiles, totalFiles).
+    * contention-safe full-rewrite variant) — and the single-writer
+    * assumption is ENFORCED, not trusted: the commit claims exactly the
+    * version after the planning snapshot, so a commit racing in between
+    * surfaces as [[TxTable.ConcurrentCommitException]] instead of being
+    * silently dropped from the replacing manifest (a lost update).
+    * Returns (rewrittenFiles, totalFiles).
     */
   /** A fully-staged (not yet visible) replace: everything is on disk —
     * rewritten rows and byte-identical carries in one staged dir —
     * and [[commit]] is a single atomic manifest claim. Multi-table
     * maintenance stages ALL its tables first and then claims
     * back-to-back, keeping the crash window to the claims themselves
-    * instead of spanning the job pipeline. */
+    * instead of spanning the job pipeline.
+    *
+    * `expected` pins the planning snapshot the staged contents derive
+    * from — [[commit]] fails loudly past it (see object doc);
+    * `carriedStats` remaps the prior manifest's per-file stats onto the
+    * carried files' staged names, so commit-time footer harvesting
+    * touches only freshly WRITTEN files (stats are computed once, at
+    * first write, and ride the manifest thereafter — carried files
+    * whose prior version recorded none stay conservative hits until a
+    * compaction rewrites them). */
   final case class Staged(dir: String, uuid: String,
                           schema: StructType,
-                          rewrittenFiles: Long, totalFiles: Long) {
+                          rewrittenFiles: Long, totalFiles: Long,
+                          expected: TxTable.Snapshot,
+                          carriedStats: Map[String, Map[String, (Long, Long)]] = Map.empty) {
     def commit(): Unit = {
-      TxTable.commitStaged(dir, uuid, schema)
+      TxTable.commitStagedFrom(dir, uuid, schema, expected,
+        knownStats = carriedStats,
+        harvestExclude = _.startsWith("carry-"))
       ()
     }
   }
@@ -73,9 +90,13 @@ object PrunedReplace {
     val snap = TxTable.snapshot(dir)
     val keys = removeKeys.distinct.sorted
     val files = TxTable.dataFiles(dir, snap)
-    val (hit, carry) = files.partition { case (f, st) =>
-      keys.nonEmpty && (st.get(keyCol)
-        .orElse(ParquetFooterStats.longRange(spark, f, keyCol)) match {
+    // Per file: manifest stats, the key range that decided the hit test
+    // (manifest first, footer as the pre-stats fallback — a fallback
+    // read is kept and remapped below, upgrading pre-stats files into
+    // the manifest for free), and the hit verdict.
+    val annotated = files.map { case (f, st) =>
+      val keyRange = st.get(keyCol).orElse(ParquetFooterStats.longRange(spark, f, keyCol))
+      val isHit = keys.nonEmpty && (keyRange match {
         case Some((lo, hi)) =>
           // any removed key in [lo, hi]? (keys sorted — binary search)
           val i = java.util.Arrays.binarySearch(keys, lo)
@@ -83,7 +104,10 @@ object PrunedReplace {
           from < keys.length && keys(from) <= hi
         case None => true // no usable stats → conservative rewrite
       })
+      (f, st, keyRange, isHit)
     }
+    val hit = annotated.filter(_._4).map(a => (a._1, a._2))
+    val carry = annotated.filterNot(_._4).map(a => (a._1, a._2 ++ a._3.map(keyCol -> _)))
     val schema = StructType.fromDDL(snap.schemaDdl)
     val hitRows =
       if (hit.isEmpty)
@@ -99,13 +123,17 @@ object PrunedReplace {
       }
     // Stage: rewritten rows + byte-identical carries become one
     // invisible data dir; the caller's commit() is the single atomic
-    // manifest claim (commit-time stats re-harvest covers carries).
+    // manifest claim. Carried files KEEP their prior manifest stats
+    // under their staged names — commit harvests footers only for the
+    // freshly written part files.
     val u = TxTable.stage(dir, rewritten)
     val staged = Paths.get(TxTable.stagedPath(dir, u))
-    carry.zipWithIndex.foreach { case ((f, _), i) =>
-      Files.copy(f, staged.resolve(s"carry-$i-${f.getFileName}"),
-        StandardCopyOption.COPY_ATTRIBUTES)
-    }
-    Staged(dir, u, rewritten.schema, hit.size.toLong, files.size.toLong)
+    val carriedStats = carry.zipWithIndex.flatMap { case ((f, st), i) =>
+      val name = s"carry-$i-${f.getFileName}"
+      Files.copy(f, staged.resolve(name), StandardCopyOption.COPY_ATTRIBUTES)
+      if (st.isEmpty) None else Some(s"$u/$name" -> st)
+    }.toMap
+    Staged(dir, u, rewritten.schema, hit.size.toLong, files.size.toLong,
+      snap, carriedStats)
   }
 }

@@ -133,8 +133,9 @@ object TxTable {
     * from the files' own footers exactly once (the one moment the
     * footers are hot). Keys are `<uuid>/<fileName>` — stable across the
     * directory's whole lifetime in the log. */
-  private def statsFor(dir: String, uuid: String,
-                       schema: StructType): Map[String, Map[String, (Long, Long)]] = {
+  private def statsFor(dir: String, uuid: String, schema: StructType,
+                       exclude: String => Boolean = _ => false)
+      : Map[String, Map[String, (Long, Long)]] = {
     val cols = schema.fields.collect {
       case f if f.dataType == org.apache.spark.sql.types.LongType ||
                 f.dataType == org.apache.spark.sql.types.TimestampType ||
@@ -144,7 +145,7 @@ object TxTable {
     val root = Paths.get(stagedPath(dir, uuid))
     if (!Files.isDirectory(root)) return Map.empty
     val conf = new org.apache.hadoop.conf.Configuration()
-    listNames(root).filter(_.endsWith(".parquet")).flatMap { name =>
+    listNames(root).filter(n => n.endsWith(".parquet") && !exclude(n)).flatMap { name =>
       val ranges = ParquetFooterStats.longRanges(conf, root.resolve(name), cols)
       if (ranges.isEmpty) None else Some(s"$uuid/$name" -> ranges)
     }.toMap
@@ -249,6 +250,33 @@ object TxTable {
       claimFrom(dir, (if (keepExisting) s.dirs else Seq.empty) :+ uuid,
         schema.toDDL, s.version + 1,
         (if (keepExisting) s.stats else Map.empty[String, Map[String, (Long, Long)]]) ++ newStats)
+    }
+  }
+
+  /** [[commitStaged]] pinned to a PLANNING snapshot: claim strictly the
+    * version after `expected`, and FAIL (ConcurrentCommitException,
+    * after reclaiming the staged data) if any real commit landed since.
+    * This is the commit for replace-shaped maintenance whose staged
+    * contents were DERIVED from `expected` (e.g. [[PrunedReplace]]): a
+    * retry that re-claimed from a newer snapshot would silently drop
+    * that snapshot's data dirs — a lost update. A violated single-writer
+    * assumption must surface, not clobber.
+    *
+    * `knownStats` are manifest entries the caller already holds (e.g. a
+    * pruned replace remapping its carried files' stats) — merged in
+    * verbatim; `harvestExclude` names staged files to SKIP in the footer
+    * harvest (the carried files those stats cover), so commit-time
+    * footer I/O is proportional to freshly written files, not the
+    * table. */
+  def commitStagedFrom(dir: String, uuid: String, schema: StructType,
+                       expected: Snapshot,
+                       knownStats: Map[String, Map[String, (Long, Long)]] = Map.empty,
+                       harvestExclude: String => Boolean = _ => false): Snapshot = {
+    val stats = knownStats ++ statsFor(dir, uuid, schema, harvestExclude)
+    try claimFrom(dir, Seq(uuid), schema.toDDL, expected.version + 1, stats)
+    catch { case e: ConcurrentCommitException =>
+      deleteRec(Paths.get(stagedPath(dir, uuid))) // never became visible
+      throw e
     }
   }
 

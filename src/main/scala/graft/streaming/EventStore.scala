@@ -155,9 +155,17 @@ final class EventStore(root: String) {
     // PrunedReplace's — manifest stats first, footer read only as the
     // pre-stats fallback — and the merge derivation reads only the HIT
     // files' rows through the replaceWith hook, never the whole table.
-    graft.sources.PrunedReplace.replaceWith(
+    try graft.sources.PrunedReplace.replaceWith(
       spark, dir("summary_user"), "user_id", keys) { hitRows =>
       mergeFrames(hitRows.filter(col("user_id").isInCollection(keys)), delta)
+    } catch { case _: TxTable.ConcurrentCommitException =>
+      // Lost the single-writer race (the pruned plan derived from a
+      // superseded snapshot): re-run as the contention-safe retrying
+      // merge, which re-reads fresh per attempt — upsert semantics are
+      // preserved, nothing is clobbered.
+      mergeSummary(delta)
+      val n = snapshotFiles(TxTable.snapshot(dir("summary_user")), "summary_user").size.toLong
+      (n, n)
     }
   }
 

@@ -122,4 +122,61 @@ class PrunedReplaceSpec extends SparkSpec {
     assert(rw == 0L, s"pure insert rewrote $rw files")
     assert(rows(dir).contains((902L, 2L)))
   }
+
+  test("carried files keep manifest stats; commit harvests only fresh files") {
+    val dir = tmp()
+    seed(dir, 400, 8)
+    PrunedReplace.replaceKeys(spark, dir, "k", Array(3L), Seq((3L, 33L)).toDF("k", "v"))
+    val snap = TxTable.snapshot(dir)
+    // One data dir (the replace), holding carries + fresh part files.
+    val carried = snap.stats.keys.filter(_.split("/", 2)(1).startsWith("carry-"))
+    assert(carried.size == 7, s"7 carried files must KEEP stats, saw ${carried.size}")
+    // The remapped stats must still prune: a second replace on a key
+    // living in one carried file rewrites exactly one file.
+    val (rw2, tot2) = PrunedReplace.replaceKeys(
+      spark, dir, "k", Array(399L), Seq((399L, 9L)).toDF("k", "v"))
+    assert(tot2 >= 8L && rw2 == 1L,
+      s"remapped carried stats should prune to 1/$tot2 files, got $rw2")
+    // And a pre-stats footer FALLBACK read is remapped into the
+    // manifest too: strip stats, replace once, and the next manifest
+    // has key ranges for the carried files again (upgraded for free
+    // from the fallback's footer reads).
+    val log = java.nio.file.Paths.get(dir, "_log")
+    val newest = {
+      val s = Files.list(log)
+      try s.sorted().toArray.last.asInstanceOf[java.nio.file.Path]
+      finally s.close()
+    }
+    val stripped = org.json4s.jackson.JsonMethods.compact(
+      org.json4s.jackson.JsonMethods.parse(Files.readString(newest))
+        .removeField(_._1 == "stats"))
+    Files.delete(newest); Files.writeString(newest, stripped)
+    PrunedReplace.replaceKeys(spark, dir, "k", Array(5L), Seq((5L, 55L)).toDF("k", "v"))
+    val upgraded = TxTable.snapshot(dir).stats
+    assert(upgraded.count { case (f, st) =>
+      f.split("/", 2)(1).startsWith("carry-") && st.contains("k")
+    } >= 7, "footer-fallback ranges must re-enter the manifest for carries")
+  }
+
+  test("a commit racing a staged replace surfaces, never silently vanishes") {
+    import spark.implicits._
+    val dir = tmp()
+    seed(dir, 100, 4)
+    val st = PrunedReplace.stageReplaceWith(spark, dir, "k", Array(3L))(
+      _ => Seq((3L, 33L)).toDF("k", "v"))
+    // A writer lands between planning and claim (violating the
+    // documented single-writer assumption): the staged commit must
+    // throw — retrying would re-claim from the NEW snapshot while its
+    // manifest still lists only the planning snapshot's dirs, silently
+    // dropping the racer's data.
+    TxTable.append(spark, dir, Seq((500L, 5000L)).toDF("k", "v"))
+    intercept[TxTable.ConcurrentCommitException] { st.commit() }
+    // The racer's append survives; the replace never became visible —
+    // and its staged dir was reclaimed on the spot.
+    val got = rows(dir).toMap
+    assert(got(3L) == 30L && got(500L) == 5000L)
+    assert(!Files.isDirectory(
+      java.nio.file.Paths.get(TxTable.stagedPath(dir, st.uuid))),
+      "losing staged dir must be cleaned up")
+  }
 }
