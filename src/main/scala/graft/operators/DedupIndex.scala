@@ -59,6 +59,15 @@ object DedupIndex {
     * anyway). */
   private val MaxReplaceKeys = 100000
 
+  /** Default segment cap before [[append]] self-schedules compaction.
+    * Every read folds all live segments ([[mergeSegments]]) and every
+    * append broadcast-semi-scans them, so an unbounded append stream
+    * would degrade reads linearly in appends — the same reason every
+    * LSM bounds its level-0 file count. 8 keeps the common
+    * restore-append bench shape (1 base + 1 delta) far below the
+    * trigger while capping a long ingest stream's read amplification. */
+  val AutoCompactSegments = 8
+
   /** Pair expansion over capped groups: every a<b pair inside each
     * rare group, with `c_rare` = number of groups the pair shares.
     * Groups are ≤ cap ids by construction, so this is a bounded
@@ -186,16 +195,37 @@ object DedupIndex {
     * rejected, and document frequencies only grow, so an old×old pair's
     * candidacy cannot improve. The verify join is candidate-bounded. */
   def append(spark: SparkSession, newDocs: DataFrame, dir: String, cap: Int,
-             maxIter: Int = 20): Unit = {
+             maxIter: Int = 20,
+             autoCompactSegments: Int = AutoCompactSegments): Seq[(String, Double)] = {
+    // Per-phase wall timings (seconds), returned so the caller can tell
+    // the delta-proportional work (mine/recheck/fold) from fixed
+    // per-append overhead (stage writes, commit claims). Opt-in stderr
+    // dump via GRAFT_PHASE_TIMINGS=1.
+    val phases = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    var mark = System.nanoTime()
+    def phase(name: String): Unit = {
+      val now = System.nanoTime()
+      phases += name -> (now - mark) / 1e9
+      mark = now
+    }
     val nd = newDocs.select(col("doc_id"), col("shs"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val newIds = nd.select(col("doc_id"))
-    val dupes = TxTable.read(spark, s"$dir/docs").select(col("doc_id"))
+    val docsStored = TxTable.read(spark, s"$dir/docs")
+    val dupes = docsStored.select(col("doc_id"))
       .join(broadcast(newIds), Seq("doc_id"), "left_semi").count()
     require(dupes == 0L,
       s"append: $dupes delta doc_ids already present in $dir/docs")
-    TxTable.append(spark, s"$dir/docs", nd)
-    val docsAll = TxTable.read(spark, s"$dir/docs")
+    phase("dupe_check")
+    // STAGED, not committed: a crash anywhere in this pipeline must
+    // leave every table at its pre-append version (an advanced docs
+    // table would make a clean re-run of the same delta trip the dupe
+    // check above, needing manual repair). All four tables' claims land
+    // back-to-back at the end.
+    val docsSchema = nd.schema
+    val uDocs = TxTable.stage(s"$dir/docs", nd)
+    val docsAll = docsStored.unionByName(nd)
+    phase("stage_docs")
 
     // LSM-SHAPED index maintenance: the delta's own DF-capped groups
     // become a NEW SEGMENT of the `groups` table (one append-only
@@ -229,6 +259,7 @@ object DedupIndex {
     // end with the other tables.
     val groupsSchema = dgSeg.schema
     val uGroups = TxTable.stage(s"$dir/groups", dgSeg)
+    phase("stage_groups_segment")
 
     // The OLD side's per-shingle (merged ids, merged df) over the
     // delta's shingles: ONE broadcast-semi-filtered re-aggregation of
@@ -299,6 +330,7 @@ object DedupIndex {
     val newPairsRdd = newPairsPlan.rdd.localCheckpoint()
     val newPairsCount = newPairsRdd.count()
     val newPairs = spark.createDataFrame(newPairsRdd, newPairsPlan.schema)
+    phase("mine_and_verify")
 
     // Rare→hot recheck: shingles the delta pushed over the cap, the old
     // docs that carried them, and the stored pairs where BOTH endpoints
@@ -342,6 +374,7 @@ object DedupIndex {
     val droppedRdd = droppedPlan.rdd.localCheckpoint()
     val droppedCount = droppedRdd.count()
     val dropped = spark.createDataFrame(droppedRdd, droppedPlan.schema)
+    phase("rare_to_hot_recheck")
     // A delta that mines no pairs and drops none — the common case for
     // a mostly-unique corpus slice — is a content NO-OP for pairs and
     // components: skip their staging and commits entirely. Committing
@@ -351,7 +384,9 @@ object DedupIndex {
     // Docs and groups still append — the index must reflect the new
     // docs' shingles so FUTURE deltas can pair against them.
     if (newPairsCount == 0L && droppedCount == 0L) {
+      TxTable.commitStaged(s"$dir/docs", uDocs, docsSchema, keepExisting = true)
       TxTable.commitStaged(s"$dir/groups", uGroups, groupsSchema, keepExisting = true)
+      phase("commit_claims")
     } else {
     // PAIRS, write = O(delta) on the common path: when no stored pair
     // lost candidacy (`dropped` empty — the usual append; a drop needs
@@ -367,6 +402,7 @@ object DedupIndex {
       else op.join(dropped, Seq("a", "b"), "left_anti").unionByName(newPairs)
     val pairsSchema = pairsOut.schema
     val uPairs = TxTable.stage(s"$dir/pairs", pairsOut)
+    phase("stage_pairs")
 
     // Component fold: only components touched by a new or dropped pair
     // are re-propagated (from their ACTUAL retained pairs — a dropped
@@ -390,13 +426,6 @@ object DedupIndex {
     // NULL — and always rides). On the append-only path the final
     // table is op ∪ newPairs, both lineage-shallow already (a parquet
     // scan and a LogicalRDD); the rewrite path reads its staged files.
-    // Lineage-cutting the tiny edge set before the iterative CC is
-    // load-bearing: every CC-internal action (setup persists,
-    // per-iteration label joins) re-evaluates its input's LOGICAL plan,
-    // and with the whole append pipeline as lineage that re-evaluation
-    // cost ~3 s per action — 20 s of fold for a 100-edge graph
-    // (measured). After the cut the CC sees a LogicalRDD and the fold
-    // is milliseconds again.
     val pairsFinal =
       if (pairsAppendOnly) op.unionByName(newPairs)
       else spark.read.parquet(TxTable.stagedPath(s"$dir/pairs", uPairs))
@@ -406,11 +435,46 @@ object DedupIndex {
         Seq("ca"), "left")
       .filter(col("ca").isNull || col("aff").isNotNull)
       .select(col("a").as("src"), col("b").as("dst"))
-    val edgesRdd = edges0.rdd.localCheckpoint()
-    edgesRdd.count()
-    val componentsNew = GraphOps.connectedComponents(spark,
-        spark.createDataFrame(edgesRdd, edges0.schema), maxIter)
-      .select(col("node").as("doc_id"), col("component"))
+    // The fold's edge set is delta-bounded by construction (affected
+    // components are near-dup clusters plus the delta's own pairs), so
+    // on the common path resolve it with a DRIVER union-find: the
+    // iterative distributed propagation costs several scheduler rounds
+    // per append for a graph that fits in kilobytes (measured ~2 s of
+    // pure job overhead at sf0.1). Same min-label result; the same
+    // MaxReplaceKeys driver bound as the component replace guards the
+    // collect, with the distributed CC as the over-bound fallback
+    // (lineage-cut first — each CC-internal action re-evaluates its
+    // input's logical plan, and the full append pipeline as lineage
+    // cost ~3 s per action when measured).
+    val edgeRows = edges0.limit(MaxReplaceKeys + 1).collect()
+    var edgesRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
+    val componentsNew =
+      if (edgeRows.length <= MaxReplaceKeys) {
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x // path compression
+          while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        edgeRows.foreach { e =>
+          val a = e.getLong(0); val b = e.getLong(1)
+          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        }
+        // Roots are unioned min-first, so find(x) IS the component's
+        // min member — the distributed propagation's label.
+        val labeled = parent.keys.toArray.map(x => (x, find(x)))
+        spark.createDataFrame(labeled.toSeq).toDF("doc_id", "component")
+      } else {
+        edgesRdd = edges0.rdd.localCheckpoint()
+        edgesRdd.count()
+        GraphOps.connectedComponents(spark,
+            spark.createDataFrame(edgesRdd, edges0.schema), maxIter)
+          .select(col("node").as("doc_id"), col("component"))
+      }
 
     // COMPONENTS, write = O(affected) on the common path: the affected
     // components' membership (delta-bounded — near-dup clusters are
@@ -437,21 +501,47 @@ object DedupIndex {
           componentsOut.schema, -1L, -1L, ocSnap)
       }
 
+    phase("fold_components")
     // EVERY table's new version is now fully materialized on disk;
-    // visibility is three back-to-back atomic claims — the crash
+    // visibility is four back-to-back atomic claims — the crash
     // window is the claims themselves, not the job pipeline above
-    // (there is still no cross-table transaction, same as before: a
-    // crash between claims leaves tables at adjacent versions).
+    // (there is still no cross-table transaction: a crash between
+    // claims leaves tables at adjacent versions — but never an
+    // advanced docs table blocking a clean re-run, since docs claims
+    // here with the rest).
+    TxTable.commitStaged(s"$dir/docs", uDocs, docsSchema, keepExisting = true)
     TxTable.commitStaged(s"$dir/groups", uGroups, groupsSchema, keepExisting = true)
     TxTable.commitStaged(s"$dir/pairs", uPairs, pairsSchema,
       keepExisting = pairsAppendOnly)
     stagedComponents.commit()
-    edgesRdd.unpersist(blocking = false)
+    phase("commit_claims")
+    if (edgesRdd != null) edgesRdd.unpersist(blocking = false)
     }
     droppedRdd.unpersist(blocking = false); docsH.unpersist()
     newPairsRdd.unpersist(blocking = false)
     cands.unpersist(); docsCand.unpersist()
     mgDelta.unpersist(); ogDelta.unpersist(); dgSeg.unpersist(); nd.unpersist()
+    // LSM self-maintenance (the reference's InnoDB keeps its unique
+    // index balanced per insert — init/mysql_loader.py:435-439; an LSM
+    // amortizes the same upkeep into scheduled folds): once a table's
+    // live segment count crosses the cap, fold it NOW, inside the
+    // append, so a long ingest stream can't degrade reads unboundedly.
+    // Result-transparent (mergeSegments is associative; pairs segments
+    // are disjoint row sets) and single-writer like the append itself.
+    if (autoCompactSegments > 0) {
+      if (TxTable.snapshot(s"$dir/groups").dirs.size > autoCompactSegments) {
+        compactGroups(spark, dir, cap)
+        phase("auto_compact_groups")
+      }
+      if (TxTable.snapshot(s"$dir/pairs").dirs.size > autoCompactSegments) {
+        TxTable.overwrite(spark, s"$dir/pairs", TxTable.read(spark, s"$dir/pairs"))
+        phase("auto_compact_pairs")
+      }
+    }
+    if (sys.env.get("GRAFT_PHASE_TIMINGS").contains("1"))
+      System.err.println(phases.map { case (n, s) => f"$n=$s%.3fs" }
+        .mkString("DedupIndex.append phases: ", " ", ""))
+    phases.toSeq
   }
 
   def pairs(spark: SparkSession, dir: String): DataFrame =

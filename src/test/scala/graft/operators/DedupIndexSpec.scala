@@ -118,6 +118,7 @@ class DedupIndexSpec extends SparkSpec {
       .option("checkpointLocation", tmp())
       .foreachBatch { (b: DataFrame, _: Long) =>
         DedupIndex.append(spark, b, dir, Cap)
+        ()
       }
       .start()
     delta.grouped(3).foreach { batch => mem.addData(batch); q.processAllAvailable() }
@@ -229,6 +230,53 @@ class DedupIndexSpec extends SparkSpec {
       val folded = DedupIndex.mergeSegments(segs.map(segOf).reduce(_ unionByName _), Cap)
       assert(sortedRows(folded) == want, s"split $sizes diverged")
     }
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("a failed append leaves every table at its pre-append version") {
+    import graft.sources.TxTable
+    val dir = tmp()
+    DedupIndex.build(spark, df(base), dir, Cap)
+    def versions() = Seq("docs", "groups", "pairs", "components")
+      .map(t => TxTable.snapshot(s"$dir/$t").version)
+    val before = versions()
+    // Fail the append MID-PIPELINE (after docs and groups are staged,
+    // at the pairs stage write): swap the pairs data root for a plain
+    // file so the staged write cannot create its directory. Every
+    // table must stay at its pre-append version — in particular docs,
+    // which used to commit FIRST and then block a clean re-run of the
+    // same delta on the duplicate check.
+    val pairsData = java.nio.file.Paths.get(s"$dir/pairs/data")
+    val aside = java.nio.file.Paths.get(s"$dir/pairs/data_aside")
+    Files.move(pairsData, aside)
+    Files.writeString(pairsData, "not a directory")
+    try intercept[Exception] { DedupIndex.append(spark, df(delta), dir, Cap) }
+    finally { Files.delete(pairsData); Files.move(aside, pairsData) }
+    assert(versions() == before, s"failed append advanced versions: $before -> ${versions()}")
+    // The SAME delta then applies cleanly — no manual repair.
+    DedupIndex.append(spark, df(delta), dir, Cap)
+    assertParity(dir, base ++ delta)
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("append self-schedules compaction past the segment cap") {
+    import graft.sources.TxTable
+    val dir = tmp()
+    DedupIndex.build(spark, df(base), dir, Cap)
+    var sofar = base
+    val capSegs = 2
+    // A long append stream with NO manual compact: the per-append
+    // trigger must keep the live segment count bounded (an LSM that
+    // never folds level 0 degrades every read linearly in appends) —
+    // and folding must never change results.
+    (0 until 5).foreach { i =>
+      val d = Seq((100L + i) -> Seq(s"ac${i}_1", s"ac${i}_2"))
+      DedupIndex.append(spark, df(d), dir, Cap, autoCompactSegments = capSegs)
+      sofar = sofar ++ d
+      val segs = TxTable.snapshot(s"$dir/groups").dirs.size
+      assert(segs <= capSegs, s"append $i left $segs segments (cap $capSegs)")
+    }
+    assertParity(dir, sofar)
     spark.sharedState.cacheManager.clearCache()
   }
 
