@@ -28,10 +28,28 @@ import org.apache.spark.sql.SparkSession
   */
 object ParquetFooterStats {
 
+  /** Parquet orders BINARY/UTF8 statistics by UNSIGNED UTF-8 bytes
+    * (as does Spark's own UTF8String), which disagrees with Java's
+    * UTF-16 `String.compareTo` for supplementary characters and the
+    * U+E000–U+FFFF block. Every driver-side comparison against string
+    * footer/manifest bounds must use THIS ordering or pruning could
+    * under-cover (skip a file that holds a key). */
+  val Utf8Ordering: Ordering[String] = (a: String, b: String) =>
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
   /** (min, max) of an INT64 column across all row groups. */
   def longRange(spark: SparkSession, file: java.nio.file.Path,
                 column: String): Option[(Long, Long)] =
     longRanges(spark.sessionState.newHadoopConf(), file, Seq(column)).get(column)
+
+  /** (min, max) BOUNDS of a BINARY/UTF8 column across all row groups
+    * (see object doc on truncation: bounds, not necessarily extrema). */
+  def stringRange(spark: SparkSession, file: java.nio.file.Path,
+                  column: String): Option[(String, String)] =
+    allRanges(spark.sessionState.newHadoopConf(), file, Seq.empty, Seq(column))
+      ._2.get(column)
 
   /** (min, max) for several columns with ONE footer open (the write-time
     * stats harvest [[TxTable]] runs per commit — per-column opens would
@@ -42,33 +60,55 @@ object ParquetFooterStats {
     * "conservative hit" to every consumer). */
   def longRanges(conf: org.apache.hadoop.conf.Configuration,
                  file: java.nio.file.Path,
-                 columns: Seq[String]): Map[String, (Long, Long)] = {
-    if (columns.isEmpty) return Map.empty
+                 columns: Seq[String]): Map[String, (Long, Long)] =
+    allRanges(conf, file, columns, Seq.empty)._1
+
+  /** Long AND string ranges with ONE footer open (the commit-time
+    * harvest needs both; per-kind opens would double the footer I/O). */
+  def allRanges(conf: org.apache.hadoop.conf.Configuration,
+                file: java.nio.file.Path,
+                longColumns: Seq[String], stringColumns: Seq[String])
+      : (Map[String, (Long, Long)], Map[String, (String, String)]) = {
+    if (longColumns.isEmpty && stringColumns.isEmpty) return (Map.empty, Map.empty)
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
       new org.apache.hadoop.fs.Path(file.toUri), conf)
     val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
     try {
       val blocks = r.getFooter.getBlocks.toArray
         .map(_.asInstanceOf[org.apache.parquet.hadoop.metadata.BlockMetaData])
-      if (blocks.isEmpty) return Map.empty
-      columns.flatMap { c =>
-        val perBlock = blocks.map { b =>
+      if (blocks.isEmpty) return (Map.empty, Map.empty)
+      // Every row group's stats for column `c` with primitive `prim`,
+      // or None when any block lacks usable stats (strict per-block —
+      // see object doc).
+      def perBlock(c: String,
+                   prim: org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName)
+          : Option[Seq[org.apache.parquet.column.statistics.Statistics[_]]] = {
+        val found = blocks.map { b =>
           b.getColumns.toArray
             .map(_.asInstanceOf[org.apache.parquet.hadoop.metadata.ColumnChunkMetaData])
             .find(m => m.getPath.toDotString == c &&
-              m.getPrimitiveType.getPrimitiveTypeName ==
-                org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64)
+              m.getPrimitiveType.getPrimitiveTypeName == prim)
             .map(_.getStatistics)
-            .collect { case s if s != null && !s.isEmpty && s.hasNonNullValue => s }
+            .collect { case s if s != null && !s.isEmpty && s.hasNonNullValue =>
+              s.asInstanceOf[org.apache.parquet.column.statistics.Statistics[_]] }
         }
-        if (perBlock.exists(_.isEmpty)) None
-        else {
-          val stats = perBlock.map(_.get)
-          Some(c -> (
+        if (found.exists(_.isEmpty)) None else Some(found.map(_.get).toSeq)
+      }
+      val longs = longColumns.flatMap { c =>
+        perBlock(c, org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64)
+          .map { stats => c -> (
             stats.map(_.genericGetMin.asInstanceOf[java.lang.Long].longValue()).min,
-            stats.map(_.genericGetMax.asInstanceOf[java.lang.Long].longValue()).max))
-        }
+            stats.map(_.genericGetMax.asInstanceOf[java.lang.Long].longValue()).max) }
       }.toMap
+      val strings = stringColumns.flatMap { c =>
+        perBlock(c, org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.BINARY)
+          .map { stats => c -> (
+            stats.map(_.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary]
+              .toStringUsingUTF8).min(Utf8Ordering),
+            stats.map(_.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary]
+              .toStringUsingUTF8).max(Utf8Ordering)) }
+      }.toMap
+      (longs, strings)
     } finally r.close()
   }
 

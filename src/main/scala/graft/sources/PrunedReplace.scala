@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -16,26 +16,29 @@ import org.apache.spark.sql.types.StructType
   * ONE in-memory manifest ([[TxTable.dataFiles]]) — no footer opens
   * except the pre-stats fallback.
   *
+  * Keys may be LONG or STRING (the reference's natural keys are
+  * VARCHAR — star_schema.sql:28-29 — so a business_id-keyed derived
+  * table prunes exactly like a numeric one). String bounds live in the
+  * manifest's `sstats` block and compare in parquet's unsigned-UTF-8
+  * byte order ([[ParquetFooterStats.Utf8Ordering]]); truncated binary
+  * stats are valid bounds, so pruning may over-hit, never under-hit.
+  *
   * At 100 TB the replaced key set of an incremental maintenance step
   * is delta-bounded (thousands) while the table holds millions of
   * range-clustered files — the hit set is proportional to the keys,
   * not the table, which is the difference between an hourly ingest
   * rewriting gigabytes and one rewriting the world.
+  *
+  * Single-writer, like every pruned maintenance path here
+  * ([[TxTable.merge]] is the contention-safe full-rewrite variant) —
+  * and the single-writer assumption is ENFORCED, not trusted: the
+  * commit claims exactly the version after the planning snapshot, so a
+  * commit racing in between surfaces as
+  * [[TxTable.ConcurrentCommitException]] instead of being silently
+  * dropped from the replacing manifest (a lost update).
   */
 object PrunedReplace {
 
-  /** Commit `(table where keyCol ∉ removeKeys) ∪ upserts` as one new
-    * version. `removeKeys` must be driver-bounded (delta-scale — the
-    * caller guards and falls back to a full rewrite above its bound);
-    * files without usable stats rewrite conservatively. Single-writer,
-    * like every pruned maintenance path here ([[TxTable.merge]] is the
-    * contention-safe full-rewrite variant) — and the single-writer
-    * assumption is ENFORCED, not trusted: the commit claims exactly the
-    * version after the planning snapshot, so a commit racing in between
-    * surfaces as [[TxTable.ConcurrentCommitException]] instead of being
-    * silently dropped from the replacing manifest (a lost update).
-    * Returns (rewrittenFiles, totalFiles).
-    */
   /** A fully-staged (not yet visible) replace: everything is on disk —
     * rewritten rows and byte-identical carries in one staged dir —
     * and [[commit]] is a single atomic manifest claim. Multi-table
@@ -45,28 +48,42 @@ object PrunedReplace {
     *
     * `expected` pins the planning snapshot the staged contents derive
     * from — [[commit]] fails loudly past it (see object doc);
-    * `carriedStats` remaps the prior manifest's per-file stats onto the
-    * carried files' staged names, so commit-time footer harvesting
-    * touches only freshly WRITTEN files (stats are computed once, at
-    * first write, and ride the manifest thereafter — carried files
-    * whose prior version recorded none stay conservative hits until a
-    * compaction rewrites them). */
+    * `carriedStats`/`carriedSStats` remap the prior manifest's per-file
+    * stats onto the carried files' staged names, so commit-time footer
+    * harvesting touches only freshly WRITTEN files (stats are computed
+    * once, at first write, and ride the manifest thereafter — carried
+    * files whose prior version recorded none stay conservative hits
+    * until a compaction rewrites them). */
   final case class Staged(dir: String, uuid: String,
                           schema: StructType,
                           rewrittenFiles: Long, totalFiles: Long,
                           expected: TxTable.Snapshot,
-                          carriedStats: Map[String, Map[String, (Long, Long)]] = Map.empty) {
+                          carriedStats: Map[String, Map[String, (Long, Long)]] = Map.empty,
+                          carriedSStats: Map[String, Map[String, (String, String)]] = Map.empty) {
     def commit(): Unit = {
       TxTable.commitStagedFrom(dir, uuid, schema, expected,
-        knownStats = carriedStats,
+        knownStats = carriedStats, knownSStats = carriedSStats,
         harvestExclude = _.startsWith("carry-"))
       ()
     }
   }
 
+  /** Commit `(table where keyCol ∉ removeKeys) ∪ upserts` as one new
+    * version. `removeKeys` must be driver-bounded (delta-scale — the
+    * caller guards and falls back to a full rewrite above its bound);
+    * files without usable stats rewrite conservatively. Returns
+    * (rewrittenFiles, totalFiles). */
   def replaceKeys(spark: SparkSession, dir: String, keyCol: String,
                   removeKeys: Array[Long], upserts: DataFrame): (Long, Long) =
     replaceWith(spark, dir, keyCol, removeKeys)(_ => upserts)
+
+  /** [[replaceKeys]] on a STRING key column. */
+  def replaceStringKeys(spark: SparkSession, dir: String, keyCol: String,
+                        removeKeys: Array[String], upserts: DataFrame): (Long, Long) = {
+    val st = stageReplaceWithStringKeys(spark, dir, keyCol, removeKeys)(_ => upserts)
+    st.commit()
+    (st.rewrittenFiles, st.totalFiles)
+  }
 
   def replaceWith(spark: SparkSession, dir: String, keyCol: String,
                   removeKeys: Array[Long])
@@ -86,28 +103,86 @@ object PrunedReplace {
     */
   def stageReplaceWith(spark: SparkSession, dir: String, keyCol: String,
                        removeKeys: Array[Long])
-                      (upsertsFor: DataFrame => DataFrame): Staged = {
+                      (upsertsFor: DataFrame => DataFrame): Staged =
+    stageImpl[Long](spark, dir, keyCol, removeKeys,
+      new Keyed[Long] {
+        val ord = Ordering.Long
+        def manifestRange(l: Map[String, (Long, Long)],
+                          s: Map[String, (String, String)]) = l.get(keyCol)
+        def footerRange(f: Path) = ParquetFooterStats.longRange(spark, f, keyCol)
+        def remap(l: Map[String, (Long, Long)], s: Map[String, (String, String)],
+                  kr: Option[(Long, Long)]) = (l ++ kr.map(keyCol -> _), s)
+        def keysDf(keys: Seq[Long]) = spark.createDataset(keys)(
+          org.apache.spark.sql.Encoders.scalaLong).toDF(keyCol)
+      })(upsertsFor)
+
+  /** [[stageReplaceWith]] on a STRING key column: hit tests run against
+    * the manifest's `sstats` bounds in UTF-8 byte order. */
+  def stageReplaceWithStringKeys(spark: SparkSession, dir: String, keyCol: String,
+                                 removeKeys: Array[String])
+                                (upsertsFor: DataFrame => DataFrame): Staged =
+    stageImpl[String](spark, dir, keyCol, removeKeys,
+      new Keyed[String] {
+        val ord = ParquetFooterStats.Utf8Ordering
+        def manifestRange(l: Map[String, (Long, Long)],
+                          s: Map[String, (String, String)]) = s.get(keyCol)
+        def footerRange(f: Path) = ParquetFooterStats.stringRange(spark, f, keyCol)
+        def remap(l: Map[String, (Long, Long)], s: Map[String, (String, String)],
+                  kr: Option[(String, String)]) = (l, s ++ kr.map(keyCol -> _))
+        def keysDf(keys: Seq[String]) = spark.createDataset(keys)(
+          org.apache.spark.sql.Encoders.STRING).toDF(keyCol)
+      })(upsertsFor)
+
+  /** Key-type plumbing for [[stageImpl]]: where the key's bounds live
+    * in the manifest, how to read them from a footer, how a fallback
+    * range is remapped back into carried stats, and how the removed
+    * keys become a broadcastable frame. */
+  private trait Keyed[K] {
+    def ord: Ordering[K]
+    def manifestRange(l: Map[String, (Long, Long)],
+                      s: Map[String, (String, String)]): Option[(K, K)]
+    def footerRange(f: Path): Option[(K, K)]
+    def remap(l: Map[String, (Long, Long)], s: Map[String, (String, String)],
+              kr: Option[(K, K)]): (Map[String, (Long, Long)], Map[String, (String, String)])
+    def keysDf(keys: Seq[K]): DataFrame
+  }
+
+  /** First index whose key is ≥ `lo` in a sorted array. */
+  private def lowerBound[K](keys: Array[K], lo: K, ord: Ordering[K]): Int = {
+    var l = 0; var r = keys.length
+    while (l < r) {
+      val m = (l + r) >>> 1
+      if (ord.lt(keys(m), lo)) l = m + 1 else r = m
+    }
+    l
+  }
+
+  private def stageImpl[K: scala.reflect.ClassTag](
+      spark: SparkSession, dir: String, keyCol: String,
+      removeKeys: Array[K], ko: Keyed[K])
+     (upsertsFor: DataFrame => DataFrame): Staged = {
     val snap = TxTable.snapshot(dir)
-    val keys = removeKeys.distinct.sorted
-    val files = TxTable.dataFiles(dir, snap)
+    val keys = removeKeys.distinct.sorted(ko.ord)
+    val filesL = TxTable.dataFiles(dir, snap)
+    val filesS = TxTable.dataFilesString(dir, snap) // same files, same order
     // Per file: manifest stats, the key range that decided the hit test
     // (manifest first, footer as the pre-stats fallback — a fallback
     // read is kept and remapped below, upgrading pre-stats files into
     // the manifest for free), and the hit verdict.
-    val annotated = files.map { case (f, st) =>
-      val keyRange = st.get(keyCol).orElse(ParquetFooterStats.longRange(spark, f, keyCol))
+    val annotated = filesL.zip(filesS).map { case ((f, lst), (_, sst)) =>
+      val keyRange = ko.manifestRange(lst, sst).orElse(ko.footerRange(f))
       val isHit = keys.nonEmpty && (keyRange match {
         case Some((lo, hi)) =>
           // any removed key in [lo, hi]? (keys sorted — binary search)
-          val i = java.util.Arrays.binarySearch(keys, lo)
-          val from = if (i >= 0) i else -i - 1
-          from < keys.length && keys(from) <= hi
+          val from = lowerBound(keys, lo, ko.ord)
+          from < keys.length && ko.ord.lteq(keys(from), hi)
         case None => true // no usable stats → conservative rewrite
       })
-      (f, st, keyRange, isHit)
+      (f, lst, sst, keyRange, isHit)
     }
-    val hit = annotated.filter(_._4).map(a => (a._1, a._2))
-    val carry = annotated.filterNot(_._4).map(a => (a._1, a._2 ++ a._3.map(keyCol -> _)))
+    val hit = annotated.filter(_._5)
+    val carry = annotated.filterNot(_._5)
+      .map(a => (a._1, ko.remap(a._2, a._3, a._4)))
     val schema = StructType.fromDDL(snap.schemaDdl)
     val hitRows =
       if (hit.isEmpty)
@@ -115,12 +190,8 @@ object PrunedReplace {
       else spark.read.schema(schema).parquet(hit.map(_._1.toString): _*)
     val rewritten =
       if (hit.isEmpty) upsertsFor(hitRows)
-      else {
-        val keysDf = spark.createDataset(keys.toSeq)(
-          org.apache.spark.sql.Encoders.scalaLong).toDF(keyCol)
-        hitRows.join(broadcast(keysDf), Seq(keyCol), "left_anti")
-          .unionByName(upsertsFor(hitRows))
-      }
+      else hitRows.join(broadcast(ko.keysDf(keys.toSeq)), Seq(keyCol), "left_anti")
+        .unionByName(upsertsFor(hitRows))
     // Stage: rewritten rows + byte-identical carries become one
     // invisible data dir; the caller's commit() is the single atomic
     // manifest claim. Carried files KEEP their prior manifest stats
@@ -128,12 +199,14 @@ object PrunedReplace {
     // freshly written part files.
     val u = TxTable.stage(dir, rewritten)
     val staged = Paths.get(TxTable.stagedPath(dir, u))
-    val carriedStats = carry.zipWithIndex.flatMap { case ((f, st), i) =>
+    val carried = carry.zipWithIndex.map { case ((f, (lst, sst)), i) =>
       val name = s"carry-$i-${f.getFileName}"
       Files.copy(f, staged.resolve(name), StandardCopyOption.COPY_ATTRIBUTES)
-      if (st.isEmpty) None else Some(s"$u/$name" -> st)
-    }.toMap
-    Staged(dir, u, rewritten.schema, hit.size.toLong, files.size.toLong,
-      snap, carriedStats)
+      (s"$u/$name", lst, sst)
+    }
+    Staged(dir, u, rewritten.schema, hit.size.toLong,
+      (hit.size + carry.size).toLong, snap,
+      carried.collect { case (k, lst, _) if lst.nonEmpty => k -> lst }.toMap,
+      carried.collect { case (k, _, sst) if sst.nonEmpty => k -> sst }.toMap)
   }
 }

@@ -59,9 +59,17 @@ object TxTable {
     * (at 100 TB that is millions of footer RPCs per merge, the reason
     * every transactional format logs stats at write time). A file
     * absent from `stats` (no usable footer stats, or a commit from
-    * before stats existed) must be treated as a conservative HIT. */
+    * before stats existed) must be treated as a conservative HIT.
+    *
+    * `sstats`: the same, for top-level StringType columns — (min, max)
+    * BOUNDS in parquet's unsigned-UTF-8-byte order (truncated binary
+    * stats stay valid bounds; compare ONLY with
+    * [[ParquetFooterStats.Utf8Ordering]]). String-keyed derived tables
+    * (the reference's natural keys are VARCHAR — star_schema.sql:28-29)
+    * get the same pruned-replace machinery as long keys. */
   final case class Snapshot(version: Long, schemaDdl: String, dirs: Seq[String],
-                            stats: Map[String, Map[String, (Long, Long)]] = Map.empty)
+                            stats: Map[String, Map[String, (Long, Long)]] = Map.empty,
+                            sstats: Map[String, Map[String, (String, String)]] = Map.empty)
 
   final class ConcurrentCommitException(version: Long)
     extends RuntimeException(
@@ -75,7 +83,7 @@ object TxTable {
   def init(spark: SparkSession, dir: String, schema: StructType): Unit = {
     Files.createDirectories(logDir(dir))
     Files.createDirectories(Paths.get(dir, "data"))
-    writeCommit(commitFile(dir, 0L), schema.toDDL, Seq.empty, Map.empty)
+    writeCommit(commitFile(dir, 0L), schema.toDDL, Seq.empty, Map.empty, Map.empty)
   }
 
   /** List a directory's entry names, closing the stream (Files.list
@@ -109,7 +117,7 @@ object TxTable {
         return Snapshot(v,
           (m \ "schema").extract[String],
           (m \ "dirs").extract[Seq[String]],
-          parseStats(m))
+          parseStats(m), parseSStats(m))
       }
     }
     throw new IllegalStateException(
@@ -128,6 +136,18 @@ object TxTable {
     }
   }
 
+  /** String-stats block; absent (pre-sstats commits) → empty. */
+  private def parseSStats(m: org.json4s.JValue): Map[String, Map[String, (String, String)]] = {
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    (m \ "sstats") match {
+      case org.json4s.JNothing | org.json4s.JNull => Map.empty
+      case js => js.extract[Map[String, Map[String, Seq[String]]]]
+        .map { case (f, cols) =>
+          f -> cols.collect { case (c, Seq(lo, hi)) => c -> (lo, hi) }
+        }
+    }
+  }
+
   /** Write-time stats harvest for a just-staged data directory: per-file
     * (min, max) of every top-level LongType/TimestampType column, read
     * from the files' own footers exactly once (the one moment the
@@ -135,20 +155,27 @@ object TxTable {
     * directory's whole lifetime in the log. */
   private def statsFor(dir: String, uuid: String, schema: StructType,
                        exclude: String => Boolean = _ => false)
-      : Map[String, Map[String, (Long, Long)]] = {
-    val cols = schema.fields.collect {
+      : (Map[String, Map[String, (Long, Long)]],
+         Map[String, Map[String, (String, String)]]) = {
+    val longCols = schema.fields.collect {
       case f if f.dataType == org.apache.spark.sql.types.LongType ||
                 f.dataType == org.apache.spark.sql.types.TimestampType ||
                 f.dataType == org.apache.spark.sql.types.TimestampNTZType => f.name
     }.toSeq
-    if (cols.isEmpty) return Map.empty
+    val stringCols = schema.fields.collect {
+      case f if f.dataType == org.apache.spark.sql.types.StringType => f.name
+    }.toSeq
+    if (longCols.isEmpty && stringCols.isEmpty) return (Map.empty, Map.empty)
     val root = Paths.get(stagedPath(dir, uuid))
-    if (!Files.isDirectory(root)) return Map.empty
+    if (!Files.isDirectory(root)) return (Map.empty, Map.empty)
     val conf = new org.apache.hadoop.conf.Configuration()
-    listNames(root).filter(n => n.endsWith(".parquet") && !exclude(n)).flatMap { name =>
-      val ranges = ParquetFooterStats.longRanges(conf, root.resolve(name), cols)
-      if (ranges.isEmpty) None else Some(s"$uuid/$name" -> ranges)
-    }.toMap
+    val perFile = listNames(root)
+      .filter(n => n.endsWith(".parquet") && !exclude(n)).map { name =>
+        (s"$uuid/$name",
+          ParquetFooterStats.allRanges(conf, root.resolve(name), longCols, stringCols))
+      }
+    (perFile.collect { case (k, (l, _)) if l.nonEmpty => k -> l }.toMap,
+     perFile.collect { case (k, (_, s)) if s.nonEmpty => k -> s }.toMap)
   }
 
   /** The table AT `snap`: scans the snapshot's literal paths, immune to
@@ -176,13 +203,14 @@ object TxTable {
     * competing commit (caller owns staged-data cleanup). */
   private def claimFrom(dir: String, dirs: Seq[String], schemaDdl: String,
                         firstCandidate: Long,
-                        stats: Map[String, Map[String, (Long, Long)]] = Map.empty)
+                        stats: Map[String, Map[String, (Long, Long)]] = Map.empty,
+                        sstats: Map[String, Map[String, (String, String)]] = Map.empty)
       : Snapshot = {
     var next = firstCandidate
     while (true) {
       try {
-        writeCommit(commitFile(dir, next), schemaDdl, dirs, stats)
-        return Snapshot(next, schemaDdl, dirs, stats)
+        writeCommit(commitFile(dir, next), schemaDdl, dirs, stats, sstats)
+        return Snapshot(next, schemaDdl, dirs, stats, sstats)
       } catch { case _: FileAlreadyExistsException =>
         val existing = commitFile(dir, next)
         if (Files.exists(existing) && Files.size(existing) == 0L)
@@ -200,10 +228,11 @@ object TxTable {
   def commit(spark: SparkSession, dir: String, df: DataFrame,
              expected: Snapshot, keepExisting: Boolean = false): Snapshot = {
     val u = stage(dir, df)
+    val (newStats, newSStats) = statsFor(dir, u, df.schema)
     val dirs = (if (keepExisting) expected.dirs else Seq.empty) :+ u
-    val stats = (if (keepExisting) expected.stats else Map.empty[String, Map[String, (Long, Long)]]) ++
-      statsFor(dir, u, df.schema)
-    try claimFrom(dir, dirs, df.schema.toDDL, expected.version + 1, stats)
+    val stats = (if (keepExisting) expected.stats else Map.empty[String, Map[String, (Long, Long)]]) ++ newStats
+    val sstats = (if (keepExisting) expected.sstats else Map.empty[String, Map[String, (String, String)]]) ++ newSStats
+    try claimFrom(dir, dirs, df.schema.toDDL, expected.version + 1, stats, sstats)
     catch { case e: ConcurrentCommitException =>
       deleteRec(Paths.get(dir, "data", u)) // lost the race: our data never became visible
       throw e
@@ -239,17 +268,30 @@ object TxTable {
       }
     }
 
+  /** [[dataFiles]] for STRING-keyed pruning: per file, the manifest's
+    * string-column bounds (compare with
+    * [[ParquetFooterStats.Utf8Ordering]] only). */
+  def dataFilesString(dir: String, snap: Snapshot): Seq[(Path, Map[String, (String, String)])] =
+    snap.dirs.flatMap { d =>
+      val root = Paths.get(stagedPath(dir, d))
+      if (!Files.isDirectory(root)) Seq.empty
+      else listNames(root).filter(_.endsWith(".parquet")).map { n =>
+        (root.resolve(n), snap.sstats.getOrElse(s"$d/$n", Map.empty))
+      }
+    }
+
   /** Make previously [[stage]]d data the table's contents (or an
     * appended part with `keepExisting = true`), retrying past concurrent
     * commits — the staged directory is immutable, so a retry re-claims
     * without rewriting data. */
   def commitStaged(dir: String, uuid: String, schema: StructType,
                    keepExisting: Boolean = false): Snapshot = {
-    val newStats = statsFor(dir, uuid, schema) // once — not per retry
+    val (newStats, newSStats) = statsFor(dir, uuid, schema) // once — not per retry
     retrying(dir) { s =>
       claimFrom(dir, (if (keepExisting) s.dirs else Seq.empty) :+ uuid,
         schema.toDDL, s.version + 1,
-        (if (keepExisting) s.stats else Map.empty[String, Map[String, (Long, Long)]]) ++ newStats)
+        (if (keepExisting) s.stats else Map.empty[String, Map[String, (Long, Long)]]) ++ newStats,
+        (if (keepExisting) s.sstats else Map.empty[String, Map[String, (String, String)]]) ++ newSStats)
     }
   }
 
@@ -271,9 +313,11 @@ object TxTable {
   def commitStagedFrom(dir: String, uuid: String, schema: StructType,
                        expected: Snapshot,
                        knownStats: Map[String, Map[String, (Long, Long)]] = Map.empty,
+                       knownSStats: Map[String, Map[String, (String, String)]] = Map.empty,
                        harvestExclude: String => Boolean = _ => false): Snapshot = {
-    val stats = knownStats ++ statsFor(dir, uuid, schema, harvestExclude)
-    try claimFrom(dir, Seq(uuid), schema.toDDL, expected.version + 1, stats)
+    val (newStats, newSStats) = statsFor(dir, uuid, schema, harvestExclude)
+    try claimFrom(dir, Seq(uuid), schema.toDDL, expected.version + 1,
+      knownStats ++ newStats, knownSStats ++ newSStats)
     catch { case e: ConcurrentCommitException =>
       deleteRec(Paths.get(stagedPath(dir, uuid))) // never became visible
       throw e
@@ -301,7 +345,7 @@ object TxTable {
     val dirs = (m \ "dirs").extract[Seq[String]]
     retrying(dir) { s =>
       if (s.version == version) s
-      else claimFrom(dir, dirs, ddl, s.version + 1, parseStats(m))
+      else claimFrom(dir, dirs, ddl, s.version + 1, parseStats(m), parseSStats(m))
     }
   }
 
@@ -323,7 +367,7 @@ object TxTable {
     require(json.nonEmpty, s"version $version of $dir is a dead claim")
     val m = org.json4s.jackson.JsonMethods.parse(json)
     Snapshot(version, (m \ "schema").extract[String],
-      (m \ "dirs").extract[Seq[String]], parseStats(m))
+      (m \ "dirs").extract[Seq[String]], parseStats(m), parseSStats(m))
   }
 
   /** Rows ADDED to the table by commits in `(sinceVersion, toVersion]`
@@ -439,13 +483,18 @@ object TxTable {
   }
 
   private def writeCommit(path: Path, schemaDdl: String, dirs: Seq[String],
-                          stats: Map[String, Map[String, (Long, Long)]]): Unit = {
+                          stats: Map[String, Map[String, (Long, Long)]],
+                          sstats: Map[String, Map[String, (String, String)]]): Unit = {
     implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
     val statsJson = stats.map { case (f, cols) =>
       f -> cols.map { case (c, (lo, hi)) => c -> Seq(lo, hi) }
     }
+    val sstatsJson = sstats.map { case (f, cols) =>
+      f -> cols.map { case (c, (lo, hi)) => c -> Seq(lo, hi) }
+    }
     val json = org.json4s.jackson.Serialization.write(
-      Map("schema" -> schemaDdl, "dirs" -> dirs, "stats" -> statsJson))
+      Map("schema" -> schemaDdl, "dirs" -> dirs, "stats" -> statsJson,
+        "sstats" -> sstatsJson))
     // Content must be durable BEFORE the claim: write the manifest to a
     // private temp name, then claim the version with link(2) — atomic
     // and create-exclusive (fails EEXIST), and the commit file is

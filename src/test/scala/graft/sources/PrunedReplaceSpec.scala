@@ -158,6 +158,37 @@ class PrunedReplaceSpec extends SparkSpec {
     } >= 7, "footer-fallback ranges must re-enter the manifest for carries")
   }
 
+  test("string-keyed replace prunes 1-of-N files via manifest sstats") {
+    val dir = tmp()
+    // VARCHAR natural keys (the reference's business_id shape):
+    // range-clustered so each file covers a contiguous key interval.
+    val df = (1 to 400).map(i => (f"id_$i%04d", i.toLong)).toDF("bk", "v")
+      .repartitionByRange(8, col("bk")).sortWithinPartitions(col("bk"))
+    TxTable.init(spark, dir, df.schema)
+    TxTable.overwrite(spark, dir, df)
+    assert(TxTable.snapshot(dir).sstats.values.exists(_.contains("bk")),
+      "commit must harvest string column bounds into the manifest")
+    val up = Seq(("id_0003", 333L), ("id_9999", 1L)).toDF("bk", "v")
+    val (rw, tot) = PrunedReplace.replaceStringKeys(
+      spark, dir, "bk", Array("id_0003", "id_0007"), up)
+    assert(tot == 8L && rw == 1L,
+      s"string keys 0003,0007 live in ONE range file, rewrote $rw/$tot")
+    val got = TxTable.read(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    val expect = ((1 to 400).filterNot(i => i == 3 || i == 7)
+      .map(i => (f"id_$i%04d", i.toLong)) ++ Seq(("id_0003", 333L), ("id_9999", 1L)))
+      .sorted
+    assert(got == expect)
+    // Carried string bounds ride the manifest (no footer re-harvest):
+    // a SECOND replace on a carried file's key still prunes to 1 file.
+    val carried = TxTable.snapshot(dir).sstats.keys
+      .filter(_.split("/", 2)(1).startsWith("carry-"))
+    assert(carried.size == 7, s"carried string stats: ${carried.size}")
+    val (rw2, _) = PrunedReplace.replaceStringKeys(
+      spark, dir, "bk", Array("id_0399"), Seq(("id_0399", 9L)).toDF("bk", "v"))
+    assert(rw2 == 1L, s"carried sstats should prune, rewrote $rw2")
+  }
+
   test("a commit racing a staged replace surfaces, never silently vanishes") {
     import spark.implicits._
     val dir = tmp()
