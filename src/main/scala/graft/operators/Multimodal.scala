@@ -9,12 +9,16 @@ import org.apache.spark.sql.functions._
   * no reference counterpart).
   *
   * The Spark side is real — schema, `mapPartitions` batch iteration,
-  * partition-parallel execution, column pruning down to (id, payload) —
-  * while the pixel/sample decode itself is a clearly-marked DETERMINISTIC
-  * STUB (`fakeDecode`): the container ships no image/audio codecs. Swap
-  * `fakeDecode` for a real codec (JNI/javacv/ffmpeg) without touching
-  * any plumbing; per-partition batching amortizes codec init exactly
-  * like a Pandas-UDF batch would.
+  * partition-parallel execution, column pruning down to (id, payload).
+  * IMAGE payloads decode with a REAL codec: the JDK's own
+  * `javax.imageio` (PNG/JPEG/GIF/BMP ship with every JRE — no new
+  * dependency), yielding true width/height/channels and a pixel
+  * statistic feature vector. Payloads ImageIO cannot read (video,
+  * audio, arbitrary bytes) fall back to the clearly-marked
+  * DETERMINISTIC STUB (`fakeDecode`) — the container ships no
+  * video/audio codecs; swap the fallback for ffmpeg/javacv without
+  * touching any plumbing. Per-partition batching amortizes codec init
+  * exactly like a Pandas-UDF batch would.
   */
 object Multimodal {
 
@@ -50,7 +54,52 @@ object Multimodal {
     (width, height, channels, features)
   }
 
-  /** Decode + featurize a binary payload column. Runs per-partition so a
+  /** REAL image decode via `javax.imageio`: true geometry from the
+    * codec (width, height, color-model component count) and a real
+    * pixel statistic as the feature vector — mean luminance of
+    * `featureDim` horizontal bands, sampled on a bounded grid (≤ 64
+    * positions per axis) so a huge image costs O(grid), not O(pixels).
+    * None when ImageIO has no codec for the payload (video/audio/
+    * arbitrary bytes) — the caller falls back to the stub. */
+  private[operators] def imageDecode(bytes: Array[Byte], featureDim: Int)
+      : Option[(Int, Int, Int, Array[Float])] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val channels = img.getColorModel.getNumComponents
+        val features = new Array[Float](featureDim)
+        val counts = new Array[Int](featureDim)
+        val xs = math.min(w, 64)
+        val ys = math.min(h, 64)
+        var yi = 0
+        while (yi < ys) {
+          val y = (yi.toLong * h / ys).toInt
+          val band = math.min(featureDim - 1, yi * featureDim / ys)
+          var xi = 0
+          while (xi < xs) {
+            val x = (xi.toLong * w / xs).toInt
+            val rgb = img.getRGB(x, y)
+            val lum = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+            features(band) += lum / 255.0f
+            counts(band) += 1
+            xi += 1
+          }
+          yi += 1
+        }
+        var i = 0
+        while (i < featureDim) {
+          if (counts(i) > 0) features(i) /= counts(i)
+          i += 1
+        }
+        Some((w, h, channels, features))
+      }
+    } catch { case _: Throwable => None } // corrupt stream → fallback
+
+  /** Decode + featurize a binary payload column: ImageIO first (real
+    * codec), stub for everything it can't read. Runs per-partition so a
     * real decoder initializes once per task, not per row. */
   def decodeFeatures(df: DataFrame, idCol: String, payloadCol: String,
                      kind: String, featureDim: Int = 8): Dataset[MediaFeatures] = {
@@ -59,9 +108,11 @@ object Multimodal {
     df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // (real codec: open once here, close via task-completion listener)
+        // (a codec with per-task init would open once here and close
+        // via a task-completion listener; ImageIO is stateless)
         it.map { case (id, bytes) =>
-          val (w, h, c, f) = fakeDecode(bytes, featureDim)
+          val (w, h, c, f) = imageDecode(bytes, featureDim)
+            .getOrElse(fakeDecode(bytes, featureDim))
           MediaFeatures(id, kind, bytes.length, w, h, c, f)
         }
       }

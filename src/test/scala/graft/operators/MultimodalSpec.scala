@@ -25,6 +25,31 @@ class MultimodalSpec extends SparkSpec {
     assert(rows1.map(r => r.id -> r.byte_len).toMap == Map(1L -> 64, 2L -> 128, 3L -> 1))
   }
 
+  test("image payloads decode with the real JDK codec (PNG round-trip)") {
+    // An 8×6 RGB image (top half black, bottom half white) written as
+    // PNG by ImageIO itself: decodeFeatures must recover the TRUE
+    // geometry — not the stub's hash-derived one — and the band-mean
+    // luminance features (0.0 for the black band, 1.0 for the white).
+    val img = new java.awt.image.BufferedImage(
+      8, 6, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 6; x <- 0 until 8) {
+      val v = if (y < 3) 0 else 255
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, bos.toByteArray)).toDF("id", "payload")
+    val r = Multimodal.decodeFeatures(df, "id", "payload", "image", featureDim = 2)
+      .collect()(0)
+    assert(r.width == 8 && r.height == 6 && r.channels == 3,
+      s"real codec geometry expected, got ${r.width}x${r.height}x${r.channels}")
+    assert(math.abs(r.features(0) - 0.0f) < 1e-6 &&
+      math.abs(r.features(1) - 1.0f) < 1e-6,
+      s"band luminance off: ${r.features.toSeq}")
+  }
+
   test("frameSample: n evenly spaced frames, in-bounds, ordered") {
     val out = Multimodal.frameSample(payloads, "id", "payload", frames = 4, frameBytes = 16)
       .collect().groupBy(_.id)
