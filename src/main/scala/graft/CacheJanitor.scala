@@ -28,38 +28,54 @@ import org.apache.spark.sql.util.QueryExecutionListener
   * triggers cleanup too. On that first post-body action — success or
   * failure — the caches are unpersisted and the listener removed.
   *
-  * CONTRACT: the query body must NOT run an action on the frame it
-  * returns (e.g. a warm-up `result.collect()` before calling this).
-  * Such an action's completion event is still in flight on the async
-  * listener bus at registration time, matches `qe eq
-  * result.queryExecution`, and unpersists the caches before the
-  * caller's real terminal action — an uncached recompute (perf only,
-  * never a correctness break). Actions on OTHER frames inside the body
-  * are fine (the id gate ignores them); an action on the returned frame
-  * belongs after this call, where it IS the terminal action.
+  * The one hazard this must defuse: a body-side action on the RETURNED
+  * frame (e.g. a warm-up `result.collect()` before calling this). Its
+  * completion event is still in flight on the async listener bus at
+  * registration time and matches `qe eq result.queryExecution` — under
+  * a naive gate it would unpersist the caches before the caller's real
+  * terminal action (an uncached recompute; perf only, never a
+  * correctness break). The SENTINEL sequences it out: registration
+  * runs a no-op action (`emptyDataFrame.collect()` — posts a
+  * completion event, launches no job) AFTER registering. The listener
+  * bus delivers in posting order, so any in-flight body-side event for
+  * `result.queryExecution` arrives BEFORE the sentinel's event and is
+  * ignored; a same-instance event arriving after the sentinel can only
+  * be a genuine post-registration action. Fresh executions
+  * (`qe.id > sentinel.id`) are genuine regardless of arrival order —
+  * the id counter is global and monotonic.
   */
 object CacheJanitor {
 
   def afterTerminalAction(result: DataFrame, caches: Seq[DataFrame]): DataFrame = {
     if (caches.isEmpty) return result
     val spark = result.sparkSession
-    val bodyMaxId = result.queryExecution.id
     val done = new AtomicBoolean(false)
+    // Resolve the sentinel's QueryExecution BEFORE registering so the
+    // listener can recognize its event; run it AFTER registering so the
+    // event is guaranteed to be delivered (FIFO) behind any in-flight
+    // body-side completion.
+    val sentinel = spark.emptyDataFrame
+    val sentinelQe = sentinel.queryExecution
+    val armed = new AtomicBoolean(false)
     val listener = new QueryExecutionListener {
-      private def cleanup(qe: QueryExecution): Unit =
-        if ((qe.id > bodyMaxId || (qe eq result.queryExecution)) &&
-            done.compareAndSet(false, true)) {
+      private def cleanup(qe: QueryExecution): Unit = {
+        if (qe eq sentinelQe) { armed.set(true); return }
+        val genuine = qe.id > sentinelQe.id ||
+          (armed.get() && (qe eq result.queryExecution))
+        if (genuine && done.compareAndSet(false, true)) {
           caches.foreach(c =>
             try c.unpersist(blocking = false) catch { case _: Throwable => () })
           try spark.listenerManager.unregister(this)
           catch { case _: Throwable => () }
         }
+      }
       override def onSuccess(funcName: String, qe: QueryExecution,
                              durationNs: Long): Unit = cleanup(qe)
       override def onFailure(funcName: String, qe: QueryExecution,
                              exception: Exception): Unit = cleanup(qe)
     }
     spark.listenerManager.register(listener)
+    sentinel.collect() // posts the sequencing event; no job (LocalRelation)
     result
   }
 }

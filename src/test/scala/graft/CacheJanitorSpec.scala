@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.storage.StorageLevel
+
+/** The janitor's sequencing gate: a completion event for the returned
+  * frame that was POSTED before registration (a body-side
+  * `result.collect()`) must not trigger cleanup — only an action run
+  * after `afterTerminalAction` returns may. The sentinel event
+  * registered after the listener sequences the two cases apart on the
+  * FIFO listener bus.
+  */
+class CacheJanitorSpec extends SparkSpec {
+
+  private def waitUntil(deadlineMs: Long)(cond: => Boolean): Boolean = {
+    val deadline = System.nanoTime() + deadlineMs * 1000000L
+    while (!cond && System.nanoTime() < deadline) Thread.sleep(50)
+    cond
+  }
+
+  test("a body-side action on the returned frame does not unpersist early") {
+    val cached = spark.range(1000).toDF("x").persist(StorageLevel.MEMORY_AND_DISK)
+    cached.count()
+    val result = cached.selectExpr("sum(x) AS s")
+    // The documented hazard, now defused: an action on the frame the
+    // body RETURNS, before janitor registration. Its completion event
+    // is in flight on the async bus when the listener registers.
+    result.collect()
+    val out = CacheJanitor.afterTerminalAction(result, Seq(cached))
+    // Give the bus time to deliver the stale event (and the sentinel).
+    Thread.sleep(1500)
+    assert(cached.storageLevel != StorageLevel.NONE,
+      "stale pre-registration completion event unpersisted the caches early")
+    // The caller's REAL terminal action — same QueryExecution instance,
+    // delivered after the sentinel — triggers cleanup.
+    out.collect()
+    assert(waitUntil(10000)(cached.storageLevel == StorageLevel.NONE),
+      "terminal action on the returned frame did not release the caches")
+  }
+
+  test("a fresh post-registration execution (write/show path) cleans up") {
+    val cached = spark.range(1000).toDF("x").persist(StorageLevel.MEMORY_AND_DISK)
+    cached.count()
+    val out = CacheJanitor.afterTerminalAction(
+      cached.selectExpr("sum(x) AS s"), Seq(cached))
+    out.write.format("noop").mode("overwrite").save() // fresh QueryExecution
+    assert(waitUntil(10000)(cached.storageLevel == StorageLevel.NONE),
+      "fresh terminal execution did not release the caches")
+  }
+}
