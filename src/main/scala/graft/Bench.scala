@@ -88,12 +88,28 @@ object Bench {
     // transient host-load window (one wild rep) without re-running.
     val rawJson = raw.map { case (k, ts) => s"\"" + k + "\":" + ts.mkString("[", ",", "]") }
       .mkString("{", ",", "}")
+    // Per-query [min, median, max]: the spread a reader needs before
+    // attributing a cross-round delta to a code change — this host's
+    // same-code suite totals have swung 79–129 s, and a query whose own
+    // max/min ratio covers the delta is host noise, not a regression.
+    val spreadJson = raw.map { case (k, ts) =>
+      val sorted = ts.sorted
+      s"\"" + k + "\":[" + sorted.head + "," + sorted(sorted.size / 2) + "," + sorted.last + "]"
+    }.mkString("{", ",", "}")
+    // The widest relative spread, surfaced in the compact line so the
+    // noise floor is visible even where only the tail survives capture.
+    val worstSpread = raw.toSeq
+      .map { case (k, ts) => (k, if (ts.min > 0) ts.max / ts.min else 1.0) }
+      .sortBy(-_._2).headOption
+    val worstJson = worstSpread
+      .map { case (k, r) => s""","worst_spread":{"query":"${esc(k)}","max_over_min":${math.round(r * 100) / 100.0}}""" }
+      .getOrElse("")
     val errJson = errors.map { case (k, v) => s"\"" + esc(k) + "\":\"" + esc(v) + "\"" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val common =
-      s""""value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"error_count":${errors.size},"sf":"$sfDir","reps":$reps,"action":"noop-write","stat":"median""""
-    val json = s"""{"metric":"total",$common,"reps_raw":$rawJson}"""
+      s""""value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"error_count":${errors.size},"sf":"$sfDir","reps":$reps,"action":"noop-write","stat":"median"$worstJson"""
+    val json = s"""{"metric":"total",$common,"spread":$spreadJson,"reps_raw":$rawJson}"""
     // Authoritative copy on disk: sbt interleaves its own lines with
     // forked stdout, which has truncated the driver's capture twice.
     try {
