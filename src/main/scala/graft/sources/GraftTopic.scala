@@ -531,11 +531,24 @@ object GraftTopic {
   }
 
   /** Send every row of a wire frame (key binary, value binary, topic
-    * string — `KafkaWire.toWire`'s output) through the keyed producer. */
+    * string — `KafkaWire.toWire`'s output) through the keyed producer.
+    *
+    * DRIVER-SIDE by design and BOUNDED by contract: this is the
+    * micro-batch producer shim for specs and the event generator —
+    * wire frames are one micro-batch, not a table. The guard makes the
+    * contract a check instead of a comment; bulk paths write through
+    * the DSv2 sink (graft-topic format), which streams per-partition
+    * and never collects. */
   def sendWire(wire: org.apache.spark.sql.DataFrame, dir: String,
-               partitions: Int, tsMicros: Long): Unit =
-    wire.select("key", "value", "topic").collect().foreach { r =>
+               partitions: Int, tsMicros: Long,
+               maxRows: Int = 100000): Unit = {
+    val rows = wire.select("key", "value", "topic").limit(maxRows + 1).collect()
+    require(rows.length <= maxRows,
+      s"sendWire is a micro-batch producer shim (> $maxRows rows collected); " +
+        "bulk writes go through the graft-topic DSv2 sink")
+    rows.foreach { r =>
       send(dir, r.getString(2), partitions,
         r.getAs[Array[Byte]](0), r.getAs[Array[Byte]](1), tsMicros)
     }
+  }
 }
