@@ -189,6 +189,63 @@ class PrunedReplaceSpec extends SparkSpec {
     assert(rw2 == 1L, s"carried sstats should prune, rewrote $rw2")
   }
 
+  test("Utf8Ordering agrees with parquet's unsigned binary comparator") {
+    // The manifest's string bounds are produced under parquet's stats
+    // order; every driver-side hit test compares against them with
+    // Utf8Ordering. If the two ever disagreed, pruning could skip a
+    // file that holds a removed key (silent row loss).
+    val samples = Seq("", "a", "ab", "é", "", "￿", "😀", "𝒜", "ب",
+      "z￿", "😀a", "a😀", "😀￿")
+    val pc = org.apache.parquet.schema.PrimitiveComparator
+      .UNSIGNED_LEXICOGRAPHICAL_BINARY_COMPARATOR
+    for (a <- samples; b <- samples) {
+      val p = pc.compare(
+        org.apache.parquet.io.api.Binary.fromString(a),
+        org.apache.parquet.io.api.Binary.fromString(b))
+      assert(Integer.signum(p) ==
+        Integer.signum(ParquetFooterStats.Utf8Ordering.compare(a, b)),
+        s"order disagreement on (${a.codePoints().toArray.toSeq}, ${b.codePoints().toArray.toSeq})")
+    }
+    // And Java's UTF-16 String order genuinely disagrees on these
+    // samples — the reason the dedicated ordering exists at all.
+    assert(samples.flatMap(a => samples.map(b => (a, b))).exists { case (a, b) =>
+      Integer.signum(a.compareTo(b)) !=
+        Integer.signum(ParquetFooterStats.Utf8Ordering.compare(a, b))
+    }, "sample set no longer exercises the UTF-16/UTF-8 divergence")
+  }
+
+  test("string replaces with non-BMP keys never lose rows") {
+    val rnd = new scala.util.Random(7)
+    val dir = tmp()
+    // Keys drawn from the characters where UTF-16 and UTF-8 orders
+    // diverge: supplementary (surrogate-pair) code points sort ABOVE
+    // ￿ in byte order but BELOW  in UTF-16.
+    val alphabet = Vector("a", "z", "é", "", "￿", "😀", "𝒜", "ب")
+    def randKey() = (1 to 3).map(_ => alphabet(rnd.nextInt(alphabet.size))).mkString
+    val keys0 = (1 to 200).map(_ => randKey()).distinct
+    val df = keys0.zipWithIndex.map { case (k, i) => (k, i.toLong) }.toDF("k", "v")
+      .repartitionByRange(6, col("k")).sortWithinPartitions(col("k"))
+    TxTable.init(spark, dir, df.schema)
+    TxTable.overwrite(spark, dir, df)
+    val model = scala.collection.mutable.Map(
+      keys0.zipWithIndex.map { case (k, i) => k -> i.toLong }: _*)
+    (1 to 5).foreach { _ =>
+      val removes = (1 to 10).map { _ =>
+        if (rnd.nextBoolean() && model.nonEmpty) model.keys.toSeq(rnd.nextInt(model.size))
+        else randKey()
+      }.distinct
+      val upserts = removes.take(4).map(k => (k, rnd.nextLong(1000)))
+      val allRemoves = (removes ++ upserts.map(_._1)).distinct.toArray
+      PrunedReplace.replaceStringKeys(spark, dir, "k", allRemoves,
+        upserts.toDF("k", "v"))
+      allRemoves.foreach(model.remove)
+      upserts.foreach { case (k, v) => model(k) = v }
+      val got = TxTable.read(spark, dir).collect().map(_.getString(0)).toSet
+      assert(got == model.keySet,
+        s"extra=${got -- model.keySet} missing=${model.keySet -- got}")
+    }
+  }
+
   test("a commit racing a staged replace surfaces, never silently vanishes") {
     import spark.implicits._
     val dir = tmp()
