@@ -188,10 +188,26 @@ object PrunedReplace {
       if (hit.isEmpty)
         spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
       else spark.read.schema(schema).parquet(hit.map(_._1.toString): _*)
-    val rewritten =
+    val rewritten0 =
       if (hit.isEmpty) upsertsFor(hitRows)
       else hitRows.join(broadcast(ko.keysDf(keys.toSeq)), Seq(keyCol), "left_anti")
         .unionByName(upsertsFor(hitRows))
+    // File-count AND clustering stability: the rewrite REPLACES
+    // hit.size files, so write about that many — range-clustered on
+    // the key. Without this the frame's final-stage partitioning
+    // (union of scan splits + shuffle partitions) writes
+    // O(spark.sql.shuffle.partitions) shards per replace and a long
+    // append stream fragments the table linearly; and a naive coalesce
+    // would mix inserts into rewritten files, WIDENING their key
+    // ranges so every future replace over-hits. The range shuffle is
+    // delta-bounded by the operator's contract (hit rows + upserts),
+    // keeps fresh files' ranges tight and disjoint, and the
+    // within-partition sort gives their row groups monotone stats —
+    // each replace REPAIRS clustering decay instead of compounding it.
+    // (+1: inserts beyond the hit ranges get their own tail file.)
+    val rewritten = rewritten0
+      .repartitionByRange(hit.size + 1, col(keyCol))
+      .sortWithinPartitions(col(keyCol))
     // Stage: rewritten rows + byte-identical carries become one
     // invisible data dir; the caller's commit() is the single atomic
     // manifest claim. Carried files KEEP their prior manifest stats

@@ -269,6 +269,9 @@ class DedupIndexSpec extends SparkSpec {
     // trigger must keep the live segment count bounded (an LSM that
     // never folds level 0 degrades every read linearly in appends) —
     // and folding must never change results.
+    def componentFiles(): Int =
+      TxTable.dataFiles(s"$dir/components", TxTable.snapshot(s"$dir/components")).size
+    val buildFiles = componentFiles()
     (0 until 5).foreach { i =>
       val d = Seq((100L + i) -> Seq(s"ac${i}_1", s"ac${i}_2"))
       DedupIndex.append(spark, df(d), dir, Cap, autoCompactSegments = capSegs)
@@ -276,6 +279,11 @@ class DedupIndexSpec extends SparkSpec {
       val segs = TxTable.snapshot(s"$dir/groups").dirs.size
       assert(segs <= capSegs, s"append $i left $segs segments (cap $capSegs)")
     }
+    // File-count stability: each pruned replace writes about as many
+    // files as it rewrites (coalesced), so an append stream must not
+    // fragment the components table linearly in shuffle partitions.
+    assert(componentFiles() <= buildFiles + 5,
+      s"components fragmented: $buildFiles -> ${componentFiles()} files after 5 appends")
     assertParity(dir, sofar)
     spark.sharedState.cacheManager.clearCache()
   }
