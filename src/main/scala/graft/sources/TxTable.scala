@@ -174,8 +174,17 @@ object TxTable {
         (s"$uuid/$name",
           ParquetFooterStats.allRanges(conf, root.resolve(name), longCols, stringCols))
       }
+    // Kilobyte string bounds are dead manifest weight (nothing prunes
+    // on long JSON/text values; every snapshot() parse would pay for
+    // them) — keep only key-shaped bounds. Skipping is always safe: a
+    // file absent from sstats is a conservative hit by contract.
+    val maxBound = 128
     (perFile.collect { case (k, (l, _)) if l.nonEmpty => k -> l }.toMap,
-     perFile.collect { case (k, (_, s)) if s.nonEmpty => k -> s }.toMap)
+     perFile.flatMap { case (k, (_, s)) =>
+       val kept = s.filter { case (_, (lo, hi)) =>
+         lo.length <= maxBound && hi.length <= maxBound }
+       if (kept.isEmpty) None else Some(k -> kept)
+     }.toMap)
   }
 
   /** The table AT `snap`: scans the snapshot's literal paths, immune to
