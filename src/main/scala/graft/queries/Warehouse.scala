@@ -533,6 +533,59 @@ object Warehouse {
           ${sqlSum("o_totalprice")} AS total_spent
         FROM orders GROUP BY 1 ORDER BY 1""")),
 
+    // S5 lifecycle on a VARCHAR NATURAL KEY: the reference's derived
+    // tables key on string business ids (star_schema.sql:28-29), so the
+    // transactional summary must prune and merge on a string key too.
+    // Seed a c_name-keyed order summary from the pre-1997 snapshot
+    // (range-clustered so each file covers a contiguous name interval,
+    // its UTF-8 bounds harvested into the manifest's sstats block),
+    // then merge the remaining orders as one staged string-keyed
+    // PrunedReplace — hit files resolved from manifest string bounds,
+    // untouched files carried byte-identical, one atomic claim.
+    // Decimal partials inside the table keep merged == one-shot exact.
+    QueryDef(
+      "q_tx_string_merge",
+      t => {
+        import graft.operators.Stages
+        import graft.sources.{PrunedReplace, TxTable}
+        import org.apache.spark.sql.types.StructType
+        val dir = Stages.freshDir(t.spark, s"tx_string_summary:${t.dir}")
+        val named = t.orders.join(
+          t.customer.select(col("c_custkey"), col("c_name").as("name")),
+          col("o_custkey") === col("c_custkey"))
+        def agg(df: org.apache.spark.sql.DataFrame) = df
+          .groupBy(col("name"))
+          .agg(count(lit(1)).as("order_cnt"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).as("total_spent"))
+        TxTable.init(t.spark, dir,
+          StructType.fromDDL("name STRING, order_cnt BIGINT, total_spent DECIMAL(38,2)"))
+        TxTable.overwrite(t.spark, dir,
+          agg(named.filter(col("o_orderdate") < "1997-01-01"))
+            .repartitionByRange(8, col("name")).sortWithinPartitions(col("name")))
+        val delta = agg(named.filter(col("o_orderdate") >= "1997-01-01"))
+        // Delta keys are customer-bounded (collect guarded upstream by
+        // the same delta-scale contract as mergeSummaryPruned).
+        val keys = delta.select(col("name")).collect().map(_.getString(0))
+        PrunedReplace.stageReplaceWithStringKeys(t.spark, dir, "name", keys) {
+          hitRows =>
+            hitRows.filter(col("name").isInCollection(keys))
+              .unionByName(delta)
+              .groupBy(col("name"))
+              .agg(sum(col("order_cnt")).as("order_cnt"),
+                sum(col("total_spent")).as("total_spent"))
+        }.commit()
+        TxTable.read(t.spark, dir)
+          .select(col("name"),
+            col("order_cnt").cast("long").as("order_cnt"),
+            col("total_spent").cast("double").as("total_spent"))
+          .orderBy(col("name"))
+      },
+      Some(s"""
+        SELECT c_name AS name, COUNT(*) AS order_cnt,
+          ${sqlSum("o_totalprice")} AS total_spent
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1 ORDER BY 1""")),
+
     // Stats-pruned time-slice read of a TxTable fact store: the store
     // is seeded ONCE per session as four week-sliced append commits
     // (a micro-batch ingest history — each commit's manifest carries
