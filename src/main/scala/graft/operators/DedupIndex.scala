@@ -537,6 +537,14 @@ object DedupIndex {
         TxTable.overwrite(spark, s"$dir/pairs", TxTable.read(spark, s"$dir/pairs"))
         phase("auto_compact_pairs")
       }
+      // Docs gains one segment per append too — the dupe check and the
+      // candidate-endpoint fetch enumerate its files every append.
+      if (TxTable.snapshot(s"$dir/docs").dirs.size > autoCompactSegments) {
+        TxTable.overwrite(spark, s"$dir/docs",
+          TxTable.read(spark, s"$dir/docs")
+            .repartitionByRange(col("doc_id")).sortWithinPartitions(col("doc_id")))
+        phase("auto_compact_docs")
+      }
     }
     if (sys.env.get("GRAFT_PHASE_TIMINGS").contains("1"))
       System.err.println(phases.map { case (n, s) => f"$n=$s%.3fs" }
@@ -592,6 +600,10 @@ object DedupIndex {
     compactGroups(spark, dir, cap)
     TxTable.overwrite(spark, s"$dir/pairs",
       TxTable.read(spark, s"$dir/pairs"))
+    TxTable.overwrite(spark, s"$dir/docs",
+      TxTable.read(spark, s"$dir/docs")
+        .repartitionByRange(col("doc_id"))
+        .sortWithinPartitions(col("doc_id")))
     TxTable.overwrite(spark, s"$dir/components",
       TxTable.read(spark, s"$dir/components")
         .repartitionByRange(col("doc_id"))

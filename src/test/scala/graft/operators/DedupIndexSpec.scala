@@ -278,6 +278,8 @@ class DedupIndexSpec extends SparkSpec {
       sofar = sofar ++ d
       val segs = TxTable.snapshot(s"$dir/groups").dirs.size
       assert(segs <= capSegs, s"append $i left $segs segments (cap $capSegs)")
+      val docSegs = TxTable.snapshot(s"$dir/docs").dirs.size
+      assert(docSegs <= capSegs, s"append $i left $docSegs docs segments")
     }
     // File-count stability: each pruned replace writes about as many
     // files as it rewrites (coalesced), so an append stream must not

@@ -166,6 +166,29 @@ class TxTableSpec extends SparkSpec {
     assert(files3.size == 1 && files3.head._2.get("k").contains((5L, 9L)))
   }
 
+  test("string bounds (sstats) are harvested, carried by appends, restored") {
+    val dir = tmp()
+    val df1 = Seq(("b", 1L), ("m", 2L)).toDF("s", "v").coalesce(1)
+    TxTable.init(spark, dir, df1.schema)
+    TxTable.overwrite(spark, dir, df1) // v1
+    val s1 = TxTable.snapshot(dir)
+    assert(TxTable.dataFilesString(dir, s1).head._2.get("s").contains(("b", "m")),
+      s"string bounds missing: ${s1.sstats}")
+    TxTable.append(spark, dir, Seq(("z", 3L)).toDF("s", "v").coalesce(1)) // v2
+    val f2 = TxTable.dataFilesString(dir, TxTable.snapshot(dir))
+    assert(f2.flatMap(_._2.get("s")).sorted == Seq(("b", "m"), ("z", "z")))
+    TxTable.restore(spark, dir, 1L)
+    assert(TxTable.dataFilesString(dir, TxTable.snapshot(dir))
+      .head._2.get("s").contains(("b", "m")))
+    // Kilobyte values are NOT harvested (dead manifest weight; absent
+    // stats are conservative hits by contract).
+    val dir2 = tmp()
+    val big = Seq(("x" * 4096, 1L)).toDF("s", "v")
+    TxTable.init(spark, dir2, big.schema)
+    TxTable.overwrite(spark, dir2, big)
+    assert(TxTable.snapshot(dir2).sstats.isEmpty, "oversized bound harvested")
+  }
+
   test("pre-stats manifests (no stats block) parse as conservative no-stats") {
     val dir = tmp()
     TxTable.init(spark, dir, schema)
