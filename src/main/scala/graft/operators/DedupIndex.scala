@@ -326,6 +326,12 @@ object DedupIndex {
     // Dataset variant hides the persisted RDD inside a LogicalRDD with
     // no public handle to release (Stages.scala documents the trap) —
     // this handle is unpersisted in the cleanup below.
+    if (sys.env.get("GRAFT_PHASE_TIMINGS").contains("2")) { // sub-attribution
+      ogDelta.count(); phase("  og_semi_merge")
+      mgDelta.count(); phase("  mg_merge")
+      cands.count(); phase("  cands")
+      docsCand.count(); phase("  docs_cand_fetch")
+    }
     val newPairsPlan = boundedVerify(cands, docsCand, kc)
     val newPairsRdd = newPairsPlan.rdd.localCheckpoint()
     val newPairsCount = newPairsRdd.count()
@@ -546,7 +552,7 @@ object DedupIndex {
         phase("auto_compact_docs")
       }
     }
-    if (sys.env.get("GRAFT_PHASE_TIMINGS").contains("1"))
+    if (sys.env.get("GRAFT_PHASE_TIMINGS").exists(Set("1", "2")))
       System.err.println(phases.map { case (n, s) => f"$n=$s%.3fs" }
         .mkString("DedupIndex.append phases: ", " ", ""))
     phases.toSeq
