@@ -135,6 +135,32 @@ object DedupIndex {
     verify(survivors, docs)
   }
 
+  /** Driver min-label union-find over collected (src, dst) edge rows:
+    * roots union min-first, so the final root of every tree is its
+    * component's minimum member — exactly the distributed
+    * propagation's label. The dedup pair graph is verified-near-dup
+    * edges (clusters are small), so whenever it collects under
+    * [[MaxReplaceKeys]] this replaces several scheduler rounds of
+    * iterative label joins with microseconds of driver work; callers
+    * keep [[GraphOps.connectedComponents]] as the over-bound path. */
+  private def unionFindLabels(rows: Array[org.apache.spark.sql.Row]): Array[(Long, Long)] = {
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x // path compression
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    rows.foreach { e =>
+      val a = e.getLong(0); val b = e.getLong(1)
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    parent.keys.toArray.map(x => (x, find(x)))
+  }
+
   /** Mine + persist the full index for `docs` (doc_id, shs; shingles
     * distinct per doc). Candidate generation and verification follow
     * the one-shot pipeline exactly (DF cap before pair expansion, exact
@@ -162,17 +188,24 @@ object DedupIndex {
       .select(explode(col("ids")).as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("kc"))
     putTable(spark, s"$dir/pairs", boundedVerify(pairCounts(grouped), d, rareCnt))
-    // CC reads the just-committed pairs table: zero lineage under the
-    // iterative loop (see the fold in `append` for why that matters).
-    // Components lay out RANGE-CLUSTERED on doc_id: each file covers a
-    // doc_id interval, so the manifest stats let `append`'s
-    // PrunedReplace rewrite only the files an affected-doc set touches.
-    putTable(spark, s"$dir/components",
-      GraphOps.connectedComponents(spark,
-          TxTable.read(spark, s"$dir/pairs")
-            .select(col("a").as("src"), col("b").as("dst")), maxIter)
+    // Clustering reads the just-committed pairs table: zero lineage
+    // under any iterative fallback (see the fold in `append`).
+    // Driver union-find under the MaxReplaceKeys bound, distributed CC
+    // above it — same split as the append fold. Components lay out
+    // RANGE-CLUSTERED on doc_id: each file covers a doc_id interval,
+    // so the manifest stats let `append`'s PrunedReplace rewrite only
+    // the files an affected-doc set touches.
+    val pairEdges = TxTable.read(spark, s"$dir/pairs")
+      .select(col("a").as("src"), col("b").as("dst"))
+    val edgeRows = pairEdges.limit(MaxReplaceKeys + 1).collect()
+    val comps =
+      if (edgeRows.length <= MaxReplaceKeys)
+        spark.createDataFrame(unionFindLabels(edgeRows).toSeq)
+          .toDF("doc_id", "component")
+      else GraphOps.connectedComponents(spark, pairEdges, maxIter)
         .select(col("node").as("doc_id"), col("component"))
-        .repartitionByRange(col("doc_id"))
+    putTable(spark, s"$dir/components",
+      comps.repartitionByRange(col("doc_id"))
         .sortWithinPartitions(col("doc_id")))
     grouped.unpersist(); d.unpersist()
   }
@@ -456,24 +489,8 @@ object DedupIndex {
     var edgesRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
     val componentsNew =
       if (edgeRows.length <= MaxReplaceKeys) {
-        val parent = scala.collection.mutable.LongMap.empty[Long]
-        def find(x: Long): Long = {
-          var r = x
-          while (parent(r) != r) r = parent(r)
-          var c = x // path compression
-          while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
-          r
-        }
-        edgeRows.foreach { e =>
-          val a = e.getLong(0); val b = e.getLong(1)
-          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
-          val (ra, rb) = (find(a), find(b))
-          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
-        }
-        // Roots are unioned min-first, so find(x) IS the component's
-        // min member — the distributed propagation's label.
-        val labeled = parent.keys.toArray.map(x => (x, find(x)))
-        spark.createDataFrame(labeled.toSeq).toDF("doc_id", "component")
+        spark.createDataFrame(unionFindLabels(edgeRows).toSeq)
+          .toDF("doc_id", "component")
       } else {
         edgesRdd = edges0.rdd.localCheckpoint()
         edgesRdd.count()
