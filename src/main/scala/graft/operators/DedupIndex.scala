@@ -68,6 +68,10 @@ object DedupIndex {
     * trigger while capping a long ingest stream's read amplification. */
   val AutoCompactSegments = 8
 
+  /** Files per appended LSM segment (see the stage-write coalesce in
+    * [[append]]). */
+  private val SegmentFiles = 8
+
   /** Pair expansion over capped groups: every a<b pair inside each
     * rare group, with `c_rare` = number of groups the pair shares.
     * Groups are ≤ cap ids by construction, so this is a bounded
@@ -289,9 +293,14 @@ object DedupIndex {
     val og = TxTable.read(spark, s"$dir/groups") // rows per (segment, sh)
     val deltaShs = dgSeg.select(col("sh"))
     // Stage the new segment now; committed (keepExisting=true) at the
-    // end with the other tables.
+    // end with the other tables. Coalesced: a delta segment is LSM
+    // level 0 — writing it at full shuffle parallelism lands ~32 small
+    // files per append that every future segment fold, file listing,
+    // and commit-time footer harvest must enumerate. Few, larger files
+    // per segment (parquet stays splittable for readers) is the level-0
+    // shape every LSM keeps.
     val groupsSchema = dgSeg.schema
-    val uGroups = TxTable.stage(s"$dir/groups", dgSeg)
+    val uGroups = TxTable.stage(s"$dir/groups", dgSeg.coalesce(SegmentFiles))
     phase("stage_groups_segment")
 
     // The OLD side's per-shingle (merged ids, merged df) over the
@@ -440,7 +449,7 @@ object DedupIndex {
       if (pairsAppendOnly) newPairs
       else op.join(dropped, Seq("a", "b"), "left_anti").unionByName(newPairs)
     val pairsSchema = pairsOut.schema
-    val uPairs = TxTable.stage(s"$dir/pairs", pairsOut)
+    val uPairs = TxTable.stage(s"$dir/pairs", pairsOut.coalesce(SegmentFiles))
     phase("stage_pairs")
 
     // Component fold: only components touched by a new or dropped pair
