@@ -562,18 +562,24 @@ object Warehouse {
         TxTable.overwrite(t.spark, dir,
           agg(named.filter(col("o_orderdate") < "1997-01-01"))
             .repartitionByRange(8, col("name")).sortWithinPartitions(col("name")))
+        // Size-guarded like mergeSummaryPruned: the pruned replace
+        // needs a driver-bounded key set; past the bound fall back to
+        // the contention-safe full-rewrite merge (a delta touching
+        // that many keys rewrites most files anyway).
         val delta = agg(named.filter(col("o_orderdate") >= "1997-01-01"))
-        // Delta keys are customer-bounded (collect guarded upstream by
-        // the same delta-scale contract as mergeSummaryPruned).
-        val keys = delta.select(col("name")).collect().map(_.getString(0))
-        PrunedReplace.stageReplaceWithStringKeys(t.spark, dir, "name", keys) {
-          hitRows =>
-            hitRows.filter(col("name").isInCollection(keys))
-              .unionByName(delta)
-              .groupBy(col("name"))
-              .agg(sum(col("order_cnt")).as("order_cnt"),
-                sum(col("total_spent")).as("total_spent"))
-        }.commit()
+        val maxDeltaKeys = 100000
+        val keys = delta.select(col("name")).limit(maxDeltaKeys + 1)
+          .collect().map(_.getString(0))
+        def merged(cur: org.apache.spark.sql.DataFrame) =
+          cur.unionByName(delta)
+            .groupBy(col("name"))
+            .agg(sum(col("order_cnt")).as("order_cnt"),
+              sum(col("total_spent")).as("total_spent"))
+        if (keys.length <= maxDeltaKeys)
+          PrunedReplace.stageReplaceWithStringKeys(t.spark, dir, "name", keys) {
+            hitRows => merged(hitRows.filter(col("name").isInCollection(keys)))
+          }.commit()
+        else TxTable.merge(t.spark, dir)(merged)
         TxTable.read(t.spark, dir)
           .select(col("name"),
             col("order_cnt").cast("long").as("order_cnt"),
