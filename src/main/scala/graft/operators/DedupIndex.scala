@@ -288,8 +288,6 @@ object DedupIndex {
     // OPTIMIZE every LSM/Delta deployment already runs.
     val dgSeg = groupsWithDf(inv(nd), cap)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val dg = dgSeg
-      .withColumnRenamed("ids", "dids").withColumnRenamed("df", "ddf")
     val og = TxTable.read(spark, s"$dir/groups") // rows per (segment, sh)
     val deltaShs = dgSeg.select(col("sh"))
     // Stage the new segment now; committed (keepExisting=true) at the
@@ -303,14 +301,28 @@ object DedupIndex {
     val uGroups = TxTable.stage(s"$dir/groups", dgSeg.coalesce(SegmentFiles))
     phase("stage_groups_segment")
 
-    // The OLD side's per-shingle (merged ids, merged df) over the
-    // delta's shingles: ONE broadcast-semi-filtered re-aggregation of
-    // the old segments — the only pass this append makes over the
-    // stored index (the merged-with-delta view below derives from it
-    // arithmetically; no second scan).
-    val ogDelta = mergeSegments(
-        og.join(broadcast(deltaShs), Seq("sh"), "left_semi"), cap)
-      .withColumnRenamed("ids", "oids").withColumnRenamed("df", "odf")
+    // The OLD-side and MERGED per-shingle views over the delta's
+    // shingles in ONE aggregation: union the broadcast-semi-filtered
+    // old segments with the delta segment, tagged by side, and fold
+    // both sides' (ids, df) in a single groupBy(sh). This is
+    // [[mergeSegments]]' formula with the old/new split carried through
+    // — each side's df adds independently, a side's concatenated lists
+    // are complete whenever that side's df ≤ cap (a segment-local df
+    // can't exceed its side's total), and every consumer below only
+    // reads a side's lists under such a bound. One shuffle over
+    // delta-bounded rows, where the two-view shape paid the old-side
+    // aggregation AND a full_outer re-join of the views. The old
+    // segments' scan is the only pass this append makes over the
+    // stored index.
+    val sideMerged = og.join(broadcast(deltaShs), Seq("sh"), "left_semi")
+        .select(col("sh"), col("ids"), col("df"), lit(true).as("old"))
+      .unionByName(dgSeg
+        .select(col("sh"), col("ids"), col("df"), lit(false).as("old")))
+      .groupBy(col("sh"))
+      .agg(sum(when(col("old"), col("df"))).as("odf"),
+        sum(when(!col("old"), col("df"))).as("ddf"),
+        flatten(collect_list(when(col("old"), col("ids")))).as("oids"),
+        flatten(collect_list(when(!col("old"), col("ids")))).as("dids"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // Delta candidates: rare MERGED groups containing a delta shingle,
@@ -321,19 +333,17 @@ object DedupIndex {
     // upper bound is "rare groups containing a delta shingle" — kc
     // (and the whole mining/prefilter pass) stays DELTA-BOUNDED, while
     // shared shingles outside that family fold into the min(sz−kc)
-    // slack exactly like hot shingles do in the full mine.
-    val mgDelta = ogDelta.join(dg, Seq("sh"), "full_outer")
+    // slack exactly like hot shingles do in the full mine. Map-side
+    // over the cached side-split aggregation, so the two consumers
+    // (kc, pairCounts) re-derive it from cache without re-shuffling.
+    val mgDelta = sideMerged
       .select(col("sh"),
         (coalesce(col("odf"), lit(0L)) + coalesce(col("ddf"), lit(0L))).as("df"),
-        col("oids"), col("dids"))
-      .select(col("sh"),
-        when(col("df") > cap, lit(null))
-          .otherwise(array_sort(concat(
-            coalesce(col("oids"), expr("array()")),
-            coalesce(col("dids"), expr("array()"))))).as("ids"),
-        col("df"))
+        when(coalesce(col("odf"), lit(0L)) + coalesce(col("ddf"), lit(0L)) > cap,
+          lit(null))
+          .otherwise(array_sort(concat(col("oids"), col("dids")))).as("ids"))
+      .select(col("sh"), col("ids"), col("df"))
       .filter(col("ids").isNotNull)
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val kc = mgDelta.select(explode(col("ids")).as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("kc"))
     val cands = pairCounts(mgDelta)
@@ -369,8 +379,7 @@ object DedupIndex {
     // no public handle to release (Stages.scala documents the trap) —
     // this handle is unpersisted in the cleanup below.
     if (sys.env.get("GRAFT_PHASE_TIMINGS").contains("2")) { // sub-attribution
-      ogDelta.count(); phase("  og_semi_merge")
-      mgDelta.count(); phase("  mg_merge")
+      sideMerged.count(); phase("  og_mg_merge")
       cands.count(); phase("  cands")
       docsCand.count(); phase("  docs_cand_fetch")
     }
@@ -388,8 +397,9 @@ object DedupIndex {
     // docs, so the whole recheck is delta-bounded — and most appends
     // cross NO shingle over the cap, so the empty-docsH early-exit
     // skips the witness re-aggregation entirely.
-    val docsH = ogDelta.join(dg, Seq("sh"))
-      .filter(col("odf") <= cap && col("odf") + col("ddf") > cap)
+    val docsH = sideMerged
+      .filter(col("odf").isNotNull && col("ddf").isNotNull &&
+        col("odf") <= cap && col("odf") + col("ddf") > cap)
       .select(explode(col("oids")).as("doc_id")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val op = TxTable.read(spark, s"$dir/pairs")
@@ -552,7 +562,7 @@ object DedupIndex {
     droppedRdd.unpersist(blocking = false); docsH.unpersist()
     newPairsRdd.unpersist(blocking = false)
     cands.unpersist(); docsCand.unpersist()
-    mgDelta.unpersist(); ogDelta.unpersist(); dgSeg.unpersist(); nd.unpersist()
+    sideMerged.unpersist(); dgSeg.unpersist(); nd.unpersist()
     // LSM self-maintenance (the reference's InnoDB keeps its unique
     // index balanced per insert — init/mysql_loader.py:435-439; an LSM
     // amortizes the same upkeep into scheduled folds): once a table's
