@@ -172,8 +172,9 @@ object DedupIndex {
   /** Init-if-needed + overwrite: one atomic manifest commit per stage
     * table (build has no concurrent readers to protect, but the same
     * primitive everywhere keeps the lifecycle uniform). */
-  private def putTable(spark: SparkSession, dir: String, df: DataFrame): Unit = {
-    if (!TxTable.exists(dir)) TxTable.init(spark, dir, df.schema)
+  private def putTable(spark: SparkSession, dir: String, df: DataFrame,
+                       bloomCols: Seq[String] = Nil): Unit = {
+    if (!TxTable.exists(dir)) TxTable.init(spark, dir, df.schema, bloomCols)
     TxTable.overwrite(spark, dir, df)
     ()
   }
@@ -182,7 +183,10 @@ object DedupIndex {
             maxIter: Int = 20): Unit = {
     val d = docs.select(col("doc_id"), col("shs"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    putTable(spark, s"$dir/docs", d)
+    // doc_id blooms: the unique-index membership probe behind append's
+    // dupe check (see there) — every commit of this table harvests one
+    // per data dir.
+    putTable(spark, s"$dir/docs", d, bloomCols = Seq("doc_id"))
     val grouped = groupsWithDf(inv(d), cap)
       .persist(StorageLevel.MEMORY_AND_DISK)
     putTable(spark, s"$dir/groups", grouped)
@@ -248,9 +252,33 @@ object DedupIndex {
     val nd = newDocs.select(col("doc_id"), col("shs"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val newIds = nd.select(col("doc_id"))
-    val docsStored = TxTable.read(spark, s"$dir/docs")
-    val dupes = docsStored.select(col("doc_id"))
-      .join(broadcast(newIds), Seq("doc_id"), "left_semi").count()
+    val docsSnap = TxTable.snapshot(s"$dir/docs")
+    val docsStored = TxTable.read(spark, s"$dir/docs", docsSnap)
+    // Unique-key check via the manifest's doc_id BLOOM FILTERS: a Bloom
+    // has no false negatives, so a delta id no filter claims is PROVEN
+    // absent with zero corpus I/O — the InnoDB-unique-index probe shape
+    // at a scale where scanning the key column per batch is impossible.
+    // Only bloom-POSITIVE ids (real dupes, or ~fpp false positives)
+    // need the exact probe, and that probe's IN filter pushes to the
+    // parquet scan for row-group skipping. Fallbacks — missing blooms,
+    // an over-bound delta, or a suspect set too big for an IN list —
+    // take the exact corpus semi-join this replaces.
+    val deltaIdRows = newIds.limit(MaxReplaceKeys + 1).collect()
+    val bloomSuspects = TxTable.keyBlooms(s"$dir/docs", docsSnap, "doc_id") match {
+      case Some(bfs) if deltaIdRows.length <= MaxReplaceKeys =>
+        Some(deltaIdRows.iterator.map(_.getLong(0))
+          .filter(id => bfs.exists(_.mightContainLong(id))).toSeq)
+      case _ => None
+    }
+    val dupes = bloomSuspects match {
+      case Some(Nil) => 0L
+      case Some(suspects) if suspects.length <= 1000 =>
+        docsStored.select(col("doc_id"))
+          .filter(col("doc_id").isInCollection(suspects)).count()
+      case _ =>
+        docsStored.select(col("doc_id"))
+          .join(broadcast(newIds), Seq("doc_id"), "left_semi").count()
+    }
     require(dupes == 0L,
       s"append: $dupes delta doc_ids already present in $dir/docs")
     phase("dupe_check")
@@ -261,6 +289,15 @@ object DedupIndex {
     // back-to-back at the end.
     val docsSchema = nd.schema
     val uDocs = TxTable.stage(s"$dir/docs", nd)
+    // The new segment's doc_id Bloom, built from the ids ALREADY
+    // collected for the dupe probe — a driver loop over the delta's
+    // keys instead of the commit-time harvest's data pass.
+    if (deltaIdRows.length <= MaxReplaceKeys) {
+      val bf = org.apache.spark.util.sketch.BloomFilter.create(
+        math.max(deltaIdRows.length, 1).toLong, TxTable.BloomFpp)
+      deltaIdRows.foreach(r => bf.putLong(r.getLong(0)))
+      TxTable.preBloom(s"$dir/docs", uDocs, "doc_id", bf)
+    }
     val docsAll = docsStored.unionByName(nd)
     phase("stage_docs")
 
@@ -442,8 +479,8 @@ object DedupIndex {
     // Docs and groups still append — the index must reflect the new
     // docs' shingles so FUTURE deltas can pair against them.
     if (newPairsCount == 0L && droppedCount == 0L) {
-      TxTable.commitStaged(s"$dir/docs", uDocs, docsSchema, keepExisting = true)
-      TxTable.commitStaged(s"$dir/groups", uGroups, groupsSchema, keepExisting = true)
+      TxTable.commitStaged(spark, s"$dir/docs", uDocs, docsSchema, keepExisting = true)
+      TxTable.commitStaged(spark, s"$dir/groups", uGroups, groupsSchema, keepExisting = true)
       phase("commit_claims")
     } else {
     // PAIRS, write = O(delta) on the common path: when no stored pair
@@ -551,9 +588,9 @@ object DedupIndex {
     // claims leaves tables at adjacent versions — but never an
     // advanced docs table blocking a clean re-run, since docs claims
     // here with the rest).
-    TxTable.commitStaged(s"$dir/docs", uDocs, docsSchema, keepExisting = true)
-    TxTable.commitStaged(s"$dir/groups", uGroups, groupsSchema, keepExisting = true)
-    TxTable.commitStaged(s"$dir/pairs", uPairs, pairsSchema,
+    TxTable.commitStaged(spark, s"$dir/docs", uDocs, docsSchema, keepExisting = true)
+    TxTable.commitStaged(spark, s"$dir/groups", uGroups, groupsSchema, keepExisting = true)
+    TxTable.commitStaged(spark, s"$dir/pairs", uPairs, pairsSchema,
       keepExisting = pairsAppendOnly)
     stagedComponents.commit()
     phase("commit_claims")

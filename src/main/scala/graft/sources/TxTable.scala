@@ -67,9 +67,25 @@ object TxTable {
     * [[ParquetFooterStats.Utf8Ordering]]). String-keyed derived tables
     * (the reference's natural keys are VARCHAR — star_schema.sql:28-29)
     * get the same pruned-replace machinery as long keys. */
+  /** `bloomCols`/`blooms`: per-table KEY BLOOM FILTERS (Delta's bloom
+    * index / Iceberg's puffin shape, reduced to the membership test
+    * this engine needs). `bloomCols` is a table property set at [[init]]
+    * and carried by every commit: the columns whose per-data-dir Bloom
+    * filters commits harvest. `blooms` lists, per data dir, the columns
+    * whose sidecar file (`dir/_index/<dataDir>.<col>.bloom`, written
+    * BEFORE the claim) exists. A Bloom has NO false negatives, so "no
+    * filter says maybe" PROVES a key absent across the whole table
+    * without scanning it — the unique-index membership probe behind an
+    * INSERT IGNORE / dedup-on-ingest at a scale where scanning the key
+    * column per batch is impossible. Absent blooms (pre-bloom commits,
+    * over-[[MaxBloomItems]] dirs, replace-shaped commits) mean the
+    * consumer falls back to the exact scan — like stats, blooms are an
+    * optimization, never a correctness dependency. */
   final case class Snapshot(version: Long, schemaDdl: String, dirs: Seq[String],
                             stats: Map[String, Map[String, (Long, Long)]] = Map.empty,
-                            sstats: Map[String, Map[String, (String, String)]] = Map.empty)
+                            sstats: Map[String, Map[String, (String, String)]] = Map.empty,
+                            bloomCols: Seq[String] = Nil,
+                            blooms: Map[String, Seq[String]] = Map.empty)
 
   final class ConcurrentCommitException(version: Long)
     extends RuntimeException(
@@ -79,11 +95,15 @@ object TxTable {
   private def commitFile(dir: String, v: Long): Path =
     logDir(dir).resolve(f"v$v%016d.commit")
 
-  /** Create an empty table (version 0, no data files). */
-  def init(spark: SparkSession, dir: String, schema: StructType): Unit = {
+  /** Create an empty table (version 0, no data files). `bloomCols`
+    * (optional) registers key columns whose commits harvest per-dir
+    * Bloom filters — see [[Snapshot]]. */
+  def init(spark: SparkSession, dir: String, schema: StructType,
+           bloomCols: Seq[String] = Nil): Unit = {
     Files.createDirectories(logDir(dir))
     Files.createDirectories(Paths.get(dir, "data"))
-    writeCommit(commitFile(dir, 0L), schema.toDDL, Seq.empty, Map.empty, Map.empty)
+    writeCommit(commitFile(dir, 0L), schema.toDDL, Seq.empty, Map.empty, Map.empty,
+      bloomCols, Map.empty)
   }
 
   /** List a directory's entry names, closing the stream (Files.list
@@ -117,7 +137,7 @@ object TxTable {
         return Snapshot(v,
           (m \ "schema").extract[String],
           (m \ "dirs").extract[Seq[String]],
-          parseStats(m), parseSStats(m))
+          parseStats(m), parseSStats(m), parseBloomCols(m), parseBlooms(m))
       }
     }
     throw new IllegalStateException(
@@ -133,6 +153,24 @@ object TxTable {
         .map { case (f, cols) =>
           f -> cols.collect { case (c, Seq(lo, hi)) => c -> (lo, hi) }
         }
+    }
+  }
+
+  /** Bloom-column table property; absent (pre-bloom commits) → none. */
+  private def parseBloomCols(m: org.json4s.JValue): Seq[String] = {
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    (m \ "bloomCols") match {
+      case org.json4s.JNothing | org.json4s.JNull => Nil
+      case js => js.extract[Seq[String]]
+    }
+  }
+
+  /** Per-dir bloom sidecar listing; absent → empty. */
+  private def parseBlooms(m: org.json4s.JValue): Map[String, Seq[String]] = {
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    (m \ "blooms") match {
+      case org.json4s.JNothing | org.json4s.JNull => Map.empty
+      case js => js.extract[Map[String, Seq[String]]]
     }
   }
 
@@ -187,6 +225,94 @@ object TxTable {
      }.toMap)
   }
 
+  /** Bloom sizing: target false-positive rate, and the per-dir row
+    * count past which the harvest is SKIPPED (a 1e-4 filter costs
+    * ~2.4 bytes/key — the cap bounds a sidecar at ~5 MB; a dir bigger
+    * than that is a bulk build/compaction, whose consumers fall back
+    * to the exact probe, not a delta commit). fpp is deliberately low:
+    * the probe's payoff is proving a whole delta ABSENT (expected
+    * false positives per probe batch ≈ fpp × batch size must stay ≪ 1
+    * or every batch degrades to the exact fallback anyway). */
+  val BloomFpp = 1e-4
+  private val MaxBloomItems = 2L * 1000 * 1000
+
+  /** Pre-write a caller-computed Bloom sidecar for a STAGED dir. A
+    * delta-shaped committer often already holds the staged rows' keys
+    * driver-side (bounded collects it ran anyway); building the filter
+    * there and handing it over skips the harvest's per-commit data
+    * pass — [[harvestBlooms]] trusts an existing sidecar and lists it
+    * without re-reading the dir. The caller owns exactness: the filter
+    * must cover EVERY key in the staged dir (a missed key would be a
+    * false negative, breaking the absence proof), and should use
+    * [[BloomFpp]]. */
+  def preBloom(dir: String, uuid: String, col: String,
+               bf: org.apache.spark.util.sketch.BloomFilter): Unit = {
+    Files.createDirectories(indexDir(dir))
+    val out = Files.newOutputStream(bloomPath(dir, uuid, col))
+    try bf.writeTo(out) finally out.close()
+  }
+
+  private def indexDir(dir: String) = Paths.get(dir, "_index")
+  private def bloomPath(dir: String, uuid: String, col: String): Path =
+    indexDir(dir).resolve(s"$uuid.$col.bloom")
+
+  /** Commit-time Bloom harvest for a just-staged data dir: one filter
+    * per registered column, sized from the dir's footer row counts,
+    * written as a sidecar BEFORE the claim (a crash leaves an orphan
+    * sidecar; [[vacuum]] reclaims it with the dir). Returns the
+    * manifest listing for the dirs that got filters. Skips: no
+    * registered columns, a column absent from this commit's schema, or
+    * a dir over [[MaxBloomItems]] — every skip is conservative (absent
+    * filter = exact fallback at probe time). */
+  private def harvestBlooms(spark: SparkSession, dir: String, uuid: String,
+                            schema: StructType, bloomCols: Seq[String])
+      : Map[String, Seq[String]] = {
+    val cols = bloomCols.filter(c => schema.fieldNames.contains(c))
+    if (cols.isEmpty) return Map.empty
+    val root = Paths.get(stagedPath(dir, uuid))
+    if (!Files.isDirectory(root)) return Map.empty
+    // [[preBloom]]ed columns are listed as-is; only the rest pay the
+    // data pass.
+    val (pre, todo) = cols.partition(c => Files.exists(bloomPath(dir, uuid, c)))
+    val listing = if (pre.isEmpty) Map.empty[String, Seq[String]] else Map(uuid -> pre)
+    if (todo.isEmpty) return listing
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val rows = listNames(root).filter(_.endsWith(".parquet")).map { name =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(root.resolve(name).toUri), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getFooter.getBlocks.asScala.map(_.getRowCount).sum finally r.close()
+    }.sum
+    if (rows > MaxBloomItems) return listing
+    Files.createDirectories(indexDir(dir))
+    val df = spark.read.schema(schema).parquet(stagedPath(dir, uuid))
+    val written = todo.map { c =>
+      val bf = df.stat.bloomFilter(c, math.max(rows, 1L), BloomFpp)
+      val out = Files.newOutputStream(bloomPath(dir, uuid, c))
+      try bf.writeTo(out) finally out.close()
+      c
+    }
+    Map(uuid -> (pre ++ written))
+  }
+
+  /** The table's Bloom filters for `col` at `snap`: `Some(filters)` —
+    * one per data dir, `mightContain` over ALL of them is the
+    * membership probe — iff EVERY dir carries one and every sidecar
+    * loads; `None` (conservative: caller must fall back to an exact
+    * scan) otherwise. An empty table yields `Some(Nil)`: no filter
+    * says maybe, correctly proving every key absent. */
+  def keyBlooms(dir: String, snap: Snapshot, col: String)
+      : Option[Seq[org.apache.spark.util.sketch.BloomFilter]] = {
+    if (!snap.dirs.forall(d => snap.blooms.getOrElse(d, Nil).contains(col)))
+      return None
+    try Some(snap.dirs.map { d =>
+      val in = Files.newInputStream(bloomPath(dir, d, col))
+      try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+      finally in.close()
+    })
+    catch { case _: java.io.IOException => None } // lost sidecar: fall back
+  }
+
   /** The table AT `snap`: scans the snapshot's literal paths, immune to
     * later commits (snapshot isolation by construction). */
   def read(spark: SparkSession, dir: String, snap: Snapshot): DataFrame = {
@@ -213,13 +339,20 @@ object TxTable {
   private def claimFrom(dir: String, dirs: Seq[String], schemaDdl: String,
                         firstCandidate: Long,
                         stats: Map[String, Map[String, (Long, Long)]] = Map.empty,
-                        sstats: Map[String, Map[String, (String, String)]] = Map.empty)
+                        sstats: Map[String, Map[String, (String, String)]] = Map.empty,
+                        bloomCols: Seq[String] = Nil,
+                        blooms: Map[String, Seq[String]] = Map.empty)
       : Snapshot = {
+    // A manifest only lists blooms for its own member dirs (a replace
+    // drops the replaced dirs' filters; their sidecars die with the
+    // dirs at vacuum).
+    val liveBlooms = blooms.view.filterKeys(dirs.toSet).toMap
     var next = firstCandidate
     while (true) {
       try {
-        writeCommit(commitFile(dir, next), schemaDdl, dirs, stats, sstats)
-        return Snapshot(next, schemaDdl, dirs, stats, sstats)
+        writeCommit(commitFile(dir, next), schemaDdl, dirs, stats, sstats,
+          bloomCols, liveBlooms)
+        return Snapshot(next, schemaDdl, dirs, stats, sstats, bloomCols, liveBlooms)
       } catch { case _: FileAlreadyExistsException =>
         val existing = commitFile(dir, next)
         if (Files.exists(existing) && Files.size(existing) == 0L)
@@ -238,10 +371,12 @@ object TxTable {
              expected: Snapshot, keepExisting: Boolean = false): Snapshot = {
     val u = stage(dir, df)
     val (newStats, newSStats) = statsFor(dir, u, df.schema)
+    val newBlooms = harvestBlooms(spark, dir, u, df.schema, expected.bloomCols)
     val dirs = (if (keepExisting) expected.dirs else Seq.empty) :+ u
     val stats = (if (keepExisting) expected.stats else Map.empty[String, Map[String, (Long, Long)]]) ++ newStats
     val sstats = (if (keepExisting) expected.sstats else Map.empty[String, Map[String, (String, String)]]) ++ newSStats
-    try claimFrom(dir, dirs, df.schema.toDDL, expected.version + 1, stats, sstats)
+    try claimFrom(dir, dirs, df.schema.toDDL, expected.version + 1, stats, sstats,
+      expected.bloomCols, expected.blooms ++ newBlooms)
     catch { case e: ConcurrentCommitException =>
       deleteRec(Paths.get(dir, "data", u)) // lost the race: our data never became visible
       throw e
@@ -293,14 +428,17 @@ object TxTable {
     * appended part with `keepExisting = true`), retrying past concurrent
     * commits — the staged directory is immutable, so a retry re-claims
     * without rewriting data. */
-  def commitStaged(dir: String, uuid: String, schema: StructType,
-                   keepExisting: Boolean = false): Snapshot = {
+  def commitStaged(spark: SparkSession, dir: String, uuid: String,
+                   schema: StructType, keepExisting: Boolean = false): Snapshot = {
     val (newStats, newSStats) = statsFor(dir, uuid, schema) // once — not per retry
+    val newBlooms = // once — the property can't change mid-claim (single writer)
+      harvestBlooms(spark, dir, uuid, schema, snapshot(dir).bloomCols)
     retrying(dir) { s =>
       claimFrom(dir, (if (keepExisting) s.dirs else Seq.empty) :+ uuid,
         schema.toDDL, s.version + 1,
         (if (keepExisting) s.stats else Map.empty[String, Map[String, (Long, Long)]]) ++ newStats,
-        (if (keepExisting) s.sstats else Map.empty[String, Map[String, (String, String)]]) ++ newSStats)
+        (if (keepExisting) s.sstats else Map.empty[String, Map[String, (String, String)]]) ++ newSStats,
+        s.bloomCols, s.blooms ++ newBlooms)
     }
   }
 
@@ -325,8 +463,13 @@ object TxTable {
                        knownSStats: Map[String, Map[String, (String, String)]] = Map.empty,
                        harvestExclude: String => Boolean = _ => false): Snapshot = {
     val (newStats, newSStats) = statsFor(dir, uuid, schema, harvestExclude)
+    // No bloom harvest on the replace path (no SparkSession here, and a
+    // replaced dir mixes carried + fresh rows): the property carries,
+    // the new dir is simply filter-less — consumers fall back to the
+    // exact probe for it, never a wrong answer.
     try claimFrom(dir, Seq(uuid), schema.toDDL, expected.version + 1,
-      knownStats ++ newStats, knownSStats ++ newSStats)
+      knownStats ++ newStats, knownSStats ++ newSStats,
+      expected.bloomCols, expected.blooms)
     catch { case e: ConcurrentCommitException =>
       deleteRec(Paths.get(stagedPath(dir, uuid))) // never became visible
       throw e
@@ -354,7 +497,8 @@ object TxTable {
     val dirs = (m \ "dirs").extract[Seq[String]]
     retrying(dir) { s =>
       if (s.version == version) s
-      else claimFrom(dir, dirs, ddl, s.version + 1, parseStats(m), parseSStats(m))
+      else claimFrom(dir, dirs, ddl, s.version + 1, parseStats(m), parseSStats(m),
+        parseBloomCols(m), parseBlooms(m))
     }
   }
 
@@ -376,7 +520,8 @@ object TxTable {
     require(json.nonEmpty, s"version $version of $dir is a dead claim")
     val m = org.json4s.jackson.JsonMethods.parse(json)
     Snapshot(version, (m \ "schema").extract[String],
-      (m \ "dirs").extract[Seq[String]], parseStats(m), parseSStats(m))
+      (m \ "dirs").extract[Seq[String]], parseStats(m), parseSStats(m),
+      parseBloomCols(m), parseBlooms(m))
   }
 
   /** Rows ADDED to the table by commits in `(sinceVersion, toVersion]`
@@ -483,6 +628,20 @@ object TxTable {
                Files.getLastModifiedTime(p).toMillis < cutoff) deleteRec(p)
     }
     drop.foreach(v => Files.delete(commitFile(dir, v)))
+    // Bloom sidecars die with their data dir: reclaim any whose dir is
+    // no longer live — superseded immediately, never-committed under
+    // the same retention as data orphans (the sidecar is written just
+    // before its commit's claim, so a fresh one may belong to an
+    // in-flight commit).
+    if (Files.isDirectory(indexDir(dir)))
+      listNames(indexDir(dir)).filter(_.endsWith(".bloom")).foreach { n =>
+        val uuid = n.takeWhile(_ != '.')
+        val p = indexDir(dir).resolve(n)
+        if (superseded.contains(uuid)) Files.deleteIfExists(p)
+        else if (!live.contains(uuid) &&
+                 Files.getLastModifiedTime(p).toMillis < cutoff)
+          Files.deleteIfExists(p)
+      }
     // Unclaimed manifest temp files from crashed writers (writeCommit
     // crash before link): same retention as data orphans.
     listNames(logDir(dir)).filter(_.endsWith(".tmp")).foreach { n =>
@@ -493,7 +652,9 @@ object TxTable {
 
   private def writeCommit(path: Path, schemaDdl: String, dirs: Seq[String],
                           stats: Map[String, Map[String, (Long, Long)]],
-                          sstats: Map[String, Map[String, (String, String)]]): Unit = {
+                          sstats: Map[String, Map[String, (String, String)]],
+                          bloomCols: Seq[String] = Nil,
+                          blooms: Map[String, Seq[String]] = Map.empty): Unit = {
     implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
     val statsJson = stats.map { case (f, cols) =>
       f -> cols.map { case (c, (lo, hi)) => c -> Seq(lo, hi) }
@@ -503,7 +664,7 @@ object TxTable {
     }
     val json = org.json4s.jackson.Serialization.write(
       Map("schema" -> schemaDdl, "dirs" -> dirs, "stats" -> statsJson,
-        "sstats" -> sstatsJson))
+        "sstats" -> sstatsJson, "bloomCols" -> bloomCols, "blooms" -> blooms))
     // Content must be durable BEFORE the claim: write the manifest to a
     // private temp name, then claim the version with link(2) — atomic
     // and create-exclusive (fails EEXIST), and the commit file is

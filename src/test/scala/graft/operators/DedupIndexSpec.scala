@@ -137,6 +137,23 @@ class DedupIndexSpec extends SparkSpec {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("docs commits keep doc_id bloom coverage (the scan-free dupe probe)") {
+    import graft.sources.TxTable
+    val dir = tmp()
+    DedupIndex.build(spark, df(base), dir, Cap)
+    DedupIndex.append(spark, df(delta), dir, Cap)
+    // Build AND every append segment carry a filter: the dupe check's
+    // absence proof needs full coverage or it falls back to the scan.
+    val s = TxTable.snapshot(s"$dir/docs")
+    val bfs = TxTable.keyBlooms(s"$dir/docs", s, "doc_id")
+      .getOrElse(fail("docs table lost doc_id bloom coverage"))
+    assert(bfs.size == s.dirs.size)
+    (base ++ delta).foreach { case (id, _) =>
+      assert(bfs.exists(_.mightContainLong(id)), s"false negative for doc $id")
+    }
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("append writes only a delta segment; compaction is result-transparent") {
     import graft.sources.TxTable
     def segments(dir: String): Seq[String] = TxTable.snapshot(s"$dir/groups").dirs

@@ -120,11 +120,11 @@ class TxTableSpec extends SparkSpec {
     // pipeline materialize intermediates before going visible).
     assert(Files.exists(Paths.get(TxTable.stagedPath(dir, u))))
     assert(TxTable.read(spark, dir).collect().map(_.getLong(0)).toSeq == Seq(1L))
-    TxTable.commitStaged(dir, u, df2.schema)
+    TxTable.commitStaged(spark, dir, u, df2.schema)
     assert(TxTable.read(spark, dir).collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
     // keepExisting appends a staged segment instead of replacing.
     val u2 = TxTable.stage(dir, Seq((4L, 4L)).toDF("k", "v"))
-    TxTable.commitStaged(dir, u2, df2.schema, keepExisting = true)
+    TxTable.commitStaged(spark, dir, u2, df2.schema, keepExisting = true)
     assert(TxTable.read(spark, dir).count() == 3)
   }
 
@@ -266,5 +266,56 @@ class TxTableSpec extends SparkSpec {
     TxTable.vacuum(dir, keepLast = 1)
     assert(nData() == 1)
     assert(TxTable.read(spark, dir).collect().map(_.getLong(0)).toSeq == Seq(3L))
+  }
+
+  test("key blooms: no false negatives, absence proof, carry, restore") {
+    val dir = tmp()
+    TxTable.init(spark, dir, schema, bloomCols = Seq("k"))
+    // Empty table: no filter says maybe — every key proven absent.
+    assert(TxTable.keyBlooms(dir, TxTable.snapshot(dir), "k") == Some(Nil))
+    TxTable.overwrite(spark, dir, (1L to 500L).map(i => (i, i)).toDF("k", "v"))
+    TxTable.append(spark, dir, (1001L to 1500L).map(i => (i, i)).toDF("k", "v"))
+    val s = TxTable.snapshot(dir)
+    assert(s.bloomCols == Seq("k"), "bloom-column property lost")
+    val bfs = TxTable.keyBlooms(dir, s, "k")
+      .getOrElse(fail("blooms absent after bloom-col commits"))
+    assert(bfs.size == s.dirs.size)
+    // NO false negatives: every committed key must hit some filter.
+    (1L to 500L) ++ (1001L to 1500L) foreach { k =>
+      assert(bfs.exists(_.mightContainLong(k)), s"false negative for $k")
+    }
+    // fpp 1e-4: 10k absent probes expect ~1 false positive; assert the
+    // probe proves the bulk absent (≤ 50 gives 50× headroom — the
+    // filter is deterministic for fixed inputs, so this cannot flake).
+    val fp = (1000000L to 1010000L).count(k => bfs.exists(_.mightContainLong(k)))
+    assert(fp <= 50, s"$fp false positives in 10k absent probes")
+    // Unregistered column → conservative None.
+    assert(TxTable.keyBlooms(dir, s, "v").isEmpty)
+    // RESTORE carries the filter listing with the dirs.
+    TxTable.overwrite(spark, dir, Seq((9L, 9L)).toDF("k", "v"))
+    TxTable.restore(spark, dir, s.version)
+    val r = TxTable.snapshot(dir)
+    assert(TxTable.keyBlooms(dir, r, "k").exists(_.size == r.dirs.size),
+      "restore dropped bloom coverage")
+  }
+
+  test("bloom sidecars die with their dirs at vacuum; reads stay safe") {
+    val dir = tmp()
+    TxTable.init(spark, dir, schema, bloomCols = Seq("k"))
+    TxTable.overwrite(spark, dir, Seq((1L, 1L)).toDF("k", "v"))
+    TxTable.overwrite(spark, dir, Seq((2L, 2L)).toDF("k", "v"))
+    def nBlooms() = { val st = Files.list(Paths.get(dir, "_index"))
+      try st.count() finally st.close() }
+    assert(nBlooms() == 2)
+    TxTable.vacuum(dir, keepLast = 1, orphanRetentionMs = 0L)
+    assert(nBlooms() == 1, "superseded dir's sidecar not reclaimed")
+    val s = TxTable.snapshot(dir)
+    assert(TxTable.keyBlooms(dir, s, "k").exists(bfs =>
+      bfs.exists(_.mightContainLong(2L))))
+    // A deleted sidecar (manual damage) degrades to conservative None,
+    // never a wrong membership answer.
+    val st = Files.list(Paths.get(dir, "_index"))
+    try st.forEach(p => Files.delete(p)) finally st.close()
+    assert(TxTable.keyBlooms(dir, s, "k").isEmpty)
   }
 }
