@@ -592,6 +592,55 @@ object Warehouse {
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY 1 ORDER BY 1""")),
 
+    // POINT LOOKUP by VARCHAR natural key from log metadata only — the
+    // reference's hottest read shape (`SELECT … WHERE business_id = ?`
+    // behind every detail page, webapp/mysql_routes.py; MySQL answers
+    // it from the primary-key B-tree). The lake twin: a c_name-keyed
+    // summary committed range-clustered (each file a contiguous name
+    // interval, UTF-8 bounds in the manifest sstats, a name Bloom per
+    // data dir), then TxTable.lookupStringKeys plans the probe from
+    // the MANIFEST alone — absent keys die on the Bloom (zero I/O),
+    // present keys prune to the files whose bounds cover them, and the
+    // IN predicate pushes into those files' row groups. The probed
+    // names resolve from fixed custkeys so the oracle can replay the
+    // same keys; the two literal probes exercise the absence path.
+    QueryDef(
+      "q_tx_point_lookup",
+      t => {
+        import graft.operators.Stages
+        import graft.sources.TxTable
+        import org.apache.spark.sql.types.StructType
+        val dir = Stages.tempDir(t.spark, s"tx_lookup:${t.dir}") { d =>
+          TxTable.init(t.spark, d,
+            StructType.fromDDL("name STRING, order_cnt BIGINT, total_spent DECIMAL(38,2)"),
+            bloomCols = Seq("name"))
+          TxTable.overwrite(t.spark, d,
+            t.orders.join(
+                t.customer.select(col("c_custkey"), col("c_name").as("name")),
+                col("o_custkey") === col("c_custkey"))
+              .groupBy(col("name"))
+              .agg(count(lit(1)).as("order_cnt"),
+                sum(col("o_totalprice").cast("decimal(18,2)")).as("total_spent"))
+              .repartitionByRange(8, col("name"))
+              .sortWithinPartitions(col("name")))
+        }
+        val probeKeys = t.customer
+          .filter(col("c_custkey").isin(7L, 700L, 1301L))
+          .select(col("c_name")).collect().map(_.getString(0)).toSeq
+        TxTable.lookupStringKeys(t.spark, dir, "name",
+            probeKeys ++ Seq("Customer#absent-probe", "zzz-no-such-key"))
+          .select(col("name"),
+            col("order_cnt").cast("long").as("order_cnt"),
+            col("total_spent").cast("double").as("total_spent"))
+          .orderBy(col("name"))
+      },
+      Some(s"""
+        SELECT c_name AS name, COUNT(*) AS order_cnt,
+          ${sqlSum("o_totalprice")} AS total_spent
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE c_custkey IN (7, 700, 1301)
+        GROUP BY 1 ORDER BY 1""")),
+
     // Stats-pruned time-slice read of a TxTable fact store: the store
     // is seeded ONCE per session as four week-sliced append commits
     // (a micro-batch ingest history — each commit's manifest carries

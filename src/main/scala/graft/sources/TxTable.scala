@@ -313,6 +313,46 @@ object TxTable {
     catch { case _: java.io.IOException => None } // lost sidecar: fall back
   }
 
+  /** Planning half of [[lookupStringKeys]]: the data files a lookup of
+    * `keys` must read, from the manifest alone — keys no Bloom filter
+    * claims are dropped first (absence proven, zero I/O), then files
+    * whose sstats bounds exclude every surviving key are skipped
+    * (compare in parquet's unsigned-UTF-8 order only). Stats-less
+    * files are conservative hits. Exposed for plan assertions. */
+  def lookupStringFiles(dir: String, snap: Snapshot, col: String,
+                        keys: Seq[String]): Seq[Path] = {
+    val candidates = keyBlooms(dir, snap, col) match {
+      case Some(bfs) => keys.filter(k => bfs.exists(_.mightContainString(k)))
+      case None => keys
+    }
+    if (candidates.isEmpty) return Seq.empty
+    val ord = ParquetFooterStats.Utf8Ordering
+    dataFilesString(dir, snap).collect {
+      case (p, st) if st.get(col).forall { case (lo, hi) =>
+        candidates.exists(k => ord.lteq(lo, k) && ord.lteq(k, hi)) } => p
+    }
+  }
+
+  /** POINT LOOKUP by a string natural key (the reference's every-page
+    * read: `SELECT … WHERE business_id = ?`, webapp mysql_routes.py —
+    * MySQL answers it from the primary-key B-tree; at lake scale the
+    * same read must come from log metadata, not a table scan). Plans
+    * from the manifest alone — Bloom absence proof, then sstats file
+    * pruning — and scans only the surviving files with an IN predicate
+    * pushed to parquet for row-group skipping. Exact for any key set:
+    * pruning only ever drops files/keys PROVEN unable to match. */
+  def lookupStringKeys(spark: SparkSession, dir: String, col: String,
+                       keys: Seq[String]): DataFrame = {
+    val snap = snapshot(dir)
+    val schema = StructType.fromDDL(snap.schemaDdl)
+    val files = lookupStringFiles(dir, snap, col, keys)
+    if (files.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(files.map(_.toString): _*)
+      .filter(org.apache.spark.sql.functions.col(col).isInCollection(keys))
+  }
+
   /** The table AT `snap`: scans the snapshot's literal paths, immune to
     * later commits (snapshot isolation by construction). */
   def read(spark: SparkSession, dir: String, snap: Snapshot): DataFrame = {

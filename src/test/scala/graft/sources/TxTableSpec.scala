@@ -299,6 +299,28 @@ class TxTableSpec extends SparkSpec {
       "restore dropped bloom coverage")
   }
 
+  test("string point lookup plans from the manifest: bloom + bounds pruning") {
+    val dir = tmp()
+    val sch = StructType.fromDDL("name STRING, v BIGINT")
+    TxTable.init(spark, dir, sch, bloomCols = Seq("name"))
+    val rows = ('a' to 'h').flatMap(c => Seq((s"${c}1", 1L), (s"${c}2", 2L)))
+    TxTable.overwrite(spark, dir, rows.toDF("name", "v")
+      .repartitionByRange(8, col("name")).sortWithinPartitions(col("name")))
+    val s = TxTable.snapshot(dir)
+    val all = TxTable.dataFilesString(dir, s)
+    assert(all.size >= 4, s"range clustering wrote ${all.size} files")
+    // A present key prunes to the single file whose bounds cover it.
+    assert(TxTable.lookupStringFiles(dir, s, "name", Seq("c1")).size == 1)
+    // An absent key INSIDE the global range: file bounds alone would
+    // hit a file, but the Bloom proves it absent — zero files planned.
+    // (Deterministic: a fixed key either collides at fpp 1e-4 or not.)
+    assert(TxTable.lookupStringFiles(dir, s, "name", Seq("c9")).isEmpty)
+    // The lookup read returns exactly the present keys' rows.
+    val got = TxTable.lookupStringKeys(spark, dir, "name", Seq("c1", "f2", "zzz"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(got == Seq(("c1", 1L), ("f2", 2L)))
+  }
+
   test("bloom sidecars die with their dirs at vacuum; reads stay safe") {
     val dir = tmp()
     TxTable.init(spark, dir, schema, bloomCols = Seq("k"))
