@@ -549,7 +549,7 @@ object TxTable {
   def versions(dir: String): Seq[Long] =
     commitVersions(dir).filter(v => Files.size(commitFile(dir, v)) > 0L)
 
-  private def snapshotAt(dir: String, version: Long): Snapshot = {
+  private[sources] def snapshotAt(dir: String, version: Long): Snapshot = {
     val f = commitFile(dir, version)
     require(Files.exists(f),
       s"version $version of $dir is gone (vacuumed?) — an incremental " +

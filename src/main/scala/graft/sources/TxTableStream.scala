@@ -1,0 +1,144 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
+import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming SOURCE over a [[TxTable]] commit log — Delta's
+  * "stream a table" shape (DeltaSource) reduced to the append-only case
+  * this engine's change reads support. The reference's streaming
+  * pipeline tails a Kafka topic (streaming/consumer.py); the engine's
+  * transactional twin lets any TxTable BE the topic: offsets are commit
+  * VERSIONS, a micro-batch reads exactly the new commits' data
+  * directories ([[TxTable.readChanges]] — no re-scan of the table, no
+  * per-file listing), and the atomic-claim commit protocol makes a
+  * version either fully visible to the stream or not at all.
+  *
+  *   spark.readStream.format("graft-txtable").load(dir)
+  *
+  * Options:
+  *   - `startingVersion` (default `earliest`): `earliest` delivers the
+  *     table's FULL SNAPSHOT as the first batch, then increments —
+  *     Delta's default for streaming an existing table; `latest` streams
+  *     only commits after the query first starts (the resolved base
+  *     version is persisted in the checkpoint's source-metadata dir, so
+  *     a restart resumes from the SAME base — the Kafka source persists
+  *     its initial offsets the same way); an integer N streams commits
+  *     strictly after version N.
+  *   - `maxCommitsPerTrigger`: admission control — at most this many
+  *     commits per micro-batch (the snapshot batch counts as one).
+  *
+  * Contract: the streamed range must be APPEND-ONLY, and
+  * [[TxTable.readChanges]] CHECKS it — a rewrite/compaction inside the
+  * range fails the stream loudly (Delta's default without
+  * ignoreChanges) instead of silently re-delivering rewritten rows.
+  * Exactly-once follows from the engine's offset log plus
+  * readChanges' gap-free `(since, to]` tiling. */
+class TxTableStreamProvider extends StreamSourceProvider with DataSourceRegister {
+  override def shortName(): String = "graft-txtable"
+
+  private def dirOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft-txtable requires a table directory: .load(dir) or option(\"path\", dir)"))
+
+  override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
+                            providerName: String, parameters: Map[String, String])
+      : (String, StructType) =
+    (shortName(), schema.getOrElse(
+      StructType.fromDDL(TxTable.snapshot(dirOf(parameters)).schemaDdl)))
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): Source = {
+    val dir = dirOf(parameters)
+    val maxCommits = parameters.get("maxCommitsPerTrigger").map(_.toInt)
+    val starting = parameters.getOrElse("startingVersion", "earliest")
+    new TxTableSource(
+      sqlContext.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      dir, metadataPath, starting, maxCommits)
+  }
+}
+
+private[sources] final class TxTableSource(
+    spark: org.apache.spark.sql.classic.SparkSession, dir: String,
+    metadataPath: String, startingVersion: String,
+    maxCommitsPerTrigger: Option[Int]) extends Source {
+
+  override val schema: StructType =
+    StructType.fromDDL(TxTable.snapshot(dir).schemaDdl)
+
+  /** `earliest` → snapshot-first (no base version needed: a `(None,
+    * end]` batch IS the snapshot at `end`, deterministic on replay).
+    * Otherwise the version strictly BEFORE the first streamed commit. */
+  private val snapshotStart = startingVersion == "earliest"
+
+  /** `latest`'s base resolves ONCE, at first query start, and persists
+    * under the checkpoint — re-resolving on restart would drop every
+    * commit between the original start and the restart. */
+  private lazy val baseVersion: Long =
+    if (snapshotStart) -1L
+    else if (startingVersion != "latest") startingVersion.toLong
+    else {
+      val f = Paths.get(metadataPath, "graft-txtable-base")
+      if (Files.exists(f)) Files.readString(f).trim.toLong
+      else {
+        val base = TxTable.versions(dir).last
+        Files.createDirectories(f.getParent)
+        val tmp = f.resolveSibling(f.getFileName.toString + ".tmp")
+        Files.writeString(tmp, base.toString)
+        try Files.createLink(f, tmp)
+        catch { case _: java.nio.file.FileAlreadyExistsException => () } // racer won
+        finally Files.deleteIfExists(tmp)
+        Files.readString(f).trim.toLong
+      }
+    }
+
+  /** Pacing state: the newest version this source has OFFERED. Purely a
+    * batch-size knob — correctness lives in the engine's offset log and
+    * getBatch's exact `(start, end]` reads, so a restart resetting this
+    * only re-offers already-committed targets (harmless no-ops). */
+  @volatile private var offered: Long = Long.MinValue
+
+  override def getOffset: Option[OffsetV1] = {
+    val vs = TxTable.versions(dir)
+    if (vs.isEmpty) return None
+    val floor = if (snapshotStart) -1L else baseVersion
+    val seen = math.max(offered, floor)
+    val target = maxCommitsPerTrigger match {
+      case Some(n) =>
+        // Version numbers may skip dead claims: pace by COMMIT COUNT,
+        // not arithmetic on version numbers.
+        val done = vs.count(_ <= seen)
+        vs(math.min(done + n, vs.size) - 1)
+      case None => vs.last
+    }
+    offered = math.max(offered, target)
+    if (target <= floor && !snapshotStart) None else Some(LongOffset(target))
+  }
+
+  override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
+    val endV = versionOf(end)
+    val batch = start match {
+      case Some(s) => TxTable.readChanges(spark, dir, versionOf(s), endV)
+      case None if snapshotStart =>
+        TxTable.read(spark, dir, TxTable.snapshotAt(dir, endV))
+      case None => TxTable.readChanges(spark, dir, baseVersion, endV)
+    }
+    // v1 sources must hand back a frame marked streaming; the shim is
+    // the only way in (see StreamingFrame).
+    org.apache.spark.sql.graft.StreamingFrame.mark(spark,
+      batch.asInstanceOf[org.apache.spark.sql.classic.DataFrame])
+  }
+
+  private def versionOf(o: OffsetV1): Long = o match {
+    case l: LongOffset => l.offset
+    case s: SerializedOffset => LongOffset(s).offset
+    case other => throw new IllegalStateException(s"unexpected offset $other")
+  }
+
+  override def stop(): Unit = ()
+}
