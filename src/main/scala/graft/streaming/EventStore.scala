@@ -199,6 +199,15 @@ final class EventStore(root: String) {
     if (TxTable.exists(dir("fact_events"))) TxTable.snapshot(dir("fact_events")).version
     else 0L
 
+  /** The fact store as a STREAM (`graft-txtable` source): the
+    * [[factChangesSince]] poll loop handed to Structured Streaming —
+    * the engine owns the checkpointed version cursor, batches are
+    * exactly the new commits' files, and the downstream is any
+    * writeStream/foreachBatch. The store must exist (the source
+    * resolves its schema from the table's manifest). */
+  def factStream(spark: SparkSession): DataFrame =
+    spark.readStream.format("graft-txtable").load(dir("fact_events"))
+
   /** Fact rows with `ts` in [fromMicros, toMicros] (epoch µs, closed
     * interval), scanning ONLY the files whose manifest ts range
     * intersects the window — file-level time pruning from the stats

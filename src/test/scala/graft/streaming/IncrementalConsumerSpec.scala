@@ -83,4 +83,49 @@ class IncrementalConsumerSpec extends SparkSpec {
       assert(e.getMessage.contains("not append-only"))
     }
   }
+
+  test("factStream: the same silver→gold hop driven by Structured Streaming") {
+    import org.apache.spark.sql.DataFrame
+    val root = Files.createTempDirectory("graft_consumer_stream").toString
+    val store = new EventStore(root)
+    val events = Tables(spark, S.Sf0001).events
+    store.appendFacts(events.filter(col("event_id") % 3 === 0))
+
+    // The driver-side poll loop of the test above, handed to the engine:
+    // EventStore.factStream is the graft-txtable source over the fact
+    // store, so the VERSION CURSOR lives in the engine's checkpoint and
+    // each foreachBatch invocation sees exactly one poll's delta.
+    val state = scala.collection.mutable.Map.empty[String, (Long, java.math.BigDecimal)]
+    val q = store.factStream(spark)
+      .writeStream
+      .option("checkpointLocation", Files.createTempDirectory("graft_ckpt").toString)
+      .foreachBatch { (delta: DataFrame, _: Long) =>
+        delta.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("value").cast("decimal(18,2)")).as("total"))
+          .collect().foreach { r =>
+            val (c0, t0) = state.getOrElse(r.getString(0),
+              (0L, java.math.BigDecimal.ZERO))
+            state(r.getString(0)) = (c0 + r.getLong(1), t0.add(r.getDecimal(2)))
+          }
+        ()
+      }.start()
+    q.processAllAvailable()
+    store.appendFacts(events.filter(col("event_id") % 3 === 1))
+    store.appendFacts(events.filter(col("event_id") % 3 === 2))
+    q.processAllAvailable()
+    q.stop()
+
+    val expect = store.facts(spark).groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,2)")).as("total"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDecimal(2))))
+      .toMap
+    assert(state.keySet == expect.keySet)
+    expect.foreach { case (k, (c, t)) =>
+      val (gc, gt) = state(k)
+      assert(gc == c, s"$k count: streamed $gc vs recompute $c")
+      assert(gt.compareTo(t) == 0, s"$k total: streamed $gt vs recompute $t")
+    }
+  }
 }
