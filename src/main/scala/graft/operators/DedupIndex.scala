@@ -475,7 +475,7 @@ object DedupIndex {
     // components: skip their staging and commits entirely. Committing
     // anyway would add one empty pairs segment per append (dead dirs
     // every future read, stats map, and vacuum must enumerate) and
-    // drive a full carry-copy of the components table for nothing.
+    // drive a pointless replace commit of the components table.
     // Docs and groups still append — the index must reflect the new
     // docs' shingles so FUTURE deltas can pair against them.
     if (newPairsCount == 0L && droppedCount == 0L) {
@@ -623,6 +623,17 @@ object DedupIndex {
           TxTable.read(spark, s"$dir/docs")
             .repartitionByRange(col("doc_id")).sortWithinPartitions(col("doc_id")))
         phase("auto_compact_docs")
+      }
+      // Components: each by-reference replace keeps the old dirs and
+      // adds one (plus exclusions), so a long append stream fragments
+      // the dir list — the same OPTIMIZE trigger restores one
+      // range-clustered dir (and lets vacuum reclaim the excluded
+      // files).
+      if (TxTable.snapshot(s"$dir/components").dirs.size > autoCompactSegments) {
+        TxTable.overwrite(spark, s"$dir/components",
+          TxTable.read(spark, s"$dir/components")
+            .repartitionByRange(col("doc_id")).sortWithinPartitions(col("doc_id")))
+        phase("auto_compact_components")
       }
     }
     if (sys.env.get("GRAFT_PHASE_TIMINGS").exists(Set("1", "2")))

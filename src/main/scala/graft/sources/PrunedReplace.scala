@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.Path
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -11,10 +11,12 @@ import org.apache.spark.sql.types.StructType
   * the summary-specific merge (EventStore.mergeSummaryPruned) so every
   * keyed derived table gets it: only the files whose manifest key
   * range intersects the touched keys are read and rewritten; every
-  * other file carries into the new version byte-identical (a metadata
-  * entry on a transactional format; a file copy here). Planning reads
-  * ONE in-memory manifest ([[TxTable.dataFiles]]) — no footer opens
-  * except the pre-stats fallback.
+  * other file carries into the new version BY REFERENCE — the commit
+  * keeps its dir and lists the superseded files as removed
+  * ([[TxTable.Snapshot.excludes]], Delta's add/remove-file actions) —
+  * so a replace's I/O is O(rewritten files), never an O(table) copy.
+  * Planning reads ONE in-memory manifest ([[TxTable.dataFiles]]) — no
+  * footer opens except the pre-stats fallback.
   *
   * Keys may be LONG or STRING (the reference's natural keys are
   * VARCHAR — star_schema.sql:28-29 — so a business_id-keyed derived
@@ -39,31 +41,36 @@ import org.apache.spark.sql.types.StructType
   */
 object PrunedReplace {
 
-  /** A fully-staged (not yet visible) replace: everything is on disk —
-    * rewritten rows and byte-identical carries in one staged dir —
-    * and [[commit]] is a single atomic manifest claim. Multi-table
-    * maintenance stages ALL its tables first and then claims
-    * back-to-back, keeping the crash window to the claims themselves
-    * instead of spanning the job pipeline.
+  /** A fully-staged (not yet visible) replace: the REWRITTEN rows are
+    * on disk in one staged dir, untouched files stay exactly where
+    * they are (carried BY REFERENCE — the commit's manifest keeps their
+    * dirs and lists the superseded files in `removeFiles`, Delta's
+    * add/remove-file commit), and [[commit]] is a single atomic
+    * manifest claim. Multi-table maintenance stages ALL its tables
+    * first and then claims back-to-back, keeping the crash window to
+    * the claims themselves instead of spanning the job pipeline.
     *
     * `expected` pins the planning snapshot the staged contents derive
     * from — [[commit]] fails loudly past it (see object doc);
-    * `carriedStats`/`carriedSStats` remap the prior manifest's per-file
-    * stats onto the carried files' staged names, so commit-time footer
-    * harvesting touches only freshly WRITTEN files (stats are computed
-    * once, at first write, and ride the manifest thereafter — carried
-    * files whose prior version recorded none stay conservative hits
-    * until a compaction rewrites them). */
+    * `upgradedStats`/`upgradedSStats` are footer-fallback ranges read
+    * during planning for carried files the manifest had no stats for,
+    * merged in under their ORIGINAL file keys (pre-stats files upgrade
+    * into the manifest for free; commit-time footer harvesting touches
+    * only freshly written files). `carryDirs = false` is the
+    * whole-table replace (the staged dir IS the table — the over-bound
+    * fallback's shape). */
   final case class Staged(dir: String, uuid: String,
                           schema: StructType,
                           rewrittenFiles: Long, totalFiles: Long,
                           expected: TxTable.Snapshot,
-                          carriedStats: Map[String, Map[String, (Long, Long)]] = Map.empty,
-                          carriedSStats: Map[String, Map[String, (String, String)]] = Map.empty) {
+                          removeFiles: Map[String, Seq[String]] = Map.empty,
+                          upgradedStats: Map[String, Map[String, (Long, Long)]] = Map.empty,
+                          upgradedSStats: Map[String, Map[String, (String, String)]] = Map.empty,
+                          carryDirs: Boolean = false) {
     def commit(): Unit = {
       TxTable.commitStagedFrom(dir, uuid, schema, expected,
-        knownStats = carriedStats, knownSStats = carriedSStats,
-        harvestExclude = _.startsWith("carry-"))
+        knownStats = upgradedStats, knownSStats = upgradedSStats,
+        carryDirs = carryDirs, removeFiles = removeFiles)
       ()
     }
   }
@@ -208,21 +215,23 @@ object PrunedReplace {
     val rewritten = rewritten0
       .repartitionByRange(hit.size + 1, col(keyCol))
       .sortWithinPartitions(col(keyCol))
-    // Stage: rewritten rows + byte-identical carries become one
-    // invisible data dir; the caller's commit() is the single atomic
-    // manifest claim. Carried files KEEP their prior manifest stats
-    // under their staged names — commit harvests footers only for the
-    // freshly written part files.
+    // Stage ONLY the rewritten rows; untouched files never move — the
+    // commit's manifest keeps their dirs and lists the hit files as
+    // removed (carry by REFERENCE: O(rewritten) I/O per replace, where
+    // a physical carry is an O(table) copy — at scale, the difference
+    // between a merge and a migration). Footer-fallback ranges read
+    // during planning for stats-less CARRIED files upgrade into the
+    // manifest under their original keys.
     val u = TxTable.stage(dir, rewritten)
-    val staged = Paths.get(TxTable.stagedPath(dir, u))
-    val carried = carry.zipWithIndex.map { case ((f, (lst, sst)), i) =>
-      val name = s"carry-$i-${f.getFileName}"
-      Files.copy(f, staged.resolve(name), StandardCopyOption.COPY_ATTRIBUTES)
-      (s"$u/$name", lst, sst)
-    }
+    val fileKey = (f: Path) => (f.getParent.getFileName.toString, f.getFileName.toString)
+    val removeFiles = hit.map(h => fileKey(h._1))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val upgraded = carry.map { case (f, stats) => (fileKey(f), stats) }
     Staged(dir, u, rewritten.schema, hit.size.toLong,
       (hit.size + carry.size).toLong, snap,
-      carried.collect { case (k, lst, _) if lst.nonEmpty => k -> lst }.toMap,
-      carried.collect { case (k, _, sst) if sst.nonEmpty => k -> sst }.toMap)
+      removeFiles,
+      upgraded.collect { case ((d, n), (lst, _)) if lst.nonEmpty => s"$d/$n" -> lst }.toMap,
+      upgraded.collect { case ((d, n), (_, sst)) if sst.nonEmpty => s"$d/$n" -> sst }.toMap,
+      carryDirs = true)
   }
 }

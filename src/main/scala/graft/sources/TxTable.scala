@@ -81,11 +81,21 @@ object TxTable {
     * over-[[MaxBloomItems]] dirs, replace-shaped commits) mean the
     * consumer falls back to the exact scan — like stats, blooms are an
     * optimization, never a correctness dependency. */
+  /** `excludes`: per data dir, file names REMOVED from the table at
+    * this version while the rest of the dir stays live — Delta's
+    * remove-file action on the dir-granular log. This is what lets a
+    * keyed replace carry untouched files BY REFERENCE (a manifest
+    * entry) instead of copying them into a fresh dir: at 100 TB a
+    * delta-bounded merge must cost O(rewritten files), and a physical
+    * carry of every untouched file is an O(table) copy per merge.
+    * Readers subtract the excluded names; [[vacuum]] reclaims a file
+    * once every kept manifest that references its dir excludes it. */
   final case class Snapshot(version: Long, schemaDdl: String, dirs: Seq[String],
                             stats: Map[String, Map[String, (Long, Long)]] = Map.empty,
                             sstats: Map[String, Map[String, (String, String)]] = Map.empty,
                             bloomCols: Seq[String] = Nil,
-                            blooms: Map[String, Seq[String]] = Map.empty)
+                            blooms: Map[String, Seq[String]] = Map.empty,
+                            excludes: Map[String, Seq[String]] = Map.empty)
 
   final class ConcurrentCommitException(version: Long)
     extends RuntimeException(
@@ -137,7 +147,8 @@ object TxTable {
         return Snapshot(v,
           (m \ "schema").extract[String],
           (m \ "dirs").extract[Seq[String]],
-          parseStats(m), parseSStats(m), parseBloomCols(m), parseBlooms(m))
+          parseStats(m), parseSStats(m), parseBloomCols(m), parseBlooms(m),
+          parseExcludes(m))
       }
     }
     throw new IllegalStateException(
@@ -169,6 +180,15 @@ object TxTable {
   private def parseBlooms(m: org.json4s.JValue): Map[String, Seq[String]] = {
     implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
     (m \ "blooms") match {
+      case org.json4s.JNothing | org.json4s.JNull => Map.empty
+      case js => js.extract[Map[String, Seq[String]]]
+    }
+  }
+
+  /** Per-dir excluded-file listing; absent → empty. */
+  private def parseExcludes(m: org.json4s.JValue): Map[String, Seq[String]] = {
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    (m \ "excludes") match {
       case org.json4s.JNothing | org.json4s.JNull => Map.empty
       case js => js.extract[Map[String, Seq[String]]]
     }
@@ -357,9 +377,23 @@ object TxTable {
     * later commits (snapshot isolation by construction). */
   def read(spark: SparkSession, dir: String, snap: Snapshot): DataFrame = {
     val schema = StructType.fromDDL(snap.schemaDdl)
-    if (snap.dirs.isEmpty)
+    // Dirs without exclusions scan as whole-directory paths (the common
+    // case — no listing at plan time); a dir with removed files
+    // enumerates and subtracts them.
+    val paths = snap.dirs.flatMap { d =>
+      val ex = snap.excludes.getOrElse(d, Nil).toSet
+      if (ex.isEmpty) Seq(s"$dir/data/$d")
+      else {
+        val root = Paths.get(stagedPath(dir, d))
+        if (!Files.isDirectory(root)) Seq.empty
+        else listNames(root)
+          .filter(n => n.endsWith(".parquet") && !ex(n))
+          .map(n => s"$dir/data/$d/$n")
+      }
+    }
+    if (paths.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema).parquet(snap.dirs.map(d => s"$dir/data/$d"): _*)
+    else spark.read.schema(schema).parquet(paths: _*)
   }
 
   /** The table at its latest version. */
@@ -381,18 +415,32 @@ object TxTable {
                         stats: Map[String, Map[String, (Long, Long)]] = Map.empty,
                         sstats: Map[String, Map[String, (String, String)]] = Map.empty,
                         bloomCols: Seq[String] = Nil,
-                        blooms: Map[String, Seq[String]] = Map.empty)
+                        blooms: Map[String, Seq[String]] = Map.empty,
+                        excludes: Map[String, Seq[String]] = Map.empty)
       : Snapshot = {
-    // A manifest only lists blooms for its own member dirs (a replace
-    // drops the replaced dirs' filters; their sidecars die with the
-    // dirs at vacuum).
-    val liveBlooms = blooms.view.filterKeys(dirs.toSet).toMap
+    // A manifest only carries metadata for its own member dirs (a
+    // replace drops the replaced dirs' filters and exclusions; the
+    // sidecars and files die with the dirs at vacuum). Stats entries of
+    // EXCLUDED files are dropped too — dead manifest weight otherwise.
+    val dirSet = dirs.toSet
+    val liveBlooms = blooms.view.filterKeys(dirSet).toMap
+    val liveExcludes = excludes.view.filterKeys(dirSet).toMap.filter(_._2.nonEmpty)
+    def dropExcluded[T](m: Map[String, T]): Map[String, T] =
+      if (liveExcludes.isEmpty) m
+      else m.filter { case (k, _) =>
+        val slash = k.indexOf('/')
+        slash < 0 || !liveExcludes.getOrElse(k.substring(0, slash), Nil)
+          .contains(k.substring(slash + 1))
+      }
+    val liveStats = dropExcluded(stats)
+    val liveSStats = dropExcluded(sstats)
     var next = firstCandidate
     while (true) {
       try {
-        writeCommit(commitFile(dir, next), schemaDdl, dirs, stats, sstats,
-          bloomCols, liveBlooms)
-        return Snapshot(next, schemaDdl, dirs, stats, sstats, bloomCols, liveBlooms)
+        writeCommit(commitFile(dir, next), schemaDdl, dirs, liveStats, liveSStats,
+          bloomCols, liveBlooms, liveExcludes)
+        return Snapshot(next, schemaDdl, dirs, liveStats, liveSStats,
+          bloomCols, liveBlooms, liveExcludes)
       } catch { case _: FileAlreadyExistsException =>
         val existing = commitFile(dir, next)
         if (Files.exists(existing) && Files.size(existing) == 0L)
@@ -416,7 +464,8 @@ object TxTable {
     val stats = (if (keepExisting) expected.stats else Map.empty[String, Map[String, (Long, Long)]]) ++ newStats
     val sstats = (if (keepExisting) expected.sstats else Map.empty[String, Map[String, (String, String)]]) ++ newSStats
     try claimFrom(dir, dirs, df.schema.toDDL, expected.version + 1, stats, sstats,
-      expected.bloomCols, expected.blooms ++ newBlooms)
+      expected.bloomCols, expected.blooms ++ newBlooms,
+      if (keepExisting) expected.excludes else Map.empty)
     catch { case e: ConcurrentCommitException =>
       deleteRec(Paths.get(dir, "data", u)) // lost the race: our data never became visible
       throw e
@@ -446,8 +495,9 @@ object TxTable {
   def dataFiles(dir: String, snap: Snapshot): Seq[(Path, Map[String, (Long, Long)])] =
     snap.dirs.flatMap { d =>
       val root = Paths.get(stagedPath(dir, d))
+      val ex = snap.excludes.getOrElse(d, Nil).toSet
       if (!Files.isDirectory(root)) Seq.empty
-      else listNames(root).filter(_.endsWith(".parquet")).map { n =>
+      else listNames(root).filter(n => n.endsWith(".parquet") && !ex(n)).map { n =>
         (root.resolve(n), snap.stats.getOrElse(s"$d/$n", Map.empty))
       }
     }
@@ -458,8 +508,9 @@ object TxTable {
   def dataFilesString(dir: String, snap: Snapshot): Seq[(Path, Map[String, (String, String)])] =
     snap.dirs.flatMap { d =>
       val root = Paths.get(stagedPath(dir, d))
+      val ex = snap.excludes.getOrElse(d, Nil).toSet
       if (!Files.isDirectory(root)) Seq.empty
-      else listNames(root).filter(_.endsWith(".parquet")).map { n =>
+      else listNames(root).filter(n => n.endsWith(".parquet") && !ex(n)).map { n =>
         (root.resolve(n), snap.sstats.getOrElse(s"$d/$n", Map.empty))
       }
     }
@@ -478,7 +529,8 @@ object TxTable {
         schema.toDDL, s.version + 1,
         (if (keepExisting) s.stats else Map.empty[String, Map[String, (Long, Long)]]) ++ newStats,
         (if (keepExisting) s.sstats else Map.empty[String, Map[String, (String, String)]]) ++ newSStats,
-        s.bloomCols, s.blooms ++ newBlooms)
+        s.bloomCols, s.blooms ++ newBlooms,
+        if (keepExisting) s.excludes else Map.empty)
     }
   }
 
@@ -492,24 +544,50 @@ object TxTable {
     * assumption must surface, not clobber.
     *
     * `knownStats` are manifest entries the caller already holds (e.g. a
-    * pruned replace remapping its carried files' stats) — merged in
-    * verbatim; `harvestExclude` names staged files to SKIP in the footer
-    * harvest (the carried files those stats cover), so commit-time
-    * footer I/O is proportional to freshly written files, not the
-    * table. */
+    * pruned replace's footer-fallback upgrades for carried files) —
+    * merged in verbatim; `harvestExclude` names staged files to SKIP in
+    * the footer harvest, so commit-time footer I/O is proportional to
+    * freshly written files, not the table.
+    *
+    * `carryDirs = true` is the CARRY-BY-REFERENCE replace: the new
+    * version keeps `expected`'s data dirs (minus any the new exclusions
+    * empty out entirely) alongside the staged dir, with `removeFiles`
+    * recording the per-dir file names the replace superseded — Delta's
+    * add/remove-file commit, so a delta-bounded merge writes only its
+    * rewritten files and touches nothing else. `false` (default) is the
+    * whole-table replace: the staged dir IS the table. */
   def commitStagedFrom(dir: String, uuid: String, schema: StructType,
                        expected: Snapshot,
                        knownStats: Map[String, Map[String, (Long, Long)]] = Map.empty,
                        knownSStats: Map[String, Map[String, (String, String)]] = Map.empty,
-                       harvestExclude: String => Boolean = _ => false): Snapshot = {
+                       harvestExclude: String => Boolean = _ => false,
+                       carryDirs: Boolean = false,
+                       removeFiles: Map[String, Seq[String]] = Map.empty): Snapshot = {
     val (newStats, newSStats) = statsFor(dir, uuid, schema, harvestExclude)
-    // No bloom harvest on the replace path (no SparkSession here, and a
-    // replaced dir mixes carried + fresh rows): the property carries,
-    // the new dir is simply filter-less — consumers fall back to the
-    // exact probe for it, never a wrong answer.
-    try claimFrom(dir, Seq(uuid), schema.toDDL, expected.version + 1,
-      knownStats ++ newStats, knownSStats ++ newSStats,
-      expected.bloomCols, expected.blooms)
+    // No bloom harvest on the replace path (no SparkSession here): the
+    // property carries; carried dirs KEEP their filters — after removals
+    // they are supersets, which only costs false positives, never a
+    // false absence-proof — and the fresh dir is simply filter-less, a
+    // conservative fallback for consumers.
+    val (dirs, excludes) =
+      if (!carryDirs) (Seq(uuid), Map.empty[String, Seq[String]])
+      else {
+        val merged = (expected.excludes.keySet ++ removeFiles.keySet).map { d =>
+          d -> (expected.excludes.getOrElse(d, Nil) ++ removeFiles.getOrElse(d, Nil)).distinct
+        }.toMap
+        // A dir whose every live file is now removed drops out entirely.
+        val kept = expected.dirs.filter { d =>
+          val ex = merged.getOrElse(d, Nil).toSet
+          val root = Paths.get(stagedPath(dir, d))
+          Files.isDirectory(root) &&
+            listNames(root).exists(n => n.endsWith(".parquet") && !ex(n))
+        }
+        (kept :+ uuid, merged)
+      }
+    try claimFrom(dir, dirs, schema.toDDL, expected.version + 1,
+      (if (carryDirs) expected.stats else Map.empty[String, Map[String, (Long, Long)]]) ++ knownStats ++ newStats,
+      (if (carryDirs) expected.sstats else Map.empty[String, Map[String, (String, String)]]) ++ knownSStats ++ newSStats,
+      expected.bloomCols, expected.blooms, excludes)
     catch { case e: ConcurrentCommitException =>
       deleteRec(Paths.get(stagedPath(dir, uuid))) // never became visible
       throw e
@@ -538,7 +616,7 @@ object TxTable {
     retrying(dir) { s =>
       if (s.version == version) s
       else claimFrom(dir, dirs, ddl, s.version + 1, parseStats(m), parseSStats(m),
-        parseBloomCols(m), parseBlooms(m))
+        parseBloomCols(m), parseBlooms(m), parseExcludes(m))
     }
   }
 
@@ -561,7 +639,7 @@ object TxTable {
     val m = org.json4s.jackson.JsonMethods.parse(json)
     Snapshot(version, (m \ "schema").extract[String],
       (m \ "dirs").extract[Seq[String]], parseStats(m), parseSStats(m),
-      parseBloomCols(m), parseBlooms(m))
+      parseBloomCols(m), parseBlooms(m), parseExcludes(m))
   }
 
   /** Rows ADDED to the table by commits in `(sinceVersion, toVersion]`
@@ -603,6 +681,17 @@ object TxTable {
         s"${missing.size} data dir(s) were rewritten or compacted away — " +
         "incremental reads need an append-only range (re-seed the consumer " +
         "from a full snapshot instead)")
+    // A replace can also remove FILES from a surviving dir (excludes):
+    // any exclusion change on a dir visible at `since` is a rewrite —
+    // rows were removed or superseded, so row-level change attribution
+    // is gone, exactly like a vanished dir.
+    val excludesChanged = since.dirs.filter { d =>
+      to.excludes.getOrElse(d, Nil).toSet != since.excludes.getOrElse(d, Nil).toSet
+    }
+    require(excludesChanged.isEmpty,
+      s"$dir is not append-only over ($sinceVersion, ${to.version}]: " +
+        s"${excludesChanged.size} data dir(s) had files excluded by a keyed " +
+        "replace — re-seed the consumer from a full snapshot instead")
     read(spark, dir, to.copy(dirs = to.dirs.filterNot(since.dirs.toSet)))
   }
 
@@ -667,6 +756,30 @@ object TxTable {
       else if (!live.contains(name) &&
                Files.getLastModifiedTime(p).toMillis < cutoff) deleteRec(p)
     }
+    // FILE-level reclamation inside live dirs: a keyed replace removes
+    // files via manifest exclusions while the dir stays live — such a
+    // file is dead once EVERY kept manifest referencing its dir
+    // excludes it (a kept manifest that still includes it pins it; the
+    // usual vacuum caveat applies to readers pinned on dropped
+    // manifests). Files are immutable and were committed, so no orphan
+    // retention is needed.
+    val keptManifests = keep.map { v =>
+      val m = org.json4s.jackson.JsonMethods.parse(
+        Files.readString(commitFile(dir, v)))
+      ((m \ "dirs").extract[Seq[String]], parseExcludes(m))
+    }
+    live.foreach { d =>
+      val exSets = keptManifests.collect {
+        case (dirs, ex) if dirs.contains(d) => ex.getOrElse(d, Nil).toSet
+      }
+      if (exSets.nonEmpty && exSets.forall(_.nonEmpty)) {
+        val root = dataRoot.resolve(d)
+        if (Files.isDirectory(root))
+          listNames(root)
+            .filter(n => n.endsWith(".parquet") && exSets.forall(_(n)))
+            .foreach(n => Files.deleteIfExists(root.resolve(n)))
+      }
+    }
     drop.foreach(v => Files.delete(commitFile(dir, v)))
     // Bloom sidecars die with their data dir: reclaim any whose dir is
     // no longer live — superseded immediately, never-committed under
@@ -694,7 +807,8 @@ object TxTable {
                           stats: Map[String, Map[String, (Long, Long)]],
                           sstats: Map[String, Map[String, (String, String)]],
                           bloomCols: Seq[String] = Nil,
-                          blooms: Map[String, Seq[String]] = Map.empty): Unit = {
+                          blooms: Map[String, Seq[String]] = Map.empty,
+                          excludes: Map[String, Seq[String]] = Map.empty): Unit = {
     implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
     val statsJson = stats.map { case (f, cols) =>
       f -> cols.map { case (c, (lo, hi)) => c -> Seq(lo, hi) }
@@ -704,7 +818,8 @@ object TxTable {
     }
     val json = org.json4s.jackson.Serialization.write(
       Map("schema" -> schemaDdl, "dirs" -> dirs, "stats" -> statsJson,
-        "sstats" -> sstatsJson, "bloomCols" -> bloomCols, "blooms" -> blooms))
+        "sstats" -> sstatsJson, "bloomCols" -> bloomCols, "blooms" -> blooms,
+        "excludes" -> excludes))
     // Content must be durable BEFORE the claim: write the manifest to a
     // private temp name, then claim the version with link(2) — atomic
     // and create-exclusive (fails EEXIST), and the commit file is

@@ -30,7 +30,7 @@ import graft.sources.TxTable
   * dimension/summary cardinality. [[mergeSummaryPruned]] is the 100 TB
   * shape: footer-stat file pruning so only the files a delta touches
   * rewrite (what Delta MERGE executes against its transaction-log
-  * stats), with byte-identical carry-over of everything else.
+  * stats), with everything else carried by reference (manifest entry).
   *
   * Superseded versions accumulate until [[vacuum]] — the Delta model:
   * time-travel-until-vacuumed, bounded disk via periodic retention-
@@ -240,14 +240,13 @@ final class EventStore(root: String) {
     (df, hit.size.toLong, files.size.toLong)
   }
 
-  /** Parquet data files of a snapshot (manifest-listed dirs only — the
-    * version-aware replacement for walking the table directory, which
-    * would also see superseded versions awaiting vacuum). */
+  /** Parquet data files of a snapshot (manifest-listed, exclusion-aware
+    * — the version-aware replacement for walking the table directory,
+    * which would also see superseded versions awaiting vacuum and files
+    * a keyed replace removed by reference). */
   private def snapshotFiles(snap: TxTable.Snapshot,
                             name: String): Seq[java.nio.file.Path] =
-    snap.dirs.flatMap { d =>
-      listParquet(Paths.get(TxTable.stagedPath(dir(name), d)))
-    }
+    TxTable.dataFiles(dir(name), snap).map(_._1)
 
   private def listParquet(p: java.nio.file.Path): Seq[java.nio.file.Path] =
     if (!Files.exists(p)) Seq.empty

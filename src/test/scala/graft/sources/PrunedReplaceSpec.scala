@@ -7,7 +7,8 @@ import org.apache.spark.sql.functions._
 
 /** The generalized stats-pruned keyed replace: result semantics
   * (remove ∪ upsert), file-level pruning from manifest stats, and
-  * byte-identical carry of untouched files.
+  * BY-REFERENCE carry of untouched files (manifest add/remove-file
+  * entries — a replace's I/O is O(rewritten), never an O(table) copy).
   */
 class PrunedReplaceSpec extends SparkSpec {
   import spark.implicits._
@@ -98,25 +99,24 @@ class PrunedReplaceSpec extends SparkSpec {
     assert(got == expect)
   }
 
-  test("untouched files carry byte-identical; empty keys touch nothing") {
+  test("untouched files carry BY REFERENCE; empty keys touch nothing") {
     val dir = tmp()
     seed(dir, 400, 8)
-    def fileHashes() = TxTable.snapshot(dir).dirs.flatMap { d =>
-      val p = java.nio.file.Paths.get(TxTable.stagedPath(dir, d))
-      val s = Files.walk(p)
-      try s.toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path])
-        .filter(_.toString.endsWith(".parquet"))
-        .map(f => java.util.Arrays.hashCode(Files.readAllBytes(f)))
-      finally s.close()
-    }.sorted
-    val before = fileHashes()
+    def livePaths() = TxTable.dataFiles(dir, TxTable.snapshot(dir)).map(_._1).toSet
+    val before = livePaths()
     PrunedReplace.replaceKeys(spark, dir, "k", Array(1L), Seq((1L, -1L)).toDF("k", "v"))
-    val after = fileHashes()
-    // 7 of 8 old files must survive byte-identical (as carries).
-    assert(before.intersect(after).size >= 7,
-      s"carried files not byte-identical: ${before.size} -> ${after.size}")
-    // Pure insert (no keys): zero rewrites, one appended... via upserts
-    // landing in the staged dir; all 8 current files carry.
+    val after = livePaths()
+    // 7 of 8 old files survive AT THEIR ORIGINAL PATHS — the carry is a
+    // manifest entry, not a copy (O(rewritten) I/O per replace).
+    assert(before.intersect(after).size == 7,
+      s"carried files must not move: ${before.size} -> ${after.size}, " +
+        s"kept ${before.intersect(after).size}")
+    // The superseded file is excluded in the manifest, not yet deleted
+    // (vacuum's job), and the new version reads correctly around it.
+    val snap = TxTable.snapshot(dir)
+    assert(snap.excludes.values.flatten.size == 1,
+      s"one hit file must be excluded: ${snap.excludes}")
+    // Pure insert (no keys): zero rewrites; every current file carries.
     val (rw, _) = PrunedReplace.replaceKeys(
       spark, dir, "k", Array.empty, Seq((902L, 2L)).toDF("k", "v"))
     assert(rw == 0L, s"pure insert rewrote $rw files")
@@ -126,21 +126,23 @@ class PrunedReplaceSpec extends SparkSpec {
   test("carried files keep manifest stats; commit harvests only fresh files") {
     val dir = tmp()
     seed(dir, 400, 8)
+    val statsBefore = TxTable.snapshot(dir).stats
     PrunedReplace.replaceKeys(spark, dir, "k", Array(3L), Seq((3L, 33L)).toDF("k", "v"))
     val snap = TxTable.snapshot(dir)
-    // One data dir (the replace), holding carries + fresh part files.
-    val carried = snap.stats.keys.filter(_.split("/", 2)(1).startsWith("carry-"))
-    assert(carried.size == 7, s"7 carried files must KEEP stats, saw ${carried.size}")
-    // The remapped stats must still prune: a second replace on a key
+    // Carried files keep their ORIGINAL stats entries verbatim (the
+    // excluded hit file's entry is dropped as dead weight).
+    val keptVerbatim = snap.stats.toSet.intersect(statsBefore.toSet)
+    assert(keptVerbatim.size == 7,
+      s"7 carried files must keep their stats entries, saw ${keptVerbatim.size}")
+    // The carried stats must still prune: a second replace on a key
     // living in one carried file rewrites exactly one file.
     val (rw2, tot2) = PrunedReplace.replaceKeys(
       spark, dir, "k", Array(399L), Seq((399L, 9L)).toDF("k", "v"))
     assert(tot2 >= 8L && rw2 == 1L,
-      s"remapped carried stats should prune to 1/$tot2 files, got $rw2")
-    // And a pre-stats footer FALLBACK read is remapped into the
-    // manifest too: strip stats, replace once, and the next manifest
-    // has key ranges for the carried files again (upgraded for free
-    // from the fallback's footer reads).
+      s"carried stats should prune to 1/$tot2 files, got $rw2")
+    // And a pre-stats footer FALLBACK read upgrades carried files into
+    // the manifest: strip stats, replace once, and the next manifest
+    // has key ranges again (for free, from the fallback's footer reads).
     val log = java.nio.file.Paths.get(dir, "_log")
     val newest = {
       val s = Files.list(log)
@@ -152,10 +154,12 @@ class PrunedReplaceSpec extends SparkSpec {
         .removeField(_._1 == "stats"))
     Files.delete(newest); Files.writeString(newest, stripped)
     PrunedReplace.replaceKeys(spark, dir, "k", Array(5L), Seq((5L, 55L)).toDF("k", "v"))
-    val upgraded = TxTable.snapshot(dir).stats
-    assert(upgraded.count { case (f, st) =>
-      f.split("/", 2)(1).startsWith("carry-") && st.contains("k")
-    } >= 7, "footer-fallback ranges must re-enter the manifest for carries")
+    val upgraded = TxTable.snapshot(dir)
+    assert(upgraded.stats.count(_._2.contains("k")) >=
+      TxTable.dataFiles(dir, upgraded).size - 2,
+      s"footer-fallback ranges must re-enter the manifest for carries " +
+        s"(${upgraded.stats.size} stats entries for " +
+        s"${TxTable.dataFiles(dir, upgraded).size} live files)")
   }
 
   test("string-keyed replace prunes 1-of-N files via manifest sstats") {
@@ -184,10 +188,11 @@ class PrunedReplaceSpec extends SparkSpec {
     // plus at most the one fresh file the id_9999 tail insert widened
     // (the balanced range split can't isolate a far outlier; the
     // over-hit rewrite re-clusters it, so the cost is bounded and
-    // self-healing, never compounding).
-    val carried = TxTable.snapshot(dir).sstats.keys
-      .filter(_.split("/", 2)(1).startsWith("carry-"))
-    assert(carried.size == 7, s"carried string stats: ${carried.size}")
+    // self-healing, never compounding). Carried entries stay under
+    // their original keys — 7 untouched files, by reference.
+    val carried = TxTable.dataFilesString(dir, TxTable.snapshot(dir))
+      .count { case (_, st) => st.contains("bk") }
+    assert(carried >= 8, s"carried+fresh string stats: $carried")
     val (rw2, _) = PrunedReplace.replaceStringKeys(
       spark, dir, "bk", Array("id_0399"), Seq(("id_0399", 9L)).toDF("bk", "v"))
     assert(rw2 <= 2L, s"carried sstats should prune, rewrote $rw2")
@@ -248,6 +253,44 @@ class PrunedReplaceSpec extends SparkSpec {
       assert(got == model.keySet,
         s"extra=${got -- model.keySet} missing=${model.keySet -- got}")
     }
+  }
+
+  test("vacuum reclaims an excluded file once no kept manifest includes it") {
+    val dir = tmp()
+    seed(dir, 400, 8)
+    PrunedReplace.replaceKeys(spark, dir, "k", Array(3L), Seq((3L, 33L)).toDF("k", "v"))
+    val snap = TxTable.snapshot(dir)
+    val (exDir, exNames) = snap.excludes.head
+    val excludedFile = java.nio.file.Paths
+      .get(TxTable.stagedPath(dir, exDir)).resolve(exNames.head)
+    assert(Files.exists(excludedFile), "excluded file stays on disk until vacuum")
+    // keepLast=2 retains the pre-replace manifest, which still INCLUDES
+    // the file — a pinned reader of that version needs it.
+    TxTable.vacuum(dir, keepLast = 2, orphanRetentionMs = 0L)
+    assert(Files.exists(excludedFile),
+      "a file included by any kept manifest must survive vacuum")
+    // keepLast=1: every kept manifest excludes it → reclaimed, and the
+    // live table reads correctly around the hole.
+    TxTable.vacuum(dir, keepLast = 1, orphanRetentionMs = 0L)
+    assert(!Files.exists(excludedFile),
+      "a file excluded by every kept manifest must be reclaimed")
+    assert(rows(dir).toMap.apply(3L) == 33L)
+    assert(rows(dir).size == 400) // key 3 replaced in place, nothing lost
+  }
+
+  test("a replace breaks incremental reads over its range, loudly") {
+    val dir = tmp()
+    seed(dir, 100, 4)
+    val v0 = TxTable.snapshot(dir).version
+    PrunedReplace.replaceKeys(spark, dir, "k", Array(3L), Seq((3L, 33L)).toDF("k", "v"))
+    // The replaced range removed rows from a surviving dir (manifest
+    // exclusion): row-level change attribution is gone, and a change
+    // reader must be told — not silently handed the fresh dir's rows
+    // as if they were pure appends.
+    val e = intercept[IllegalArgumentException] {
+      TxTable.readChanges(spark, dir, v0)
+    }
+    assert(e.getMessage.contains("not append-only"), e.getMessage)
   }
 
   test("a commit racing a staged replace surfaces, never silently vanishes") {

@@ -45,32 +45,25 @@ class MergePrunedSpec extends SparkSpec {
     assert(rewritten < total, s"pruning rewrote every file ($rewritten/$total)")
   }
 
-  test("files outside the delta key range carry over byte-identical") {
+  test("files outside the delta key range carry over by reference") {
     val (store, root) = freshStore()
     seed(store, 400)
-    // List only the CURRENT version's files: superseded versions stay on
-    // disk until vacuum (snapshot isolation), so a raw directory walk
-    // would count the old files as "surviving" and prove nothing.
-    def fileHashes() = {
+    // List only the CURRENT version's live files (manifest-resolved,
+    // exclusion-aware): superseded versions stay on disk until vacuum,
+    // so a raw directory walk would prove nothing.
+    def livePaths() = {
       val tbl = s"$root/summary_user"
-      graft.sources.TxTable.snapshot(tbl).dirs
-        .flatMap { d =>
-          val s = Files.walk(Paths.get(graft.sources.TxTable.stagedPath(tbl, d)))
-          try s.toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path])
-            .filter(_.toString.endsWith(".parquet"))
-          finally s.close()
-        }
-        .map(f => java.util.Arrays.hashCode(Files.readAllBytes(f)) -> Files.size(f))
-        .sorted
+      graft.sources.TxTable.dataFiles(tbl, graft.sources.TxTable.snapshot(tbl))
+        .map(_._1).toSet
     }
-    val before = fileHashes()
+    val before = livePaths()
     val (rewritten, total) = store.mergeSummaryPruned(delta(Seq(1L, 2L)))
-    val after = fileHashes()
-    // Every byte-identical survivor of the old version must reappear:
-    // old hashes minus rewritten-file hashes ⊆ new hashes.
-    val surviving = before.toSet.intersect(after.toSet)
+    val after = livePaths()
+    // Every untouched file survives AT ITS ORIGINAL PATH — the carry is
+    // a manifest entry, not a copy; only hit files leave the live set.
+    val surviving = before.intersect(after)
     assert(surviving.size >= (total - rewritten - 1),
-      s"carried files were rewritten: before=$before after=$after")
+      s"carried files moved or vanished: before=${before.size} after=${after.size}")
     assert(rewritten >= 1L && rewritten < total)
   }
 
