@@ -66,11 +66,13 @@ object PrunedReplace {
                           removeFiles: Map[String, Seq[String]] = Map.empty,
                           upgradedStats: Map[String, Map[String, (Long, Long)]] = Map.empty,
                           upgradedSStats: Map[String, Map[String, (String, String)]] = Map.empty,
-                          carryDirs: Boolean = false) {
+                          carryDirs: Boolean = false,
+                          stagedBlooms: Map[String, Seq[String]] = Map.empty) {
     def commit(): Unit = {
       TxTable.commitStagedFrom(dir, uuid, schema, expected,
         knownStats = upgradedStats, knownSStats = upgradedSStats,
-        carryDirs = carryDirs, removeFiles = removeFiles)
+        carryDirs = carryDirs, removeFiles = removeFiles,
+        knownBlooms = stagedBlooms)
       ()
     }
   }
@@ -121,6 +123,8 @@ object PrunedReplace {
                   kr: Option[(Long, Long)]) = (l ++ kr.map(keyCol -> _), s)
         def keysDf(keys: Seq[Long]) = spark.createDataset(keys)(
           org.apache.spark.sql.Encoders.scalaLong).toDF(keyCol)
+        def mightContain(bf: org.apache.spark.util.sketch.BloomFilter, k: Long) =
+          bf.mightContainLong(k)
       })(upsertsFor)
 
   /** [[stageReplaceWith]] on a STRING key column: hit tests run against
@@ -138,6 +142,8 @@ object PrunedReplace {
                   kr: Option[(String, String)]) = (l, s ++ kr.map(keyCol -> _))
         def keysDf(keys: Seq[String]) = spark.createDataset(keys)(
           org.apache.spark.sql.Encoders.STRING).toDF(keyCol)
+        def mightContain(bf: org.apache.spark.util.sketch.BloomFilter, k: String) =
+          bf.mightContainString(k)
       })(upsertsFor)
 
   /** Key-type plumbing for [[stageImpl]]: where the key's bounds live
@@ -152,6 +158,7 @@ object PrunedReplace {
     def remap(l: Map[String, (Long, Long)], s: Map[String, (String, String)],
               kr: Option[(K, K)]): (Map[String, (Long, Long)], Map[String, (String, String)])
     def keysDf(keys: Seq[K]): DataFrame
+    def mightContain(bf: org.apache.spark.util.sketch.BloomFilter, k: K): Boolean
   }
 
   /** First index whose key is ≥ `lo` in a sorted array. */
@@ -172,17 +179,31 @@ object PrunedReplace {
     val keys = removeKeys.distinct.sorted(ko.ord)
     val filesL = TxTable.dataFiles(dir, snap)
     val filesS = TxTable.dataFilesString(dir, snap) // same files, same order
+    // Per-dir BLOOM refinement of the key set: a key the dir's filter
+    // rejects has no row in ANY of that dir's files (no false
+    // negatives), so a range overlap with it cannot be a real hit —
+    // this is what saves interleaved-but-absent keys (fresh natural
+    // keys landing inside existing ranges) from rewriting files for
+    // nothing. Partial coverage composes: dirs without a filter keep
+    // the full key set. Driver-cheap — |keys| probes per covered dir,
+    // and keys are driver-bounded by the operator's contract.
+    val dirKeys: Map[String, Array[K]] = snap.dirs.flatMap { d =>
+      TxTable.dirBloom(dir, snap, d, keyCol).map { bf =>
+        d -> keys.filter(k => ko.mightContain(bf, k)) // stays sorted
+      }
+    }.toMap
     // Per file: manifest stats, the key range that decided the hit test
     // (manifest first, footer as the pre-stats fallback — a fallback
     // read is kept and remapped below, upgrading pre-stats files into
     // the manifest for free), and the hit verdict.
     val annotated = filesL.zip(filesS).map { case ((f, lst), (_, sst)) =>
+      val fKeys = dirKeys.getOrElse(f.getParent.getFileName.toString, keys)
       val keyRange = ko.manifestRange(lst, sst).orElse(ko.footerRange(f))
-      val isHit = keys.nonEmpty && (keyRange match {
+      val isHit = fKeys.nonEmpty && (keyRange match {
         case Some((lo, hi)) =>
           // any removed key in [lo, hi]? (keys sorted — binary search)
-          val from = lowerBound(keys, lo, ko.ord)
-          from < keys.length && ko.ord.lteq(keys(from), hi)
+          val from = lowerBound(fKeys, lo, ko.ord)
+          from < fKeys.length && ko.ord.lteq(fKeys(from), hi)
         case None => true // no usable stats → conservative rewrite
       })
       (f, lst, sst, keyRange, isHit)
@@ -223,6 +244,33 @@ object PrunedReplace {
     // during planning for stats-less CARRIED files upgrade into the
     // manifest under their original keys.
     val u = TxTable.stage(dir, rewritten)
+    // The fresh dir gets its own Bloom filters when the table registers
+    // bloom columns — WITHOUT this, every replace would shrink bloom
+    // coverage (carried dirs keep theirs, the new dir has none) and the
+    // refinement above plus any all-dirs absence proof would decay to
+    // conservative fallbacks after the first replace. One pass over the
+    // rewritten rows only — delta-bounded, like the stage write itself.
+    val stagedBlooms = {
+      val cols = snap.bloomCols.filter(rewritten.schema.fieldNames.contains(_))
+      if (cols.isEmpty) Map.empty[String, Seq[String]]
+      else {
+        val df = spark.read.schema(rewritten.schema)
+          .parquet(TxTable.stagedPath(dir, u))
+        val n = df.count()
+        if (n > TxTable.MaxBloomItems) Map.empty[String, Seq[String]]
+        else {
+          cols.foreach { c =>
+            // stat.bloomFilter NPEs on an empty frame; an empty dir's
+            // filter is the empty filter (proves every key absent).
+            TxTable.preBloom(dir, u, c,
+              if (n == 0L)
+                org.apache.spark.util.sketch.BloomFilter.create(1L, TxTable.BloomFpp)
+              else df.stat.bloomFilter(c, n, TxTable.BloomFpp))
+          }
+          Map(u -> cols)
+        }
+      }
+    }
     val fileKey = (f: Path) => (f.getParent.getFileName.toString, f.getFileName.toString)
     val removeFiles = hit.map(h => fileKey(h._1))
       .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
@@ -232,6 +280,6 @@ object PrunedReplace {
       removeFiles,
       upgraded.collect { case ((d, n), (lst, _)) if lst.nonEmpty => s"$d/$n" -> lst }.toMap,
       upgraded.collect { case ((d, n), (_, sst)) if sst.nonEmpty => s"$d/$n" -> sst }.toMap,
-      carryDirs = true)
+      carryDirs = true, stagedBlooms = stagedBlooms)
   }
 }

@@ -254,7 +254,7 @@ object TxTable {
     * false positives per probe batch ≈ fpp × batch size must stay ≪ 1
     * or every batch degrades to the exact fallback anyway). */
   val BloomFpp = 1e-4
-  private val MaxBloomItems = 2L * 1000 * 1000
+  private[sources] val MaxBloomItems = 2L * 1000 * 1000
 
   /** Pre-write a caller-computed Bloom sidecar for a STAGED dir. A
     * delta-shaped committer often already holds the staged rows' keys
@@ -307,7 +307,12 @@ object TxTable {
     Files.createDirectories(indexDir(dir))
     val df = spark.read.schema(schema).parquet(stagedPath(dir, uuid))
     val written = todo.map { c =>
-      val bf = df.stat.bloomFilter(c, math.max(rows, 1L), BloomFpp)
+      // stat.bloomFilter NPEs on an empty frame (its aggregate returns
+      // a null buffer); an empty dir's filter is just the empty filter
+      // — says "maybe" to nothing, correctly proving every key absent.
+      val bf =
+        if (rows == 0L) org.apache.spark.util.sketch.BloomFilter.create(1L, BloomFpp)
+        else df.stat.bloomFilter(c, rows, BloomFpp)
       val out = Files.newOutputStream(bloomPath(dir, uuid, c))
       try bf.writeTo(out) finally out.close()
       c
@@ -325,12 +330,23 @@ object TxTable {
       : Option[Seq[org.apache.spark.util.sketch.BloomFilter]] = {
     if (!snap.dirs.forall(d => snap.blooms.getOrElse(d, Nil).contains(col)))
       return None
-    try Some(snap.dirs.map { d =>
-      val in = Files.newInputStream(bloomPath(dir, d, col))
-      try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+    val loaded = snap.dirs.map(d => dirBloom(dir, snap, d, col))
+    if (loaded.forall(_.isDefined)) Some(loaded.flatten) else None
+  }
+
+  /** One data dir's Bloom filter for `col`, if this snapshot lists one
+    * and the sidecar loads — the PARTIAL-coverage reader: a per-file
+    * pruning decision can consult whichever dirs carry filters and
+    * treat the rest conservatively (unlike [[keyBlooms]]' all-dirs
+    * absence proof). */
+  def dirBloom(dir: String, snap: Snapshot, dataDir: String, col: String)
+      : Option[org.apache.spark.util.sketch.BloomFilter] = {
+    if (!snap.blooms.getOrElse(dataDir, Nil).contains(col)) return None
+    try {
+      val in = Files.newInputStream(bloomPath(dir, dataDir, col))
+      try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(in))
       finally in.close()
-    })
-    catch { case _: java.io.IOException => None } // lost sidecar: fall back
+    } catch { case _: java.io.IOException => None } // lost sidecar: fall back
   }
 
   /** Planning half of [[lookupStringKeys]]: the data files a lookup of
@@ -562,13 +578,15 @@ object TxTable {
                        knownSStats: Map[String, Map[String, (String, String)]] = Map.empty,
                        harvestExclude: String => Boolean = _ => false,
                        carryDirs: Boolean = false,
-                       removeFiles: Map[String, Seq[String]] = Map.empty): Snapshot = {
+                       removeFiles: Map[String, Seq[String]] = Map.empty,
+                       knownBlooms: Map[String, Seq[String]] = Map.empty): Snapshot = {
     val (newStats, newSStats) = statsFor(dir, uuid, schema, harvestExclude)
-    // No bloom harvest on the replace path (no SparkSession here): the
+    // No harvest on the replace path (no SparkSession here): the
     // property carries; carried dirs KEEP their filters — after removals
     // they are supersets, which only costs false positives, never a
-    // false absence-proof — and the fresh dir is simply filter-less, a
-    // conservative fallback for consumers.
+    // false absence-proof — and the fresh dir's filters, if any, arrive
+    // pre-computed via `knownBlooms` (PrunedReplace blooms its staged
+    // dir itself); a fresh dir without one is a conservative fallback.
     val (dirs, excludes) =
       if (!carryDirs) (Seq(uuid), Map.empty[String, Seq[String]])
       else {
@@ -587,7 +605,7 @@ object TxTable {
     try claimFrom(dir, dirs, schema.toDDL, expected.version + 1,
       (if (carryDirs) expected.stats else Map.empty[String, Map[String, (Long, Long)]]) ++ knownStats ++ newStats,
       (if (carryDirs) expected.sstats else Map.empty[String, Map[String, (String, String)]]) ++ knownSStats ++ newSStats,
-      expected.bloomCols, expected.blooms, excludes)
+      expected.bloomCols, expected.blooms ++ knownBlooms, excludes)
     catch { case e: ConcurrentCommitException =>
       deleteRec(Paths.get(stagedPath(dir, uuid))) // never became visible
       throw e

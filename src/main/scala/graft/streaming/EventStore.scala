@@ -43,7 +43,14 @@ final class EventStore(root: String) {
 
   private def ensureInit(spark: SparkSession, name: String,
                          schema: org.apache.spark.sql.types.StructType): Unit =
-    if (!TxTable.exists(dir(name))) TxTable.init(spark, dir(name), schema)
+    if (!TxTable.exists(dir(name)))
+      // The user summary registers user_id Bloom filters: the pruned
+      // merge probes delta keys per dir, so interleaved-but-NEW users
+      // (fresh keys landing inside existing key ranges — the common
+      // growth case) stop rewriting files that provably hold none of
+      // them.
+      TxTable.init(spark, dir(name), schema,
+        bloomCols = if (name == "summary_user") Seq("user_id") else Nil)
 
   private def readOrEmpty(spark: SparkSession, name: String, like: DataFrame): DataFrame =
     if (TxTable.exists(dir(name))) TxTable.read(spark, dir(name)) else like.limit(0)

@@ -255,6 +255,35 @@ class PrunedReplaceSpec extends SparkSpec {
     }
   }
 
+  test("bloom refinement: interleaved-but-absent keys rewrite nothing") {
+    val dir = tmp()
+    // EVEN keys only, range-clustered, with a key Bloom registered.
+    val df = (1 to 400).map(i => (i.toLong * 2, i.toLong)).toDF("k", "v")
+      .repartitionByRange(8, col("k")).sortWithinPartitions(col("k"))
+    TxTable.init(spark, dir, df.schema, bloomCols = Seq("k"))
+    TxTable.overwrite(spark, dir, df)
+    // ODD keys: inside every file's [min, max] yet absent from the
+    // table — range pruning ALONE would rewrite their covering files;
+    // the per-dir Bloom proves them out (the fresh-natural-keys-in-
+    // range growth case).
+    val odd = Array(3L, 101L, 399L, 601L)
+    val (rw, tot) = PrunedReplace.replaceKeys(spark, dir, "k", odd,
+      odd.toSeq.map(k => (k, -1L)).toDF("k", "v"))
+    assert(tot == 8L && rw == 0L,
+      s"bloom should prove interleaved keys absent, rewrote $rw/$tot")
+    assert(TxTable.read(spark, dir).count() == 404) // 400 + 4 pure inserts
+    // Coverage SURVIVES the replace (the staged dir blooms itself), so
+    // a second replace still refines: one present key = one file, the
+    // absent one proven out.
+    val s2 = TxTable.snapshot(dir)
+    assert(s2.dirs.forall(d => s2.blooms.getOrElse(d, Nil).contains("k")),
+      s"bloom coverage decayed after replace: ${s2.blooms.keySet} vs ${s2.dirs}")
+    val (rw2, _) = PrunedReplace.replaceKeys(spark, dir, "k", Array(200L, 7L),
+      Seq((200L, 0L)).toDF("k", "v"))
+    assert(rw2 == 1L,
+      s"present key 200 is one file, absent key 7 bloom-proven: rewrote $rw2")
+  }
+
   test("vacuum reclaims an excluded file once no kept manifest includes it") {
     val dir = tmp()
     seed(dir, 400, 8)

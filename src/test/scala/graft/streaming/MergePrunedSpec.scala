@@ -88,7 +88,12 @@ class MergePrunedSpec extends SparkSpec {
     a.mergeSummary(delta(Seq(1L, 2L)))
     val (rewritten, total) = store.mergeSummaryPruned(delta(Seq(1L, 2L)))
     assert(snapshot(store) === snapshot(a))
-    assert(rewritten == total, "stats-less file must count as a rewrite hit")
+    // The schema-only file has no usable stats (a conservative range
+    // hit) — but the summary's user_id BLOOM proves keys 1,2 absent
+    // from its dir, so the merge lands as a pure insert: zero rewrites
+    // and still byte-equal to the full merge.
+    assert(rewritten == 0L && total == 1L,
+      s"bloom should prove the empty file keyless: rewrote $rewritten/$total")
   }
 
   test("oversized delta falls back to the full merge") {
