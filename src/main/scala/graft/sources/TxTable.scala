@@ -467,12 +467,31 @@ object TxTable {
     throw new IllegalStateException("unreachable")
   }
 
+  /** Append-path schema ENFORCEMENT (Delta's): an appended batch may
+    * ADD columns — prior files read the new column as null, additive
+    * evolution for free from the schema-on-read scan — but must keep
+    * every existing column's name and type. Without the check, a
+    * dropped or retyped column in one append silently nulls out the
+    * whole table's history for that column on the next read. Types
+    * compare by catalogString (nullability is not a type change). */
+  private def requireAppendCompatible(oldDdl: String, newSchema: StructType): Unit = {
+    val prior = StructType.fromDDL(oldDdl)
+    val byName = newSchema.fields.map(f => f.name -> f.dataType.catalogString).toMap
+    val broken = prior.fields.filter(f =>
+      !byName.get(f.name).contains(f.dataType.catalogString))
+    require(broken.isEmpty,
+      s"append schema drops or retypes existing column(s) " +
+        s"${broken.map(_.name).mkString(", ")} — appends may only ADD " +
+        "columns; use overwrite to change the schema")
+  }
+
   /** Commit `df` as the version after `expected`, REPLACING the table
     * contents (pass `keepExisting = true` for an append). Throws
     * [[ConcurrentCommitException]] — after cleaning up its data — if
     * another writer committed first. */
   def commit(spark: SparkSession, dir: String, df: DataFrame,
              expected: Snapshot, keepExisting: Boolean = false): Snapshot = {
+    if (keepExisting) requireAppendCompatible(expected.schemaDdl, df.schema)
     val u = stage(dir, df)
     val (newStats, newSStats) = statsFor(dir, u, df.schema)
     val newBlooms = harvestBlooms(spark, dir, u, df.schema, expected.bloomCols)
@@ -541,6 +560,7 @@ object TxTable {
     val newBlooms = // once — the property can't change mid-claim (single writer)
       harvestBlooms(spark, dir, uuid, schema, snapshot(dir).bloomCols)
     retrying(dir) { s =>
+      if (keepExisting) requireAppendCompatible(s.schemaDdl, schema)
       claimFrom(dir, (if (keepExisting) s.dirs else Seq.empty) :+ uuid,
         schema.toDDL, s.version + 1,
         (if (keepExisting) s.stats else Map.empty[String, Map[String, (Long, Long)]]) ++ newStats,

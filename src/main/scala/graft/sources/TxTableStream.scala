@@ -122,6 +122,17 @@ private[sources] final class TxTableSource(
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val endV = versionOf(end)
+    // Schema changes mid-stream (an additive append widened the table)
+    // must fail LOUDLY with a restartable error — the engine pinned
+    // this source's schema at query start, and silently projecting the
+    // batch down would hide the new column from the consumer forever
+    // (Delta's sources fail the same way; a restart re-resolves).
+    val endDdl = TxTable.snapshotAt(dir, endV).schemaDdl
+    if (StructType.fromDDL(endDdl).map(f => (f.name, f.dataType.catalogString))
+        != schema.map(f => (f.name, f.dataType.catalogString)))
+      throw new IllegalStateException(
+        s"graft-txtable: $dir changed schema mid-stream (was ${schema.toDDL}, " +
+          s"version $endV has $endDdl) — restart the query to pick it up")
     val batch = start match {
       case Some(s) => TxTable.readChanges(spark, dir, versionOf(s), endV)
       case None if snapshotStart =>

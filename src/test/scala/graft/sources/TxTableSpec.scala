@@ -268,6 +268,34 @@ class TxTableSpec extends SparkSpec {
     assert(TxTable.read(spark, dir).collect().map(_.getLong(0)).toSeq == Seq(3L))
   }
 
+  test("appends may ADD columns (schema evolution); drops/retypes refuse") {
+    val dir = tmp()
+    TxTable.init(spark, dir, schema)
+    TxTable.overwrite(spark, dir, Seq((1L, 10L)).toDF("k", "v"))
+    // Additive append: new column widens the table; prior rows read it
+    // as null (schema-on-read — Delta's mergeSchema for the append-only
+    // case, free from the scan's explicit schema).
+    TxTable.append(spark, dir,
+      Seq((2L, 20L, "tagged")).toDF("k", "v", "tag"))
+    val got = TxTable.read(spark, dir).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2))))
+    assert(got.toSeq == Seq((1L, 10L, None), (2L, 20L, Some("tagged"))),
+      s"additive evolution broken: ${got.toSeq}")
+    // A dropped column would silently null out history — refused.
+    val eDrop = intercept[IllegalArgumentException] {
+      TxTable.append(spark, dir, Seq(Tuple1(3L)).toDF("k"))
+    }
+    assert(eDrop.getMessage.contains("ADD"), eDrop.getMessage)
+    // A retyped column likewise.
+    val eType = intercept[IllegalArgumentException] {
+      TxTable.append(spark, dir, Seq((4L, "not-a-long", "t")).toDF("k", "v", "tag"))
+    }
+    assert(eType.getMessage.contains("retypes"), eType.getMessage)
+    // Overwrite stays free to reshape.
+    TxTable.overwrite(spark, dir, Seq(Tuple1(9L)).toDF("k"))
+    assert(TxTable.read(spark, dir).columns.toSeq == Seq("k"))
+  }
+
   test("key blooms: no false negatives, absence proof, carry, restore") {
     val dir = tmp()
     TxTable.init(spark, dir, schema, bloomCols = Seq("k"))

@@ -87,6 +87,25 @@ class TxTableStreamSpec extends SparkSpec {
       s"latest-mode delivered wrong rows: $got")
   }
 
+  test("a schema change mid-stream fails loudly with restart guidance") {
+    val dir = seeded()
+    val q = spark.readStream.format("graft-txtable").load(dir)
+      .writeStream.option("checkpointLocation", tmp())
+      .foreachBatch { (_: DataFrame, _: Long) => () }.start()
+    q.processAllAvailable()
+    // An additive append widens the table; the running query pinned the
+    // old schema at start — it must fail restartable, not silently
+    // project the new column away.
+    TxTable.append(spark, dir, Seq((3L, 30L, "t")).toDF("k", "v", "tag"))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+      q.awaitTermination(10000)
+    }
+    assert(e.getCause != null &&
+      String.valueOf(e.getCause.getMessage).contains("schema mid-stream"),
+      s"wrong failure: ${e.getCause}")
+  }
+
   test("a rewrite inside the streamed range fails the stream loudly") {
     val dir = seeded()
     val q = spark.readStream.format("graft-txtable").load(dir)
