@@ -78,7 +78,7 @@ object TxTable {
     * without scanning it — the unique-index membership probe behind an
     * INSERT IGNORE / dedup-on-ingest at a scale where scanning the key
     * column per batch is impossible. Absent blooms (pre-bloom commits,
-    * over-[[MaxBloomItems]] dirs, replace-shaped commits) mean the
+    * over-[[MaxBloomItems]] dirs) mean the
     * consumer falls back to the exact scan — like stats, blooms are an
     * optimization, never a correctness dependency. */
   /** `excludes`: per data dir, file names REMOVED from the table at
