@@ -255,14 +255,6 @@ final class EventStore(root: String) {
                             name: String): Seq[java.nio.file.Path] =
     TxTable.dataFiles(dir(name), snap).map(_._1)
 
-  private def listParquet(p: java.nio.file.Path): Seq[java.nio.file.Path] =
-    if (!Files.exists(p)) Seq.empty
-    else {
-      val s = Files.walk(p)
-      try s.toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path])
-        .filter(_.toString.endsWith(".parquet"))
-      finally s.close()
-    }
 
   /** Small-file compaction for the append-only fact store: every
     * micro-batch append lands O(shuffle-partitions) files, and a week of

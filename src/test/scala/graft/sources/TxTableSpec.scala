@@ -343,8 +343,14 @@ class TxTableSpec extends SparkSpec {
     // hit a file, but the Bloom proves it absent — zero files planned.
     // (Deterministic: a fixed key either collides at fpp 1e-4 or not.)
     assert(TxTable.lookupStringFiles(dir, s, "name", Seq("c9")).isEmpty)
-    // The lookup read returns exactly the present keys' rows.
-    val got = TxTable.lookupStringKeys(spark, dir, "name", Seq("c1", "f2", "zzz"))
+    // The lookup read returns exactly the present keys' rows, and its
+    // IN predicate reaches the parquet scan (row-group skipping inside
+    // the surviving files — the second pruning tier after file-level).
+    val lookup = TxTable.lookupStringKeys(spark, dir, "name", Seq("c1", "f2", "zzz"))
+    val plan = lookup.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(name"),
+      s"IN filter not pushed to the scan:\n$plan")
+    val got = lookup
       .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
     assert(got == Seq(("c1", 1L), ("f2", 2L)))
   }
