@@ -322,6 +322,54 @@ class PrunedReplaceSpec extends SparkSpec {
     assert(e.getMessage.contains("not append-only"), e.getMessage)
   }
 
+  test("randomized replace/append/vacuum/restore chains match the model") {
+    // The excludes machinery under COMPOSITION: replaces remove files
+    // from surviving dirs, appends add dirs, vacuum reclaims dead
+    // files, restore re-exposes old versions — any interleaving must
+    // read back exactly the model. (The focused tests above pin each
+    // mechanism; this pins their product.)
+    val rnd = new scala.util.Random(1234)
+    val dir = tmp()
+    val n = 200
+    seed(dir, n, 6)
+    val model = scala.collection.mutable.Map(
+      (1 to n).map(i => i.toLong -> i.toLong * 10): _*)
+    var restorable: Option[(Long, Map[Long, Long])] = None
+    (1 to 12).foreach { step =>
+      rnd.nextInt(4) match {
+        case 0 => // keyed replace (updates + inserts)
+          val removes = Array.fill(rnd.nextInt(8) + 1)(rnd.nextInt(n * 2).toLong + 1)
+          val upserts = removes.take(3).map(k => (k, rnd.nextLong(100000)))
+          val all = (removes ++ upserts.map(_._1)).distinct
+          PrunedReplace.replaceKeys(spark, dir, "k", all, upserts.toSeq.toDF("k", "v"))
+          all.foreach(model.remove)
+          upserts.foreach { case (k, v) => model(k) = v }
+        case 1 => // append a fresh-key batch
+          val base = 10000L * step
+          val batch = (0 until rnd.nextInt(5) + 1).map(i => (base + i, base + i))
+          TxTable.append(spark, dir, batch.toDF("k", "v"))
+          batch.foreach { case (k, v) => model(k) = v }
+        case 2 => // vacuum to the newest version only
+          TxTable.vacuum(dir, keepLast = 1, orphanRetentionMs = 0L)
+          restorable = None // older manifests gone: restore targets die
+        case 3 => // mark now, maybe restore a previously marked version
+          restorable match {
+            case Some((v, snapModel)) if rnd.nextBoolean() =>
+              TxTable.restore(spark, dir, v)
+              model.clear(); snapModel.foreach { case (k, vv) => model(k) = vv }
+              restorable = None
+            case _ =>
+              restorable = Some((TxTable.snapshot(dir).version, model.toMap))
+          }
+      }
+      val got = rows(dir).toMap
+      assert(got == model.toMap,
+        s"step $step diverged: extra=${got.keySet -- model.keySet} " +
+          s"missing=${model.keySet -- got.keySet} " +
+          s"changed=${got.keySet.intersect(model.keySet).filter(k => got(k) != model(k))}")
+    }
+  }
+
   test("a commit racing a staged replace surfaces, never silently vanishes") {
     import spark.implicits._
     val dir = tmp()
