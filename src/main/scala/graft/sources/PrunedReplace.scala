@@ -256,7 +256,7 @@ object PrunedReplace {
       else {
         val df = spark.read.schema(rewritten.schema)
           .parquet(TxTable.stagedPath(dir, u))
-        val n = df.count()
+        val n = TxTable.stagedRowCount(dir, u) // footer counts: no count job
         if (n > TxTable.MaxBloomItems) Map.empty[String, Seq[String]]
         else {
           cols.foreach { c =>

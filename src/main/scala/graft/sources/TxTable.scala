@@ -296,13 +296,7 @@ object TxTable {
     val (pre, todo) = cols.partition(c => Files.exists(bloomPath(dir, uuid, c)))
     val listing = if (pre.isEmpty) Map.empty[String, Seq[String]] else Map(uuid -> pre)
     if (todo.isEmpty) return listing
-    val conf = new org.apache.hadoop.conf.Configuration()
-    val rows = listNames(root).filter(_.endsWith(".parquet")).map { name =>
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-        new org.apache.hadoop.fs.Path(root.resolve(name).toUri), conf)
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      try r.getFooter.getBlocks.asScala.map(_.getRowCount).sum finally r.close()
-    }.sum
+    val rows = stagedRowCount(dir, uuid)
     if (rows > MaxBloomItems) return listing
     Files.createDirectories(indexDir(dir))
     val df = spark.read.schema(schema).parquet(stagedPath(dir, uuid))
@@ -318,6 +312,21 @@ object TxTable {
       c
     }
     Map(uuid -> (pre ++ written))
+  }
+
+  /** Row count of a staged dir from its parquet FOOTERS — free relative
+    * to any data pass (the bloom sizing input; also how a committer can
+    * size work without running a count job). */
+  private[sources] def stagedRowCount(dir: String, uuid: String): Long = {
+    val root = Paths.get(stagedPath(dir, uuid))
+    if (!Files.isDirectory(root)) return 0L
+    val conf = new org.apache.hadoop.conf.Configuration()
+    listNames(root).filter(_.endsWith(".parquet")).map { name =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(root.resolve(name).toUri), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getFooter.getBlocks.asScala.map(_.getRowCount).sum finally r.close()
+    }.sum
   }
 
   /** The table's Bloom filters for `col` at `snap`: `Some(filters)` —
@@ -415,6 +424,13 @@ object TxTable {
   /** The table at its latest version. */
   def read(spark: SparkSession, dir: String): DataFrame =
     read(spark, dir, snapshot(dir))
+
+  /** The table AS OF `version` (Delta's versionAsOf read): resolves
+    * that commit's manifest and scans its literal files — no new
+    * commit, unlike [[restore]]. Fails clearly if the version was
+    * vacuumed away. */
+  def readVersion(spark: SparkSession, dir: String, version: Long): DataFrame =
+    read(spark, dir, snapshotAt(dir, version))
 
   /** True iff `dir` holds an initialized table (a readable commit). */
   def exists(dir: String): Boolean =

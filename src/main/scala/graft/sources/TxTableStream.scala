@@ -47,9 +47,19 @@ class TxTableStreamProvider extends StreamSourceProvider with DataSourceRegister
 
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
                             providerName: String, parameters: Map[String, String])
-      : (String, StructType) =
-    (shortName(), schema.getOrElse(
-      StructType.fromDDL(TxTable.snapshot(dirOf(parameters)).schemaDdl)))
+      : (String, StructType) = {
+    val table = StructType.fromDDL(TxTable.snapshot(dirOf(parameters)).schemaDdl)
+    // The table's manifest OWNS the schema (as for Delta): a
+    // user-specified one either matches (redundant, accepted) or is a
+    // silent projection/widening trap — rejected, not half-honored.
+    schema.foreach { s =>
+      require(s.map(f => (f.name, f.dataType.catalogString))
+          == table.map(f => (f.name, f.dataType.catalogString)),
+        s"graft-txtable reads the table's own schema ($table); the " +
+          s"supplied schema ($s) differs — drop .schema(...) from the reader")
+    }
+    (shortName(), table)
+  }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
                             schema: Option[StructType], providerName: String,
