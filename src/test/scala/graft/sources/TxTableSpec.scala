@@ -133,6 +133,10 @@ class TxTableSpec extends SparkSpec {
     TxTable.init(spark, dir, schema)
     TxTable.overwrite(spark, dir, Seq((1L, 1L)).toDF("k", "v")) // v1
     TxTable.overwrite(spark, dir, Seq((2L, 2L)).toDF("k", "v")) // v2
+    // versionAsOf read: resolve an old manifest WITHOUT committing.
+    assert(TxTable.readVersion(spark, dir, 1L)
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+    assert(TxTable.snapshot(dir).version == 2L, "readVersion must not commit")
     val s = TxTable.restore(spark, dir, 1L)
     assert(s.version == 3L, "restore must claim a fresh version, not rewind")
     assert(TxTable.read(spark, dir).collect().map(_.getLong(0)).toSeq == Seq(1L))
