@@ -93,7 +93,18 @@ private[sources] final class TxTableSource(
     if (snapshotStart) -1L
     else if (startingVersion != "latest") startingVersion.toLong
     else {
-      val f = Paths.get(metadataPath, "graft-txtable-base")
+      // metadataPath arrives as a Hadoop-style URI ("file:/ckpt/sources/0")
+      // — resolving it as a relative path would silently create a
+      // "file:" directory under the CWD. Local filesystems only (this
+      // engine's log store is local; object stores would need the
+      // checkpoint FS API here, as Delta uses).
+      val u = new java.net.URI(metadataPath)
+      val metaDir = u.getScheme match {
+        case null | "file" => Paths.get(Option(u.getPath).getOrElse(metadataPath))
+        case other => throw new IllegalArgumentException(
+          s"graft-txtable's latest-base persistence needs a local checkpoint, got $other: $metadataPath")
+      }
+      val f = metaDir.resolve("graft-txtable-base")
       if (Files.exists(f)) Files.readString(f).trim.toLong
       else {
         val base = TxTable.versions(dir).last
