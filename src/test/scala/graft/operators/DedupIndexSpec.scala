@@ -127,6 +127,38 @@ class DedupIndexSpec extends SparkSpec {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("dedup-on-ingest from a TxTable stream: the table IS the topic") {
+    import graft.sources.TxTable
+    // The reference's pipeline tails Kafka into an INSERT IGNORE loader;
+    // the all-engine form: documents land in a TxTable (any ingest), the
+    // graft-txtable source streams its commits, and each micro-batch
+    // folds into the persistent index — after the stream drains, the
+    // index equals a from-scratch mine of everything ever committed.
+    val dir = tmp()
+    DedupIndex.build(spark, df(base), dir, Cap)
+    val docsTable = tmp()
+    TxTable.init(spark, docsTable,
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, shs ARRAY<STRING>"))
+    val q = spark.readStream.format("graft-txtable")
+      .option("startingVersion", "latest") // index already holds `base`
+      .option("maxCommitsPerTrigger", "1") // one ingest commit per fold
+      .load(docsTable)
+      .writeStream.option("checkpointLocation", tmp())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        if (!b.isEmpty) DedupIndex.append(spark, b, dir, Cap)
+        ()
+      }.start()
+    q.processAllAvailable()
+    delta.grouped(2).foreach { batch =>
+      TxTable.append(spark, docsTable, df(batch))
+      q.processAllAvailable()
+    }
+    q.stop()
+    assertParity(dir, base ++ delta)
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("append refuses duplicate doc_ids") {
     val dir = tmp()
     DedupIndex.build(spark, df(base), dir, Cap)
