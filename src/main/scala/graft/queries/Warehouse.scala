@@ -680,6 +680,59 @@ object Warehouse {
           AND ts <= TIMESTAMP '2024-01-13 23:59:59.999999'
         ORDER BY event_id""")),
 
+    // The commit log AS A STREAM, oracle-gated end-to-end: the same
+    // week-sliced fact store is consumed through the graft-txtable
+    // Structured Streaming source (sources/TxTableStream.scala — the
+    // reference's Kafka→incremental-aggregate pipeline with the
+    // TxTable as the topic, streaming/consumer.py:61-96), paced to two
+    // commits per micro-batch so the fold genuinely spans batches, and
+    // each batch's exact decimal partials fold into per-type running
+    // totals. The oracle replays a one-shot GROUP BY over the same
+    // window, so the gate asserts streamed-incremental == batch — at
+    // query granularity, not just in specs.
+    QueryDef(
+      "q_tx_stream_agg",
+      t => {
+        import graft.operators.Stages
+        val root = Stages.tempDir(t.spark, s"tx_facts:${t.dir}") { d =>
+          val store = new graft.streaming.EventStore(d)
+          val weeks = Seq("2024-01-01", "2024-01-08", "2024-01-15", "2024-01-22", "2024-01-31")
+          weeks.sliding(2).foreach { case Seq(lo, hi) =>
+            store.appendFacts(t.events.filter(
+              col("ts") >= lit(lo).cast("timestamp") && col("ts") < lit(hi).cast("timestamp")))
+          }
+        }
+        val state = scala.collection.mutable.Map.empty[String, (Long, java.math.BigDecimal)]
+        val q = new graft.streaming.EventStore(root)
+          .factStream(t.spark, maxCommitsPerTrigger = Some(2))
+          .writeStream
+          .option("checkpointLocation",
+            java.nio.file.Files.createTempDirectory("graft_q_stream_ckpt").toString)
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            b.groupBy(col("event_type"))
+              .agg(count(lit(1)).as("cnt"),
+                sum(col("value").cast("decimal(18,2)")).as("total"))
+              .collect().foreach { r =>
+                val (c0, t0) = state.getOrElse(r.getString(0),
+                  (0L, java.math.BigDecimal.ZERO))
+                state(r.getString(0)) = (c0 + r.getLong(1), t0.add(r.getDecimal(2)))
+              }
+            ()
+          }.start()
+        q.processAllAvailable()
+        q.stop()
+        import t.spark.implicits._
+        state.toSeq.map { case (k, (c, tot)) => (k, c, tot.doubleValue) }
+          .toDF("event_type", "cnt", "total")
+          .orderBy(col("event_type"))
+      },
+      Some(s"""
+        SELECT event_type, COUNT(*) AS cnt, ${sqlSum("value")} AS total
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+          AND ts < TIMESTAMP '2024-01-31 00:00:00'
+        GROUP BY 1 ORDER BY 1""")),
+
     // A22/J7 (summary build) — per-customer totals from BOTH facts,
     // each aggregated separately then joined: the idiomatic fix for the
     // reference's multi-fact join inflation (init/mysql_loader.py:1080-1104

@@ -212,8 +212,12 @@ final class EventStore(root: String) {
     * exactly the new commits' files, and the downstream is any
     * writeStream/foreachBatch. The store must exist (the source
     * resolves its schema from the table's manifest). */
-  def factStream(spark: SparkSession): DataFrame =
-    spark.readStream.format("graft-txtable").load(dir("fact_events"))
+  def factStream(spark: SparkSession,
+                 maxCommitsPerTrigger: Option[Int] = None): DataFrame = {
+    val r = spark.readStream.format("graft-txtable")
+    maxCommitsPerTrigger.foreach(n => r.option("maxCommitsPerTrigger", n.toString))
+    r.load(dir("fact_events"))
+  }
 
   /** Fact rows with `ts` in [fromMicros, toMicros] (epoch µs, closed
     * interval), scanning ONLY the files whose manifest ts range
