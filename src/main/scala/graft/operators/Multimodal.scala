@@ -98,9 +98,92 @@ object Multimodal {
       }
     } catch { case _: Throwable => None } // corrupt stream → fallback
 
-  /** Decode + featurize a binary payload column: ImageIO first (real
-    * codec), stub for everything it can't read. Runs per-partition so a
-    * real decoder initializes once per task, not per row. */
+  /** Bound on PCM frames the audio featurizer reads per payload: work
+    * per row is O(cap), not O(clip length) — a pathological multi-hour
+    * clip costs the same as a minute. 16 kHz mono ≈ 60 s of audio. */
+  private val MaxAudioFrames = 1L * 1000 * 1000
+
+  /** REAL audio decode via `javax.sound.sampled` (WAV/AIFF/AU parsers
+    * ship with every JRE — no new dependency): true (sample rate,
+    * channel count, frame count) from the container header, and a real
+    * signal statistic as the feature vector — RMS ENERGY of
+    * `featureDim` consecutive time bands over the (bounded) PCM frames.
+    * The image-shaped MediaFeatures fields carry the audio geometry:
+    * width = frames read, height = sample rate in Hz, channels =
+    * channels. None when the payload is not a supported audio container
+    * or not integer PCM — the caller falls through to the stub. */
+  private[operators] def audioDecode(bytes: Array[Byte], featureDim: Int)
+      : Option[(Int, Int, Int, Array[Float])] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        val enc = fmt.getEncoding
+        val signed = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+        if (!signed && enc != javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED)
+          return None // compressed payload: no codec in the JRE for it
+        val bits = fmt.getSampleSizeInBits
+        if (bits != 8 && bits != 16) return None
+        val channels = fmt.getChannels
+        val frameBytes = fmt.getFrameSize
+        val totalFrames = math.min(
+          if (in.getFrameLength >= 0) in.getFrameLength else MaxAudioFrames,
+          MaxAudioFrames).toInt
+        if (totalFrames <= 0 || frameBytes <= 0) return None
+        val features = new Array[Float](featureDim)
+        val counts = new Array[Int](featureDim)
+        val buf = new Array[Byte](frameBytes * 4096)
+        var frame = 0
+        var eof = false
+        while (frame < totalFrames && !eof) {
+          val want = math.min(buf.length, (totalFrames - frame) * frameBytes)
+          val n = in.readNBytes(buf, 0, want)
+          if (n < frameBytes) eof = true
+          var off = 0
+          while (off + frameBytes <= n) {
+            // Mean-square over ALL channel samples of the frame,
+            // normalized to [-1, 1] amplitude.
+            var acc = 0.0
+            var ch = 0
+            while (ch < channels) {
+              val so = off + ch * (bits / 8)
+              val amp =
+                if (bits == 8) {
+                  val raw = buf(so).toInt
+                  (if (signed) raw else (raw & 0xff) - 128) / 128.0
+                } else {
+                  val lo = buf(if (fmt.isBigEndian) so + 1 else so) & 0xff
+                  val hi = buf(if (fmt.isBigEndian) so else so + 1)
+                  val v = if (signed) (hi.toInt << 8) | lo // sign-extends
+                          else (((hi & 0xff) << 8) | lo) - 32768
+                  v / 32768.0
+                }
+              acc += amp * amp
+              ch += 1
+            }
+            val band = math.min(featureDim - 1,
+              (frame.toLong * featureDim / totalFrames).toInt)
+            features(band) += (acc / channels).toFloat
+            counts(band) += 1
+            frame += 1
+            off += frameBytes
+          }
+        }
+        var i = 0
+        while (i < featureDim) {
+          if (counts(i) > 0) features(i) = math.sqrt(features(i) / counts(i)).toFloat
+          i += 1
+        }
+        Some((frame, fmt.getSampleRate.toInt, channels, features))
+      } finally in.close()
+    } catch { case _: Throwable => None } // not audio / torn header → fallback
+
+  /** Decode + featurize a binary payload column: real JRE codecs first
+    * (ImageIO for images, javax.sound.sampled for PCM audio), stub for
+    * everything neither can read (video — the container ships no video
+    * codec). Runs per-partition so a real decoder initializes once per
+    * task, not per row. */
   def decodeFeatures(df: DataFrame, idCol: String, payloadCol: String,
                      kind: String, featureDim: Int = 8): Dataset[MediaFeatures] = {
     val spark = df.sparkSession
@@ -109,9 +192,10 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         // (a codec with per-task init would open once here and close
-        // via a task-completion listener; ImageIO is stateless)
+        // via a task-completion listener; both JRE codecs are stateless)
         it.map { case (id, bytes) =>
           val (w, h, c, f) = imageDecode(bytes, featureDim)
+            .orElse(audioDecode(bytes, featureDim))
             .getOrElse(fakeDecode(bytes, featureDim))
           MediaFeatures(id, kind, bytes.length, w, h, c, f)
         }

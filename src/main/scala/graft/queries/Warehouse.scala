@@ -733,6 +733,60 @@ object Warehouse {
           AND ts < TIMESTAMP '2024-01-31 00:00:00'
         GROUP BY 1 ORDER BY 1""")),
 
+    // The EXACTLY-ONCE sink, oracle-gated end-to-end: the same fact
+    // store streams THROUGH `writeStream.format("graft-txtable")`
+    // (sources/TxTableStream.scala TxTableSink — DeltaSink's
+    // watermark-in-manifest commit) into a gold TxTable, then the gate
+    // aggregates the SUNK table. Three runs stress the replay guard:
+    // the stream, a restart from the same checkpoint (nothing new →
+    // nothing lands), and a FRESH-checkpoint run with the same
+    // txnAppId — batch ids replay from 0 and every one must be refused
+    // by the manifest watermark. Any duplicate row doubles a count and
+    // fails the oracle hash, so exactly-once is asserted at query
+    // granularity, not just in specs.
+    QueryDef(
+      "q_tx_stream_sink",
+      t => {
+        import graft.operators.Stages
+        val root = Stages.tempDir(t.spark, s"tx_facts:${t.dir}") { d =>
+          val store = new graft.streaming.EventStore(d)
+          val weeks = Seq("2024-01-01", "2024-01-08", "2024-01-15", "2024-01-22", "2024-01-31")
+          weeks.sliding(2).foreach { case Seq(lo, hi) =>
+            store.appendFacts(t.events.filter(
+              col("ts") >= lit(lo).cast("timestamp") && col("ts") < lit(hi).cast("timestamp")))
+          }
+        }
+        val gold = java.nio.file.Files
+          .createTempDirectory("graft_q_sink").toString + "/gold"
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft_q_sink_ckpt").toString
+        def run(checkpoint: String): Unit = {
+          val q = new graft.streaming.EventStore(root)
+            .factStream(t.spark, maxCommitsPerTrigger = Some(2))
+            .writeStream.format("graft-txtable")
+            .option("txnAppId", s"gate:$gold")
+            .option("checkpointLocation", checkpoint)
+            .start(gold)
+          q.processAllAvailable()
+          q.stop()
+        }
+        run(ckpt)
+        run(ckpt) // restart: checkpoint says all batches delivered
+        run(java.nio.file.Files.createTempDirectory("graft_q_sink_ckpt2")
+          .toString) // cloned writer: batch ids replay, watermark refuses
+        graft.sources.TxTable.read(t.spark, gold)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
+          .orderBy(col("event_type"))
+      },
+      Some(s"""
+        SELECT event_type, COUNT(*) AS cnt, ${sqlSum("value")} AS total
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+          AND ts < TIMESTAMP '2024-01-31 00:00:00'
+        GROUP BY 1 ORDER BY 1""")),
+
     // A22/J7 (summary build) — per-customer totals from BOTH facts,
     // each aggregated separately then joined: the idiomatic fix for the
     // reference's multi-fact join inflation (init/mysql_loader.py:1080-1104

@@ -90,12 +90,22 @@ object TxTable {
     * carry of every untouched file is an O(table) copy per merge.
     * Readers subtract the excluded names; [[vacuum]] reclaims a file
     * once every kept manifest that references its dir excludes it. */
+  /** `txns`: committed WRITER TRANSACTION watermarks — per application
+    * id, the highest batch id whose write landed (Delta's
+    * SetTransaction action, the mechanism behind its exactly-once
+    * streaming sink). An idempotent writer ([[appendIfNew]]) that
+    * crashed between committing and checkpointing replays its batch on
+    * restart; the watermark proves the batch already landed and turns
+    * the replay into a no-op instead of a duplicate. Manifests are
+    * self-contained, so every commit carries the map forward verbatim
+    * (Delta aggregates the same state into its checkpoints). */
   final case class Snapshot(version: Long, schemaDdl: String, dirs: Seq[String],
                             stats: Map[String, Map[String, (Long, Long)]] = Map.empty,
                             sstats: Map[String, Map[String, (String, String)]] = Map.empty,
                             bloomCols: Seq[String] = Nil,
                             blooms: Map[String, Seq[String]] = Map.empty,
-                            excludes: Map[String, Seq[String]] = Map.empty)
+                            excludes: Map[String, Seq[String]] = Map.empty,
+                            txns: Map[String, Long] = Map.empty)
 
   final class ConcurrentCommitException(version: Long)
     extends RuntimeException(
@@ -148,7 +158,7 @@ object TxTable {
           (m \ "schema").extract[String],
           (m \ "dirs").extract[Seq[String]],
           parseStats(m), parseSStats(m), parseBloomCols(m), parseBlooms(m),
-          parseExcludes(m))
+          parseExcludes(m), parseTxns(m))
       }
     }
     throw new IllegalStateException(
@@ -191,6 +201,15 @@ object TxTable {
     (m \ "excludes") match {
       case org.json4s.JNothing | org.json4s.JNull => Map.empty
       case js => js.extract[Map[String, Seq[String]]]
+    }
+  }
+
+  /** Writer-transaction watermarks; absent (pre-txn commits) → empty. */
+  private def parseTxns(m: org.json4s.JValue): Map[String, Long] = {
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    (m \ "txns") match {
+      case org.json4s.JNothing | org.json4s.JNull => Map.empty
+      case js => js.extract[Map[String, Long]]
     }
   }
 
@@ -432,6 +451,36 @@ object TxTable {
   def readVersion(spark: SparkSession, dir: String, version: Long): DataFrame =
     read(spark, dir, snapshotAt(dir, version))
 
+  /** The newest version committed at or before `epochMillis` (the
+    * resolution step of Delta's timestampAsOf). A commit file is
+    * immutable once claimed, so its mtime is the commit's wall-clock
+    * time — but raw mtimes are not guaranteed monotone across versions
+    * (the manifest is WRITTEN before the claim; two racing writers can
+    * claim in the opposite order of their writes), so effective commit
+    * times are adjusted to be strictly increasing exactly as Delta
+    * adjusts its commit timestamps: each version's time is
+    * max(own mtime, predecessor's effective time + 1 ms). Fails clearly
+    * when `epochMillis` predates the first commit. */
+  def versionAtTime(dir: String, epochMillis: Long): Long = {
+    val vs = versions(dir)
+    var effective = Long.MinValue
+    var result = -1L
+    vs.foreach { v =>
+      val raw = Files.getLastModifiedTime(commitFile(dir, v)).toMillis
+      effective = math.max(raw, effective + 1)
+      if (effective <= epochMillis) result = v
+    }
+    require(result >= 0,
+      s"no commit in $dir at or before epoch-ms $epochMillis (first commit " +
+        s"is later) — use versionAsOf/readVersion for exact version reads")
+    result
+  }
+
+  /** The table AS OF a wall-clock instant (Delta's timestampAsOf read):
+    * [[versionAtTime]] then that version's manifest. */
+  def readTimestamp(spark: SparkSession, dir: String, epochMillis: Long): DataFrame =
+    readVersion(spark, dir, versionAtTime(dir, epochMillis))
+
   /** True iff `dir` holds an initialized table (a readable commit). */
   def exists(dir: String): Boolean =
     Files.isDirectory(logDir(dir)) && commitVersions(dir).nonEmpty
@@ -448,7 +497,8 @@ object TxTable {
                         sstats: Map[String, Map[String, (String, String)]] = Map.empty,
                         bloomCols: Seq[String] = Nil,
                         blooms: Map[String, Seq[String]] = Map.empty,
-                        excludes: Map[String, Seq[String]] = Map.empty)
+                        excludes: Map[String, Seq[String]] = Map.empty,
+                        txns: Map[String, Long] = Map.empty)
       : Snapshot = {
     // A manifest only carries metadata for its own member dirs (a
     // replace drops the replaced dirs' filters and exclusions; the
@@ -470,9 +520,9 @@ object TxTable {
     while (true) {
       try {
         writeCommit(commitFile(dir, next), schemaDdl, dirs, liveStats, liveSStats,
-          bloomCols, liveBlooms, liveExcludes)
+          bloomCols, liveBlooms, liveExcludes, txns)
         return Snapshot(next, schemaDdl, dirs, liveStats, liveSStats,
-          bloomCols, liveBlooms, liveExcludes)
+          bloomCols, liveBlooms, liveExcludes, txns)
       } catch { case _: FileAlreadyExistsException =>
         val existing = commitFile(dir, next)
         if (Files.exists(existing) && Files.size(existing) == 0L)
@@ -506,7 +556,8 @@ object TxTable {
     * [[ConcurrentCommitException]] — after cleaning up its data — if
     * another writer committed first. */
   def commit(spark: SparkSession, dir: String, df: DataFrame,
-             expected: Snapshot, keepExisting: Boolean = false): Snapshot = {
+             expected: Snapshot, keepExisting: Boolean = false,
+             txnUpdate: Map[String, Long] = Map.empty): Snapshot = {
     if (keepExisting) requireAppendCompatible(expected.schemaDdl, df.schema)
     val u = stage(dir, df)
     val (newStats, newSStats) = statsFor(dir, u, df.schema)
@@ -516,7 +567,8 @@ object TxTable {
     val sstats = (if (keepExisting) expected.sstats else Map.empty[String, Map[String, (String, String)]]) ++ newSStats
     try claimFrom(dir, dirs, df.schema.toDDL, expected.version + 1, stats, sstats,
       expected.bloomCols, expected.blooms ++ newBlooms,
-      if (keepExisting) expected.excludes else Map.empty)
+      if (keepExisting) expected.excludes else Map.empty,
+      expected.txns ++ txnUpdate)
     catch { case e: ConcurrentCommitException =>
       deleteRec(Paths.get(dir, "data", u)) // lost the race: our data never became visible
       throw e
@@ -582,7 +634,7 @@ object TxTable {
         (if (keepExisting) s.stats else Map.empty[String, Map[String, (Long, Long)]]) ++ newStats,
         (if (keepExisting) s.sstats else Map.empty[String, Map[String, (String, String)]]) ++ newSStats,
         s.bloomCols, s.blooms ++ newBlooms,
-        if (keepExisting) s.excludes else Map.empty)
+        if (keepExisting) s.excludes else Map.empty, s.txns)
     }
   }
 
@@ -641,7 +693,8 @@ object TxTable {
     try claimFrom(dir, dirs, schema.toDDL, expected.version + 1,
       (if (carryDirs) expected.stats else Map.empty[String, Map[String, (Long, Long)]]) ++ knownStats ++ newStats,
       (if (carryDirs) expected.sstats else Map.empty[String, Map[String, (String, String)]]) ++ knownSStats ++ newSStats,
-      expected.bloomCols, expected.blooms ++ knownBlooms, excludes)
+      expected.bloomCols, expected.blooms ++ knownBlooms, excludes,
+      expected.txns)
     catch { case e: ConcurrentCommitException =>
       deleteRec(Paths.get(stagedPath(dir, uuid))) // never became visible
       throw e
@@ -653,6 +706,52 @@ object TxTable {
 
   def overwrite(spark: SparkSession, dir: String, df: DataFrame): Snapshot =
     retrying(dir)(s => commit(spark, dir, df, s))
+
+  /** The table's committed watermark for writer `appId` (None: no batch
+    * of that writer has ever landed) — Delta's `txnVersion`, for callers
+    * running their own foreachBatch-style idempotent writes. */
+  def txnVersion(dir: String, appId: String): Option[Long] =
+    snapshot(dir).txns.get(appId)
+
+  /** IDEMPOTENT append — Delta's exactly-once streaming-sink commit.
+    * Appends `df` and advances writer `appId`'s watermark to `batchId`
+    * in the SAME atomic commit; if the table already records `batchId`
+    * (or newer) for `appId`, the call is a NO-OP returning `false` —
+    * the batch landed before a crash and is now being replayed from the
+    * engine's checkpoint. The watermark and the data are one manifest,
+    * so there is no window in which the batch is committed but
+    * unrecorded (the duplication window a plain append + side-channel
+    * marker would have). Batch ids must be monotone per appId — Spark's
+    * micro-batch ids are. */
+  def appendIfNew(spark: SparkSession, dir: String, df: DataFrame,
+                  appId: String, batchId: Long): (Snapshot, Boolean) = {
+    var applied = false
+    val snap = retrying(dir) { s =>
+      if (s.txns.get(appId).exists(_ >= batchId)) { applied = false; s }
+      else {
+        applied = true
+        commit(spark, dir, df, s, keepExisting = true,
+          txnUpdate = Map(appId -> batchId))
+      }
+    }
+    (snap, applied)
+  }
+
+  /** [[appendIfNew]]'s REPLACE twin (Complete-mode sink): the batch
+    * becomes the whole table contents, same watermark-in-manifest
+    * replay guard. */
+  def overwriteIfNew(spark: SparkSession, dir: String, df: DataFrame,
+                     appId: String, batchId: Long): (Snapshot, Boolean) = {
+    var applied = false
+    val snap = retrying(dir) { s =>
+      if (s.txns.get(appId).exists(_ >= batchId)) { applied = false; s }
+      else {
+        applied = true
+        commit(spark, dir, df, s, txnUpdate = Map(appId -> batchId))
+      }
+    }
+    (snap, applied)
+  }
 
   /** Delta's RESTORE: make `version`'s contents the newest version via
     * a FRESH commit referencing the same data directories — append-only
@@ -669,8 +768,12 @@ object TxTable {
     val dirs = (m \ "dirs").extract[Seq[String]]
     retrying(dir) { s =>
       if (s.version == version) s
+      // Writer watermarks roll back WITH the data (the restored
+      // manifest's `txns`, not the newest's): a batch whose rows this
+      // restore removed must be replayable, and a carried-forward
+      // watermark would no-op that replay and lose the rows for good.
       else claimFrom(dir, dirs, ddl, s.version + 1, parseStats(m), parseSStats(m),
-        parseBloomCols(m), parseBlooms(m), parseExcludes(m))
+        parseBloomCols(m), parseBlooms(m), parseExcludes(m), parseTxns(m))
     }
   }
 
@@ -693,7 +796,7 @@ object TxTable {
     val m = org.json4s.jackson.JsonMethods.parse(json)
     Snapshot(version, (m \ "schema").extract[String],
       (m \ "dirs").extract[Seq[String]], parseStats(m), parseSStats(m),
-      parseBloomCols(m), parseBlooms(m), parseExcludes(m))
+      parseBloomCols(m), parseBlooms(m), parseExcludes(m), parseTxns(m))
   }
 
   /** Rows ADDED to the table by commits in `(sinceVersion, toVersion]`
@@ -862,7 +965,8 @@ object TxTable {
                           sstats: Map[String, Map[String, (String, String)]],
                           bloomCols: Seq[String] = Nil,
                           blooms: Map[String, Seq[String]] = Map.empty,
-                          excludes: Map[String, Seq[String]] = Map.empty): Unit = {
+                          excludes: Map[String, Seq[String]] = Map.empty,
+                          txns: Map[String, Long] = Map.empty): Unit = {
     implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
     val statsJson = stats.map { case (f, cols) =>
       f -> cols.map { case (c, (lo, hi)) => c -> Seq(lo, hi) }
@@ -873,7 +977,7 @@ object TxTable {
     val json = org.json4s.jackson.Serialization.write(
       Map("schema" -> schemaDdl, "dirs" -> dirs, "stats" -> statsJson,
         "sstats" -> sstatsJson, "bloomCols" -> bloomCols, "blooms" -> blooms,
-        "excludes" -> excludes))
+        "excludes" -> excludes, "txns" -> txns))
     // Content must be durable BEFORE the claim: write the manifest to a
     // private temp name, then claim the version with link(2) — atomic
     // and create-exclusive (fails EEXIST), and the commit file is

@@ -3,9 +3,10 @@ package graft.sources
 import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{DataFrame, SQLContext}
-import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
+import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Sink, Source}
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
 /** Structured Streaming SOURCE over a [[TxTable]] commit log — Delta's
@@ -38,7 +39,8 @@ import org.apache.spark.sql.types.StructType
   * ignoreChanges) instead of silently re-delivering rewritten rows.
   * Exactly-once follows from the engine's offset log plus
   * readChanges' gap-free `(since, to]` tiling. */
-class TxTableStreamProvider extends StreamSourceProvider with DataSourceRegister {
+class TxTableStreamProvider extends StreamSourceProvider with StreamSinkProvider
+    with DataSourceRegister {
   override def shortName(): String = "graft-txtable"
 
   private def dirOf(parameters: Map[String, String]): String =
@@ -71,6 +73,69 @@ class TxTableStreamProvider extends StreamSourceProvider with DataSourceRegister
       sqlContext.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
       dir, metadataPath, starting, maxCommits)
   }
+
+  /** EXACTLY-ONCE streaming SINK — DeltaSink's shape on the engine's
+    * own log: `df.writeStream.format("graft-txtable").start(dir)`.
+    * Each micro-batch lands via [[TxTable.appendIfNew]], which records
+    * the writer's (appId, batchId) watermark IN the data's own commit,
+    * so a batch replayed after a crash-between-commit-and-checkpoint
+    * is detected from the manifest and skipped — no duplicates, no
+    * side-channel marker files. Options:
+    *   - `txnAppId`: the writer identity the watermark is keyed by;
+    *     defaults to the query's `checkpointLocation` (unique per
+    *     query, stable across restarts — the same default identity
+    *     Spark's own file sink derives from the checkpoint).
+    *   - `bloomCols` (comma-separated): registered at auto-init when
+    *     the sink creates the table.
+    * Output modes: Append → idempotent append; Complete → idempotent
+    * whole-table replace. Update is rejected (a keyed upsert needs the
+    * caller's merge semantics — use foreachBatch + TxTable.merge).
+    * The table is created on first batch if absent; later batches go
+    * through the append path's schema enforcement. */
+  override def createSink(sqlContext: SQLContext, parameters: Map[String, String],
+                          partitionColumns: Seq[String], outputMode: OutputMode): Sink = {
+    require(partitionColumns.isEmpty,
+      "graft-txtable sink: TxTable is not hive-partitioned; drop partitionBy " +
+        "(manifest stats and blooms do the pruning work)")
+    require(outputMode == OutputMode.Append() || outputMode == OutputMode.Complete(),
+      s"graft-txtable sink supports Append and Complete, got $outputMode — " +
+        "Update-mode upserts need merge semantics: use foreachBatch + TxTable.merge")
+    val dir = dirOf(parameters)
+    val appId = parameters.get("txnAppId")
+      .orElse(parameters.get("checkpointLocation"))
+      .getOrElse(throw new IllegalArgumentException(
+        "graft-txtable sink needs a writer identity for exactly-once: set " +
+          "option(\"txnAppId\", ...) or a checkpointLocation"))
+    val bloomCols = parameters.get("bloomCols")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    new TxTableSink(
+      sqlContext.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      dir, appId, complete = outputMode == OutputMode.Complete(), bloomCols)
+  }
+}
+
+private[sources] final class TxTableSink(
+    spark: org.apache.spark.sql.classic.SparkSession, dir: String,
+    appId: String, complete: Boolean, bloomCols: Seq[String]) extends Sink {
+
+  override def addBatch(batchId: Long, data: org.apache.spark.sql.DataFrame): Unit = {
+    // The engine hands addBatch a STREAMING-marked frame; re-wrap its
+    // planned RDD as a batch frame so the ordinary TxTable write path
+    // (stage → stats/bloom harvest → atomic claim) applies unchanged.
+    val batch = org.apache.spark.sql.graft.StreamingFrame.unmark(spark,
+      data.asInstanceOf[org.apache.spark.sql.classic.DataFrame])
+    if (!TxTable.exists(dir))
+      TxTable.init(spark, dir, batch.schema, bloomCols)
+    // A `false` here is the REPLAY path: the manifest already records
+    // this (appId, batchId) — the previous attempt committed before
+    // the crash — and the watermark guard turned the duplicate into a
+    // no-op. Nothing to do; the engine's checkpoint advances normally.
+    if (complete) TxTable.overwriteIfNew(spark, dir, batch, appId, batchId)
+    else TxTable.appendIfNew(spark, dir, batch, appId, batchId)
+    ()
+  }
+
+  override def toString: String = s"TxTableSink[$dir]"
 }
 
 private[sources] final class TxTableSource(
@@ -118,10 +183,16 @@ private[sources] final class TxTableSource(
       }
     }
 
-  /** Pacing state: the newest version this source has OFFERED. Purely a
-    * batch-size knob — correctness lives in the engine's offset log and
-    * getBatch's exact `(start, end]` reads, so a restart resetting this
-    * only re-offers already-committed targets (harmless no-ops). */
+  /** Pacing state: the newest version this source has OFFERED or been
+    * asked to read. Correctness lives in the engine's offset log and
+    * getBatch's exact `(start, end]` reads — but this cursor must never
+    * fall BEHIND the engine's checkpoint: a restart resets it, and if
+    * getOffset then offered a paced target below the recovered offset,
+    * the engine would log it as a new batch and ask for a backwards
+    * `(4, 1]` range. [[getBatch]] re-advances it (the engine replays
+    * the recovered range through getBatch on restart, before the first
+    * getOffset), and getOffset additionally never returns a target it
+    * has not itself exceeded. */
   @volatile private var offered: Long = Long.MinValue
 
   override def getOffset: Option[OffsetV1] = {
@@ -143,6 +214,9 @@ private[sources] final class TxTableSource(
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val endV = versionOf(end)
+    // Restart recovery: re-anchor the pacing cursor at the engine's
+    // checkpointed offset so the next getOffset paces FORWARD from it.
+    offered = math.max(offered, endV)
     // Schema changes mid-stream (an additive append widened the table)
     // must fail LOUDLY with a restartable error — the engine pinned
     // this source's schema at query start, and silently projecting the

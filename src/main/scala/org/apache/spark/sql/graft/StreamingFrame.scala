@@ -15,4 +15,14 @@ object StreamingFrame {
   def mark(spark: SparkSession, df: DataFrame): DataFrame =
     spark.internalCreateDataFrame(df.queryExecution.toRdd, df.schema,
       isStreaming = true)
+
+  /** The sink-side inverse: a v1 `Sink.addBatch` receives a frame
+    * MARKED streaming (batch-DF writers refuse it with "queries with
+    * streaming sources must be executed with writeStream"); re-wrapping
+    * its already-planned physical RDD as a batch frame lets the sink
+    * reuse the ordinary write path — Delta's DeltaSink executes the
+    * incoming plan the same way. */
+  def unmark(spark: SparkSession, df: DataFrame): DataFrame =
+    spark.internalCreateDataFrame(df.queryExecution.toRdd, df.schema,
+      isStreaming = false)
 }

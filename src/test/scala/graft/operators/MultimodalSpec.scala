@@ -50,6 +50,36 @@ class MultimodalSpec extends SparkSpec {
       s"band luminance off: ${r.features.toSeq}")
   }
 
+  test("audio payloads decode with the real JDK codec (WAV round-trip)") {
+    // A 16-bit mono 8 kHz PCM clip (first half a full-scale square
+    // wave, second half silence) written as WAV by javax.sound.sampled
+    // itself: decodeFeatures must recover the TRUE geometry (frame
+    // count, sample rate, channels) and the per-band RMS energy
+    // (≈1.0 for the loud half, 0.0 for the silent half).
+    val frames = 4000
+    val pcm = new Array[Byte](frames * 2)
+    for (i <- 0 until frames / 2) {
+      val v: Short = if (i % 2 == 0) 32767 else -32768
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, bos.toByteArray)).toDF("id", "payload")
+    val r = Multimodal.decodeFeatures(df, "id", "payload", "audio", featureDim = 2)
+      .collect()(0)
+    assert(r.width == frames && r.height == 8000 && r.channels == 1,
+      s"real codec geometry expected, got ${r.width}x${r.height}x${r.channels}")
+    assert(r.features(0) > 0.99f && r.features(0) <= 1.01f &&
+      math.abs(r.features(1)) < 1e-6, s"band RMS off: ${r.features.toSeq}")
+  }
+
   test("frameSample: n evenly spaced frames, in-bounds, ordered") {
     val out = Multimodal.frameSample(payloads, "id", "payload", frames = 4, frameBytes = 16)
       .collect().groupBy(_.id)

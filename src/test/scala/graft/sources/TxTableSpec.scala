@@ -147,6 +147,34 @@ class TxTableSpec extends SparkSpec {
     assert(TxTable.read(spark, dir).collect().map(_.getLong(0)).toSeq == Seq(1L))
   }
 
+  test("timestampAsOf resolves by adjusted commit time (Delta time travel)") {
+    val dir = tmp()
+    TxTable.init(spark, dir, schema)
+    TxTable.overwrite(spark, dir, Seq((1L, 1L)).toDF("k", "v")) // v1
+    TxTable.overwrite(spark, dir, Seq((2L, 2L)).toDF("k", "v")) // v2
+    // Pin deterministic mtimes instead of sleeping between commits
+    // (the resolver reads only the commit files' mtimes).
+    def pin(v: Long, ms: Long): Unit = Files.setLastModifiedTime(
+      Paths.get(dir, "_log", f"v$v%016d.commit"),
+      java.nio.file.attribute.FileTime.fromMillis(ms))
+    pin(0L, 1000L); pin(1L, 2000L); pin(2L, 3000L)
+    assert(TxTable.versionAtTime(dir, 2500L) == 1L)
+    assert(TxTable.versionAtTime(dir, 3000L) == 2L, "boundary is inclusive")
+    assert(TxTable.readTimestamp(spark, dir, 2999L)
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+    assert(TxTable.snapshot(dir).version == 2L, "readTimestamp must not commit")
+    val e = intercept[IllegalArgumentException](TxTable.versionAtTime(dir, 999L))
+    assert(e.getMessage.contains("no commit"))
+    // Non-monotone raw mtimes (a later claim of an earlier-written
+    // manifest): effective times adjust to strictly increasing, so the
+    // later VERSION never resolves for an instant before its
+    // predecessor — Delta's commit-timestamp adjustment.
+    pin(2L, 1500L) // v2's raw mtime now BEFORE v1's
+    assert(TxTable.versionAtTime(dir, 2000L) == 1L,
+      "adjusted time of v2 must exceed v1's, not its raw mtime")
+    assert(TxTable.versionAtTime(dir, 2001L) == 2L)
+  }
+
   test("manifests carry per-file key ranges; appends and restores keep them") {
     val dir = tmp()
     TxTable.init(spark, dir, schema)

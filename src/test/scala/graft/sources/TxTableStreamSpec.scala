@@ -62,6 +62,37 @@ class TxTableStreamSpec extends SparkSpec {
     assert(got.sorted.toSeq == Seq(1L, 2L, 3L, 4L), s"rows: $got")
   }
 
+  test("paced restart: recovered checkpoint never re-offers a lower offset") {
+    // Regression: `offered` resets on restart; with pacing enabled the
+    // first post-restart getOffset used to return a target BELOW the
+    // recovered offset, which the engine logged as a new batch and
+    // asked to read backwards ((4, 1] → crash) — and would otherwise
+    // re-deliver commits. A restart with nothing new must deliver
+    // nothing; later commits exactly once.
+    val dir = seeded()
+    TxTable.append(spark, dir, Seq((3L, 30L)).toDF("k", "v"))
+    TxTable.append(spark, dir, Seq((4L, 40L)).toDF("k", "v"))
+    val ckpt = tmp()
+    val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-txtable")
+        .option("maxCommitsPerTrigger", "1").load(dir)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          got ++= b.collect().map(_.getLong(0)); ()
+        }.start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    run()
+    assert(got.sorted.toSeq == Seq(1L, 2L, 3L, 4L), s"first run: $got")
+    run() // restart, nothing new: nothing may land (and nothing may crash)
+    assert(got.sorted.toSeq == Seq(1L, 2L, 3L, 4L), s"restart re-delivered: $got")
+    TxTable.append(spark, dir, Seq((5L, 50L)).toDF("k", "v"))
+    run()
+    assert(got.sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L), s"post-restart: $got")
+  }
+
   test("latest: streams only post-start commits; base survives restart") {
     val dir = seeded() // the seed rows must NEVER appear
     val ckpt = tmp()
