@@ -59,6 +59,21 @@ object DedupIndex {
     * anyway). */
   private val MaxReplaceKeys = 100000
 
+  /** Driver bound for the delta's SHINGLE-key collect that plans the
+    * old-segment pruned scan (a shingle is ~tens of bytes, so 1M keys
+    * is ~tens of MB of driver heap — cheap next to the corpus pass it
+    * replaces). Above it the append falls back to the full
+    * broadcast-semi scan of the stored index. */
+  private val MaxLookupKeys = 1000000
+
+  /** Last [[append]]'s per-phase wall timings (seconds), as returned by
+    * the call — published so a harness (graft.Bench) can attach them to
+    * its artifact and the scale sweep can machine-check the flat
+    * job-and-commit floor against the delta-proportional phases per SF,
+    * instead of the split being hand-argued in round notes. */
+  val lastAppendPhases =
+    new java.util.concurrent.atomic.AtomicReference[Seq[(String, Double)]](Nil)
+
   /** Default segment cap before [[append]] self-schedules compaction.
     * Every read folds all live segments ([[mergeSegments]]) and every
     * append broadcast-semi-scans them, so an unbounded append stream
@@ -185,11 +200,19 @@ object DedupIndex {
       .persist(StorageLevel.MEMORY_AND_DISK)
     // doc_id blooms: the unique-index membership probe behind append's
     // dupe check (see there) — every commit of this table harvests one
-    // per data dir.
-    putTable(spark, s"$dir/docs", d, bloomCols = Seq("doc_id"))
+    // per data dir. doc_id-range-clustered so the manifest stats give
+    // each file a tight id interval — what makes append's dupe probe
+    // and candidate-endpoint fetch O(hit files) instead of O(corpus).
+    putTable(spark, s"$dir/docs",
+      d.repartitionByRange(col("doc_id")).sortWithinPartitions(col("doc_id")),
+      bloomCols = Seq("doc_id"))
     val grouped = groupsWithDf(inv(d), cap)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    putTable(spark, s"$dir/groups", grouped)
+    // sh-range-clustered: tight per-file sstats bounds are what let
+    // every future append's old-side scan prune to the files its delta
+    // shingles hit (see the manifest-planned read in [[append]]).
+    putTable(spark, s"$dir/groups",
+      grouped.repartitionByRange(col("sh")).sortWithinPartitions(col("sh")))
     // Known family = ALL rare groups: kc is each doc's rare-shingle
     // count, so the bound is exactly the one-shot pipeline's.
     val rareCnt = grouped.filter(col("ids").isNotNull)
@@ -249,8 +272,16 @@ object DedupIndex {
       phases += name -> (now - mark) / 1e9
       mark = now
     }
-    val nd = newDocs.select(col("doc_id"), col("shs"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // ONE PINNED evaluation of the delta (RDD localCheckpoint, not
+    // best-effort persist): the staged docs segment, the dupe probe's
+    // collected ids, and the preBloom filter below must all see the
+    // SAME rows — an evicted cache block over a nondeterministic input
+    // would let the staged dir diverge from the Bloom built off the
+    // collected ids, and a doc_id in the dir but not the filter is a
+    // false negative that breaks every later absence proof.
+    val ndPlan = newDocs.select(col("doc_id"), col("shs"))
+    val ndRdd = ndPlan.rdd.localCheckpoint()
+    val nd = spark.createDataFrame(ndRdd, ndPlan.schema)
     val newIds = nd.select(col("doc_id"))
     val docsSnap = TxTable.snapshot(s"$dir/docs")
     val docsStored = TxTable.read(spark, s"$dir/docs", docsSnap)
@@ -273,8 +304,14 @@ object DedupIndex {
     val dupes = bloomSuspects match {
       case Some(Nil) => 0L
       case Some(suspects) if suspects.length <= 1000 =>
-        docsStored.select(col("doc_id"))
-          .filter(col("doc_id").isInCollection(suspects)).count()
+        // Manifest-planned point probe (TxTable.lookupKeys): doc_id
+        // stats pruning drops every file whose range excludes all
+        // suspects, so the exact probe reads O(hit files), not the
+        // corpus — docs is doc_id-range-clustered by build/compact, so
+        // hit files ∝ suspects. The IN filter still pushes into the
+        // survivors for row-group skipping.
+        TxTable.lookupKeys(spark, s"$dir/docs", "doc_id", suspects,
+          Some(docsSnap)).select(col("doc_id")).count()
       case _ =>
         docsStored.select(col("doc_id"))
           .join(broadcast(newIds), Seq("doc_id"), "left_semi").count()
@@ -325,7 +362,8 @@ object DedupIndex {
     // OPTIMIZE every LSM/Delta deployment already runs.
     val dgSeg = groupsWithDf(inv(nd), cap)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val og = TxTable.read(spark, s"$dir/groups") // rows per (segment, sh)
+    val groupsSnap = TxTable.snapshot(s"$dir/groups")
+    val og = TxTable.read(spark, s"$dir/groups", groupsSnap) // rows per (segment, sh)
     val deltaShs = dgSeg.select(col("sh"))
     // Stage the new segment now; committed (keepExisting=true) at the
     // end with the other tables. Coalesced: a delta segment is LSM
@@ -333,9 +371,16 @@ object DedupIndex {
     // files per append that every future segment fold, file listing,
     // and commit-time footer harvest must enumerate. Few, larger files
     // per segment (parquet stays splittable for readers) is the level-0
-    // shape every LSM keeps.
+    // shape every LSM keeps. Range-clustered on `sh` (not a plain
+    // coalesce): each segment file then covers a tight shingle
+    // interval, its manifest sstats bounds are tight, and FUTURE
+    // appends' old-side pruned scans (below) skip every file whose
+    // range excludes the whole delta — the shuffle is delta-bounded
+    // and buys O(hit files) reads for the rest of the table's life.
     val groupsSchema = dgSeg.schema
-    val uGroups = TxTable.stage(s"$dir/groups", dgSeg.coalesce(SegmentFiles))
+    val uGroups = TxTable.stage(s"$dir/groups",
+      dgSeg.repartitionByRange(SegmentFiles, col("sh"))
+        .sortWithinPartitions(col("sh")))
     phase("stage_groups_segment")
 
     // The OLD-side and MERGED per-shingle views over the delta's
@@ -348,10 +393,32 @@ object DedupIndex {
     // can't exceed its side's total), and every consumer below only
     // reads a side's lists under such a bound. One shuffle over
     // delta-bounded rows, where the two-view shape paid the old-side
-    // aggregation AND a full_outer re-join of the views. The old
-    // segments' scan is the only pass this append makes over the
-    // stored index.
-    val sideMerged = og.join(broadcast(deltaShs), Seq("sh"), "left_semi")
+    // aggregation AND a full_outer re-join of the views.
+    //
+    // The old-segment read is MANIFEST-PLANNED, not a full index scan:
+    // the delta's shingle keys (driver-bounded collect off the cached
+    // delta segment) prune the stored segments to the files whose
+    // sstats `sh` range intersects any delta shingle
+    // (TxTable.lookupStringFiles — sorted keys, binary search per
+    // file), and only the surviving files are scanned, still
+    // broadcast-semi-filtered row-level. Segments are
+    // sh-range-clustered at write (above, and in build/compactGroups),
+    // so at 100 TB — where files ≫ delta shingles — the hit set is
+    // O(delta shingles), not O(corpus files). Over the key bound, fall
+    // back to the full semi-scan (a delta that size approaches a
+    // rebuild).
+    val shRows = deltaShs.limit(MaxLookupKeys + 1).collect()
+    val ogDelta =
+      if (shRows.length <= MaxLookupKeys) {
+        val hitFiles = TxTable.lookupStringFiles(s"$dir/groups", groupsSnap,
+          "sh", shRows.toSeq.map(_.getString(0)))
+        (if (hitFiles.isEmpty) og.limit(0)
+         else spark.read
+           .schema(org.apache.spark.sql.types.StructType.fromDDL(groupsSnap.schemaDdl))
+           .parquet(hitFiles.map(_.toString): _*))
+          .join(broadcast(deltaShs), Seq("sh"), "left_semi")
+      } else og.join(broadcast(deltaShs), Seq("sh"), "left_semi")
+    val sideMerged = ogDelta
         .select(col("sh"), col("ids"), col("df"), lit(true).as("old"))
       .unionByName(dgSeg
         .select(col("sh"), col("ids"), col("df"), lit(false).as("old")))
@@ -401,11 +468,39 @@ object DedupIndex {
     // buckets.
     val candEnds = cands.select(col("a").as("doc_id"))
       .unionByName(cands.select(col("b").as("doc_id"))).distinct()
-    // Broadcast: endpoint ids are ≤ 2|cands|, delta-bounded like
-    // newIds/deltaShs above — and a non-broadcast semi here would
-    // SHUFFLE the corpus, costing more than the scans it saves.
-    val docsCand = docsAll.join(broadcast(candEnds), Seq("doc_id"), "left_semi")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Endpoint rows come from two places, each read proportional to the
+    // ENDPOINTS, never the corpus: delta endpoints broadcast-semi the
+    // pinned delta, STORED endpoints go through the manifest-planned
+    // point lookup (TxTable.lookupFiles: doc_id Bloom absence proof →
+    // stats file pruning) so only the hit FILES are scanned — docs is
+    // doc_id-range-clustered by build/compact, so hit files ∝
+    // endpoints, and endpoint ids are ≤ 2|cands|, delta-bounded. Over
+    // the driver bound, fall back to the broadcast semi over the full
+    // corpus scan (a delta with that many candidate endpoints
+    // approaches a rebuild). Row-level filtering stays a broadcast
+    // semi-join either way — a 10^5-key IN predicate would defeat
+    // codegen where the hash semi probes in O(1).
+    val endRows = candEnds.limit(MaxReplaceKeys + 1).collect()
+    val docsCandPlan =
+      if (endRows.length <= MaxReplaceKeys) {
+        val endIds = endRows.toSeq.map(_.getLong(0))
+        val hitFiles = TxTable.lookupFiles(s"$dir/docs", docsSnap, "doc_id", endIds)
+        (if (hitFiles.isEmpty) docsStored.limit(0)
+         else spark.read
+           .schema(org.apache.spark.sql.types.StructType.fromDDL(docsSnap.schemaDdl))
+           .parquet(hitFiles.map(_.toString): _*))
+          .join(broadcast(candEnds), Seq("doc_id"), "left_semi")
+          .unionByName(nd.join(broadcast(candEnds), Seq("doc_id"), "left_semi"))
+      } else docsAll.join(broadcast(candEnds), Seq("doc_id"), "left_semi")
+    val docsCand = docsCandPlan.persist(StorageLevel.MEMORY_AND_DISK)
+    // Phase boundary: the endpoint collect above materialized the
+    // candidate mine (sideMerged + cands caches populate under it), so
+    // mine_candidates ends here and the endpoint FETCH — the read this
+    // round converted from a corpus scan to a manifest-planned lookup —
+    // times as its own phase, per-SF visible in the scale sweep.
+    phase("mine_candidates")
+    docsCand.count()
+    phase("docs_cand_fetch")
     // RDD localCheckpoint = persist + LINEAGE CUT: three later actions
     // (the pairs stage write, the edge checkpoint, the components stage
     // write) re-analyze this frame's logical plan each time; with the
@@ -415,16 +510,11 @@ object DedupIndex {
     // Dataset variant hides the persisted RDD inside a LogicalRDD with
     // no public handle to release (Stages.scala documents the trap) —
     // this handle is unpersisted in the cleanup below.
-    if (sys.env.get("GRAFT_PHASE_TIMINGS").contains("2")) { // sub-attribution
-      sideMerged.count(); phase("  og_mg_merge")
-      cands.count(); phase("  cands")
-      docsCand.count(); phase("  docs_cand_fetch")
-    }
     val newPairsPlan = boundedVerify(cands, docsCand, kc)
     val newPairsRdd = newPairsPlan.rdd.localCheckpoint()
     val newPairsCount = newPairsRdd.count()
     val newPairs = spark.createDataFrame(newPairsRdd, newPairsPlan.schema)
-    phase("mine_and_verify")
+    phase("verify")
 
     // Rare→hot recheck: shingles the delta pushed over the cap, the old
     // docs that carried them, and the stored pairs where BOTH endpoints
@@ -599,7 +689,8 @@ object DedupIndex {
     droppedRdd.unpersist(blocking = false); docsH.unpersist()
     newPairsRdd.unpersist(blocking = false)
     cands.unpersist(); docsCand.unpersist()
-    sideMerged.unpersist(); dgSeg.unpersist(); nd.unpersist()
+    sideMerged.unpersist(); dgSeg.unpersist()
+    ndRdd.unpersist(blocking = false)
     // LSM self-maintenance (the reference's InnoDB keeps its unique
     // index balanced per insert — init/mysql_loader.py:435-439; an LSM
     // amortizes the same upkeep into scheduled folds): once a table's
@@ -639,6 +730,7 @@ object DedupIndex {
     if (sys.env.get("GRAFT_PHASE_TIMINGS").exists(Set("1", "2")))
       System.err.println(phases.map { case (n, s) => f"$n=$s%.3fs" }
         .mkString("DedupIndex.append phases: ", " ", ""))
+    lastAppendPhases.set(phases.toSeq)
     phases.toSeq
   }
 
@@ -673,8 +765,12 @@ object DedupIndex {
     * count the per-append scans touch. Single-writer, like every
     * compaction here. */
   def compactGroups(spark: SparkSession, dir: String, cap: Int): Unit = {
+    // Restores sh-range-clustering along with the fold (appends land
+    // their segments clustered too, but compaction re-tightens the
+    // per-file bounds across the merged whole).
     TxTable.overwrite(spark, s"$dir/groups",
-      mergeSegments(TxTable.read(spark, s"$dir/groups"), cap))
+      mergeSegments(TxTable.read(spark, s"$dir/groups"), cap)
+        .repartitionByRange(col("sh")).sortWithinPartitions(col("sh")))
     ()
   }
 

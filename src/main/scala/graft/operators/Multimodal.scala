@@ -54,17 +54,45 @@ object Multimodal {
     (width, height, channels, features)
   }
 
+  /** Pixel-count cap enforced from the HEADER, before any raster
+    * materializes: `ImageReader.read` allocates the full w×h raster
+    * even though the featurizer samples a bounded grid, so a tiny
+    * adversarial payload declaring huge dimensions would otherwise
+    * allocate gigabytes (or OOM) inside a task. 64 MP ≈ 256 MB ARGB —
+    * generous for real images, fatal-proof for fakes. */
+  private val MaxImagePixels = 64L * 1000 * 1000
+
   /** REAL image decode via `javax.imageio`: true geometry from the
     * codec (width, height, color-model component count) and a real
     * pixel statistic as the feature vector — mean luminance of
     * `featureDim` horizontal bands, sampled on a bounded grid (≤ 64
     * positions per axis) so a huge image costs O(grid), not O(pixels).
+    * The header is read FIRST and payloads declaring more than
+    * [[MaxImagePixels]] are rejected before the raster allocates.
     * None when ImageIO has no codec for the payload (video/audio/
-    * arbitrary bytes) — the caller falls back to the stub. */
+    * arbitrary bytes) or it fails the cap — the caller falls back to
+    * the stub. Only non-fatal failures map to the fallback: an OOM or
+    * JVM error must surface, not masquerade as stub features. */
   private[operators] def imageDecode(bytes: Array[Byte], featureDim: Int)
       : Option[(Int, Int, Int, Array[Float])] =
     try {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      if (iis == null) return None
+      val img =
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) return None // no codec for this payload
+          val reader = readers.next()
+          try {
+            reader.setInput(iis, true, true)
+            // Header-only reads: no pixel data touched yet.
+            val w = reader.getWidth(0)
+            val h = reader.getHeight(0)
+            if (w <= 0 || h <= 0 || w.toLong * h > MaxImagePixels) return None
+            reader.read(0)
+          } finally reader.dispose()
+        } finally iis.close()
       if (img == null) None
       else {
         val w = img.getWidth
@@ -96,7 +124,7 @@ object Multimodal {
         }
         Some((w, h, channels, features))
       }
-    } catch { case _: Throwable => None } // corrupt stream → fallback
+    } catch { case scala.util.control.NonFatal(_) => None } // corrupt stream → fallback
 
   /** Bound on PCM frames the audio featurizer reads per payload: work
     * per row is O(cap), not O(clip length) — a pathological multi-hour
@@ -177,7 +205,7 @@ object Multimodal {
         }
         Some((frame, fmt.getSampleRate.toInt, channels, features))
       } finally in.close()
-    } catch { case _: Throwable => None } // not audio / torn header → fallback
+    } catch { case scala.util.control.NonFatal(_) => None } // not audio / torn header → fallback
 
   /** Decode + featurize a binary payload column: real JRE codecs first
     * (ImageIO for images, javax.sound.sampled for PCM audio), stub for

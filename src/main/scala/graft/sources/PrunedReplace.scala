@@ -161,24 +161,16 @@ object PrunedReplace {
     def mightContain(bf: org.apache.spark.util.sketch.BloomFilter, k: K): Boolean
   }
 
-  /** First index whose key is ≥ `lo` in a sorted array. */
-  private def lowerBound[K](keys: Array[K], lo: K, ord: Ordering[K]): Int = {
-    var l = 0; var r = keys.length
-    while (l < r) {
-      val m = (l + r) >>> 1
-      if (ord.lt(keys(m), lo)) l = m + 1 else r = m
-    }
-    l
-  }
-
   private def stageImpl[K: scala.reflect.ClassTag](
       spark: SparkSession, dir: String, keyCol: String,
       removeKeys: Array[K], ko: Keyed[K])
      (upsertsFor: DataFrame => DataFrame): Staged = {
     val snap = TxTable.snapshot(dir)
     val keys = removeKeys.distinct.sorted(ko.ord)
-    val filesL = TxTable.dataFiles(dir, snap)
-    val filesS = TxTable.dataFilesString(dir, snap) // same files, same order
+    // ONE directory enumeration pairing long and string bounds per file
+    // (two listings zipped positionally could misalign under a
+    // concurrent vacuum — a file tested against another's bounds).
+    val files = TxTable.dataFilesAll(dir, snap)
     // Per-dir BLOOM refinement of the key set: a key the dir's filter
     // rejects has no row in ANY of that dir's files (no false
     // negatives), so a range overlap with it cannot be a real hit —
@@ -196,13 +188,13 @@ object PrunedReplace {
     // (manifest first, footer as the pre-stats fallback — a fallback
     // read is kept and remapped below, upgrading pre-stats files into
     // the manifest for free), and the hit verdict.
-    val annotated = filesL.zip(filesS).map { case ((f, lst), (_, sst)) =>
+    val annotated = files.map { case (f, lst, sst) =>
       val fKeys = dirKeys.getOrElse(f.getParent.getFileName.toString, keys)
       val keyRange = ko.manifestRange(lst, sst).orElse(ko.footerRange(f))
       val isHit = fKeys.nonEmpty && (keyRange match {
         case Some((lo, hi)) =>
           // any removed key in [lo, hi]? (keys sorted — binary search)
-          val from = lowerBound(fKeys, lo, ko.ord)
+          val from = TxTable.lowerBound(fKeys, lo, ko.ord)
           from < fKeys.length && ko.ord.lteq(fKeys(from), hi)
         case None => true // no usable stats → conservative rewrite
       })

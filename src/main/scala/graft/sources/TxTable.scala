@@ -377,12 +377,27 @@ object TxTable {
     } catch { case _: java.io.IOException => None } // lost sidecar: fall back
   }
 
+  /** First index whose key is ≥ `lo` in a sorted array — the per-file
+    * hit test of every manifest-planned lookup runs over the SORTED key
+    * set, so a table of F files costs O(F log K) driver work, not
+    * O(F·K) (at 100 TB: millions of files × tens of thousands of keys
+    * would otherwise be a driver-side quadratic scan). */
+  private[sources] def lowerBound[K](keys: Array[K], lo: K, ord: Ordering[K]): Int = {
+    var l = 0; var r = keys.length
+    while (l < r) {
+      val m = (l + r) >>> 1
+      if (ord.lt(keys(m), lo)) l = m + 1 else r = m
+    }
+    l
+  }
+
   /** Planning half of [[lookupStringKeys]]: the data files a lookup of
     * `keys` must read, from the manifest alone — keys no Bloom filter
     * claims are dropped first (absence proven, zero I/O), then files
     * whose sstats bounds exclude every surviving key are skipped
-    * (compare in parquet's unsigned-UTF-8 order only). Stats-less
-    * files are conservative hits. Exposed for plan assertions. */
+    * (compare in parquet's unsigned-UTF-8 order only; binary search
+    * over the sorted key set per file). Stats-less files are
+    * conservative hits. Exposed for plan assertions. */
   def lookupStringFiles(dir: String, snap: Snapshot, col: String,
                         keys: Seq[String]): Seq[Path] = {
     val candidates = keyBlooms(dir, snap, col) match {
@@ -391,10 +406,51 @@ object TxTable {
     }
     if (candidates.isEmpty) return Seq.empty
     val ord = ParquetFooterStats.Utf8Ordering
+    val sorted = candidates.distinct.sorted(ord).toArray
     dataFilesString(dir, snap).collect {
       case (p, st) if st.get(col).forall { case (lo, hi) =>
-        candidates.exists(k => ord.lteq(lo, k) && ord.lteq(k, hi)) } => p
+        val i = lowerBound(sorted, lo, ord)
+        i < sorted.length && ord.lteq(sorted(i), hi) } => p
     }
+  }
+
+  /** [[lookupStringFiles]]' LONG-keyed twin: Bloom absence proof, then
+    * manifest `stats` bound pruning (binary search over the sorted key
+    * set per file). The planning half of [[lookupKeys]] — and the
+    * point-lookup primitive delta-maintenance paths route their
+    * key-bounded corpus reads through (e.g. DedupIndex.append's dupe
+    * probe and candidate-endpoint fetch), turning an O(table) scan per
+    * delta into O(hit files). */
+  def lookupFiles(dir: String, snap: Snapshot, col: String,
+                  keys: Seq[Long]): Seq[Path] = {
+    val candidates = keyBlooms(dir, snap, col) match {
+      case Some(bfs) => keys.filter(k => bfs.exists(_.mightContainLong(k)))
+      case None => keys
+    }
+    if (candidates.isEmpty) return Seq.empty
+    val sorted = candidates.distinct.sorted.toArray
+    dataFiles(dir, snap).collect {
+      case (p, st) if st.get(col).forall { case (lo, hi) =>
+        val i = lowerBound(sorted, lo, Ordering.Long)
+        i < sorted.length && sorted(i) <= hi } => p
+    }
+  }
+
+  /** POINT LOOKUP by a LONG key — [[lookupStringKeys]] on the manifest's
+    * numeric `stats` block: Bloom absence proof, stats file pruning,
+    * then an IN predicate pushed to the surviving files' row groups.
+    * Exact for any key set (pruning only drops files/keys PROVEN unable
+    * to match). */
+  def lookupKeys(spark: SparkSession, dir: String, col: String,
+                 keys: Seq[Long], snapOpt: Option[Snapshot] = None): DataFrame = {
+    val snap = snapOpt.getOrElse(snapshot(dir))
+    val schema = StructType.fromDDL(snap.schemaDdl)
+    val files = lookupFiles(dir, snap, col, keys)
+    if (files.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(files.map(_.toString): _*)
+      .filter(org.apache.spark.sql.functions.col(col).isInCollection(keys))
   }
 
   /** POINT LOOKUP by a string natural key (the reference's every-page
@@ -429,8 +485,17 @@ object TxTable {
       if (ex.isEmpty) Seq(s"$dir/data/$d")
       else {
         val root = Paths.get(stagedPath(dir, d))
-        if (!Files.isDirectory(root)) Seq.empty
-        else listNames(root)
+        // A manifest-listed dir that is GONE must fail exactly like the
+        // no-exclusions path does (the parquet scan on the whole-dir
+        // path throws) — returning no paths would mask vacuumed-away or
+        // lost data as an empty contribution on precisely the
+        // replace-touched dirs.
+        if (!Files.isDirectory(root))
+          throw new IllegalStateException(
+            s"data dir $d of $dir is listed by the manifest at " +
+              s"v${snap.version} but missing on disk — vacuumed past this " +
+              "reader's snapshot, or the table lost data")
+        listNames(root)
           .filter(n => n.endsWith(".parquet") && !ex(n))
           .map(n => s"$dir/data/$d/$n")
       }
@@ -615,6 +680,26 @@ object TxTable {
       if (!Files.isDirectory(root)) Seq.empty
       else listNames(root).filter(n => n.endsWith(".parquet") && !ex(n)).map { n =>
         (root.resolve(n), snap.sstats.getOrElse(s"$d/$n", Map.empty))
+      }
+    }
+
+  /** [[dataFiles]] and [[dataFilesString]] from ONE directory
+    * enumeration: per file, both the long-column and the string-column
+    * manifest bounds. A consumer that needs both blocks (a string-keyed
+    * replace tests sstats while carrying the long stats forward) must
+    * pair them per FILE — two independent listings carry no ordering
+    * guarantee, and a concurrent vacuum deleting an excluded file
+    * between them would misalign a positional zip, testing one file
+    * against another file's bounds. */
+  def dataFilesAll(dir: String, snap: Snapshot)
+      : Seq[(Path, Map[String, (Long, Long)], Map[String, (String, String)])] =
+    snap.dirs.flatMap { d =>
+      val root = Paths.get(stagedPath(dir, d))
+      val ex = snap.excludes.getOrElse(d, Nil).toSet
+      if (!Files.isDirectory(root)) Seq.empty
+      else listNames(root).filter(n => n.endsWith(".parquet") && !ex(n)).map { n =>
+        (root.resolve(n), snap.stats.getOrElse(s"$d/$n", Map.empty),
+          snap.sstats.getOrElse(s"$d/$n", Map.empty))
       }
     }
 

@@ -68,6 +68,9 @@ class TxTableStreamProvider extends StreamSourceProvider with StreamSinkProvider
                             parameters: Map[String, String]): Source = {
     val dir = dirOf(parameters)
     val maxCommits = parameters.get("maxCommitsPerTrigger").map(_.toInt)
+    maxCommits.foreach(n => require(n >= 1,
+      s"maxCommitsPerTrigger must be >= 1, got $n — omit the option for " +
+        "unpaced (all available commits per batch)"))
     val starting = parameters.getOrElse("startingVersion", "earliest")
     new TxTableSource(
       sqlContext.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
@@ -203,9 +206,14 @@ private[sources] final class TxTableSource(
     val target = maxCommitsPerTrigger match {
       case Some(n) =>
         // Version numbers may skip dead claims: pace by COMMIT COUNT,
-        // not arithmetic on version numbers.
+        // not arithmetic on version numbers. The `earliest` snapshot
+        // batch counts as ONE unit of admission (per the provider doc):
+        // before anything is consumed the paced target is the FIRST
+        // version — its batch is the full snapshot there — never n
+        // commits in.
         val done = vs.count(_ <= seen)
-        vs(math.min(done + n, vs.size) - 1)
+        val step = if (snapshotStart && done == 0) 1 else n
+        vs(math.min(done + step, vs.size) - 1)
       case None => vs.last
     }
     offered = math.max(offered, target)
