@@ -52,6 +52,12 @@ object Bench {
     // suite total while the query is in fact dead. Errors are collected
     // per query, emitted in the JSON, and fail the run (exit 1).
     val errors = mutable.LinkedHashMap.empty[String, String]
+    // Per-phase wall timings of the dedup-index lifecycle queries (the
+    // last rep's DedupIndex.append decomposition): lets the scale sweep
+    // machine-check the flat job-and-commit floor against the
+    // delta-proportional phases per SF instead of the split being
+    // hand-argued in round notes.
+    val phaseLog = mutable.LinkedHashMap.empty[String, Seq[(String, Double)]]
     val raw = SparkEntry.queries.flatMap { case (name, fn) =>
       val ts = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
@@ -68,6 +74,10 @@ object Bench {
         // independent and avoids cross-query executor-memory pressure.
         spark.catalog.clearCache()
         if (ok) Some(elapsed) else None
+      }
+      if (name == "q_dedup_incremental" || name == "q_dedup_index_append") {
+        val ph = graft.operators.DedupIndex.lastAppendPhases.get()
+        if (ph.nonEmpty) phaseLog(name) = ph
       }
       if (ts.nonEmpty) Some(name -> ts) else None
     }
@@ -109,7 +119,13 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val common =
       s""""value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"error_count":${errors.size},"sf":"$sfDir","reps":$reps,"action":"noop-write","stat":"median"$worstJson"""
-    val json = s"""{"metric":"total",$common,"spread":$spreadJson,"reps_raw":$rawJson}"""
+    val phasesJson = phaseLog.map { case (q, ph) =>
+      s"\"" + esc(q) + "\":" +
+        ph.map { case (n, s) => s"\"" + esc(n.trim) + "\":" + s }
+          .mkString("{", ",", "}")
+    }.mkString("{", ",", "}")
+    val json =
+      s"""{"metric":"total",$common,"phases":$phasesJson,"spread":$spreadJson,"reps_raw":$rawJson}"""
     // Authoritative copy on disk: sbt interleaves its own lines with
     // forked stdout, which has truncated the driver's capture twice.
     try {

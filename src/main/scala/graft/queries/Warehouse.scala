@@ -702,28 +702,39 @@ object Warehouse {
               col("ts") >= lit(lo).cast("timestamp") && col("ts") < lit(hi).cast("timestamp")))
           }
         }
-        val state = scala.collection.mutable.Map.empty[String, (Long, java.math.BigDecimal)]
+        // Silver→gold in the engine's OWN transactional shape: each
+        // micro-batch's exact decimal partials MERGE into a gold
+        // TxTable (read-fold-commit, optimistic retry), so the running
+        // state lives in the table's commit log — restartable,
+        // inspectable, no driver-side mutable map — and the oracle
+        // gate exercises merge-under-stream end to end.
+        import graft.sources.TxTable
+        val gold = java.nio.file.Files
+          .createTempDirectory("graft_q_stream_gold").toString + "/agg"
+        TxTable.init(t.spark, gold, org.apache.spark.sql.types.StructType
+          .fromDDL("event_type STRING, cnt BIGINT, total DECIMAL(38,2)"))
         val q = new graft.streaming.EventStore(root)
           .factStream(t.spark, maxCommitsPerTrigger = Some(2))
           .writeStream
           .option("checkpointLocation",
             java.nio.file.Files.createTempDirectory("graft_q_stream_ckpt").toString)
           .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-            b.groupBy(col("event_type"))
+            val part = b.groupBy(col("event_type"))
               .agg(count(lit(1)).as("cnt"),
-                sum(col("value").cast("decimal(18,2)")).as("total"))
-              .collect().foreach { r =>
-                val (c0, t0) = state.getOrElse(r.getString(0),
-                  (0L, java.math.BigDecimal.ZERO))
-                state(r.getString(0)) = (c0 + r.getLong(1), t0.add(r.getDecimal(2)))
-              }
+                sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)").as("total"))
+            TxTable.merge(t.spark, gold) { cur =>
+              cur.unionByName(part)
+                .groupBy(col("event_type"))
+                .agg(sum(col("cnt")).cast("bigint").as("cnt"),
+                  sum(col("total")).cast("decimal(38,2)").as("total"))
+            }
             ()
           }.start()
         q.processAllAvailable()
         q.stop()
-        import t.spark.implicits._
-        state.toSeq.map { case (k, (c, tot)) => (k, c, tot.doubleValue) }
-          .toDF("event_type", "cnt", "total")
+        TxTable.read(t.spark, gold)
+          .select(col("event_type"), col("cnt"),
+            col("total").cast("double").as("total"))
           .orderBy(col("event_type"))
       },
       Some(s"""

@@ -115,6 +115,19 @@ object TxTable {
   private def commitFile(dir: String, v: Long): Path =
     logDir(dir).resolve(f"v$v%016d.commit")
 
+  /** Diagnostic counter: manifest files READ since JVM start. Manifests
+    * here are SELF-CONTAINED — every commit is its own checkpoint (the
+    * degenerate, simplest form of Delta's checkpointing) — so resolving
+    * a snapshot reads exactly ONE commit file no matter how long the
+    * history is; spec-asserted through this counter so the property
+    * can't silently regress into a log replay. */
+  val commitReads = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private def readManifest(p: Path): String = {
+    commitReads.incrementAndGet()
+    Files.readString(p)
+  }
+
   /** Create an empty table (version 0, no data files). `bloomCols`
     * (optional) registers key columns whose commits harvest per-dir
     * Bloom filters — see [[Snapshot]]. */
@@ -151,7 +164,7 @@ object TxTable {
     val versions = commitVersions(dir)
     // Walk newest → oldest: skip crashed (empty) claims.
     versions.reverseIterator.foreach { v =>
-      val json = Files.readString(commitFile(dir, v))
+      val json = readManifest(commitFile(dir, v))
       if (json.nonEmpty) {
         val m = org.json4s.jackson.JsonMethods.parse(json)
         return Snapshot(v,
@@ -846,7 +859,7 @@ object TxTable {
     * newest. */
   def restore(spark: SparkSession, dir: String, version: Long): Snapshot = {
     implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
-    val json = Files.readString(commitFile(dir, version))
+    val json = readManifest(commitFile(dir, version))
     require(json.nonEmpty, s"cannot restore $dir to dead claim v$version")
     val m = org.json4s.jackson.JsonMethods.parse(json)
     val ddl = (m \ "schema").extract[String]
@@ -876,7 +889,7 @@ object TxTable {
         "consumer's checkpoint must stay within the vacuum retention, " +
         "exactly as Delta documents for its streaming sources")
     implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
-    val json = Files.readString(f)
+    val json = readManifest(f)
     require(json.nonEmpty, s"version $version of $dir is a dead claim")
     val m = org.json4s.jackson.JsonMethods.parse(json)
     Snapshot(version, (m \ "schema").extract[String],
@@ -960,6 +973,31 @@ object TxTable {
     throw new IllegalStateException("unreachable")
   }
 
+  /** LOG-ONLY retention (Delta's metadata cleanup, which its
+    * checkpoints enable): delete commit manifests older than the newest
+    * `keepLast` REAL commits, touching no data. Manifests here are
+    * self-contained — every commit is its own checkpoint — so old ones
+    * serve only time travel and incremental consumers; but a
+    * long-running streaming sink at one commit per micro-batch grows
+    * `_log` without bound, making every snapshot resolution's directory
+    * LISTING O(history) even though it reads one file. Data dirs
+    * referenced only by dropped manifests become orphans that [[vacuum]]
+    * reclaims under its retention (for an append-only sink there are
+    * none: every dir stays live in the head manifest). Time travel and
+    * readChanges/stream checkpoints older than the kept range fail
+    * clearly afterwards — the contract Delta documents for its log
+    * retention, and why `keepLast` must exceed any consumer's lag. Dead
+    * claims below the kept range are debris and dropped too. */
+  def trimLog(dir: String, keepLast: Int): Unit = {
+    require(keepLast >= 1, s"trimLog keepLast must be >= 1, got $keepLast")
+    val versions = commitVersions(dir)
+    val real = versions.filter(v => Files.size(commitFile(dir, v)) > 0L)
+    if (real.size <= keepLast) return
+    val keepFrom = real.takeRight(keepLast).head
+    versions.filter(_ < keepFrom)
+      .foreach(v => Files.deleteIfExists(commitFile(dir, v)))
+  }
+
   /** Delete data directories not referenced by the newest `keepLast`
     * manifests (and drop older manifests): reclaims crash orphans and
     * superseded versions. Readers pinned to vacuumed versions fail on
@@ -978,7 +1016,7 @@ object TxTable {
              orphanRetentionMs: Long = 10L * 60 * 1000): Unit = {
     implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
     def dirsOf(v: Long): Seq[String] = {
-      val json = Files.readString(commitFile(dir, v))
+      val json = readManifest(commitFile(dir, v))
       if (json.isEmpty) Seq.empty // dead claim from a crashed writer
       else (org.json4s.jackson.JsonMethods.parse(json) \ "dirs").extract[Seq[String]]
     }
@@ -1007,7 +1045,7 @@ object TxTable {
     // retention is needed.
     val keptManifests = keep.map { v =>
       val m = org.json4s.jackson.JsonMethods.parse(
-        Files.readString(commitFile(dir, v)))
+        readManifest(commitFile(dir, v)))
       ((m \ "dirs").extract[Seq[String]], parseExcludes(m))
     }
     live.foreach { d =>

@@ -90,6 +90,15 @@ class TxTableStreamProvider extends StreamSourceProvider with StreamSinkProvider
     *     Spark's own file sink derives from the checkpoint).
     *   - `bloomCols` (comma-separated): registered at auto-init when
     *     the sink creates the table.
+    *   - `logRetainCommits` (default 1000; 0 disables): log-only
+    *     retention — after each batch the sink trims manifests older
+    *     than the newest N real commits ([[TxTable.trimLog]]), so a
+    *     long-running one-commit-per-batch sink keeps `_log` bounded
+    *     instead of making every snapshot's directory listing
+    *     O(batches ever run). Data is untouched. Downstream
+    *     graft-txtable STREAM consumers of the sunk table must stay
+    *     within N commits of the head (Delta documents the same for
+    *     its log retention); raise it for laggy consumers.
     * Output modes: Append → idempotent append; Complete → idempotent
     * whole-table replace. Update is rejected (a keyed upsert needs the
     * caller's merge semantics — use foreachBatch + TxTable.merge).
@@ -111,15 +120,20 @@ class TxTableStreamProvider extends StreamSourceProvider with StreamSinkProvider
           "option(\"txnAppId\", ...) or a checkpointLocation"))
     val bloomCols = parameters.get("bloomCols")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    val logRetain = parameters.get("logRetainCommits").map(_.toInt).getOrElse(1000)
+    require(logRetain >= 0,
+      s"logRetainCommits must be >= 0 (0 disables trimming), got $logRetain")
     new TxTableSink(
       sqlContext.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
-      dir, appId, complete = outputMode == OutputMode.Complete(), bloomCols)
+      dir, appId, complete = outputMode == OutputMode.Complete(), bloomCols,
+      logRetain)
   }
 }
 
 private[sources] final class TxTableSink(
     spark: org.apache.spark.sql.classic.SparkSession, dir: String,
-    appId: String, complete: Boolean, bloomCols: Seq[String]) extends Sink {
+    appId: String, complete: Boolean, bloomCols: Seq[String],
+    logRetainCommits: Int = 1000) extends Sink {
 
   override def addBatch(batchId: Long, data: org.apache.spark.sql.DataFrame): Unit = {
     // The engine hands addBatch a STREAMING-marked frame; re-wrap its
@@ -135,6 +149,10 @@ private[sources] final class TxTableSink(
     // no-op. Nothing to do; the engine's checkpoint advances normally.
     if (complete) TxTable.overwriteIfNew(spark, dir, batch, appId, batchId)
     else TxTable.appendIfNew(spark, dir, batch, appId, batchId)
+    // Log retention rides the batch cadence: one listing (the commit
+    // already paid one) and usually zero deletes — but over a long run
+    // it is what keeps snapshot resolution O(retention), not O(batches).
+    if (logRetainCommits > 0) TxTable.trimLog(dir, logRetainCommits)
     ()
   }
 

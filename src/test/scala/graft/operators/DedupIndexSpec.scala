@@ -339,6 +339,52 @@ class DedupIndexSpec extends SparkSpec {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("append's corpus reads are manifest-planned: lookups prune to hit files") {
+    import graft.sources.TxTable
+    val dir = tmp()
+    // A base wide enough that range-clustering spreads docs and groups
+    // over several files with disjoint key intervals (4 shuffle
+    // partitions in the test session → 4 files per stage table).
+    val bigBase = (1L to 400L).map(i => i -> Seq(f"b$i%04d_1", f"b$i%04d_2"))
+    // AQE coalesces this test-sized shuffle to one partition (at real
+    // scale it targets ~64 MB files, which is the layout we want);
+    // disable coalescing here so the build emits several files and the
+    // pruning is observable.
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try DedupIndex.build(spark, df(bigBase), dir, Cap)
+    finally spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+    // DOCS side (the dupe probe and candidate-endpoint fetch): a
+    // few-key lookup plans strictly fewer files than the table holds,
+    // and an absent key dies on the Bloom with zero files.
+    val docsSnap = TxTable.snapshot(s"$dir/docs")
+    val docFiles = TxTable.dataFiles(s"$dir/docs", docsSnap).size
+    assert(docFiles > 1, s"build left $docFiles docs file(s) — clustering broke")
+    val hit = TxTable.lookupFiles(s"$dir/docs", docsSnap, "doc_id", Seq(1L, 2L))
+    assert(hit.nonEmpty && hit.size < docFiles,
+      s"docs lookup read ${hit.size}/$docFiles files — no pruning")
+    assert(TxTable.lookupFiles(s"$dir/docs", docsSnap, "doc_id", Seq(999999L)).isEmpty,
+      "absent key not proven absent by the doc_id Bloom")
+    // Exactness: the pruned lookup returns precisely the key-matched rows.
+    assert(sortedRows(TxTable.lookupKeys(spark, s"$dir/docs", "doc_id",
+        Seq(1L, 2L, 999999L), Some(docsSnap)).select("doc_id")) ==
+      Seq("[1]", "[2]"))
+    // GROUPS side (the old-segment scan): segments are sh-range-
+    // clustered, so one shingle's lookup plans a strict file subset.
+    val groupsSnap = TxTable.snapshot(s"$dir/groups")
+    val groupFiles = TxTable.dataFilesString(s"$dir/groups", groupsSnap).size
+    assert(groupFiles > 1, s"build left $groupFiles groups file(s) — clustering broke")
+    val gHit = TxTable.lookupStringFiles(s"$dir/groups", groupsSnap, "sh",
+      Seq("b0001_1"))
+    assert(gHit.nonEmpty && gHit.size < groupFiles,
+      s"groups lookup read ${gHit.size}/$groupFiles files — no pruning")
+    // End-to-end: an append over the clustered base (whose reads run
+    // through these pruned plans) still equals a from-scratch mine.
+    val d = Seq(500L -> Seq("b0001_1", "b0001_2"), 501L -> Seq("nw1", "nw2"))
+    DedupIndex.append(spark, df(d), dir, Cap)
+    assertParity(dir, bigBase ++ d)
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("markBase/restoreBase: the same delta replays repeatedly against one base") {
     // The marginal-append bench shape: build once, mark, then
     // restore+append N times — every rep must (a) pass the duplicate

@@ -132,6 +132,27 @@ class TxTableSinkSpec extends SparkSpec {
     assert(got == Seq(1L, 2L, 3L), s"restart duplicated or lost rows: $got")
   }
 
+  test("sink log retention: a long batch stream keeps _log bounded, data intact") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = tmp() + "/sunk"
+    val mem = MemoryStream[(Long, Long)]
+    val q = mem.toDF().toDF("k", "v").writeStream
+      .format("graft-txtable")
+      .option("checkpointLocation", tmp())
+      .option("logRetainCommits", "5")
+      .start(dir)
+    (1L to 12L).foreach { i => mem.addData((i, i * 10)); q.processAllAvailable() }
+    q.stop()
+    // One commit per batch (+init), trimmed to the newest 5 as it ran.
+    assert(TxTable.versions(dir).size <= 5,
+      s"log not trimmed: ${TxTable.versions(dir).size} manifests")
+    // Trimming is log-only: every batch's rows are still in the table.
+    assert(TxTable.read(spark, dir).collect().map(_.getLong(0)).sorted.toSeq
+      == (1L to 12L), "trim lost data")
+  }
+
   test("sink replay guard: same txnAppId refuses an already-landed batch id") {
     val s = spark
     import s.implicits._

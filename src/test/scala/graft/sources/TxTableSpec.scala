@@ -57,6 +57,35 @@ class TxTableSpec extends SparkSpec {
     assert(TxTable.read(spark, dir).count() == 1) // live version untouched
   }
 
+  test("snapshot reads ONE manifest on a 100-commit history; trimLog bounds the log") {
+    val dir = tmp()
+    TxTable.init(spark, dir, schema)
+    TxTable.append(spark, dir, Seq((1L, 10L)).toDF("k", "v"))
+    // 100 manifest-only commits (alternating RESTOREs — no data writes):
+    // the cheap way to grow a long history, the shape a one-commit-per-
+    // batch streaming sink produces over a day.
+    (1 to 100).foreach(i => TxTable.restore(spark, dir, ((i + 1) % 2).toLong))
+    assert(TxTable.versions(dir).size >= 100)
+    // Self-contained manifests: snapshot resolution reads exactly ONE
+    // commit file regardless of history length — never a log replay.
+    val before = TxTable.commitReads.get()
+    val snap = TxTable.snapshot(dir)
+    assert(TxTable.commitReads.get() - before == 1,
+      s"snapshot read ${TxTable.commitReads.get() - before} manifests")
+    // Log-only retention: drops old manifests, keeps head intact.
+    TxTable.trimLog(dir, keepLast = 10)
+    assert(TxTable.versions(dir).size == 10)
+    val after = TxTable.snapshot(dir)
+    assert(after.version == snap.version && after.dirs == snap.dirs)
+    assert(TxTable.read(spark, dir).count() == 1)
+    // Time travel past the retention fails clearly, as documented.
+    intercept[IllegalArgumentException] { TxTable.readVersion(spark, dir, 0L) }
+    // vacuum still composes after a trim: dirs referenced only by
+    // dropped manifests are plain orphans under its retention rules.
+    TxTable.vacuum(dir, keepLast = 1, orphanRetentionMs = 0L)
+    assert(TxTable.read(spark, dir).count() == 1)
+  }
+
   test("two writers at the same expected version: exactly one wins") {
     val dir = tmp()
     TxTable.init(spark, dir, schema)

@@ -93,6 +93,16 @@ def main() -> int:
         "totals_sec": {sf: round(runs[sf]["value"], 1) for sf in SFS},
         "queries": report,
         "failures": [f"{q}: {why}" for q, why in failures],
+        # DedupIndex.append per-phase seconds at each SF (from bench.json):
+        # the exempt lifecycle queries' flat job-and-commit floor vs
+        # delta-proportional phases, machine-recorded instead of
+        # hand-argued. A phase growing ~linearly with SF here is the
+        # data-driven work; one that stays flat is per-append overhead.
+        "append_phases": {
+            sf: {q: {p: round(s, 3) for p, s in ph.items()}
+                 for q, ph in runs[sf].get("phases", {}).items()}
+            for sf in SFS
+        },
     }
     with open(out, "w") as f:
         json.dump(artifact, f, indent=1, sort_keys=True)
