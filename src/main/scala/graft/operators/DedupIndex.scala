@@ -539,11 +539,37 @@ object DedupIndex {
       // suspects' docs. Their shingle universe is the suspects' own
       // shingle sets (a row can only explode to a docsH doc if its sh
       // is one of that doc's shingles), so the segment re-aggregation
-      // is bounded by the suspect set, not the corpus.
-      val hShs = docsAll.join(docsH, Seq("doc_id"), "left_semi")
+      // is bounded by the suspect set, not the corpus. Both reads on
+      // this path are manifest-planned like the main mine's: the
+      // suspect docs' shingle-set fetch goes through the doc_id point
+      // lookup (docsH holds only OLD ids — oids come from stored
+      // segments), and the witness re-aggregation's old-segment scan
+      // prunes by the suspects' shingle keys.
+      val hRows = docsH.limit(MaxReplaceKeys + 1).collect()
+      val docsOfH =
+        if (hRows.length <= MaxReplaceKeys) {
+          val hitFiles = TxTable.lookupFiles(s"$dir/docs", docsSnap, "doc_id",
+            hRows.toSeq.map(_.getLong(0)))
+          (if (hitFiles.isEmpty) docsStored.limit(0)
+           else spark.read
+             .schema(org.apache.spark.sql.types.StructType.fromDDL(docsSnap.schemaDdl))
+             .parquet(hitFiles.map(_.toString): _*))
+            .join(docsH, Seq("doc_id"), "left_semi")
+        } else docsAll.join(docsH, Seq("doc_id"), "left_semi")
+      val hShs = docsOfH
         .select(explode(col("shs")).as("sh")).distinct()
+      val hShRows = hShs.limit(MaxLookupKeys + 1).collect()
+      val ogH =
+        if (hShRows.length <= MaxLookupKeys) {
+          val hitFiles = TxTable.lookupStringFiles(s"$dir/groups", groupsSnap,
+            "sh", hShRows.toSeq.map(_.getString(0)))
+          if (hitFiles.isEmpty) og.limit(0)
+          else spark.read
+            .schema(org.apache.spark.sql.types.StructType.fromDDL(groupsSnap.schemaDdl))
+            .parquet(hitFiles.map(_.toString): _*)
+        } else og
       val rareIdxH = mergeSegments(
-          og.unionByName(dgSeg)
+          ogH.unionByName(dgSeg)
             .join(broadcast(hShs), Seq("sh"), "left_semi"), cap)
         .filter(col("ids").isNotNull)
         .select(col("sh"), explode(col("ids")).as("doc_id"))
