@@ -59,6 +59,10 @@ object Bench {
     // hand-argued in round notes.
     val phaseLog = mutable.LinkedHashMap.empty[String, Seq[(String, Double)]]
     val raw = SparkEntry.queries.flatMap { case (name, fn) =>
+      // Cleared per query: a dedup query that dies before completing an
+      // append must not inherit the previous query's (or the warmup
+      // pass's) decomposition under its own name.
+      graft.operators.DedupIndex.lastAppendPhases.set(Nil)
       val ts = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
         val ok =

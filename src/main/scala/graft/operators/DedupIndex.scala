@@ -114,6 +114,44 @@ object DedupIndex {
   private def inv(docs: DataFrame): DataFrame =
     docs.selectExpr("doc_id", "explode(shs) AS sh")
 
+  /** Bounded-key, manifest-planned read of a stage table: when the
+    * collected key rows fit the driver bound, read ONLY the files whose
+    * manifest bounds intersect the keys ([[TxTable.lookupFiles]] —
+    * Bloom absence proof where registered, then stats pruning);
+    * otherwise hand back `fallback`, the full scan the pruned read
+    * replaces. Pruning is file-granular and CONSERVATIVE (a pruned file
+    * provably holds no key), so the caller's row-level semi-join
+    * applies identically to either side. One definition for the four
+    * per-append reads that use the shape. */
+  private def prunedByLongKeys(spark: SparkSession, table: String,
+      snap: TxTable.Snapshot, keyCol: String,
+      keyRows: Array[org.apache.spark.sql.Row], bound: Int,
+      fallback: => DataFrame): DataFrame =
+    if (keyRows.length > bound) fallback
+    else {
+      val hits = TxTable.lookupFiles(table, snap, keyCol,
+        keyRows.toSeq.map(_.getLong(0)))
+      if (hits.isEmpty) fallback.limit(0)
+      else spark.read
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(snap.schemaDdl))
+        .parquet(hits.map(_.toString): _*)
+    }
+
+  /** [[prunedByLongKeys]] on STRING keys (sstats bounds). */
+  private def prunedByStringKeys(spark: SparkSession, table: String,
+      snap: TxTable.Snapshot, keyCol: String,
+      keyRows: Array[org.apache.spark.sql.Row], bound: Int,
+      fallback: => DataFrame): DataFrame =
+    if (keyRows.length > bound) fallback
+    else {
+      val hits = TxTable.lookupStringFiles(table, snap, keyCol,
+        keyRows.toSeq.map(_.getString(0)))
+      if (hits.isEmpty) fallback.limit(0)
+      else spark.read
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(snap.schemaDdl))
+        .parquet(hits.map(_.toString): _*)
+    }
+
   /** Exact-Jaccard verify of candidate pairs against the full shingle
     * sets (the step that DEFINES the output; candidates only gate what
     * gets verified). */
@@ -335,7 +373,6 @@ object DedupIndex {
       deltaIdRows.foreach(r => bf.putLong(r.getLong(0)))
       TxTable.preBloom(s"$dir/docs", uDocs, "doc_id", bf)
     }
-    val docsAll = docsStored.unionByName(nd)
     phase("stage_docs")
 
     // LSM-SHAPED index maintenance: the delta's own DF-capped groups
@@ -408,16 +445,9 @@ object DedupIndex {
     // back to the full semi-scan (a delta that size approaches a
     // rebuild).
     val shRows = deltaShs.limit(MaxLookupKeys + 1).collect()
-    val ogDelta =
-      if (shRows.length <= MaxLookupKeys) {
-        val hitFiles = TxTable.lookupStringFiles(s"$dir/groups", groupsSnap,
-          "sh", shRows.toSeq.map(_.getString(0)))
-        (if (hitFiles.isEmpty) og.limit(0)
-         else spark.read
-           .schema(org.apache.spark.sql.types.StructType.fromDDL(groupsSnap.schemaDdl))
-           .parquet(hitFiles.map(_.toString): _*))
-          .join(broadcast(deltaShs), Seq("sh"), "left_semi")
-      } else og.join(broadcast(deltaShs), Seq("sh"), "left_semi")
+    val ogDelta = prunedByStringKeys(spark, s"$dir/groups", groupsSnap, "sh",
+        shRows, MaxLookupKeys, og)
+      .join(broadcast(deltaShs), Seq("sh"), "left_semi")
     val sideMerged = ogDelta
         .select(col("sh"), col("ids"), col("df"), lit(true).as("old"))
       .unionByName(dgSeg
@@ -481,18 +511,11 @@ object DedupIndex {
     // semi-join either way — a 10^5-key IN predicate would defeat
     // codegen where the hash semi probes in O(1).
     val endRows = candEnds.limit(MaxReplaceKeys + 1).collect()
-    val docsCandPlan =
-      if (endRows.length <= MaxReplaceKeys) {
-        val endIds = endRows.toSeq.map(_.getLong(0))
-        val hitFiles = TxTable.lookupFiles(s"$dir/docs", docsSnap, "doc_id", endIds)
-        (if (hitFiles.isEmpty) docsStored.limit(0)
-         else spark.read
-           .schema(org.apache.spark.sql.types.StructType.fromDDL(docsSnap.schemaDdl))
-           .parquet(hitFiles.map(_.toString): _*))
-          .join(broadcast(candEnds), Seq("doc_id"), "left_semi")
-          .unionByName(nd.join(broadcast(candEnds), Seq("doc_id"), "left_semi"))
-      } else docsAll.join(broadcast(candEnds), Seq("doc_id"), "left_semi")
-    val docsCand = docsCandPlan.persist(StorageLevel.MEMORY_AND_DISK)
+    val docsCand = prunedByLongKeys(spark, s"$dir/docs", docsSnap, "doc_id",
+        endRows, MaxReplaceKeys, docsStored)
+      .unionByName(nd)
+      .join(broadcast(candEnds), Seq("doc_id"), "left_semi")
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // Phase boundary: the endpoint collect above materialized the
     // candidate mine (sideMerged + cands caches populate under it), so
     // mine_candidates ends here and the endpoint FETCH — the read this
@@ -546,31 +569,28 @@ object DedupIndex {
       // segments), and the witness re-aggregation's old-segment scan
       // prunes by the suspects' shingle keys.
       val hRows = docsH.limit(MaxReplaceKeys + 1).collect()
-      val docsOfH =
-        if (hRows.length <= MaxReplaceKeys) {
-          val hitFiles = TxTable.lookupFiles(s"$dir/docs", docsSnap, "doc_id",
-            hRows.toSeq.map(_.getLong(0)))
-          (if (hitFiles.isEmpty) docsStored.limit(0)
-           else spark.read
-             .schema(org.apache.spark.sql.types.StructType.fromDDL(docsSnap.schemaDdl))
-             .parquet(hitFiles.map(_.toString): _*))
-            .join(docsH, Seq("doc_id"), "left_semi")
-        } else docsAll.join(docsH, Seq("doc_id"), "left_semi")
+      // docsH holds only OLD ids (oids come from stored segments), so
+      // the stored table alone is the fallback — no delta union needed.
+      val docsOfH = prunedByLongKeys(spark, s"$dir/docs", docsSnap, "doc_id",
+          hRows, MaxReplaceKeys, docsStored)
+        .join(docsH, Seq("doc_id"), "left_semi")
       val hShs = docsOfH
         .select(explode(col("shs")).as("sh")).distinct()
       val hShRows = hShs.limit(MaxLookupKeys + 1).collect()
-      val ogH =
-        if (hShRows.length <= MaxLookupKeys) {
-          val hitFiles = TxTable.lookupStringFiles(s"$dir/groups", groupsSnap,
-            "sh", hShRows.toSeq.map(_.getString(0)))
-          if (hitFiles.isEmpty) og.limit(0)
-          else spark.read
-            .schema(org.apache.spark.sql.types.StructType.fromDDL(groupsSnap.schemaDdl))
-            .parquet(hitFiles.map(_.toString): _*)
-        } else og
+      // The collected keys double as the broadcast side (a local
+      // relation): hShs is unpersisted, and re-evaluating it for the
+      // broadcast would re-run the pruned docs read and the
+      // explode/distinct a second time.
+      val hShKeys =
+        if (hShRows.length <= MaxLookupKeys)
+          spark.createDataset(hShRows.toSeq.map(_.getString(0)))(
+            org.apache.spark.sql.Encoders.STRING).toDF("sh")
+        else hShs
       val rareIdxH = mergeSegments(
-          ogH.unionByName(dgSeg)
-            .join(broadcast(hShs), Seq("sh"), "left_semi"), cap)
+          prunedByStringKeys(spark, s"$dir/groups", groupsSnap, "sh",
+              hShRows, MaxLookupKeys, og)
+            .unionByName(dgSeg)
+            .join(broadcast(hShKeys), Seq("sh"), "left_semi"), cap)
         .filter(col("ids").isNotNull)
         .select(col("sh"), explode(col("ids")).as("doc_id"))
         .join(docsH, Seq("doc_id"), "left_semi")

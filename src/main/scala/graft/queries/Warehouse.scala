@@ -704,10 +704,12 @@ object Warehouse {
         }
         // Silver→gold in the engine's OWN transactional shape: each
         // micro-batch's exact decimal partials MERGE into a gold
-        // TxTable (read-fold-commit, optimistic retry), so the running
-        // state lives in the table's commit log — restartable,
-        // inspectable, no driver-side mutable map — and the oracle
-        // gate exercises merge-under-stream end to end.
+        // TxTable under the SetTransaction replay guard (mergeIfNew —
+        // the merged state and the (appId, batchId) watermark land in
+        // one atomic commit), so the running state lives in the
+        // table's commit log — restartable, replay-safe, inspectable,
+        // no driver-side mutable map — and the oracle gate exercises
+        // merge-under-stream end to end.
         import graft.sources.TxTable
         val gold = java.nio.file.Files
           .createTempDirectory("graft_q_stream_gold").toString + "/agg"
@@ -718,11 +720,11 @@ object Warehouse {
           .writeStream
           .option("checkpointLocation",
             java.nio.file.Files.createTempDirectory("graft_q_stream_ckpt").toString)
-          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, batchId: Long) =>
             val part = b.groupBy(col("event_type"))
               .agg(count(lit(1)).as("cnt"),
                 sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)").as("total"))
-            TxTable.merge(t.spark, gold) { cur =>
+            TxTable.mergeIfNew(t.spark, gold, s"gate:$gold", batchId) { cur =>
               cur.unionByName(part)
                 .groupBy(col("event_type"))
                 .agg(sum(col("cnt")).cast("bigint").as("cnt"),

@@ -162,9 +162,13 @@ object TxTable {
   def snapshot(dir: String): Snapshot = {
     implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
     val versions = commitVersions(dir)
-    // Walk newest → oldest: skip crashed (empty) claims.
+    // Walk newest → oldest: skip crashed (empty) claims — and files a
+    // concurrent trimLog retired between the listing and this read
+    // (only ever OLD manifests; the head survives every trim).
     versions.reverseIterator.foreach { v =>
-      val json = readManifest(commitFile(dir, v))
+      val json =
+        try readManifest(commitFile(dir, v))
+        catch { case _: java.nio.file.NoSuchFileException => "" }
       if (json.nonEmpty) {
         val m = org.json4s.jackson.JsonMethods.parse(json)
         return Snapshot(v,
@@ -497,18 +501,12 @@ object TxTable {
       val ex = snap.excludes.getOrElse(d, Nil).toSet
       if (ex.isEmpty) Seq(s"$dir/data/$d")
       else {
-        val root = Paths.get(stagedPath(dir, d))
         // A manifest-listed dir that is GONE must fail exactly like the
         // no-exclusions path does (the parquet scan on the whole-dir
         // path throws) — returning no paths would mask vacuumed-away or
         // lost data as an empty contribution on precisely the
         // replace-touched dirs.
-        if (!Files.isDirectory(root))
-          throw new IllegalStateException(
-            s"data dir $d of $dir is listed by the manifest at " +
-              s"v${snap.version} but missing on disk — vacuumed past this " +
-              "reader's snapshot, or the table lost data")
-        listNames(root)
+        listNames(liveDirRoot(dir, snap, d))
           .filter(n => n.endsWith(".parquet") && !ex(n))
           .map(n => s"$dir/data/$d/$n")
       }
@@ -668,17 +666,33 @@ object TxTable {
 
   def stagedPath(dir: String, uuid: String): String = s"$dir/data/$uuid"
 
+  /** A manifest-listed data dir, FAILING LOUDLY when it is gone from
+    * disk — shared by every planning lister. Returning "no files" for a
+    * missing dir would mask vacuumed-away or lost data as "key absent"
+    * in every manifest-planned read built on these listers (the same
+    * masking [[read]]'s exclusions branch refuses): a pruned lookup
+    * must answer exactly like the full scan it replaces, and the full
+    * scan throws. */
+  private def liveDirRoot(dir: String, snap: Snapshot, d: String): Path = {
+    val root = Paths.get(stagedPath(dir, d))
+    if (!Files.isDirectory(root))
+      throw new IllegalStateException(
+        s"data dir $d of $dir is listed by the manifest at v${snap.version} " +
+          "but missing on disk — vacuumed past this reader's snapshot, or " +
+          "the table lost data")
+    root
+  }
+
   /** Every data file of `snap` with its manifest stats (empty map when
     * none were recorded — the caller must treat such files as hits in
     * any pruning decision). This is the planning input for stats-pruned
     * scans and merges: one manifest already in memory, zero footer
-    * opens. */
+    * opens. Throws when a manifest-listed dir is missing on disk. */
   def dataFiles(dir: String, snap: Snapshot): Seq[(Path, Map[String, (Long, Long)])] =
     snap.dirs.flatMap { d =>
-      val root = Paths.get(stagedPath(dir, d))
+      val root = liveDirRoot(dir, snap, d)
       val ex = snap.excludes.getOrElse(d, Nil).toSet
-      if (!Files.isDirectory(root)) Seq.empty
-      else listNames(root).filter(n => n.endsWith(".parquet") && !ex(n)).map { n =>
+      listNames(root).filter(n => n.endsWith(".parquet") && !ex(n)).map { n =>
         (root.resolve(n), snap.stats.getOrElse(s"$d/$n", Map.empty))
       }
     }
@@ -688,10 +702,9 @@ object TxTable {
     * [[ParquetFooterStats.Utf8Ordering]] only). */
   def dataFilesString(dir: String, snap: Snapshot): Seq[(Path, Map[String, (String, String)])] =
     snap.dirs.flatMap { d =>
-      val root = Paths.get(stagedPath(dir, d))
+      val root = liveDirRoot(dir, snap, d)
       val ex = snap.excludes.getOrElse(d, Nil).toSet
-      if (!Files.isDirectory(root)) Seq.empty
-      else listNames(root).filter(n => n.endsWith(".parquet") && !ex(n)).map { n =>
+      listNames(root).filter(n => n.endsWith(".parquet") && !ex(n)).map { n =>
         (root.resolve(n), snap.sstats.getOrElse(s"$d/$n", Map.empty))
       }
     }
@@ -707,10 +720,9 @@ object TxTable {
   def dataFilesAll(dir: String, snap: Snapshot)
       : Seq[(Path, Map[String, (Long, Long)], Map[String, (String, String)])] =
     snap.dirs.flatMap { d =>
-      val root = Paths.get(stagedPath(dir, d))
+      val root = liveDirRoot(dir, snap, d)
       val ex = snap.excludes.getOrElse(d, Nil).toSet
-      if (!Files.isDirectory(root)) Seq.empty
-      else listNames(root).filter(n => n.endsWith(".parquet") && !ex(n)).map { n =>
+      listNames(root).filter(n => n.endsWith(".parquet") && !ex(n)).map { n =>
         (root.resolve(n), snap.stats.getOrElse(s"$d/$n", Map.empty),
           snap.sstats.getOrElse(s"$d/$n", Map.empty))
       }
@@ -851,6 +863,28 @@ object TxTable {
     (snap, applied)
   }
 
+  /** [[merge]] with the SetTransaction replay guard — the IDEMPOTENT
+    * foreachBatch upsert. No-op returning `false` when the table
+    * already records `batchId` (or newer) for writer `appId`; else the
+    * transformed table and the advanced watermark land in ONE atomic
+    * commit, so a micro-batch replayed after a crash between commit and
+    * engine checkpoint cannot double-apply its merge (the hazard a bare
+    * [[merge]] in foreachBatch has). Batch ids must be monotone per
+    * appId — Spark's micro-batch ids are. */
+  def mergeIfNew(spark: SparkSession, dir: String, appId: String, batchId: Long)
+                (transform: DataFrame => DataFrame): (Snapshot, Boolean) = {
+    var applied = false
+    val snap = retrying(dir) { s =>
+      if (s.txns.get(appId).exists(_ >= batchId)) { applied = false; s }
+      else {
+        applied = true
+        commit(spark, dir, transform(read(spark, dir, s)).localCheckpoint(), s,
+          txnUpdate = Map(appId -> batchId))
+      }
+    }
+    (snap, applied)
+  }
+
   /** Delta's RESTORE: make `version`'s contents the newest version via
     * a FRESH commit referencing the same data directories — append-only
     * time travel (nothing is deleted; [[vacuum]] still governs
@@ -878,9 +912,16 @@ object TxTable {
   /** Real (non-dead-claim) versions currently in the log, oldest first.
     * The consumer-facing face of the commit history: an incremental
     * reader checkpoints the last version it processed and asks
-    * [[readChanges]] for what landed since. */
+    * [[readChanges]] for what landed since. List-then-stat races a
+    * concurrent [[trimLog]] (a sink trims after every batch): a file
+    * that vanishes between the listing and the stat was an OLD manifest
+    * being retired, never the head — treat it like the dead claim it
+    * now is instead of failing a caught-up reader. */
   def versions(dir: String): Seq[Long] =
-    commitVersions(dir).filter(v => Files.size(commitFile(dir, v)) > 0L)
+    commitVersions(dir).filter(v => sizeOrZero(commitFile(dir, v)) > 0L)
+
+  private def sizeOrZero(p: Path): Long =
+    try Files.size(p) catch { case _: java.io.IOException => 0L }
 
   private[sources] def snapshotAt(dir: String, version: Long): Snapshot = {
     val f = commitFile(dir, version)
@@ -991,7 +1032,7 @@ object TxTable {
   def trimLog(dir: String, keepLast: Int): Unit = {
     require(keepLast >= 1, s"trimLog keepLast must be >= 1, got $keepLast")
     val versions = commitVersions(dir)
-    val real = versions.filter(v => Files.size(commitFile(dir, v)) > 0L)
+    val real = versions.filter(v => sizeOrZero(commitFile(dir, v)) > 0L)
     if (real.size <= keepLast) return
     val keepFrom = real.takeRight(keepLast).head
     versions.filter(_ < keepFrom)

@@ -43,6 +43,24 @@ class TxTableSinkSpec extends SparkSpec {
       .toSeq == Seq(1L, 2L))
   }
 
+  test("mergeIfNew: replayed batch is a no-op, newer batch folds once") {
+    val s = spark
+    import s.implicits._
+    val dir = init()
+    TxTable.overwrite(spark, dir, Seq((1L, 10L)).toDF("k", "v"))
+    def fold(add: Long, batchId: Long) =
+      TxTable.mergeIfNew(spark, dir, "folder", batchId) { cur =>
+        cur.union(Seq((1L, add)).toDF("k", "v"))
+          .groupBy("k").agg(org.apache.spark.sql.functions.sum("v").as("v"))
+      }
+    assert(fold(5L, 0L)._2, "first batch refused")
+    assert(!fold(5L, 0L)._2, "replayed batch re-applied") // crash-replay shape
+    assert(fold(7L, 1L)._2)
+    assert(!fold(7L, 0L)._2, "older batch re-applied")
+    val v = TxTable.read(spark, dir).collect().map(_.getLong(1)).toSeq
+    assert(v == Seq(22L), s"double-applied merge: $v") // 10+5+7, each once
+  }
+
   test("watermarks are per-writer and survive unrelated commits") {
     val dir = init()
     TxTable.appendIfNew(spark, dir, Seq((1L, 10L)).toDF("k", "v"), "a", 5L)
