@@ -1,7 +1,5 @@
 package graft.sources
 
-import java.nio.file.{Files, Paths}
-
 import org.apache.spark.sql.{DataFrame, SQLContext}
 import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Sink, Source}
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
@@ -179,28 +177,36 @@ private[sources] final class TxTableSource(
     if (snapshotStart) -1L
     else if (startingVersion != "latest") startingVersion.toLong
     else {
-      // metadataPath arrives as a Hadoop-style URI ("file:/ckpt/sources/0")
-      // — resolving it as a relative path would silently create a
-      // "file:" directory under the CWD. Local filesystems only (this
-      // engine's log store is local; object stores would need the
-      // checkpoint FS API here, as Delta uses).
-      val u = new java.net.URI(metadataPath)
-      val metaDir = u.getScheme match {
-        case null | "file" => Paths.get(Option(u.getPath).getOrElse(metadataPath))
-        case other => throw new IllegalArgumentException(
-          s"graft-txtable's latest-base persistence needs a local checkpoint, got $other: $metadataPath")
+      // Persisted through Spark's own CheckpointFileManager — the FS
+      // abstraction every built-in source uses for its checkpoint
+      // metadata (rename-based atomic writes where the FS needs them),
+      // so the resolved base survives on ANY checkpoint filesystem the
+      // engine supports, not just local paths. The manager also parses
+      // the Hadoop-style URI the engine hands us ("file:/ckpt/sources/0")
+      // — raw Paths.get would mis-resolve it as a relative "file:" dir.
+      val fm = org.apache.spark.sql.execution.streaming.checkpointing
+        .CheckpointFileManager.create(
+          new org.apache.hadoop.fs.Path(metadataPath),
+          spark.sessionState.newHadoopConf())
+      val f = new org.apache.hadoop.fs.Path(metadataPath, "graft-txtable-base")
+      def readBase(): Long = {
+        val in = fm.open(f)
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+        finally in.close()
       }
-      val f = metaDir.resolve("graft-txtable-base")
-      if (Files.exists(f)) Files.readString(f).trim.toLong
+      if (fm.exists(f)) readBase()
       else {
         val base = TxTable.versions(dir).last
-        Files.createDirectories(f.getParent)
-        val tmp = f.resolveSibling(f.getFileName.toString + ".tmp")
-        Files.writeString(tmp, base.toString)
-        try Files.createLink(f, tmp)
-        catch { case _: java.nio.file.FileAlreadyExistsException => () } // racer won
-        finally Files.deleteIfExists(tmp)
-        Files.readString(f).trim.toLong
+        fm.mkdirs(new org.apache.hadoop.fs.Path(metadataPath))
+        val out = fm.createAtomic(f, overwriteIfPossible = false)
+        try {
+          out.write(base.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          out.close()
+        } catch { case scala.util.control.NonFatal(_) =>
+          out.cancel() // racer won the atomic create: their base is THE base
+        }
+        readBase() // whoever won, the file now holds the one true base
       }
     }
 
