@@ -479,8 +479,9 @@ object TxTable {
     * pushed to parquet for row-group skipping. Exact for any key set:
     * pruning only ever drops files/keys PROVEN unable to match. */
   def lookupStringKeys(spark: SparkSession, dir: String, col: String,
-                       keys: Seq[String]): DataFrame = {
-    val snap = snapshot(dir)
+                       keys: Seq[String],
+                       snapOpt: Option[Snapshot] = None): DataFrame = {
+    val snap = snapOpt.getOrElse(snapshot(dir))
     val schema = StructType.fromDDL(snap.schemaDdl)
     val files = lookupStringFiles(dir, snap, col, keys)
     if (files.isEmpty)

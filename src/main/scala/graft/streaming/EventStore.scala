@@ -42,15 +42,17 @@ final class EventStore(root: String) {
   private def dir(name: String) = s"$root/$name"
 
   private def ensureInit(spark: SparkSession, name: String,
-                         schema: org.apache.spark.sql.types.StructType): Unit =
+                         schema: org.apache.spark.sql.types.StructType,
+                         bloomCols: Seq[String] = Nil): Unit =
     if (!TxTable.exists(dir(name)))
       // The user summary registers user_id Bloom filters: the pruned
       // merge probes delta keys per dir, so interleaved-but-NEW users
       // (fresh keys landing inside existing key ranges — the common
       // growth case) stop rewriting files that provably hold none of
-      // them.
+      // them. insertIfAbsent tables register their own key the same
+      // way (the caller passes it) — the probe side of INSERT IGNORE.
       TxTable.init(spark, dir(name), schema,
-        bloomCols = if (name == "summary_user") Seq("user_id") else Nil)
+        bloomCols = if (name == "summary_user") Seq("user_id") else bloomCols)
 
   private def readOrEmpty(spark: SparkSession, name: String, like: DataFrame): DataFrame =
     if (TxTable.exists(dir(name))) TxTable.read(spark, dir(name)) else like.limit(0)
@@ -74,14 +76,92 @@ final class EventStore(root: String) {
   def table(spark: SparkSession, name: String): DataFrame =
     TxTable.read(spark, dir(name))
 
-  /** S4: first-writer-wins keyed insert — one atomic merge commit. */
+  /** Driver bound for [[insertIfAbsent]]'s per-batch key collect (the
+    * Bloom probe runs driver-side); a batch beyond it falls back to the
+    * exact key-column anti-scan. Dimension inserts are per-micro-batch
+    * distinct keys — far below this in any sane trigger. */
+  private[streaming] val MaxProbeKeys = 100000
+
+  /** Delta commits before [[insertIfAbsent]] folds its table back to
+    * one key-clustered dir — the LSM level-0 discipline: a long stream
+    * of per-batch appends must not fragment every future read and
+    * bloom probe linearly in batches. */
+  private[streaming] val AutoCompactDirs = 16
+
+  /** S4: first-writer-wins keyed insert (`INSERT IGNORE`) — APPEND-
+    * shaped. The previous shape (anti-join inside [[TxTable.merge]])
+    * REWROTE the whole table every call: O(table) writes per
+    * micro-batch, which at 100 TB turns a dimension trickle into a
+    * full compaction's worth of I/O per trigger. Now the batch's keys
+    * probe the table's per-dir Bloom filters where registered
+    * (LONG/STRING keys register at init): a bloom-negative key is
+    * PROVEN absent with zero table I/O, only the bloom-positive
+    * suspects pay an exact check against the stats-pruned hit files
+    * ([[TxTable.lookupKeys]]/`lookupStringKeys`), and only the fresh
+    * rows land — one delta commit. Optimistic retry: a racing commit
+    * fails the version claim, and the re-probe against the new
+    * snapshot re-arbitrates, so concurrent inserters of the same key
+    * still serialize to one winner. Past [[AutoCompactDirs]] delta
+    * commits the table folds to one key-clustered dir. `updates` must
+    * be key-unique within the batch (both ingest callers aggregate or
+    * distinct on the key first). */
   def insertIfAbsent(name: String, updates: DataFrame, key: String): Unit = {
     val spark = updates.sparkSession
-    ensureInit(spark, name, updates.schema)
-    TxTable.merge(spark, dir(name)) { existing =>
-      existing.unionByName(
-        updates.join(existing.select(key), Seq(key), "left_anti"))
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val keyType = updates.schema(key).dataType
+    val bloomable = keyType == LongType || keyType == StringType
+    ensureInit(spark, name, updates.schema,
+      bloomCols = if (bloomable) Seq(key) else Nil)
+    val d = dir(name)
+    // Pin ONE evaluation of the batch: the probe, the emptiness check,
+    // and the appended rows must all see the same rows.
+    val upRdd = updates.rdd.localCheckpoint()
+    val up = spark.createDataFrame(upRdd, updates.schema)
+    var done = false
+    while (!done) {
+      val snap = TxTable.snapshot(d)
+      // The present-key set the anti-join excludes. Fallbacks — an
+      // unbloomable key type (e.g. the date dimension's DateType key),
+      // missing bloom coverage, an over-bound batch — take the exact
+      // key-column anti-scan this replaces; every fallback is the OLD
+      // read cost, never wrong rows.
+      def exact = TxTable.read(spark, d, snap).select(key)
+      val present: DataFrame =
+        if (!bloomable) exact
+        else {
+          val keyRows = up.select(key).limit(MaxProbeKeys + 1).collect()
+          if (keyRows.length > MaxProbeKeys) exact
+          else TxTable.keyBlooms(d, snap, key) match {
+            case None => exact
+            case Some(bfs) if keyType == LongType =>
+              val suspects = keyRows.map(_.getLong(0))
+                .filter(k => bfs.exists(_.mightContainLong(k))).toSeq
+              if (suspects.isEmpty) up.select(key).limit(0)
+              else TxTable.lookupKeys(spark, d, key, suspects, Some(snap))
+                .select(key)
+            case Some(bfs) =>
+              val suspects = keyRows.map(_.getString(0))
+                .filter(k => bfs.exists(_.mightContainString(k))).toSeq
+              if (suspects.isEmpty) up.select(key).limit(0)
+              else TxTable.lookupStringKeys(spark, d, key, suspects, Some(snap))
+                .select(key)
+          }
+        }
+      val freshRdd = up.join(present, Seq(key), "left_anti").rdd.localCheckpoint()
+      try {
+        if (freshRdd.count() > 0)
+          TxTable.commit(spark, d, spark.createDataFrame(freshRdd, up.schema),
+            snap, keepExisting = true)
+        done = true
+      } catch { case _: TxTable.ConcurrentCommitException => () } // re-probe
+      finally freshRdd.unpersist(blocking = false)
     }
+    upRdd.unpersist(blocking = false)
+    // Level-0 fold: restore one key-clustered dir (tight per-file
+    // bounds keep the suspect lookups O(hit files)).
+    if (TxTable.snapshot(d).dirs.size > AutoCompactDirs)
+      TxTable.overwrite(spark, d, TxTable.read(spark, d)
+        .repartitionByRange(col(key)).sortWithinPartitions(col(key)))
     ()
   }
 

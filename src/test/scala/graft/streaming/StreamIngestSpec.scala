@@ -66,14 +66,49 @@ class StreamIngestSpec extends SparkSpec {
     assert(dimTime.filter(col("dow_actual").isNull).count() == 0)
   }
 
+  test("insertIfAbsent is append-shaped: stored dirs never rewritten, no-op batches commit nothing") {
+    import graft.sources.TxTable
+    val root = Files.createTempDirectory("graft_iia").toString
+    val store = new EventStore(root)
+    val t = s"$root/dim_user"
+    val sp = spark
+    import sp.implicits._
+    def dims(rows: (Long, String)*) =
+      rows.toSeq.toDF("user_id", "first_seen")
+    store.insertIfAbsent("dim_user", dims(1L -> "a", 2L -> "b"), "user_id")
+    val s1 = TxTable.snapshot(t)
+    // Overlapping batch: only the fresh key lands, as an APPENDED dir —
+    // every pre-existing data dir is still listed (INSERT IGNORE must
+    // not rewrite the table it ignores into).
+    store.insertIfAbsent("dim_user", dims(2L -> "X", 3L -> "c"), "user_id")
+    val s2 = TxTable.snapshot(t)
+    assert(s1.dirs.forall(s2.dirs.contains), "insert rewrote stored dirs")
+    assert(s2.dirs.size == s1.dirs.size + 1, "fresh rows did not append one delta dir")
+    // First-writer-wins: key 2 keeps its original row.
+    assert(store.table(spark, "dim_user").orderBy("user_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      == Seq(1L -> "a", 2L -> "b", 3L -> "c"))
+    // All-duplicate batch: proven absent of fresh keys (bloom probe) —
+    // NO new version, not even an empty commit.
+    store.insertIfAbsent("dim_user", dims(1L -> "z", 3L -> "z"), "user_id")
+    assert(TxTable.snapshot(t).version == s2.version,
+      "no-op batch committed a version")
+    // The probe side is real: the table carries user_id bloom coverage.
+    assert(TxTable.keyBlooms(t, TxTable.snapshot(t), "user_id").isDefined,
+      "insertIfAbsent table lost key bloom coverage")
+  }
+
   test("per-batch vacuum keeps derived-table disk bounded over a long stream") {
     val root = Files.createTempDirectory("graft_vac").toString
     val store = new EventStore(root)
-    // 12 batches: summary_user alone would otherwise hold 12 historical
-    // versions (each a full rewrite) — the vacuum wired into applyBatch
-    // must cap manifests AND superseded data directories at the
-    // retention window, while the newest version stays correct.
-    (1 to 12).foreach { i =>
+    // 28 batches, each with a NEVER-SEEN date (dim_time gains a delta
+    // commit per batch — the worst case for the append-shaped INSERT
+    // IGNORE): the per-batch vacuum must cap manifests, summary_user's
+    // full rewrites must not accumulate, and the dims' LSM level-0
+    // fold (EventStore.AutoCompactDirs) must keep their delta-dir
+    // count bounded once the pre-fold manifests age out of the
+    // retention window — while the newest version stays correct.
+    (1 to 28).foreach { i =>
       StreamIngest.applyBatch(StreamIngest.normalize(mkEvents(
         (i.toLong, i.toLong % 3, "click", 1.0, f"2024-03-${i}%02dT10:00:00Z"))), store)
     }
@@ -88,15 +123,17 @@ class StreamIngestSpec extends SparkSpec {
       val (nLog, nData) = counts(t)
       assert(nLog <= StreamIngest.VacuumKeepVersions,
         s"$t manifests unbounded: $nLog")
-      // ≤ keepLast versions, each referencing one rewrite dir (+1 slack
-      // for a commit racing the count).
-      assert(nData <= StreamIngest.VacuumKeepVersions + 1,
-        s"$t data dirs unbounded: $nData")
+      // summary_user: ≤ keepLast versions × one rewrite dir each.
+      // dims: ≤ the level-0 cap of live delta dirs (+1 slack for a
+      // commit racing the count) — batches, not versions, bound them.
+      val bound = math.max(StreamIngest.VacuumKeepVersions,
+        store.AutoCompactDirs) + 1
+      assert(nData <= bound, s"$t data dirs unbounded: $nData > $bound")
     }
     // The stream's results survive the cleanup.
-    assert(store.facts(spark).count() == 12)
+    assert(store.facts(spark).count() == 28)
     assert(store.table(spark, "summary_user")
-      .agg(sum(col("event_cnt"))).collect()(0).getLong(0) == 12L)
+      .agg(sum(col("event_cnt"))).collect()(0).getLong(0) == 28L)
   }
 
   test("streaming query end-to-end over MemoryStream") {
