@@ -207,9 +207,9 @@ final class EventStore(root: String) {
   /** File-pruned MERGE (the shape Delta's `MERGE INTO` executes at
     * 100 TB): only summary files whose footer key range intersects the
     * delta's keys are read and rewritten; every other file is carried
-    * into the new table version UNCHANGED. On a transactional format
-    * the carry is a metadata entry; here it is a file copy into the
-    * staged commit dir — same correctness, demo-scale I/O.
+    * into the new table version UNCHANGED — by reference (a manifest
+    * entry, Delta's add/remove-file actions), so a merge's I/O is
+    * O(rewritten files), never an O(table) copy.
     *
     * Commits via [[TxTable]] staged data: the rewritten rows land in an
     * invisible staged directory, carries are copied in, then one atomic

@@ -78,7 +78,14 @@ object StreamIngest {
       // per-user delta into the running totals. Exact math (sums/counts
       // compose associatively; no running-average drift — divergence from
       // the reference's seeded average documented in SURVEY.md §7.4.3).
-      store.mergeSummary(fresh.groupBy(col("user_id")).agg(
+      // The PRUNED merge is the default here: this foreachBatch loop is
+      // the table's single writer (the pruned plan's contract), a
+      // micro-batch's key set is delta-bounded, and each replace
+      // rewrites only the files the batch's users touch while carrying
+      // the rest by reference — O(delta) I/O per trigger where the
+      // full-rewrite merge pays O(table). On a lost race it falls back
+      // to the contention-safe retrying merge itself.
+      store.mergeSummaryPruned(fresh.groupBy(col("user_id")).agg(
         count(lit(1)).as("event_cnt"),
         sum(col("value").cast("decimal(18,2)")).as("total_value"),
         max(col("ts")).as("last_ts")))
