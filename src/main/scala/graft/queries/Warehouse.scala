@@ -641,6 +641,45 @@ object Warehouse {
         WHERE c_custkey IN (7, 700, 1301)
         GROUP BY 1 ORDER BY 1""")),
 
+    // The LONG-keyed twin of the point lookup above, oracle-gated the
+    // same way: a custkey-keyed summary TxTable (range-clustered, with
+    // a custkey Bloom per data dir), probed through TxTable.lookupKeys
+    // — Bloom absence proof (the two absent probes cost zero I/O),
+    // numeric `stats` file pruning, then the IN pushed into the
+    // surviving files' row groups. This is the surface the dedup
+    // append's dupe probe and endpoint fetch plan through, gated here
+    // at query granularity rather than only in specs.
+    QueryDef(
+      "q_tx_point_lookup_long",
+      t => {
+        import graft.operators.Stages
+        import graft.sources.TxTable
+        import org.apache.spark.sql.types.StructType
+        val dir = Stages.tempDir(t.spark, s"tx_lookup_long:${t.dir}") { d =>
+          TxTable.init(t.spark, d,
+            StructType.fromDDL("custkey BIGINT, order_cnt BIGINT, total_spent DECIMAL(28,2)"),
+            bloomCols = Seq("custkey"))
+          TxTable.overwrite(t.spark, d,
+            t.orders.groupBy(col("o_custkey").as("custkey"))
+              .agg(count(lit(1)).as("order_cnt"),
+                sum(col("o_totalprice").cast("decimal(18,2)")).as("total_spent"))
+              .repartitionByRange(8, col("custkey"))
+              .sortWithinPartitions(col("custkey")))
+        }
+        TxTable.lookupKeys(t.spark, dir, "custkey",
+            Seq(7L, 700L, 1301L, -5L, 999999931L))
+          .select(col("custkey"),
+            col("order_cnt").cast("long").as("order_cnt"),
+            col("total_spent").cast("double").as("total_spent"))
+          .orderBy(col("custkey"))
+      },
+      Some(s"""
+        SELECT o_custkey AS custkey, COUNT(*) AS order_cnt,
+          ${sqlSum("o_totalprice")} AS total_spent
+        FROM orders
+        WHERE o_custkey IN (7, 700, 1301)
+        GROUP BY 1 ORDER BY 1""")),
+
     // Stats-pruned time-slice read of a TxTable fact store: the store
     // is seeded ONCE per session as four week-sliced append commits
     // (a micro-batch ingest history — each commit's manifest carries
