@@ -416,6 +416,31 @@ class TxTableSpec extends SparkSpec {
     assert(got == Seq(("c1", 1L), ("f2", 2L)))
   }
 
+  test("long point lookup plans from the manifest: bloom + stats pruning") {
+    val dir = tmp()
+    TxTable.init(spark, dir, StructType.fromDDL("k BIGINT, v BIGINT"),
+      bloomCols = Seq("k"))
+    TxTable.overwrite(spark, dir, (1L to 160L).map(i => (i * 10, i)).toDF("k", "v")
+      .repartitionByRange(8, col("k")).sortWithinPartitions(col("k")))
+    val s = TxTable.snapshot(dir)
+    val all = TxTable.dataFiles(dir, s)
+    assert(all.size >= 4, s"range clustering wrote ${all.size} files")
+    // A present key prunes to the single file whose stats cover it.
+    assert(TxTable.lookupFiles(dir, s, "k", Seq(30L)).size == 1)
+    // An absent key INSIDE the global range: stats bounds would hit a
+    // file, but the Bloom proves it absent — zero files planned.
+    assert(TxTable.lookupFiles(dir, s, "k", Seq(35L)).isEmpty)
+    // The lookup read returns exactly the present keys' rows, and its
+    // IN predicate reaches the parquet scan (row-group skipping inside
+    // the surviving files — the second pruning tier after file-level).
+    val lookup = TxTable.lookupKeys(spark, dir, "k", Seq(30L, 1200L, -7L))
+    val plan = lookup.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(k"),
+      s"IN filter not pushed to the scan:\n$plan")
+    assert(lookup.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      == Seq((30L, 3L), (1200L, 120L)))
+  }
+
   test("bloom sidecars die with their dirs at vacuum; reads stay safe") {
     val dir = tmp()
     TxTable.init(spark, dir, schema, bloomCols = Seq("k"))
