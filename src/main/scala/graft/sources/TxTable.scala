@@ -379,19 +379,57 @@ object TxTable {
     if (loaded.forall(_.isDefined)) Some(loaded.flatten) else None
   }
 
+  /** Process-wide sidecar cache. A bloom file is IMMUTABLE once written
+    * (uuid-named, written exactly once before its commit's claim; vacuum
+    * only ever deletes it, and a deleted sidecar's dir is dead — no live
+    * snapshot asks for it again), so a loaded filter is reusable across
+    * every probe of the same dir. Without this, per-batch consumers
+    * (the dedup append's dupe check, the INSERT IGNORE probe) reload
+    * every dir's sidecar from disk on every batch — I/O linear in
+    * table size per trigger. Byte-bounded: past the budget the whole
+    * map drops (coarse, but eviction precision is worthless next to
+    * the cost of the reloads it prevents — and correctness never
+    * depends on a hit). */
+  private val bloomCache =
+    new java.util.concurrent.ConcurrentHashMap[Path, org.apache.spark.util.sketch.BloomFilter]()
+  private val bloomCacheBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val MaxBloomCacheBytes = 256L * 1024 * 1024
+
+  /** Drop every cached sidecar. A cached filter stays CORRECT even if
+    * its file is deleted out from under it (the file was immutable and
+    * its dir's data unchanged), so this is never needed for
+    * correctness — it exists for tests and for operators who want a
+    * lost-sidecar condition to surface as the conservative fallback
+    * instead of being papered over by the cache. */
+  def clearBloomCache(): Unit = {
+    bloomCache.clear()
+    bloomCacheBytes.set(0L)
+  }
+
   /** One data dir's Bloom filter for `col`, if this snapshot lists one
     * and the sidecar loads — the PARTIAL-coverage reader: a per-file
     * pruning decision can consult whichever dirs carry filters and
     * treat the rest conservatively (unlike [[keyBlooms]]' all-dirs
-    * absence proof). */
+    * absence proof). Cached per sidecar path (immutable — see
+    * [[bloomCache]]). */
   def dirBloom(dir: String, snap: Snapshot, dataDir: String, col: String)
       : Option[org.apache.spark.util.sketch.BloomFilter] = {
     if (!snap.blooms.getOrElse(dataDir, Nil).contains(col)) return None
-    try {
-      val in = Files.newInputStream(bloomPath(dir, dataDir, col))
-      try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(in))
-      finally in.close()
-    } catch { case _: java.io.IOException => None } // lost sidecar: fall back
+    val p = bloomPath(dir, dataDir, col)
+    Option(bloomCache.get(p)).orElse {
+      try {
+        val in = Files.newInputStream(p)
+        val bf = try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+                 finally in.close()
+        val bytes = bf.bitSize() / 8
+        if (bloomCacheBytes.addAndGet(bytes) > MaxBloomCacheBytes) {
+          bloomCache.clear()
+          bloomCacheBytes.set(bytes)
+        }
+        bloomCache.put(p, bf)
+        Some(bf)
+      } catch { case _: java.io.IOException => None } // lost sidecar: fall back
+    }
   }
 
   /** First index whose key is ≥ `lo` in a sorted array — the per-file
@@ -409,47 +447,62 @@ object TxTable {
   }
 
   /** Planning half of [[lookupStringKeys]]: the data files a lookup of
-    * `keys` must read, from the manifest alone — keys no Bloom filter
-    * claims are dropped first (absence proven, zero I/O), then files
-    * whose sstats bounds exclude every surviving key are skipped
+    * `keys` must read, from the manifest alone. Bloom refinement is
+    * PER DIR (partial coverage composes — a dir without a filter keeps
+    * the full key set, so one over-[[MaxBloomItems]] compacted dir
+    * degrades only its own pruning, never the whole table's): each
+    * dir's candidate set is the keys its filter claims, then files
+    * whose sstats bounds exclude every surviving candidate are skipped
     * (compare in parquet's unsigned-UTF-8 order only; binary search
-    * over the sorted key set per file). Stats-less files are
-    * conservative hits. Exposed for plan assertions. */
+    * over the sorted key set per file). Full coverage recovers the
+    * global absence proof for free — every dir rejects, zero files.
+    * Stats-less files are conservative hits. Exposed for plan
+    * assertions. */
   def lookupStringFiles(dir: String, snap: Snapshot, col: String,
                         keys: Seq[String]): Seq[Path] = {
-    val candidates = keyBlooms(dir, snap, col) match {
-      case Some(bfs) => keys.filter(k => bfs.exists(_.mightContainString(k)))
-      case None => keys
-    }
-    if (candidates.isEmpty) return Seq.empty
     val ord = ParquetFooterStats.Utf8Ordering
-    val sorted = candidates.distinct.sorted(ord).toArray
+    val sortedAll = keys.distinct.sorted(ord).toArray
+    if (sortedAll.isEmpty) return Seq.empty
+    val perDir = scala.collection.mutable.Map.empty[String, Array[String]]
+    def keysFor(d: String): Array[String] = perDir.getOrElseUpdate(d,
+      dirBloom(dir, snap, d, col) match {
+        case Some(bf) => sortedAll.filter(k => bf.mightContainString(k))
+        case None => sortedAll
+      })
     dataFilesString(dir, snap).collect {
-      case (p, st) if st.get(col).forall { case (lo, hi) =>
-        val i = lowerBound(sorted, lo, ord)
-        i < sorted.length && ord.lteq(sorted(i), hi) } => p
+      case (p, st) if {
+        val ks = keysFor(p.getParent.getFileName.toString)
+        ks.nonEmpty && st.get(col).forall { case (lo, hi) =>
+          val i = lowerBound(ks, lo, ord)
+          i < ks.length && ord.lteq(ks(i), hi) }
+      } => p
     }
   }
 
-  /** [[lookupStringFiles]]' LONG-keyed twin: Bloom absence proof, then
-    * manifest `stats` bound pruning (binary search over the sorted key
-    * set per file). The planning half of [[lookupKeys]] — and the
-    * point-lookup primitive delta-maintenance paths route their
-    * key-bounded corpus reads through (e.g. DedupIndex.append's dupe
-    * probe and candidate-endpoint fetch), turning an O(table) scan per
-    * delta into O(hit files). */
+  /** [[lookupStringFiles]]' LONG-keyed twin: per-dir Bloom refinement,
+    * then manifest `stats` bound pruning (binary search over the
+    * sorted key set per file). The planning half of [[lookupKeys]] —
+    * and the point-lookup primitive delta-maintenance paths route
+    * their key-bounded corpus reads through (DedupIndex.append's dupe
+    * probe and candidate-endpoint fetch, EventStore's INSERT IGNORE
+    * probe), turning an O(table) scan per delta into O(hit files). */
   def lookupFiles(dir: String, snap: Snapshot, col: String,
                   keys: Seq[Long]): Seq[Path] = {
-    val candidates = keyBlooms(dir, snap, col) match {
-      case Some(bfs) => keys.filter(k => bfs.exists(_.mightContainLong(k)))
-      case None => keys
-    }
-    if (candidates.isEmpty) return Seq.empty
-    val sorted = candidates.distinct.sorted.toArray
+    val sortedAll = keys.distinct.sorted.toArray
+    if (sortedAll.isEmpty) return Seq.empty
+    val perDir = scala.collection.mutable.Map.empty[String, Array[Long]]
+    def keysFor(d: String): Array[Long] = perDir.getOrElseUpdate(d,
+      dirBloom(dir, snap, d, col) match {
+        case Some(bf) => sortedAll.filter(k => bf.mightContainLong(k))
+        case None => sortedAll
+      })
     dataFiles(dir, snap).collect {
-      case (p, st) if st.get(col).forall { case (lo, hi) =>
-        val i = lowerBound(sorted, lo, Ordering.Long)
-        i < sorted.length && sorted(i) <= hi } => p
+      case (p, st) if {
+        val ks = keysFor(p.getParent.getFileName.toString)
+        ks.nonEmpty && st.get(col).forall { case (lo, hi) =>
+          val i = lowerBound(ks, lo, Ordering.Long)
+          i < ks.length && ks(i) <= hi }
+      } => p
     }
   }
 

@@ -69,7 +69,11 @@ final class EventStore(root: String) {
     else spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), factSchema)
 
   def appendFacts(df: DataFrame): Unit = {
-    ensureInit(df.sparkSession, "fact_events", df.schema)
+    // event_id blooms: the ingest loop's idempotence check probes each
+    // batch's ids against them ([[absentOnly]]) instead of anti-scanning
+    // the whole fact history per trigger.
+    ensureInit(df.sparkSession, "fact_events", df.schema,
+      bloomCols = Seq("event_id"))
     TxTable.append(df.sparkSession, dir("fact_events"), df)
   }
 
@@ -87,6 +91,47 @@ final class EventStore(root: String) {
     * of per-batch appends must not fragment every future read and
     * bloom probe linearly in batches. */
   private[streaming] val AutoCompactDirs = 16
+
+  /** The rows of `up` whose `key` is ABSENT from `d@snap` — the probe
+    * half of INSERT IGNORE. The present-key read is MANIFEST-PLANNED
+    * for long/string keys within the driver bound: the batch's keys
+    * refine per-dir through the table's Bloom sidecars and prune by
+    * stats bounds ([[TxTable.lookupKeys]]/`lookupStringKeys` — partial
+    * bloom coverage composes per dir, so one over-cap compacted dir
+    * degrades only its own pruning), and a typical all-new batch reads
+    * ZERO stored files. Fallbacks — an unbloomable key type (the date
+    * dimension's DateType key), an over-bound batch — take the exact
+    * key-column anti-scan this replaces; every fallback is the old
+    * read cost, never wrong rows. */
+  private def freshAgainst(spark: SparkSession, d: String,
+      snap: TxTable.Snapshot, up: DataFrame, key: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val keyType = up.schema(key).dataType
+    def exact = TxTable.read(spark, d, snap).select(key)
+    val present: DataFrame =
+      if (keyType != LongType && keyType != StringType) exact
+      else {
+        val keyRows = up.select(key).limit(MaxProbeKeys + 1).collect()
+        if (keyRows.length > MaxProbeKeys) exact
+        else if (keyType == LongType)
+          TxTable.lookupKeys(spark, d, key,
+            keyRows.toSeq.map(_.getLong(0)), Some(snap)).select(key)
+        else
+          TxTable.lookupStringKeys(spark, d, key,
+            keyRows.toSeq.map(_.getString(0)), Some(snap)).select(key)
+      }
+    up.join(present, Seq(key), "left_anti")
+  }
+
+  /** The subset of `updates` absent from `name` by `key` — the INSERT
+    * IGNORE probe exposed for callers that land rows through their own
+    * append path (the fact ingest dedups event_ids with it before
+    * [[appendFacts]], instead of anti-scanning the fact history per
+    * batch). A missing table means everything is fresh. */
+  def absentOnly(name: String, updates: DataFrame, key: String): DataFrame =
+    if (!TxTable.exists(dir(name))) updates
+    else freshAgainst(updates.sparkSession, dir(name),
+      TxTable.snapshot(dir(name)), updates, key)
 
   /** S4: first-writer-wins keyed insert (`INSERT IGNORE`) — APPEND-
     * shaped. The previous shape (anti-join inside [[TxTable.merge]])
@@ -120,34 +165,7 @@ final class EventStore(root: String) {
     var done = false
     while (!done) {
       val snap = TxTable.snapshot(d)
-      // The present-key set the anti-join excludes. Fallbacks — an
-      // unbloomable key type (e.g. the date dimension's DateType key),
-      // missing bloom coverage, an over-bound batch — take the exact
-      // key-column anti-scan this replaces; every fallback is the OLD
-      // read cost, never wrong rows.
-      def exact = TxTable.read(spark, d, snap).select(key)
-      val present: DataFrame =
-        if (!bloomable) exact
-        else {
-          val keyRows = up.select(key).limit(MaxProbeKeys + 1).collect()
-          if (keyRows.length > MaxProbeKeys) exact
-          else TxTable.keyBlooms(d, snap, key) match {
-            case None => exact
-            case Some(bfs) if keyType == LongType =>
-              val suspects = keyRows.map(_.getLong(0))
-                .filter(k => bfs.exists(_.mightContainLong(k))).toSeq
-              if (suspects.isEmpty) up.select(key).limit(0)
-              else TxTable.lookupKeys(spark, d, key, suspects, Some(snap))
-                .select(key)
-            case Some(bfs) =>
-              val suspects = keyRows.map(_.getString(0))
-                .filter(k => bfs.exists(_.mightContainString(k))).toSeq
-              if (suspects.isEmpty) up.select(key).limit(0)
-              else TxTable.lookupStringKeys(spark, d, key, suspects, Some(snap))
-                .select(key)
-          }
-        }
-      val freshRdd = up.join(present, Seq(key), "left_anti").rdd.localCheckpoint()
+      val freshRdd = freshAgainst(spark, d, snap, up, key).rdd.localCheckpoint()
       try {
         if (freshRdd.count() > 0)
           TxTable.commit(spark, d, spark.createDataFrame(freshRdd, up.schema),

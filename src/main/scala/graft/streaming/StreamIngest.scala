@@ -44,17 +44,20 @@ object StreamIngest {
     */
   def applyBatch(batch: DataFrame, store: EventStore): Unit = {
     val spark = batch.sparkSession
-    // ST2: idempotence — drop in-batch duplicates, then anti-join the
-    // already-stored fact keys (the reference's INSERT IGNORE).
-    val existing = store.facts(spark)
+    // ST2: idempotence — drop in-batch duplicates, then keep only ids
+    // absent from the store (the reference's INSERT IGNORE). The
+    // absence probe is manifest-planned (EventStore.absentOnly:
+    // per-dir event_id Blooms + stats pruning), so a typical all-new
+    // batch proves itself fresh without reading any stored fact file —
+    // the old shape anti-scanned the whole fact history every trigger.
     // localCheckpoint (eager) snapshots the deduped batch BEFORE any
-    // store mutation: the anti-join reads the fact directory, and the
+    // store mutation: the probe reads the fact directory, and the
     // subsequent append would otherwise invalidate/recache that plan —
     // a lazily-evaluated `fresh` would then see its own rows in the
     // store and silently empty the summary delta (read-modify-write
     // hazard; plain persist() does NOT protect against path recache).
-    val fresh = batch.dropDuplicates("event_id")
-      .join(existing.select("event_id"), Seq("event_id"), "left_anti")
+    val fresh = store.absentOnly("fact_events",
+        batch.dropDuplicates("event_id"), "event_id")
       .localCheckpoint()
     try {
       if (fresh.isEmpty) return

@@ -441,6 +441,40 @@ class TxTableSpec extends SparkSpec {
       == Seq((30L, 3L), (1200L, 120L)))
   }
 
+  test("lookup bloom refinement is PER DIR: partial pruning composes") {
+    val dir = tmp()
+    TxTable.init(spark, dir, schema, bloomCols = Seq("k"))
+    // One file per dir (coalesce) so each file's stats SPAN its dir's
+    // key range — the absent key below must fall inside dir-2's bounds.
+    TxTable.overwrite(spark, dir,
+      Seq(10L, 20L, 30L).map(k => (k, k)).toDF("k", "v").coalesce(1))
+    TxTable.append(spark, dir,
+      Seq(100L, 110L, 120L, 130L).map(k => (k, k)).toDF("k", "v").coalesce(1))
+    val s = TxTable.snapshot(dir)
+    val dirs = TxTable.dataFiles(dir, s).map(_._1.getParent).distinct
+    assert(dirs.size == 2)
+    // 20 is present in the first dir; 115 is ABSENT but inside the
+    // second dir's stats bounds [100,130]. Bounds alone would read both
+    // dirs; the second dir's Bloom rejects 115, so its candidate key
+    // set empties and the dir plans ZERO files — refinement is per dir,
+    // not the all-or-nothing global absence proof.
+    val hit = TxTable.lookupFiles(dir, s, "k", Seq(20L, 115L))
+    assert(hit.nonEmpty && hit.map(_.getParent).distinct == Seq(dirs.head),
+      s"bloom-rejected dir not pruned: ${hit}")
+    // Sidecar cache: a deleted bloom file keeps serving from the
+    // process-wide cache (the file was immutable, so the cached filter
+    // is still CORRECT for this dir's unchanged data)...
+    val st = Files.list(Paths.get(dir, "_index"))
+    try st.forEach(p => Files.delete(p)) finally st.close()
+    assert(TxTable.lookupFiles(dir, s, "k", Seq(20L, 115L))
+      .map(_.getParent).distinct == Seq(dirs.head), "cache miss on immutable sidecar")
+    // ...and an invalidated cache degrades to conservative bounds-only
+    // pruning (both dirs hit), never a wrong answer.
+    TxTable.clearBloomCache()
+    assert(TxTable.lookupFiles(dir, s, "k", Seq(20L, 115L))
+      .map(_.getParent).distinct.size == 2, "lost sidecar must widen, not fail")
+  }
+
   test("bloom sidecars die with their dirs at vacuum; reads stay safe") {
     val dir = tmp()
     TxTable.init(spark, dir, schema, bloomCols = Seq("k"))
@@ -455,9 +489,12 @@ class TxTableSpec extends SparkSpec {
     assert(TxTable.keyBlooms(dir, s, "k").exists(bfs =>
       bfs.exists(_.mightContainLong(2L))))
     // A deleted sidecar (manual damage) degrades to conservative None,
-    // never a wrong membership answer.
+    // never a wrong membership answer. The process-wide cache may keep
+    // serving the immutable (still-correct) filter until invalidated —
+    // clear it so the lost-file condition is actually exercised.
     val st = Files.list(Paths.get(dir, "_index"))
     try st.forEach(p => Files.delete(p)) finally st.close()
+    TxTable.clearBloomCache()
     assert(TxTable.keyBlooms(dir, s, "k").isEmpty)
   }
 }

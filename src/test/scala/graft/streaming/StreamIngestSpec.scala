@@ -98,6 +98,33 @@ class StreamIngestSpec extends SparkSpec {
       "insertIfAbsent table lost key bloom coverage")
   }
 
+  test("absentOnly: manifest-planned idempotence probe, zero-file all-new proof") {
+    import graft.sources.TxTable
+    val root = Files.createTempDirectory("graft_abs").toString
+    val store = new EventStore(root)
+    val fresh0 = mkEvents((1L, 1L, "click", 1.0, "2024-03-01T10:00:00Z"))
+    // Missing table: everything is fresh.
+    assert(store.absentOnly("fact_events", fresh0, "event_id").count() == 1)
+    StreamIngest.applyBatch(StreamIngest.normalize(mkEvents(
+      (1L, 1L, "click", 1.0, "2024-03-01T10:00:00Z"),
+      (2L, 1L, "view", 2.0, "2024-03-01T10:05:00Z"),
+      (3L, 2L, "click", 3.0, "2024-03-01T10:10:00Z"))), store)
+    // Overlapping batch: only the unseen id survives the probe.
+    val probe = store.absentOnly("fact_events", mkEvents(
+      (3L, 2L, "click", 3.0, "2024-03-01T10:10:00Z"),
+      (4L, 2L, "view", 4.0, "2024-03-01T10:15:00Z")), "event_id")
+    assert(probe.select("event_id").collect().map(_.getLong(0)).toSeq == Seq(4L))
+    // The planning half behind it: the fact table carries event_id
+    // Blooms, and an all-new batch's ids plan ZERO stored files — the
+    // per-trigger idempotence check costs no fact-history I/O.
+    val d = s"$root/fact_events"
+    val snap = TxTable.snapshot(d)
+    assert(snap.blooms.values.flatten.exists(_ == "event_id"),
+      "fact table lost event_id bloom registration")
+    assert(TxTable.lookupFiles(d, snap, "event_id", Seq(98L, 99L)).isEmpty,
+      "all-new ids should prove absent from the manifest alone")
+  }
+
   test("per-batch vacuum keeps derived-table disk bounded over a long stream") {
     val root = Files.createTempDirectory("graft_vac").toString
     val store = new EventStore(root)
