@@ -745,33 +745,38 @@ object DedupIndex {
     // Result-transparent (mergeSegments is associative; pairs segments
     // are disjoint row sets) and single-writer like the append itself.
     if (autoCompactSegments > 0) {
-      if (TxTable.snapshot(s"$dir/groups").dirs.size > autoCompactSegments) {
-        compactGroups(spark, dir, cap)
-        phase("auto_compact_groups")
+      // Each in-append fold is PARTIAL (TxTable.compactDirs): only the
+      // accumulated small delta dirs read and rewrite; the base dir
+      // carries by reference. The old whole-table overwrites cost
+      // O(table) I/O every autoCompactSegments appends — at 100 TB
+      // that made every Nth hourly append a full-index rewrite. The
+      // scheduled [[compact]] stays the FULL OPTIMIZE that re-tightens
+      // global clustering across the merged whole.
+      def fold(t: String)(layout: org.apache.spark.sql.DataFrame
+          => org.apache.spark.sql.DataFrame): Unit = {
+        val s = TxTable.snapshot(s"$dir/$t")
+        if (s.dirs.size > autoCompactSegments) {
+          TxTable.compactDirs(spark, s"$dir/$t", s,
+            TxTable.levelZeroDirs(s"$dir/$t", s))(layout)
+          phase(s"auto_compact_$t")
+        }
       }
-      if (TxTable.snapshot(s"$dir/pairs").dirs.size > autoCompactSegments) {
-        TxTable.overwrite(spark, s"$dir/pairs", TxTable.read(spark, s"$dir/pairs"))
-        phase("auto_compact_pairs")
-      }
+      // Groups: mergeSegments is associative, so folding a SUBSET of
+      // segments into one is result-transparent (the logical view
+      // still folds the merged segment with the carried base).
+      fold("groups")(df => mergeSegments(df, cap)
+        .repartitionByRange(SegmentFiles, col("sh")).sortWithinPartitions(col("sh")))
+      fold("pairs")(identity)
       // Docs gains one segment per append too — the dupe check and the
       // candidate-endpoint fetch enumerate its files every append.
-      if (TxTable.snapshot(s"$dir/docs").dirs.size > autoCompactSegments) {
-        TxTable.overwrite(spark, s"$dir/docs",
-          TxTable.read(spark, s"$dir/docs")
-            .repartitionByRange(col("doc_id")).sortWithinPartitions(col("doc_id")))
-        phase("auto_compact_docs")
-      }
+      fold("docs")(_.repartitionByRange(col("doc_id"))
+        .sortWithinPartitions(col("doc_id")))
       // Components: each by-reference replace keeps the old dirs and
       // adds one (plus exclusions), so a long append stream fragments
-      // the dir list — the same OPTIMIZE trigger restores one
-      // range-clustered dir (and lets vacuum reclaim the excluded
-      // files).
-      if (TxTable.snapshot(s"$dir/components").dirs.size > autoCompactSegments) {
-        TxTable.overwrite(spark, s"$dir/components",
-          TxTable.read(spark, s"$dir/components")
-            .repartitionByRange(col("doc_id")).sortWithinPartitions(col("doc_id")))
-        phase("auto_compact_components")
-      }
+      // the dir list — the same fold restores clustering over the
+      // delta dirs (and lets vacuum reclaim the excluded files).
+      fold("components")(_.repartitionByRange(col("doc_id"))
+        .sortWithinPartitions(col("doc_id")))
     }
     if (sys.env.get("GRAFT_PHASE_TIMINGS").exists(Set("1", "2")))
       System.err.println(phases.map { case (n, s) => f"$n=$s%.3fs" }

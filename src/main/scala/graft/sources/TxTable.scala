@@ -637,13 +637,18 @@ object TxTable {
     val dirSet = dirs.toSet
     val liveBlooms = blooms.view.filterKeys(dirSet).toMap
     val liveExcludes = excludes.view.filterKeys(dirSet).toMap.filter(_._2.nonEmpty)
-    def dropExcluded[T](m: Map[String, T]): Map[String, T] =
-      if (liveExcludes.isEmpty) m
-      else m.filter { case (k, _) =>
+    def dropExcluded[T](m: Map[String, T]): Map[String, T] = {
+      val memberOnly = m.filter { case (k, _) =>
+        val slash = k.indexOf('/')
+        slash < 0 || dirSet(k.substring(0, slash))
+      }
+      if (liveExcludes.isEmpty) memberOnly
+      else memberOnly.filter { case (k, _) =>
         val slash = k.indexOf('/')
         slash < 0 || !liveExcludes.getOrElse(k.substring(0, slash), Nil)
           .contains(k.substring(slash + 1))
       }
+    }
     val liveStats = dropExcluded(stats)
     val liveSStats = dropExcluded(sstats)
     var next = firstCandidate
@@ -863,6 +868,68 @@ object TxTable {
       deleteRec(Paths.get(stagedPath(dir, uuid))) // never became visible
       throw e
     }
+  }
+
+  /** The LSM level-0 fold set: every data dir EXCEPT the largest by
+    * live bytes (the base). Folding these and carrying the base by
+    * reference makes periodic compaction cost O(accumulated deltas),
+    * not O(table) — and when the accumulated fold eventually outgrows
+    * the base, the roles swap and the next fold absorbs the old base,
+    * so total write amplification stays a small constant factor
+    * (classic two-level merge amortization). Empty when the table has
+    * one dir or fewer (nothing to fold). */
+  def levelZeroDirs(dir: String, snap: Snapshot): Seq[String] = {
+    if (snap.dirs.size <= 1) return Seq.empty
+    val sized = snap.dirs.map { d =>
+      val root = liveDirRoot(dir, snap, d)
+      val ex = snap.excludes.getOrElse(d, Nil).toSet
+      d -> listNames(root).filter(n => n.endsWith(".parquet") && !ex(n))
+        .map(n => sizeOrZero(root.resolve(n))).sum
+    }
+    val base = sized.maxBy(_._2)._1
+    snap.dirs.filterNot(_ == base)
+  }
+
+  /** PARTIAL OPTIMIZE: fold `foldDirs` (a subset of `snap`'s data dirs)
+    * into ONE freshly laid-out dir, carrying every other dir BY
+    * REFERENCE — a manifest entry, zero read or write of its data. The
+    * whole-table `overwrite(read(...))` compaction this replaces costs
+    * O(table) I/O per fold; at 100 TB that turns every Nth streamed
+    * batch into a full-table rewrite. This is the Delta/Iceberg OPTIMIZE
+    * file-bin shape: read only the small dirs being folded (respecting
+    * exclusions), write one `layout`-shaped dir (range-cluster on the
+    * key for tight manifest bounds), commit as a carry-by-reference
+    * replace that removes exactly the folded dirs. Only result-
+    * transparent `layout`s keep table contents equal — compaction is
+    * layout maintenance, not a data change. Blooms for the folded dir
+    * are re-harvested; carried dirs keep theirs. Throws
+    * [[ConcurrentCommitException]] (staged data reclaimed) if any
+    * commit lands after `snap` — maintenance should skip or retry from
+    * a fresh snapshot, never clobber. */
+  def compactDirs(spark: SparkSession, dir: String, snap: Snapshot,
+                  foldDirs: Seq[String])
+                 (layout: DataFrame => DataFrame = identity): Snapshot = {
+    val foldSet = foldDirs.toSet
+    require(foldDirs.nonEmpty && foldSet.subsetOf(snap.dirs.toSet),
+      s"compactDirs: fold set not within the snapshot's dirs")
+    val schema = StructType.fromDDL(snap.schemaDdl)
+    val files = foldDirs.flatMap { d =>
+      val root = liveDirRoot(dir, snap, d)
+      val ex = snap.excludes.getOrElse(d, Nil).toSet
+      listNames(root).filter(n => n.endsWith(".parquet") && !ex(n))
+        .map(n => root.resolve(n).toString)
+    }
+    val folded = layout(
+      if (files.isEmpty)
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+      else spark.read.schema(schema).parquet(files: _*))
+    val u = stage(dir, folded)
+    val newBlooms = harvestBlooms(spark, dir, u, schema, snap.bloomCols)
+    commitStagedFrom(dir, u, schema, snap, carryDirs = true,
+      removeFiles = foldDirs.map { d =>
+        d -> listNames(Paths.get(stagedPath(dir, d))).filter(_.endsWith(".parquet"))
+      }.toMap,
+      knownBlooms = newBlooms)
   }
 
   def append(spark: SparkSession, dir: String, df: DataFrame): Snapshot =

@@ -175,11 +175,18 @@ final class EventStore(root: String) {
       finally freshRdd.unpersist(blocking = false)
     }
     upRdd.unpersist(blocking = false)
-    // Level-0 fold: restore one key-clustered dir (tight per-file
-    // bounds keep the suspect lookups O(hit files)).
-    if (TxTable.snapshot(d).dirs.size > AutoCompactDirs)
-      TxTable.overwrite(spark, d, TxTable.read(spark, d)
-        .repartitionByRange(col(key)).sortWithinPartitions(col(key)))
+    // Level-0 fold: compact the accumulated delta dirs into ONE
+    // key-clustered dir (tight per-file bounds keep the suspect
+    // lookups O(hit files)) while the base dir carries BY REFERENCE —
+    // O(deltas) I/O per fold, never the O(table) rewrite the old
+    // whole-table overwrite paid every AutoCompactDirs batches. A
+    // racing commit skips the fold (maintenance, not data — the next
+    // over-cap batch retriggers it).
+    val after = TxTable.snapshot(d)
+    if (after.dirs.size > AutoCompactDirs)
+      try TxTable.compactDirs(spark, d, after, TxTable.levelZeroDirs(d, after))(
+        _.repartitionByRange(col(key)).sortWithinPartitions(col(key)))
+      catch { case _: TxTable.ConcurrentCommitException => () }
     ()
   }
 

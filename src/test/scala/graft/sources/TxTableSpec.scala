@@ -475,6 +475,50 @@ class TxTableSpec extends SparkSpec {
       .map(_.getParent).distinct.size == 2, "lost sidecar must widen, not fail")
   }
 
+  test("compactDirs folds delta dirs into one, carries the base by reference") {
+    val dir = tmp()
+    TxTable.init(spark, dir, schema, bloomCols = Seq("k"))
+    TxTable.overwrite(spark, dir,
+      (1L to 100L).map(k => (k, k)).toDF("k", "v").coalesce(1))
+    TxTable.append(spark, dir, Seq((200L, 200L)).toDF("k", "v").coalesce(1))
+    TxTable.append(spark, dir, Seq((300L, 300L)).toDF("k", "v").coalesce(1))
+    val s = TxTable.snapshot(dir)
+    assert(s.dirs.size == 3)
+    val base = s.dirs.head
+    // The level-0 fold set is everything but the (largest) base.
+    val fold = TxTable.levelZeroDirs(dir, s)
+    assert(fold == s.dirs.tail, s"level-0 set should be the two deltas: $fold")
+    val s2 = TxTable.compactDirs(spark, dir, s, fold)(
+      _.repartitionByRange(col("k")).sortWithinPartitions(col("k")))
+    // Base dir carried BY REFERENCE (same uuid — its data never read or
+    // rewritten); the two deltas folded into one fresh dir.
+    assert(s2.dirs.size == 2 && s2.dirs.head == base
+      && !s.dirs.contains(s2.dirs.last))
+    // Content parity.
+    assert(TxTable.read(spark, dir).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      == ((1L to 100L).map(k => (k, k)) ++ Seq((200L, 200L), (300L, 300L))))
+    // Manifest hygiene: stats and bloom listings only for member dirs
+    // (a dropped dir's entries must not ride along as dead weight).
+    assert((s2.stats.keySet ++ s2.sstats.keySet)
+      .forall(k => s2.dirs.contains(k.substring(0, k.indexOf('/')))))
+    assert(s2.blooms.keySet.subsetOf(s2.dirs.toSet))
+    // Full bloom coverage survives the fold (carried + re-harvested),
+    // and point lookups prune: 200 lives only in the folded dir.
+    assert(TxTable.keyBlooms(dir, s2, "k").exists(_.size == 2))
+    val hit = TxTable.lookupFiles(dir, s2, "k", Seq(200L))
+    assert(hit.nonEmpty
+      && hit.forall(_.getParent.getFileName.toString == s2.dirs.last))
+    // A commit racing the fold surfaces loudly and reclaims the staged
+    // fold data — maintenance never clobbers a newer version.
+    val s3 = TxTable.snapshot(dir)
+    TxTable.append(spark, dir, Seq((400L, 400L)).toDF("k", "v").coalesce(1))
+    intercept[TxTable.ConcurrentCommitException] {
+      TxTable.compactDirs(spark, dir, s3, TxTable.levelZeroDirs(dir, s3))()
+    }
+    assert(TxTable.read(spark, dir).count() == 103)
+  }
+
   test("bloom sidecars die with their dirs at vacuum; reads stay safe") {
     val dir = tmp()
     TxTable.init(spark, dir, schema, bloomCols = Seq("k"))

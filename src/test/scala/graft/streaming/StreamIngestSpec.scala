@@ -125,6 +125,31 @@ class StreamIngestSpec extends SparkSpec {
       "all-new ids should prove absent from the manifest alone")
   }
 
+  test("insertIfAbsent level-0 fold compacts deltas, never rewrites the base") {
+    import graft.sources.TxTable
+    val root = Files.createTempDirectory("graft_fold").toString
+    val store = new EventStore(root)
+    val sp = spark
+    import sp.implicits._
+    def dims(rows: (Long, String)*) = rows.toSeq.toDF("user_id", "first_seen")
+    // A larger first batch (the base), then single-key batches past the
+    // fold trigger.
+    store.insertIfAbsent("dim_user",
+      dims((1L to 200L).map(k => k -> s"u$k"): _*), "user_id")
+    val t = s"$root/dim_user"
+    val base = TxTable.snapshot(t).dirs.head
+    (201L to (200L + store.AutoCompactDirs + 1)).foreach { k =>
+      store.insertIfAbsent("dim_user", dims(k -> s"u$k"), "user_id")
+    }
+    val s = TxTable.snapshot(t)
+    // The fold fired: dir count is back under the cap — and the big
+    // base dir was never rewritten (same uuid, carried by reference),
+    // so the periodic fold cost O(deltas), not O(table).
+    assert(s.dirs.size <= store.AutoCompactDirs, s"fold never fired: ${s.dirs.size}")
+    assert(s.dirs.head == base, "level-0 fold rewrote the base dir")
+    assert(store.table(spark, "dim_user").count() == 200L + store.AutoCompactDirs + 1)
+  }
+
   test("per-batch vacuum keeps derived-table disk bounded over a long stream") {
     val root = Files.createTempDirectory("graft_vac").toString
     val store = new EventStore(root)
