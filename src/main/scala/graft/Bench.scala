@@ -8,6 +8,15 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // Optional comma-separated query-name filter for local A/B loops
+    // (unset = the full suite; the driver's per-round runs leave it
+    // unset, so round artifacts always cover every query).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val queries = only match {
+      case Some(sel) => SparkEntry.queries.filter { case (n, _) => sel(n) }
+      case None => SparkEntry.queries
+    }
     val spark = GraftSession.builder(master = s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .getOrCreate()
@@ -25,7 +34,7 @@ object Bench {
     // loop is a hard error, never a fast timing.
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)
-      SparkEntry.queries.foreach { case (_, fn) =>
+      queries.foreach { case (_, fn) =>
         try act(fn(spark, warmDir)) catch { case _: Throwable => () }
       }
     // Page-cache prewarm of the benchmark tables: one full read per file
@@ -38,7 +47,7 @@ object Bench {
     // plans at different scale factors, so the small-SF warmup misses
     // their Janino compilation — without this pass the first heavy query
     // pays ~10 s of one-time codegen inside its measurement.
-    SparkEntry.queries.foreach { case (_, fn) =>
+    queries.foreach { case (_, fn) =>
       try act(fn(spark, sfDir)) catch { case _: Throwable => () }
       spark.catalog.clearCache()
     }
@@ -58,7 +67,7 @@ object Bench {
     // delta-proportional phases per SF instead of the split being
     // hand-argued in round notes.
     val phaseLog = mutable.LinkedHashMap.empty[String, Seq[(String, Double)]]
-    val raw = SparkEntry.queries.flatMap { case (name, fn) =>
+    val raw = queries.flatMap { case (name, fn) =>
       // Cleared per query: a dedup query that dies before completing an
       // append must not inherit the previous query's (or the warmup
       // pass's) decomposition under its own name.
@@ -132,7 +141,9 @@ object Bench {
       s"""{"metric":"total",$common,"phases":$phasesJson,"spread":$spreadJson,"reps_raw":$rawJson}"""
     // Authoritative copy on disk: sbt interleaves its own lines with
     // forked stdout, which has truncated the driver's capture twice.
-    try {
+    // Filtered A/B runs never overwrite it — bench.json is the
+    // committed full-suite artifact.
+    if (only.isEmpty) try {
       val w = new java.io.PrintWriter(new java.io.File("bench.json"))
       try w.println(json) finally w.close()
     } catch { case _: Throwable => () }
