@@ -368,29 +368,52 @@ final class EventStore(root: String) {
   /** Small-file compaction for the append-only fact store: every
     * micro-batch append lands O(shuffle-partitions) files, and a week of
     * 10-second batches turns a 100 TB table into millions of KB-files —
-    * scan planning then dominates query time. Rewrites the store into
-    * ceil(bytes / targetBytes) files, range-clustered and sorted by
-    * event time so ts predicates prune whole files via parquet min/max,
-    * committed as one new version (readers never torn — they hold the
-    * old manifest). Returns (filesBefore, filesAfter).
+    * scan planning then dominates query time. PARTIAL
+    * ([[TxTable.compactDirs]]): only the UNDERSIZED dirs (mean live
+    * file size below `targetBytes`) read and rewrite — bin-packed into
+    * ceil(their bytes / targetBytes) files, range-clustered and sorted
+    * by event time so ts predicates prune whole files via parquet
+    * min/max — while every already-full-sized dir carries BY REFERENCE.
+    * A year of history whose old dirs were compacted long ago costs
+    * nothing to re-compact: each call's I/O is proportional to the
+    * small-file backlog, never the table. Time-slice pruning is
+    * per-FILE, so global re-clustering across old dirs buys nothing
+    * this keeps paying for. Committed as one new version (readers never
+    * torn — they hold the old manifest); a racing append re-plans.
+    * Returns (filesBefore, filesAfter).
     *
-    * (With Delta/Iceberg this is OPTIMIZE + ZORDER; the arithmetic —
-    * size-targeted bin-packing plus time clustering — is the same.)
+    * (With Delta/Iceberg this is OPTIMIZE + ZORDER over the small-file
+    * bins; the arithmetic — size-targeted bin-packing plus time
+    * clustering — is the same.)
     */
   def compactFacts(spark: SparkSession,
                    targetBytes: Long = 128L * 1024 * 1024): (Long, Long) = {
-    if (!TxTable.exists(dir("fact_events"))) return (0L, 0L)
-    val before = snapshotFiles(TxTable.snapshot(dir("fact_events")), "fact_events")
-    if (before.isEmpty) return (0L, 0L)
-    val totalBytes = before.map(Files.size(_)).sum
-    val parts = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
-    if (before.size <= parts) return (before.size.toLong, before.size.toLong)
-    TxTable.merge(spark, dir("fact_events")) { cur =>
-      cur.repartitionByRange(parts, col("ts"), col("event_id"))
-        .sortWithinPartitions(col("ts"), col("event_id"))
+    val d = dir("fact_events")
+    if (!TxTable.exists(d)) return (0L, 0L)
+    val first = snapshotFiles(TxTable.snapshot(d), "fact_events")
+    if (first.isEmpty) return (0L, 0L)
+    var done = false
+    while (!done) {
+      val snap = TxTable.snapshot(d)
+      val perDir = TxTable.dataFiles(d, snap)
+        .groupBy(_._1.getParent.getFileName.toString)
+      val small = snap.dirs.filter { dd =>
+        perDir.get(dd).exists(fs => fs.map(f => Files.size(f._1)).sum / fs.size < targetBytes)
+      }
+      val smallFiles = small.flatMap(perDir.getOrElse(_, Nil))
+      val smallBytes = smallFiles.map(f => Files.size(f._1)).sum
+      val parts = math.max(1L, (smallBytes + targetBytes - 1) / targetBytes).toInt
+      if (small.isEmpty || smallFiles.size <= parts) done = true
+      else
+        try {
+          TxTable.compactDirs(spark, d, snap, small)(
+            _.repartitionByRange(parts, col("ts"), col("event_id"))
+              .sortWithinPartitions(col("ts"), col("event_id")))
+          done = true
+        } catch { case _: TxTable.ConcurrentCommitException => () } // re-plan
     }
-    val after = snapshotFiles(TxTable.snapshot(dir("fact_events")), "fact_events")
-    (before.size.toLong, after.size.toLong)
+    (first.size.toLong,
+      snapshotFiles(TxTable.snapshot(d), "fact_events").size.toLong)
   }
 
   /** Reclaim superseded versions and crash orphans across every table

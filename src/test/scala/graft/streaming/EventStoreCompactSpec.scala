@@ -25,6 +25,33 @@ class EventStoreCompactSpec extends SparkSpec {
     assert(store.compactFacts(spark) == ((1L, 1L)))
   }
 
+  test("fact compaction is partial: full-sized dirs carry by reference") {
+    import graft.sources.TxTable
+    val root = Files.createTempDirectory("graft_compact_p").toString
+    val store = new EventStore(root)
+    val events = Tables(spark, S.Sf0001).events
+    val t = s"$root/fact_events"
+    // One "full-sized" dir (single file, well above the tiny target),
+    // then a trickle of small multi-file appends.
+    store.appendFacts(events.filter(col("event_id") % 5 === 0).coalesce(1))
+    val bigDir = TxTable.snapshot(t).dirs.head
+    val bigBytes = TxTable.dataFiles(t, TxTable.snapshot(t))
+      .map(f => Files.size(f._1)).sum
+    (1 until 5).foreach { i =>
+      store.appendFacts(events.filter(col("event_id") % 5 === i).repartition(4))
+    }
+    val beforeRows = store.facts(spark).orderBy("event_id").collect().toSeq
+    // Target sized so the first dir's one file counts as full and the
+    // per-append files (each ~1/4 of a fifth of the data) count small.
+    val target = (bigBytes * 3) / 4
+    store.compactFacts(spark, targetBytes = target)
+    val s = TxTable.snapshot(t)
+    assert(s.dirs.size == 2, s"expected big dir + one folded dir: ${s.dirs}")
+    assert(s.dirs.head == bigDir,
+      "compaction rewrote the already-full-sized dir")
+    assert(store.facts(spark).orderBy("event_id").collect().toSeq == beforeRows)
+  }
+
   test("time-sliced facts read prunes files from manifest stats, exactly") {
     val root = Files.createTempDirectory("graft_slice").toString
     val store = new EventStore(root)
