@@ -43,13 +43,28 @@ object PQIndex {
     * so probing nprobe cells at query time is literal partition pruning
     * on the codes table — the scan never opens the other cells' files
     * (asserted in the plan audit). Stores the fitted coarse centroids
-    * alongside the codebooks. */
+    * alongside the codebooks. ([[PQIndexTx]] is the same index with the
+    * codes table on the engine's own manifest-log format.) */
   def buildIVF(spark: SparkSession, vecs: DataFrame, dir: String,
                m: Int, dsub: Int, ksub: Int, iters: Int, nq: Int,
                coarseK: Int, coarseIters: Int): Unit = {
     val v = vecs.select(col("vec_id"), col("e"))
       .selectExpr("vec_id", "e", s"${VectorOps.normSq("e")} AS nsq")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (coarse, cbs) = trainIVF(spark, v, dir, m, dsub, ksub, iters,
+      coarseK, coarseIters)
+    encodedIVF(v, coarse, cbs, dsub, nq)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes")
+    v.unpersist()
+  }
+
+  /** Fit the coarse quantizer + PQ codebooks on `v` (vec_id, e, nsq)
+    * and persist both under `dir` — the training half both IVF layouts
+    * share; codes storage is the variant's own concern. */
+  private[operators] def trainIVF(spark: SparkSession, v: DataFrame, dir: String,
+                                  m: Int, dsub: Int, ksub: Int, iters: Int,
+                                  coarseK: Int, coarseIters: Int)
+      : (Seq[KMeans.Cent], Seq[Seq[KMeans.Cent]]) = {
     val coarse = KMeans.fit(v, coarseK, coarseIters)
     val cbs = PQ.fit(v.select(col("vec_id"), col("e")), m, dsub, ksub, iters)
     import spark.implicits._
@@ -58,13 +73,19 @@ object PQIndex {
     cbs.zipWithIndex.flatMap { case (cb, s) => cb.map(ct => (s, ct.cl, ct.c, ct.cnsq)) }
       .toDF("s", "code", "c", "cnsq")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+    (coarse, cbs)
+  }
+
+  /** Corpus rows of `v` (vec_id, e, nsq; vec_id ≥ nq) encoded against
+    * fitted quantizers: (vec_id, nsq, cell, codes) — the storage row
+    * of every IVF codes layout. */
+  private[operators] def encodedIVF(v: DataFrame, coarse: Seq[KMeans.Cent],
+                                    cbs: Seq[Seq[KMeans.Cent]],
+                                    dsub: Int, nq: Int): DataFrame =
     v.filter(col("vec_id") >= nq)
       .selectExpr("vec_id", "nsq",
         s"${VectorOps.nearestCentroid(KMeans.literal(coarse), "e", "nsq")}.cl AS cell",
         s"${PQ.encodeExpr(cbs, "e", dsub)} AS codes")
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes")
-    v.unpersist()
-  }
 
   /** Incremental index maintenance: encode NEW corpus vectors with the
     * STORED quantizers (coarse centroids + codebooks — training is not
@@ -95,15 +116,13 @@ object PQIndex {
       .count()
     require(dupes == 0L,
       s"appendIVF: $dupes delta vec_ids already encoded in $dir/codes")
-    delta
-      .selectExpr("vec_id", "e", s"${VectorOps.normSq("e")} AS nsq")
-      .selectExpr("vec_id", "nsq",
-        s"${VectorOps.nearestCentroid(KMeans.literal(coarse), "e", "nsq")}.cl AS cell",
-        s"${PQ.encodeExpr(cbs, "e", dsub)} AS codes")
+    encodedIVF(
+      delta.selectExpr("vec_id", "e", s"${VectorOps.normSq("e")} AS nsq"),
+      coarse, cbs, dsub, nq)
       .write.mode("append").partitionBy("cell").parquet(s"$dir/codes")
   }
 
-  private def loadCoarse(spark: SparkSession, dir: String): Seq[KMeans.Cent] =
+  private[operators] def loadCoarse(spark: SparkSession, dir: String): Seq[KMeans.Cent] =
     spark.read.parquet(s"$dir/coarse").select(col("cl"), col("c"), col("cnsq"))
       .collect()
       .map(r => KMeans.Cent(r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
@@ -115,7 +134,26 @@ object PQIndex {
     * per-query cell gate keeps each query's ADC to its own cells. */
   def searchIVF(spark: SparkSession, dir: String, queries: DataFrame,
                 rerankVecs: DataFrame, dsub: Int, nprobe: Int,
-                shortlist: Int, topK: Int): DataFrame = {
+                shortlist: Int, topK: Int): DataFrame =
+    ivfSearchImpl(spark, dir, queries, rerankVecs, dsub, nprobe,
+      shortlist, topK) { allCells =>
+      spark.read.parquet(s"$dir/codes")
+        .filter(col("cell").isin(allCells: _*)) // → PartitionFilters on the scan
+    }
+
+  /** The IVF-ADC search plan shared by both codes layouts: probe cells
+    * from the stored coarse centroids, score the cell-pruned codes scan
+    * (provided by `codesForCells` — partition-dir pruning for the Hive
+    * layout, manifest stats pruning for [[PQIndexTx]]), shortlist,
+    * exact rerank. The per-query cell gate stays in the expression, so
+    * a scan that over-delivers cells (coarser pruning) changes cost,
+    * never results. */
+  private[operators] def ivfSearchImpl(spark: SparkSession, dir: String,
+                                       queries: DataFrame, rerankVecs: DataFrame,
+                                       dsub: Int, nprobe: Int,
+                                       shortlist: Int, topK: Int)
+                                      (codesForCells: Seq[Long] => DataFrame)
+      : DataFrame = {
     val coarse = loadCoarse(spark, dir)
     val cbs = loadCodebooks(spark, dir)
     val m = cbs.size
@@ -141,8 +179,7 @@ object PQIndex {
          |  'adc', round(($adc) / (sqrt(CAST('${qnsq(qq)}' AS DOUBLE)) * sqrt(nsq)), 6))
          |ELSE NULL END""".stripMargin
     }.mkString("array(", ", ", ")")
-    val scored = spark.read.parquet(s"$dir/codes")
-      .filter(col("cell").isin(allCells: _*)) // → PartitionFilters on the scan
+    val scored = codesForCells(allCells)
       .selectExpr("vec_id AS cand_id", s"explode(filter($perQuery, x -> x IS NOT NULL)) AS qa")
       .select(col("qa.q_id").as("q_id"), col("cand_id"), col("qa.adc").as("adc"))
     rerank(scored, q, rerankVecs, shortlist, topK)

@@ -1,0 +1,184 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.TxTable
+
+/** [[PQIndex]]'s IVF-PQ serving index with the codes table on
+  * [[TxTable]] instead of Hive-style `cell=` directories — the layout a
+  * streaming 100 TB deployment maintains. Same quantizers, same search
+  * results (the ADC expression carries its own per-query cell gate);
+  * what the manifest log buys over `partitionBy("cell")` parquet:
+  *
+  *   - ATOMIC appends. Plain parquet append has no commit: a crash
+  *     mid-append leaves torn files every later search half-reads.
+  *     Here a delta is one manifest claim — readers hold their
+  *     snapshot, a failed append is invisible.
+  *   - An O(hit-files) dupe probe. [[PQIndex.appendIVF]]'s keyed-insert
+  *     check scans the ENTIRE codes table per delta — the exact
+  *     corpus-proportional read the dedup index's append just shed.
+  *     Here the delta's ids refine per-dir vec_id Bloom sidecars, then
+  *     prune by manifest stats ([[TxTable.lookupKeys]]); a typical
+  *     all-new batch proves itself fresh with ZERO stored-file reads.
+  *   - Probed-cell pruning WITHOUT partition directories. Codes are
+  *     range-clustered by (cell, vec_id), so per-file cell bounds in
+  *     the manifest make `cell IN probes` skip files exactly as
+  *     directory partitioning did — and compose with the vec_id stats
+  *     the dupe probe uses (one layout serves both access paths; the
+  *     Hive layout's directory key serves only one).
+  *   - PARTIAL compaction. Per-append delta dirs fold LSM level-0
+  *     style ([[TxTable.compactDirs]]) while the base dir carries by
+  *     reference — a year of hourly appends never costs a full-index
+  *     rewrite, where the Hive layout compacts a cell only by
+  *     rewriting it non-atomically under readers.
+  *
+  * Layout under `dir`: `coarse` + `codebooks` as in [[PQIndex]] (tiny,
+  * driver-resident at search time); `codes` is a TxTable of
+  * (vec_id, nsq, cell, codes) with vec_id Blooms registered at init.
+  */
+object PQIndexTx {
+
+  private def codesDir(dir: String) = s"$dir/codes"
+
+  /** Driver bound on the manifest-planned dupe probe (the
+    * [[graft.streaming.EventStore.MaxProbeKeys]] discipline): a delta
+    * with more ids falls back to the exact broadcast semi-scan — the
+    * old read cost, never wrong rows. */
+  private[operators] val MaxProbeKeys = 100000
+
+  /** Delta commits before [[appendIVF]] folds level-0 dirs back into
+    * one (cell, vec_id)-clustered dir. */
+  private[operators] val AutoCompactDirs = 16
+
+  /** Range-cluster an encoded frame so each file covers a narrow
+    * (cell, vec_id) slab: tight manifest bounds for BOTH the probed-
+    * cell search scan and the vec_id dupe probe. */
+  private def clustered(enc: DataFrame, files: Int): DataFrame =
+    enc.repartitionByRange(math.max(1, files), col("cell"), col("vec_id"))
+      .sortWithinPartitions(col("cell"), col("vec_id"))
+
+  /** Train as [[PQIndex.buildIVF]] (same quantizers from the same
+    * input), store codes as a TxTable. `files` sizes the initial
+    * layout — default one file per coarse cell, the bound that makes
+    * an nprobe-cell search read ~nprobe files. */
+  def buildIVF(spark: SparkSession, vecs: DataFrame, dir: String,
+               m: Int, dsub: Int, ksub: Int, iters: Int, nq: Int,
+               coarseK: Int, coarseIters: Int, files: Int = 0): Unit = {
+    val v = vecs.select(col("vec_id"), col("e"))
+      .selectExpr("vec_id", "e", s"${VectorOps.normSq("e")} AS nsq")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (coarse, cbs) = PQIndex.trainIVF(spark, v, dir, m, dsub, ksub, iters,
+      coarseK, coarseIters)
+    val enc = PQIndex.encodedIVF(v, coarse, cbs, dsub, nq)
+    val cd = codesDir(dir)
+    TxTable.init(spark, cd, enc.schema, bloomCols = Seq("vec_id"))
+    TxTable.append(spark, cd, clustered(enc, if (files > 0) files else coarseK))
+    v.unpersist()
+  }
+
+  /** Incremental maintenance with the STORED quantizers (training is
+    * not repeated — FAISS's add() vs train() split), as one atomic
+    * delta commit. The double-append guard reads O(hit files): delta
+    * ids within [[MaxProbeKeys]] probe the table's Bloom sidecars and
+    * manifest stats instead of scanning the stored codes ([[PQIndex
+    * .appendIVF]]'s shape — and its fallback here for over-bound
+    * deltas). Probe and append pin ONE evaluation of `vecs` (local
+    * checkpoint), so a nondeterministic delta can't pass the probe
+    * with one row set and land another. Optimistic against racing
+    * commits: the delta commit claims exactly the PROBED snapshot's
+    * successor, and a lost race re-probes against the fresh snapshot
+    * before re-claiming — concurrent appenders of the same vec_id
+    * still serialize to one winner, never a silent duplicate. Past
+    * [[AutoCompactDirs]] delta dirs the table folds level-0 style. */
+  def appendIVF(spark: SparkSession, vecs: DataFrame, dir: String,
+                dsub: Int, nq: Int = 0, files: Int = 1): Unit = {
+    val cd = codesDir(dir)
+    val coarse = PQIndex.loadCoarse(spark, dir)
+    val cbs = PQIndex.loadCodebooks(spark, dir)
+    val delta0 = vecs.select(col("vec_id"), col("e"))
+      .filter(col("vec_id") >= nq)
+    val deltaRdd = delta0.rdd.localCheckpoint()
+    val delta = spark.createDataFrame(deltaRdd, delta0.schema)
+    try {
+      val idRows = delta.select(col("vec_id")).limit(MaxProbeKeys + 1).collect()
+      val enc = clustered(PQIndex.encodedIVF(
+        delta.selectExpr("vec_id", "e", s"${VectorOps.normSq("e")} AS nsq"),
+        coarse, cbs, dsub, nq), files)
+      var done = false
+      while (!done) {
+        val snap = TxTable.snapshot(cd)
+        val dupes =
+          if (idRows.length > MaxProbeKeys)
+            TxTable.read(spark, cd, snap).select(col("vec_id"))
+              .join(broadcast(delta.select(col("vec_id"))), Seq("vec_id"), "left_semi")
+              .count()
+          else if (idRows.isEmpty) 0L
+          else TxTable.lookupKeys(spark, cd, "vec_id",
+            idRows.toSeq.map(_.getLong(0)), Some(snap)).count()
+        require(dupes == 0L,
+          s"appendIVF: $dupes delta vec_ids already encoded in $cd")
+        try {
+          TxTable.commit(spark, cd, enc, snap, keepExisting = true)
+          done = true
+        } catch { case _: TxTable.ConcurrentCommitException => () } // re-probe
+      }
+    } finally deltaRdd.unpersist(blocking = false)
+    val after = TxTable.snapshot(cd)
+    if (after.dirs.size > AutoCompactDirs)
+      try compactOnce(spark, cd, after)
+      catch { case _: TxTable.ConcurrentCommitException => () } // maintenance: next append retries
+    ()
+  }
+
+  /** Same search plan as [[PQIndex.searchIVF]]; the codes scan reads
+    * only the files whose manifest (cell, …) bounds intersect the
+    * probed cells — [[TxTable.lookupKeys]] on the cell column, the
+    * stats twin of the Hive layout's PartitionFilters. */
+  def searchIVF(spark: SparkSession, dir: String, queries: DataFrame,
+                rerankVecs: DataFrame, dsub: Int, nprobe: Int,
+                shortlist: Int, topK: Int): DataFrame =
+    PQIndex.ivfSearchImpl(spark, dir, queries, rerankVecs, dsub, nprobe,
+      shortlist, topK) { allCells =>
+      TxTable.lookupKeys(spark, codesDir(dir), "cell", allCells)
+    }
+
+  /** PARTIAL OPTIMIZE of the codes table: fold every level-0 dir (all
+    * but the largest) into one (cell, vec_id)-clustered dir, carrying
+    * the base by reference — O(accumulated deltas) I/O, never a
+    * full-index rewrite. Loops past racing appends (each retry
+    * re-plans against the fresh snapshot). Returns live file counts
+    * (before, after). */
+  def compactIVF(spark: SparkSession, dir: String,
+                 targetBytes: Long = 128L * 1024 * 1024): (Long, Long) = {
+    val cd = codesDir(dir)
+    def fileCount = TxTable.dataFiles(cd, TxTable.snapshot(cd)).size.toLong
+    val before = fileCount
+    var done = false
+    while (!done) {
+      val snap = TxTable.snapshot(cd)
+      if (TxTable.levelZeroDirs(cd, snap).isEmpty) done = true
+      else
+        try { compactOnce(spark, cd, snap, targetBytes); done = true }
+        catch { case _: TxTable.ConcurrentCommitException => () } // re-plan
+    }
+    (before, fileCount)
+  }
+
+  /** One level-0 fold against `snap`: bin the folded bytes into
+    * ceil(bytes / targetBytes) files. Range clustering keeps each
+    * bin's (cell, vec_id) bounds narrow, so compaction preserves the
+    * pruning the append-time layout established. */
+  private def compactOnce(spark: SparkSession, cd: String,
+                          snap: TxTable.Snapshot,
+                          targetBytes: Long = 128L * 1024 * 1024): Unit = {
+    val fold = TxTable.levelZeroDirs(cd, snap)
+    if (fold.isEmpty) return
+    val foldSet = fold.toSet
+    val foldBytes = TxTable.dataFiles(cd, snap)
+      .filter(f => foldSet(f._1.getParent.getFileName.toString))
+      .map(f => java.nio.file.Files.size(f._1)).sum
+    val parts = math.max(1L, (foldBytes + targetBytes - 1) / targetBytes).toInt
+    TxTable.compactDirs(spark, cd, snap, fold)(clustered(_, parts))
+    ()
+  }
+}

@@ -133,6 +133,10 @@ object PQQueries {
   private val CoarseK = 8
   private val CoarseIters = 3 // must equal EmbeddingQueries.KmIters (shared iter SQL)
   private val NProbe = 2
+  // Build/append boundary of the Tx-lifecycle query: vec_id in
+  // [NQ, TxSplit) arrives by append, the rest at build. Below the
+  // smallest fixture's corpus size so both paths run at every SF.
+  private val TxSplit = 300
 
   /** The combined oracle: coarse cosine k-means replay (c0..c3, reusing
     * EmbeddingQueries.duckKmeansIter — same `n`/`el` CTE contract),
@@ -272,6 +276,38 @@ object PQQueries {
           }
         val vecs = norms(t)
         PQIndex.searchIVF(t.spark, idxDir,
+          vecs.filter(col("vec_id") < NQ).select(col("vec_id"), col("e")),
+          vecs.select(col("vec_id"), col("e")),
+          Dsub, NProbe, Shortlist, TopK)
+      },
+      Some(ivfpqOracleSql)),
+
+    // The WHOLE index lifecycle on the manifest-backed layout
+    // (operators/PQIndexTx): train on the full corpus but encode only
+    // vec_id ≥ TxSplit at build, then append the 5..TxSplit slice with
+    // the STORED quantizers as one ATOMIC delta commit whose
+    // double-append guard reads O(hit files) from Bloom sidecars +
+    // manifest stats (an all-new delta proves itself fresh with zero
+    // stored-file reads — the Hive layout's append scans the whole
+    // codes table here), then serve the search from a probed-cell scan
+    // pruned by per-file manifest bounds instead of partition
+    // directories. Training sees the full corpus either way and append
+    // encodes with the stored quantizers, so the result — and the
+    // ORACLE — is identical to the all-at-once twins above; what the
+    // gate adds is build→append→search equivalence under the
+    // transactional layout.
+    QueryDef(
+      "q_embed_ivfpq_tx_search",
+      t => {
+        val idxDir = graft.operators.Stages.tempDir(
+          t.spark, s"ivfpq_tx_idx:${t.dir}") { d =>
+            graft.operators.PQIndexTx.buildIVF(t.spark, norms(t), d,
+              M, Dsub, Ksub, Iters, TxSplit, CoarseK, CoarseIters)
+            graft.operators.PQIndexTx.appendIVF(t.spark,
+              norms(t).filter(col("vec_id") < TxSplit), d, Dsub, NQ)
+          }
+        val vecs = norms(t)
+        graft.operators.PQIndexTx.searchIVF(t.spark, idxDir,
           vecs.filter(col("vec_id") < NQ).select(col("vec_id"), col("e")),
           vecs.select(col("vec_id"), col("e")),
           Dsub, NProbe, Shortlist, TopK)

@@ -1,0 +1,137 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.sources.{Tables, TxTable}
+import org.apache.spark.sql.functions._
+
+/** The manifest-backed IVF-PQ index must answer exactly what the
+  * Hive-layout index (and therefore the oracle-gated IVF-PQ query)
+  * answers, while its maintenance paths read O(delta)/O(hit files):
+  * the dupe probe plans from Bloom sidecars + manifest stats, the
+  * probed-cell scan prunes files by manifest bounds, and compaction
+  * folds only level-0 dirs.
+  */
+class PQIndexTxSpec extends SparkSpec {
+
+  private val (m, dsub, ksub, iters) = (8, 8, 8, 2)
+  private val (coarseK, coarseIters, nprobe) = (8, 3, 2)
+  private val (shortlist, topK, nq) = (40, 5, 5)
+
+  private def vecsOf(t: Tables) = t.embeddings
+    .selectExpr("vec_id", "CAST(embedding AS array<double>) AS e")
+
+  private def tmp(p: String) =
+    java.nio.file.Files.createTempDirectory(p).toString
+
+  private def search(d: String, vecs: org.apache.spark.sql.DataFrame) =
+    PQIndexTx.searchIVF(spark, d, vecs.filter(col("vec_id") < nq),
+        rerankVecs = vecs, dsub = dsub, nprobe = nprobe,
+        shortlist = shortlist, topK = topK)
+      .collect().toSeq.map(_.toSeq)
+
+  test("manifest-backed search equals the Hive-layout index search") {
+    val t = Tables(spark, SparkSpec.Sf0001)
+    val vecs = vecsOf(t).persist()
+    val dirH = tmp("graft_pqtx_h")
+    val dirT = tmp("graft_pqtx_t")
+    PQIndex.buildIVF(spark, vecs, dirH, m, dsub, ksub, iters, nq,
+      coarseK, coarseIters)
+    PQIndexTx.buildIVF(spark, vecs, dirT, m, dsub, ksub, iters, nq,
+      coarseK, coarseIters)
+    val want = PQIndex.searchIVF(spark, dirH, vecs.filter(col("vec_id") < nq),
+        rerankVecs = vecs, dsub = dsub, nprobe = nprobe,
+        shortlist = shortlist, topK = topK)
+      .collect().toSeq.map(_.toSeq)
+    assert(search(dirT, vecs) === want,
+      "manifest-backed search diverged from the Hive-layout index")
+    vecs.unpersist()
+  }
+
+  test("append equals all-at-once; dupe probe proves an all-new delta from the manifest") {
+    val t = Tables(spark, SparkSpec.Sf0001)
+    val vecs = vecsOf(t).persist()
+    val dirA = tmp("graft_pqtx_a")
+    val dirB = tmp("graft_pqtx_b")
+    // Same TRAINING input both ways; index A encodes only vec_id >= 300
+    // at build and appends 5..299 with the STORED quantizers.
+    PQIndexTx.buildIVF(spark, vecs, dirA, m, dsub, ksub, iters, nq = 300,
+      coarseK, coarseIters)
+    // The probe half of the append, in the planner's own terms: every
+    // delta id is BLOOM-ABSENT from every stored dir, so the lookup
+    // plans ZERO files — the old shape read the whole codes table here.
+    val cd = s"$dirA/codes"
+    val snap = TxTable.snapshot(cd)
+    val deltaIds = (5L until 300L).toSeq
+    assert(TxTable.lookupFiles(cd, snap, "vec_id", deltaIds).isEmpty,
+      "all-new delta ids should plan zero stored files (Bloom absence proof)")
+    // UNFILTERED delta slice: the nq gate drops query ids in the
+    // operator, not by caller hygiene.
+    PQIndexTx.appendIVF(spark, vecs.filter(col("vec_id") < 300), dirA,
+      dsub = dsub, nq = nq)
+    // Double-append of already-encoded ids must refuse.
+    val dup = intercept[IllegalArgumentException] {
+      PQIndexTx.appendIVF(spark,
+        vecs.filter(col("vec_id") >= 5 && col("vec_id") < 10), dirA, dsub = dsub)
+    }
+    assert(dup.getMessage.contains("already encoded"))
+    PQIndexTx.buildIVF(spark, vecs, dirB, m, dsub, ksub, iters, nq,
+      coarseK, coarseIters)
+    def codes(d: String) = TxTable.read(spark, s"$d/codes")
+      .select(col("vec_id"), col("cell"), col("codes"))
+      .orderBy("vec_id").collect().toSeq.map(_.toSeq)
+    assert(codes(dirA) === codes(dirB),
+      "appended codes diverged from the all-at-once encode")
+    assert(search(dirA, vecs) === search(dirB, vecs),
+      "search on the appended index diverged")
+    vecs.unpersist()
+  }
+
+  test("probed-cell scan reads a manifest-pruned strict file subset") {
+    val t = Tables(spark, SparkSpec.Sf0001)
+    val vecs = vecsOf(t).persist()
+    val dir = tmp("graft_pqtx_p")
+    // One file per cell (files = coarseK default): probing 2 of 8 cells
+    // must plan a strict subset of the table's files.
+    PQIndexTx.buildIVF(spark, vecs, dir, m, dsub, ksub, iters, nq,
+      coarseK, coarseIters)
+    val cd = s"$dir/codes"
+    val snap = TxTable.snapshot(cd)
+    val all = TxTable.dataFiles(cd, snap).map(_._1).toSet
+    val probed = TxTable.lookupFiles(cd, snap, "cell", Seq(0L, 3L)).toSet
+    assert(probed.nonEmpty, "probe planned no files for live cells")
+    assert(probed.subsetOf(all) && probed.size < all.size,
+      s"cell probe did not prune: ${probed.size} of ${all.size} files")
+    // Pruning is part of the SERVING plan, not just the helper: the
+    // search's scan reads only manifest-planned files for its cells.
+    val got = search(dir, vecs)
+    assert(got.nonEmpty)
+    vecs.unpersist()
+  }
+
+  test("level-0 compaction folds delta dirs, carries the base, search unchanged") {
+    val t = Tables(spark, SparkSpec.Sf0001)
+    val vecs = vecsOf(t).persist()
+    val dir = tmp("graft_pqtx_c")
+    PQIndexTx.buildIVF(spark, vecs, dir, m, dsub, ksub, iters, nq = 200,
+      coarseK, coarseIters)
+    val cd = s"$dir/codes"
+    val baseDir = TxTable.snapshot(cd).dirs.head
+    // A trickle of delta appends, several files each.
+    Seq((5L, 50L), (50L, 100L), (100L, 150L), (150L, 200L)).foreach {
+      case (lo, hi) =>
+        PQIndexTx.appendIVF(spark,
+          vecs.filter(col("vec_id") >= lo && col("vec_id") < hi), dir,
+          dsub = dsub, files = 3)
+    }
+    val before = search(dir, vecs)
+    assert(TxTable.snapshot(cd).dirs.size == 5)
+    val (nBefore, nAfter) = PQIndexTx.compactIVF(spark, dir)
+    assert(nAfter < nBefore, s"compaction did not shrink files: $nBefore -> $nAfter")
+    val snap = TxTable.snapshot(cd)
+    assert(snap.dirs.size == 2, s"expected base + one folded dir: ${snap.dirs}")
+    assert(snap.dirs.contains(baseDir), "compaction rewrote the base dir")
+    assert(search(dir, vecs) === before,
+      "compaction changed search results")
+    vecs.unpersist()
+  }
+}
