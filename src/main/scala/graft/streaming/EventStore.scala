@@ -385,9 +385,19 @@ final class EventStore(root: String) {
     * (With Delta/Iceberg this is OPTIMIZE + ZORDER over the small-file
     * bins; the arithmetic — size-targeted bin-packing plus time
     * clustering — is the same.)
-    */
+    *
+    * `zorder = true` lays the fold out on the (ts, event_id) Morton
+    * curve ([[graft.operators.ZOrder]]) instead of the (ts, event_id)
+    * range sort: each file becomes a small rectangle in (time × id)
+    * space, so BOTH of the table's access paths prune — `factsInRange`'s
+    * time slices AND the ST2 idempotence probe's event_id lookups —
+    * where range clustering serves only time (every file spans the full
+    * id domain unless ids happen to arrive in time order). Costs two
+    * extra bounded shuffle passes per fold (rank-bucketing); layout
+    * maintenance only — contents and oracle results are unchanged. */
   def compactFacts(spark: SparkSession,
-                   targetBytes: Long = 128L * 1024 * 1024): (Long, Long) = {
+                   targetBytes: Long = 128L * 1024 * 1024,
+                   zorder: Boolean = false): (Long, Long) = {
     val d = dir("fact_events")
     if (!TxTable.exists(d)) return (0L, 0L)
     val first = snapshotFiles(TxTable.snapshot(d), "fact_events")
@@ -404,13 +414,21 @@ final class EventStore(root: String) {
       val smallBytes = smallFiles.map(f => Files.size(f._1)).sum
       val parts = math.max(1L, (smallBytes + targetBytes - 1) / targetBytes).toInt
       if (small.isEmpty || smallFiles.size <= parts) done = true
-      else
-        try {
-          TxTable.compactDirs(spark, d, snap, small)(
+      else {
+        val caches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+        val layout: DataFrame => DataFrame =
+          if (zorder)
+            graft.operators.ZOrder.clusterTracked(parts,
+              unix_micros(col("ts")), col("event_id"), caches)
+          else
             _.repartitionByRange(parts, col("ts"), col("event_id"))
-              .sortWithinPartitions(col("ts"), col("event_id")))
+              .sortWithinPartitions(col("ts"), col("event_id"))
+        try {
+          TxTable.compactDirs(spark, d, snap, small)(layout)
           done = true
         } catch { case _: TxTable.ConcurrentCommitException => () } // re-plan
+        finally caches.foreach(_.unpersist(blocking = false))
+      }
     }
     (first.size.toLong,
       snapshotFiles(TxTable.snapshot(d), "fact_events").size.toLong)

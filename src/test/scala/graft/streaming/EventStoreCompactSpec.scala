@@ -25,6 +25,30 @@ class EventStoreCompactSpec extends SparkSpec {
     assert(store.compactFacts(spark) == ((1L, 1L)))
   }
 
+  test("z-order fact compaction: contents unchanged, id probe prunes files") {
+    import graft.sources.TxTable
+    val root = Files.createTempDirectory("graft_compact_z").toString
+    val store = new EventStore(root)
+    val events = Tables(spark, S.Sf0001).events
+    (0 until 4).foreach { i =>
+      store.appendFacts(events.filter(col("event_id") % 4 === i).repartition(3))
+    }
+    val before = store.facts(spark).orderBy("event_id").collect().toSeq
+    val t = s"$root/fact_events"
+    val total = TxTable.dataFiles(t, TxTable.snapshot(t))
+      .map(f => Files.size(f._1)).sum
+    // Target ≈ a quarter of the table: everything folds, into ~4 files.
+    store.compactFacts(spark, targetBytes = total / 4 + 1, zorder = true)
+    assert(store.facts(spark).orderBy("event_id").collect().toSeq == before,
+      "z-order compaction changed table contents")
+    val snap = TxTable.snapshot(t)
+    val all = TxTable.dataFiles(t, snap).size
+    assert(all > 1, s"expected a multi-file fold, saw $all")
+    val id = before.head.getLong(before.head.fieldIndex("event_id"))
+    assert(TxTable.lookupFiles(t, snap, "event_id", Seq(id)).size < all,
+      "event_id probe did not prune after the z-order fold")
+  }
+
   test("fact compaction is partial: full-sized dirs carry by reference") {
     import graft.sources.TxTable
     val root = Files.createTempDirectory("graft_compact_p").toString
