@@ -130,6 +130,56 @@ object PQIndexTx {
     ()
   }
 
+  /** [[appendIVF]] with the SetTransaction replay guard
+    * ([[TxTable.appendIfNew]]'s discipline) — the form a foreachBatch
+    * index maintainer calls: the encoded delta and writer `appId`'s
+    * watermark advance to `batchId` land in ONE atomic commit, so a
+    * micro-batch replayed after a crash between commit and engine
+    * checkpoint NO-OPS (returns false) instead of tripping the
+    * double-append guard — streaming ANN index maintenance without a
+    * side-channel marker. Batch ids must be monotone per appId —
+    * Spark's micro-batch ids are. The dupe probe still runs for
+    * genuinely new batches (a replay skips it entirely: the watermark
+    * check needs only the manifest already in hand). */
+  def appendIVFIfNew(spark: SparkSession, vecs: DataFrame, dir: String,
+                     dsub: Int, appId: String, batchId: Long,
+                     nq: Int = 0, files: Int = 1): Boolean = {
+    val cd = codesDir(dir)
+    if (TxTable.snapshot(cd).txns.get(appId).exists(_ >= batchId)) return false
+    val coarse = PQIndex.loadCoarse(spark, dir)
+    val cbs = PQIndex.loadCodebooks(spark, dir)
+    val delta0 = vecs.select(col("vec_id"), col("e"))
+      .filter(col("vec_id") >= nq)
+    val deltaRdd = delta0.rdd.localCheckpoint()
+    val delta = spark.createDataFrame(deltaRdd, delta0.schema)
+    try {
+      val idRows = delta.select(col("vec_id")).limit(MaxProbeKeys + 1).collect()
+      val enc = clustered(PQIndex.encodedIVF(
+        delta.selectExpr("vec_id", "e", s"${VectorOps.normSq("e")} AS nsq"),
+        coarse, cbs, dsub, nq), files)
+      while (true) {
+        val snap = TxTable.snapshot(cd)
+        if (snap.txns.get(appId).exists(_ >= batchId)) return false
+        val dupes =
+          if (idRows.length > MaxProbeKeys)
+            TxTable.read(spark, cd, snap).select(col("vec_id"))
+              .join(broadcast(delta.select(col("vec_id"))), Seq("vec_id"), "left_semi")
+              .count()
+          else if (idRows.isEmpty) 0L
+          else TxTable.lookupKeys(spark, cd, "vec_id",
+            idRows.toSeq.map(_.getLong(0)), Some(snap)).count()
+        require(dupes == 0L,
+          s"appendIVFIfNew: $dupes delta vec_ids already encoded in $cd")
+        try {
+          TxTable.commit(spark, cd, enc, snap, keepExisting = true,
+            txnUpdate = Map(appId -> batchId))
+          return true
+        } catch { case _: TxTable.ConcurrentCommitException => () } // re-arbitrate
+      }
+      false // unreachable
+    } finally deltaRdd.unpersist(blocking = false)
+  }
+
   /** Same search plan as [[PQIndex.searchIVF]]; the codes scan reads
     * only the files whose manifest (cell, …) bounds intersect the
     * probed cells — [[TxTable.lookupKeys]] on the cell column, the

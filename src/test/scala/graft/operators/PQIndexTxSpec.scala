@@ -108,6 +108,31 @@ class PQIndexTxSpec extends SparkSpec {
     vecs.unpersist()
   }
 
+  test("appendIVFIfNew: replayed micro-batches no-op, fresh ones land once") {
+    val t = Tables(spark, SparkSpec.Sf0001)
+    val vecs = vecsOf(t).persist()
+    val dirS = tmp("graft_pqtx_s")
+    val dirB = tmp("graft_pqtx_sb")
+    PQIndexTx.buildIVF(spark, vecs, dirS, m, dsub, ksub, iters, nq = 300,
+      coarseK, coarseIters)
+    val b0 = vecs.filter(col("vec_id") >= 5 && col("vec_id") < 150)
+    val b1 = vecs.filter(col("vec_id") >= 150 && col("vec_id") < 300)
+    assert(PQIndexTx.appendIVFIfNew(spark, b0, dirS, dsub, "ingest", 0L))
+    // Crash-replay of batch 0: the watermark makes it a NO-OP — a bare
+    // appendIVF would trip the double-append guard here.
+    assert(!PQIndexTx.appendIVFIfNew(spark, b0, dirS, dsub, "ingest", 0L))
+    assert(PQIndexTx.appendIVFIfNew(spark, b1, dirS, dsub, "ingest", 1L))
+    assert(!PQIndexTx.appendIVFIfNew(spark, b1, dirS, dsub, "ingest", 1L))
+    PQIndexTx.buildIVF(spark, vecs, dirB, m, dsub, ksub, iters, nq,
+      coarseK, coarseIters)
+    val rows = TxTable.read(spark, s"$dirS/codes").count()
+    assert(rows == TxTable.read(spark, s"$dirB/codes").count(),
+      "replayed batches duplicated or dropped rows")
+    assert(search(dirS, vecs) === search(dirB, vecs),
+      "streamed index diverged from the all-at-once build")
+    vecs.unpersist()
+  }
+
   test("level-0 compaction folds delta dirs, carries the base, search unchanged") {
     val t = Tables(spark, SparkSpec.Sf0001)
     val vecs = vecsOf(t).persist()

@@ -76,6 +76,29 @@ class EventStoreCompactSpec extends SparkSpec {
     assert(store.facts(spark).orderBy("event_id").collect().toSeq == beforeRows)
   }
 
+  test("appends racing compaction: every row survives, compaction re-plans") {
+    val root = Files.createTempDirectory("graft_compact_race").toString
+    val store = new EventStore(root)
+    val events = Tables(spark, S.Sf0001).events
+    store.appendFacts(events.filter(col("event_id") % 8 === 0).repartition(2))
+    val appender = new Thread(() =>
+      (1 until 8).foreach { i =>
+        store.appendFacts(events.filter(col("event_id") % 8 === i).repartition(2))
+      })
+    appender.start()
+    // Compact continuously under the append stream: every lost version
+    // claim must re-plan against the fresh snapshot (the internal
+    // ConcurrentCommitException loop), never clobber a landed append.
+    while (appender.isAlive) store.compactFacts(spark)
+    appender.join()
+    store.compactFacts(spark)
+    val got = store.facts(spark).select(col("event_id"))
+      .orderBy("event_id").collect().map(_.getLong(0)).toSeq
+    val want = events.select(col("event_id"))
+      .orderBy("event_id").collect().map(_.getLong(0)).toSeq
+    assert(got === want, "rows lost or duplicated under the append/compact race")
+  }
+
   test("time-sliced facts read prunes files from manifest stats, exactly") {
     val root = Files.createTempDirectory("graft_slice").toString
     val store = new EventStore(root)
