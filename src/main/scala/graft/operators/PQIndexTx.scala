@@ -192,6 +192,27 @@ object PQIndexTx {
       TxTable.lookupKeys(spark, codesDir(dir), "cell", allCells)
     }
 
+  /** Remove vectors BY ID — FAISS's `remove_ids` for the stored index,
+    * as one carry-by-reference keyed replace
+    * ([[graft.sources.PrunedReplace]]): only the files whose manifest
+    * bounds and Bloom sidecars admit a removed id are read and
+    * rewritten; every other file carries untouched — O(hit files) I/O
+    * regardless of index size, atomic under concurrent searches (they
+    * hold their snapshot). The Hive layout has no equivalent short of
+    * rewriting whole cell directories non-atomically. A deleted id can
+    * be re-appended afterwards: carried Blooms over-approximate
+    * (false positives only), so the dupe probe's exact check on the
+    * hit files arbitrates. Returns (rewrittenFiles, totalFiles). */
+  def deleteIds(spark: SparkSession, dir: String, ids: Seq[Long]): (Long, Long) = {
+    val cd = codesDir(dir)
+    val schema = org.apache.spark.sql.types.StructType
+      .fromDDL(TxTable.snapshot(cd).schemaDdl)
+    val empty = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    graft.sources.PrunedReplace.replaceKeys(spark, cd, "vec_id",
+      ids.toArray, empty)
+  }
+
   /** PARTIAL OPTIMIZE of the codes table: fold every level-0 dir (all
     * but the largest) into one (cell, vec_id)-clustered dir, carrying
     * the base by reference — O(accumulated deltas) I/O, never a

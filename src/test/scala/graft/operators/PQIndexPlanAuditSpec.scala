@@ -54,4 +54,37 @@ class PQIndexPlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"),
       s"serving search regressed to a cross join:\n$plan")
   }
+
+  test("q_embed_ivfpq_tx_search: manifest-backed serving reads only planned codes files") {
+    // The TxTable layout's twin of the PartitionFilters assertion:
+    // probing prunes by per-file manifest bounds, so the registered
+    // query's plan must read a strict subset of the codes table's
+    // files (and stay cross-join-free).
+    spark.sharedState.cacheManager.clearCache()
+    val df = graft.SparkEntry.queries("q_embed_ivfpq_tx_search")(
+      spark, SparkSpec.Sf0001)
+    val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!plan.contains("CartesianProduct"),
+      s"manifest-backed serving search regressed to a cross join:\n$plan")
+    val codeFiles = df.inputFiles.filter(_.contains("/codes/data/")).toSet
+    assert(codeFiles.nonEmpty, "no codes files in the serving scan")
+    val cd = codeFiles.head.stripPrefix("file:")
+      .replaceAll("/data/[^/]+/[^/]+$", "")
+    val all = graft.sources.TxTable
+      .dataFiles(cd, graft.sources.TxTable.snapshot(cd)).size
+    // 5 queries × 2 probes can legitimately cover every cell — the
+    // registered query's scan may read all files. Per-QUERY pruning is
+    // the claim: a single query's 2 probed cells must plan a strict
+    // file subset on the same stored index.
+    assert(codeFiles.size <= all)
+    val t = Tables(spark, SparkSpec.Sf0001)
+    val vecs = t.embeddings
+      .selectExpr("vec_id", "CAST(embedding AS array<double>) AS e")
+    val one = PQIndexTx.searchIVF(spark, cd.stripSuffix("/codes"),
+      vecs.filter(col("vec_id") === 0), rerankVecs = vecs,
+      dsub = 8, nprobe = 2, shortlist = 40, topK = 5)
+    val oneFiles = one.inputFiles.filter(_.contains("/codes/data/")).toSet
+    assert(oneFiles.nonEmpty && oneFiles.size < all,
+      s"single-query probe did not prune: ${oneFiles.size} of $all files")
+  }
 }

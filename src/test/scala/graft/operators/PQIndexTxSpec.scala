@@ -133,6 +133,36 @@ class PQIndexTxSpec extends SparkSpec {
     vecs.unpersist()
   }
 
+  test("deleteIds rewrites only hit files; deleted vectors vanish, re-append works") {
+    val t = Tables(spark, SparkSpec.Sf0001)
+    val vecs = vecsOf(t).persist()
+    val dir = tmp("graft_pqtx_d")
+    PQIndexTx.buildIVF(spark, vecs, dir, m, dsub, ksub, iters, nq,
+      coarseK, coarseIters)
+    val cd = s"$dir/codes"
+    val before = TxTable.read(spark, cd)
+      .select(col("vec_id"), col("cell"), col("codes"))
+      .orderBy("vec_id").collect().toSeq
+    val victims = before.take(3).map(_.getLong(0))
+    val (rewritten, total) = PQIndexTx.deleteIds(spark, dir, victims)
+    assert(rewritten > 0 && rewritten < total,
+      s"delete should rewrite a strict subset of files: $rewritten of $total")
+    val after = TxTable.read(spark, cd)
+      .select(col("vec_id"), col("cell"), col("codes"))
+      .orderBy("vec_id").collect().toSeq
+    assert(after === before.filterNot(r => victims.contains(r.getLong(0))),
+      "delete changed rows beyond the removed ids")
+    assert(!search(dir, vecs).exists(r => victims.contains(r(2))),
+      "a deleted vector still surfaces in search results")
+    // Carried Blooms over-approximate after a delete — the exact check
+    // on hit files must let the id back in.
+    PQIndexTx.appendIVF(spark,
+      vecs.filter(col("vec_id").isin(victims: _*)), dir, dsub = dsub)
+    assert(TxTable.read(spark, cd).count() == before.size.toLong,
+      "re-append after delete lost or duplicated rows")
+    vecs.unpersist()
+  }
+
   test("level-0 compaction folds delta dirs, carries the base, search unchanged") {
     val t = Tables(spark, SparkSpec.Sf0001)
     val vecs = vecsOf(t).persist()
