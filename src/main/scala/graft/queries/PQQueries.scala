@@ -137,13 +137,21 @@ object PQQueries {
   // [NQ, TxSplit) arrives by append, the rest at build. Below the
   // smallest fixture's corpus size so both paths run at every SF.
   private val TxSplit = 300
+  // Ids removed by the delete-lifecycle query — inside the smallest
+  // fixture's corpus (≥ NQ, < TxSplit) so the delete bites at every SF.
+  // (Declared before `defs`, which captures it at object init.)
+  private val TxDeleteIds: Seq[Long] = Seq(10L, 11L, 42L, 137L, 256L)
 
   /** The combined oracle: coarse cosine k-means replay (c0..c3, reusing
     * EmbeddingQueries.duckKmeansIter — same `n`/`el` CTE contract),
     * corpus cell assignment + per-query probe against the FITTED
     * centroids, then the PQ blocks with ADC restricted to probed cells.
-    */
-  private def ivfpqOracleSql: String = {
+    * `excludeIds` replays an index DELETE: removed vectors never score
+    * (exactly the physical effect of [[graft.operators.PQIndexTx
+    * .deleteIds]] — their code rows are gone from the table). */
+  private def ivfpqOracleSql: String = ivfpqOracleSql(Nil)
+
+  private def ivfpqOracleSql(excludeIds: Seq[Long]): String = {
     val adcSum = (0 until M)
       .map(s => s"MAX(CASE WHEN l.s = $s THEN l.d END)")
       .mkString("(", " + ", ")")
@@ -171,6 +179,8 @@ object PQQueries {
     adc AS (
       SELECT l.q_id, e.vec_id AS cand_id, $adcSum AS adot
       FROM enc e JOIN lut l ON l.s = e.s AND l.code = e.code
+      ${if (excludeIds.isEmpty) ""
+        else s"WHERE e.vec_id NOT IN (${excludeIds.mkString(", ")})"}
       GROUP BY l.q_id, e.vec_id),
     adcc AS (
       SELECT a.q_id, a.cand_id,
@@ -313,6 +323,31 @@ object PQQueries {
           Dsub, NProbe, Shortlist, TopK)
       },
       Some(ivfpqOracleSql)),
+
+    // Index DELETE, oracle-gated: build the manifest-backed index, then
+    // PQIndexTx.deleteIds removes a fixed id set as ONE carry-by-
+    // reference keyed replace (only Bloom/stats hit files rewrite —
+    // FAISS's remove_ids at lake scale), and the search runs against
+    // the shrunk index. The oracle replays the delete as a NOT IN on
+    // the scored codes — exactly the physical effect, so shortlist,
+    // rerank and ranks re-arrange identically on both engines.
+    QueryDef(
+      "q_embed_ivfpq_tx_delete",
+      t => {
+        val idxDir = graft.operators.Stages.tempDir(
+          t.spark, s"ivfpq_txdel_idx:${t.dir}") { d =>
+            graft.operators.PQIndexTx.buildIVF(t.spark, norms(t), d,
+              M, Dsub, Ksub, Iters, NQ, CoarseK, CoarseIters)
+            graft.operators.PQIndexTx.deleteIds(t.spark, d, TxDeleteIds)
+            ()
+          }
+        val vecs = norms(t)
+        graft.operators.PQIndexTx.searchIVF(t.spark, idxDir,
+          vecs.filter(col("vec_id") < NQ).select(col("vec_id"), col("e")),
+          vecs.select(col("vec_id"), col("e")),
+          Dsub, NProbe, Shortlist, TopK)
+      },
+      Some(ivfpqOracleSql(TxDeleteIds))),
   )
 
   /** Train codebooks and build per-query ADC LUTs + query norms —

@@ -719,6 +719,42 @@ object Warehouse {
           AND ts <= TIMESTAMP '2024-01-13 23:59:59.999999'
         ORDER BY event_id""")),
 
+    // User-data erasure, oracle-gated end-to-end: build the fact store
+    // (its own staged copy — erasure mutates it), lay it out on the
+    // (ts, user_id) z-curve, then EventStore.eraseUsers removes two
+    // users as one pruned keyed replace per table (only manifest-hit
+    // files rewrite — the GDPR path at lake scale). The oracle is the
+    // raw events table minus those users, so the gate asserts both the
+    // z-order fold and the erasure are exactly content-transparent for
+    // every surviving row.
+    QueryDef(
+      "q_tx_erase_users",
+      t => {
+        import graft.operators.Stages
+        val root = Stages.tempDir(t.spark, s"tx_erase:${t.dir}") { d =>
+          val store = new graft.streaming.EventStore(d)
+          val weeks = Seq("2024-01-01", "2024-01-08", "2024-01-15", "2024-01-22", "2024-01-31")
+          weeks.sliding(2).foreach { case Seq(lo, hi) =>
+            store.appendFacts(t.events.filter(
+              col("ts") >= lit(lo).cast("timestamp") && col("ts") < lit(hi).cast("timestamp")))
+          }
+          store.compactFacts(t.spark, zorder = true, zorderIdCol = "user_id")
+          store.eraseUsers(t.spark, Seq(3L, 7L))
+        }
+        new graft.streaming.EventStore(root).facts(t.spark)
+          .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_str"))
+          .orderBy(col("event_id"))
+      },
+      Some("""
+        SELECT event_id, user_id, event_type, value,
+          strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+          AND ts < TIMESTAMP '2024-01-31 00:00:00'
+          AND user_id NOT IN (3, 7)
+        ORDER BY event_id""")),
+
     // The commit log AS A STREAM, oracle-gated end-to-end: the same
     // week-sliced fact store is consumed through the graft-txtable
     // Structured Streaming source (sources/TxTableStream.scala — the

@@ -225,7 +225,15 @@ object PrunedReplace {
     // within-partition sort gives their row groups monotone stats —
     // each replace REPAIRS clustering decay instead of compounding it.
     // (+1: inserts beyond the hit ranges get their own tail file.)
+    // Restore the table's declared column ORDER before staging: the
+    // anti-join above moves keyCol to the first position, and the
+    // staged frame's schema becomes the committed DDL — without this
+    // select, every replace whose key isn't already first silently
+    // reorders the table's columns (reads stay correct — parquet is
+    // name-resolved — but the logical schema must not drift under
+    // layout maintenance).
     val rewritten = rewritten0
+      .select(schema.fieldNames.map(col(_)): _*)
       .repartitionByRange(hit.size + 1, col(keyCol))
       .sortWithinPartitions(col(keyCol))
     // Stage ONLY the rewritten rows; untouched files never move — the

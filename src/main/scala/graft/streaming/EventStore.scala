@@ -386,18 +386,20 @@ final class EventStore(root: String) {
     * bins; the arithmetic — size-targeted bin-packing plus time
     * clustering — is the same.)
     *
-    * `zorder = true` lays the fold out on the (ts, event_id) Morton
-    * curve ([[graft.operators.ZOrder]]) instead of the (ts, event_id)
-    * range sort: each file becomes a small rectangle in (time × id)
-    * space, so BOTH of the table's access paths prune — `factsInRange`'s
-    * time slices AND the ST2 idempotence probe's event_id lookups —
+    * `zorder = true` lays the fold out on the (ts, `zorderIdCol`)
+    * Morton curve ([[graft.operators.ZOrder]]) instead of the
+    * (ts, event_id) range sort: each file becomes a small rectangle in
+    * (time × id) space, so BOTH of the table's access paths prune —
+    * `factsInRange`'s time slices AND the id column's point lookups
+    * (event_id: the ST2 idempotence probe; user_id: [[eraseUsers]]) —
     * where range clustering serves only time (every file spans the full
     * id domain unless ids happen to arrive in time order). Costs two
     * extra bounded shuffle passes per fold (rank-bucketing); layout
     * maintenance only — contents and oracle results are unchanged. */
   def compactFacts(spark: SparkSession,
                    targetBytes: Long = 128L * 1024 * 1024,
-                   zorder: Boolean = false): (Long, Long) = {
+                   zorder: Boolean = false,
+                   zorderIdCol: String = "event_id"): (Long, Long) = {
     val d = dir("fact_events")
     if (!TxTable.exists(d)) return (0L, 0L)
     val first = snapshotFiles(TxTable.snapshot(d), "fact_events")
@@ -419,7 +421,7 @@ final class EventStore(root: String) {
         val layout: DataFrame => DataFrame =
           if (zorder)
             graft.operators.ZOrder.clusterTracked(parts,
-              unix_micros(col("ts")), col("event_id"), caches)
+              unix_micros(col("ts")), col(zorderIdCol), caches)
           else
             _.repartitionByRange(parts, col("ts"), col("event_id"))
               .sortWithinPartitions(col("ts"), col("event_id"))
@@ -432,6 +434,44 @@ final class EventStore(root: String) {
     }
     (first.size.toLong,
       snapshotFiles(TxTable.snapshot(d), "fact_events").size.toLong)
+  }
+
+  /** User-data erasure (the "right to be forgotten" a real warehouse
+    * must serve): remove every row of `userIds` from the fact store AND
+    * the derived user summary, each as ONE atomic carry-by-reference
+    * keyed replace ([[graft.sources.PrunedReplace]]) — only files whose
+    * manifest user_id bounds admit a removed id are read and rewritten;
+    * everything else carries untouched. Cost is therefore set by the
+    * LAYOUT: under the default time clustering most fact files span the
+    * full user domain and an erasure rewrites much of the table (the
+    * honest cost of erasing from a time-clustered log), while a
+    * deployment that compacts with `compactFacts(zorder = true,
+    * zorderIdCol = "user_id")` bounds each file to a (time × user)
+    * rectangle, making erasure O(files overlapping the user's ids) —
+    * the same trade Delta documents for ZORDER BY on delete columns.
+    *
+    * Each table's erasure is one atomic commit; the two tables are
+    * erased independently (no cross-table transaction — readers can
+    * observe facts-erased/summary-pending between the commits, the
+    * window every two-table store has). Erased versions remain in
+    * table history until [[vacuum]] reclaims them — an erasure
+    * workflow runs vacuum afterwards, exactly as Delta's GDPR
+    * guidance does. Returns per-table (rewrittenFiles, totalFiles);
+    * tables not yet created are skipped. */
+  def eraseUsers(spark: SparkSession, userIds: Seq[Long])
+      : Map[String, (Long, Long)] = {
+    import org.apache.spark.sql.types.StructType
+    Seq("fact_events", "summary_user").flatMap { name =>
+      val d = dir(name)
+      if (!TxTable.exists(d)) None
+      else {
+        val schema = StructType.fromDDL(TxTable.snapshot(d).schemaDdl)
+        val empty = spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+        Some(name -> graft.sources.PrunedReplace.replaceKeys(
+          spark, d, "user_id", userIds.toArray, empty))
+      }
+    }.toMap
   }
 
   /** Reclaim superseded versions and crash orphans across every table

@@ -163,6 +163,53 @@ class PQIndexTxSpec extends SparkSpec {
     vecs.unpersist()
   }
 
+  test("foreachBatch maintenance lands exactly once; restore rolls index AND watermark back") {
+    implicit val sc = spark.sqlContext
+    val spark0 = spark
+    import spark0.implicits._
+    val t = Tables(spark, SparkSpec.Sf0001)
+    val vecs = vecsOf(t).persist()
+    val dir = tmp("graft_pqtx_fb")
+    PQIndexTx.buildIVF(spark, vecs, dir, m, dsub, ksub, iters, nq = 300,
+      coarseK, coarseIters)
+    val cd = s"$dir/codes"
+    val base = TxTable.read(spark, cd).count()
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Double])]
+    val q = mem.toDF().toDF("vec_id", "e").writeStream
+      .option("checkpointLocation", tmp("graft_pqtx_chk"))
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        PQIndexTx.appendIVFIfNew(spark0, batch, dir, dsub, "fb", batchId, nq = nq)
+        ()
+      }
+      .start()
+    val rows = vecs.filter(col("vec_id") >= 5 && col("vec_id") < 300)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+    mem.addData(rows.filter(_._1 < 150).toSeq)
+    q.processAllAvailable()
+    val afterB0 = TxTable.read(spark, cd).count()
+    mem.addData(rows.filter(_._1 >= 150).toSeq)
+    q.processAllAvailable()
+    q.stop()
+    assert(TxTable.read(spark, cd).count() == base + rows.length,
+      "streamed batches lost or duplicated rows")
+    assert(search(dir, vecs).nonEmpty)
+    // Index rollback: restore to the pre-batch-1 version. The txn
+    // watermark rolls back WITH the data (they are one manifest), so
+    // a re-delivery of batch 1 re-applies instead of no-op'ing against
+    // a stale watermark — restore-then-replay recovers, never loses.
+    val vNow = TxTable.snapshot(cd).version
+    TxTable.restore(spark, cd, vNow - 1)
+    assert(TxTable.read(spark, cd).count() == afterB0,
+      "restore did not roll the codes table back")
+    assert(PQIndexTx.appendIVFIfNew(spark,
+      vecs.filter(col("vec_id") >= 150 && col("vec_id") < 300), dir,
+      dsub, "fb", 1L, nq = nq),
+      "replay after restore should re-apply (watermark must roll back too)")
+    assert(TxTable.read(spark, cd).count() == base + rows.length)
+    vecs.unpersist()
+  }
+
   test("level-0 compaction folds delta dirs, carries the base, search unchanged") {
     val t = Tables(spark, SparkSpec.Sf0001)
     val vecs = vecsOf(t).persist()
