@@ -437,9 +437,11 @@ final class EventStore(root: String) {
   }
 
   /** User-data erasure (the "right to be forgotten" a real warehouse
-    * must serve): remove every row of `userIds` from the fact store AND
-    * the derived user summary, each as ONE atomic carry-by-reference
-    * keyed replace ([[graft.sources.PrunedReplace]]) — only files whose
+    * must serve): remove every row of `userIds` from the fact store,
+    * the derived user summary, AND the user dimension — every
+    * user-keyed table the ingest maintains — each as ONE atomic
+    * carry-by-reference keyed replace
+    * ([[graft.sources.PrunedReplace]]) — only files whose
     * manifest user_id bounds admit a removed id are read and rewritten;
     * everything else carries untouched. Cost is therefore set by the
     * LAYOUT: under the default time clustering most fact files span the
@@ -461,7 +463,7 @@ final class EventStore(root: String) {
   def eraseUsers(spark: SparkSession, userIds: Seq[Long])
       : Map[String, (Long, Long)] = {
     import org.apache.spark.sql.types.StructType
-    Seq("fact_events", "summary_user").flatMap { name =>
+    Seq("fact_events", "summary_user", "dim_user").flatMap { name =>
       val d = dir(name)
       if (!TxTable.exists(d)) None
       else {

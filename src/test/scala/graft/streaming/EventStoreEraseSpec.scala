@@ -20,12 +20,14 @@ class EventStoreEraseSpec extends SparkSpec {
     (0 until 4).foreach { i =>
       store.appendFacts(events.filter(col("event_id") % 4 === i).repartition(3))
     }
-    // Derived summary rows for every user seen in facts.
+    // Derived summary + user dimension, as the ingest maintains them.
     store.mergeSummary(events.groupBy(col("user_id"))
       .agg(count(lit(1)).as("event_cnt"),
         sum(col("value")).cast("decimal(18,2)").as("total_value"),
         max(col("ts")).as("last_ts")))
     store.clusterSummary(spark, files = 4)
+    store.insertIfAbsent("dim_user", events.groupBy(col("user_id"))
+      .agg(min(col("ts")).as("first_seen")), "user_id")
     // (time × user) rectangles: the layout that bounds erasure cost.
     val t = s"$root/fact_events"
     val bytes = TxTable.dataFiles(t, TxTable.snapshot(t))
@@ -49,10 +51,12 @@ class EventStoreEraseSpec extends SparkSpec {
     val (rw, tot) = res("fact_events")
     assert(rw > 0 && rw < tot,
       s"user-clustered erasure should rewrite a strict file subset: $rw of $tot")
-    assert(store.table(spark, "summary_user")
-      .filter(col("user_id").isin(users: _*)).count() == 0,
-      "summary still carries an erased user")
-    assert(store.table(spark, "summary_user").count() > 0,
-      "erasure emptied the summary")
+    Seq("summary_user", "dim_user").foreach { name =>
+      assert(store.table(spark, name)
+        .filter(col("user_id").isin(users: _*)).count() == 0,
+        s"$name still carries an erased user")
+      assert(store.table(spark, name).count() > 0,
+        s"erasure emptied $name")
+    }
   }
 }
