@@ -64,6 +64,52 @@ class ZOrderSpec extends SparkSpec {
     assert(rows(zDir).size == N * N)
   }
 
+  test("string-keyed z-order: rank space makes the layout type-agnostic") {
+    // ntile ranks order ANY comparable column, so z-order works for
+    // string keys with no extra machinery — sstats bounds prune the
+    // same way manifest long stats do.
+    import spark.implicits._
+    val df = (0 until N * N)
+      .map(i => (f"doc_${i / N}%04d", (i % N).toLong, i.toLong))
+      .toDF("doc_id", "sz", "payload")
+      .repartition(4)
+    val d = java.nio.file.Files.createTempDirectory("graft_zorder_s").toString
+    TxTable.init(spark, d, StructType.fromDDL(df.schema.toDDL))
+    TxTable.append(spark, d, df)
+    val snap0 = TxTable.snapshot(d)
+    val caches = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.DataFrame]
+    TxTable.compactDirs(spark, d, snap0, snap0.dirs)(
+      ZOrder.clusterTracked(16, col("doc_id"), col("sz"), caches))
+    caches.foreach(_.unpersist(blocking = false))
+    val snap = TxTable.snapshot(d)
+    val all = TxTable.dataFiles(d, snap).size
+    assert(all == 16)
+    assert(TxTable.lookupStringFiles(d, snap, "doc_id", Seq("doc_0005")).size < all,
+      "string-key probe did not prune after the z fold")
+    assert(TxTable.lookupFiles(d, snap, "sz", Seq(7L)).size < all,
+      "long-key probe did not prune after the z fold")
+    assert(TxTable.read(spark, d).count() == (N * N).toLong)
+  }
+
+  test("zvalue round-trips: even/odd bit lanes recover both inputs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val pairs = Seq.fill(500)((rnd.nextInt(1 << 16).toLong, rnd.nextInt(1 << 16).toLong))
+    val got = pairs.toDF("a", "b")
+      .select(col("a"), col("b"), ZOrder.zvalue(col("a"), col("b")).as("z"))
+      .collect()
+    got.foreach { r =>
+      val (a, b, z) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      var (da, db) = (0L, 0L)
+      (0 until 32).foreach { i =>
+        da |= ((z >> (2 * i)) & 1L) << i
+        db |= ((z >> (2 * i + 1)) & 1L) << i
+      }
+      assert(da == a && db == b, s"Morton code $z does not round-trip ($a, $b)")
+    }
+  }
+
   test("zvalue interleaves rank bits (Morton spot checks)") {
     import spark.implicits._
     val got = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (2L, 3L),
