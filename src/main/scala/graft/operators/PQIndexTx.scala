@@ -140,7 +140,10 @@ object PQIndexTx {
     * side-channel marker. Batch ids must be monotone per appId —
     * Spark's micro-batch ids are. The dupe probe still runs for
     * genuinely new batches (a replay skips it entirely: the watermark
-    * check needs only the manifest already in hand). */
+    * check needs only the manifest already in hand). Applied batches
+    * fold level-0 dirs past [[AutoCompactDirs]] exactly as
+    * [[appendIVF]] does — a 10-second-trigger maintainer must not
+    * fragment the index one dir per micro-batch forever. */
   def appendIVFIfNew(spark: SparkSession, vecs: DataFrame, dir: String,
                      dsub: Int, appId: String, batchId: Long,
                      nq: Int = 0, files: Int = 1): Boolean = {
@@ -152,32 +155,43 @@ object PQIndexTx {
       .filter(col("vec_id") >= nq)
     val deltaRdd = delta0.rdd.localCheckpoint()
     val delta = spark.createDataFrame(deltaRdd, delta0.schema)
+    var applied = false
     try {
       val idRows = delta.select(col("vec_id")).limit(MaxProbeKeys + 1).collect()
       val enc = clustered(PQIndex.encodedIVF(
         delta.selectExpr("vec_id", "e", s"${VectorOps.normSq("e")} AS nsq"),
         coarse, cbs, dsub, nq), files)
-      while (true) {
+      var done = false
+      while (!done) {
         val snap = TxTable.snapshot(cd)
-        if (snap.txns.get(appId).exists(_ >= batchId)) return false
-        val dupes =
-          if (idRows.length > MaxProbeKeys)
-            TxTable.read(spark, cd, snap).select(col("vec_id"))
-              .join(broadcast(delta.select(col("vec_id"))), Seq("vec_id"), "left_semi")
-              .count()
-          else if (idRows.isEmpty) 0L
-          else TxTable.lookupKeys(spark, cd, "vec_id",
-            idRows.toSeq.map(_.getLong(0)), Some(snap)).count()
-        require(dupes == 0L,
-          s"appendIVFIfNew: $dupes delta vec_ids already encoded in $cd")
-        try {
-          TxTable.commit(spark, cd, enc, snap, keepExisting = true,
-            txnUpdate = Map(appId -> batchId))
-          return true
-        } catch { case _: TxTable.ConcurrentCommitException => () } // re-arbitrate
+        if (snap.txns.get(appId).exists(_ >= batchId)) done = true // replay: no-op
+        else {
+          val dupes =
+            if (idRows.length > MaxProbeKeys)
+              TxTable.read(spark, cd, snap).select(col("vec_id"))
+                .join(broadcast(delta.select(col("vec_id"))), Seq("vec_id"), "left_semi")
+                .count()
+            else if (idRows.isEmpty) 0L
+            else TxTable.lookupKeys(spark, cd, "vec_id",
+              idRows.toSeq.map(_.getLong(0)), Some(snap)).count()
+          require(dupes == 0L,
+            s"appendIVFIfNew: $dupes delta vec_ids already encoded in $cd")
+          try {
+            TxTable.commit(spark, cd, enc, snap, keepExisting = true,
+              txnUpdate = Map(appId -> batchId))
+            applied = true
+            done = true
+          } catch { case _: TxTable.ConcurrentCommitException => () } // re-arbitrate
+        }
       }
-      false // unreachable
     } finally deltaRdd.unpersist(blocking = false)
+    if (applied) {
+      val after = TxTable.snapshot(cd)
+      if (after.dirs.size > AutoCompactDirs)
+        try compactOnce(spark, cd, after)
+        catch { case _: TxTable.ConcurrentCommitException => () } // next batch retries
+    }
+    applied
   }
 
   /** Same search plan as [[PQIndex.searchIVF]]; the codes scan reads

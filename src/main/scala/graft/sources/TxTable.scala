@@ -422,11 +422,20 @@ object TxTable {
         val bf = try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
                  finally in.close()
         val bytes = bf.bitSize() / 8
-        if (bloomCacheBytes.addAndGet(bytes) > MaxBloomCacheBytes) {
-          bloomCache.clear()
-          bloomCacheBytes.set(bytes)
+        // Misses are rare (every hit skips this), so the accounting +
+        // eviction + insert runs under one monitor: unsynchronized,
+        // two racing loaders of the same sidecar double-count its
+        // bytes, and a clear-then-set eviction wipes a concurrent
+        // loader's addAndGet — the byte bound would quietly stop
+        // being a bound.
+        bloomCache.synchronized {
+          if (bloomCacheBytes.get() + bytes > MaxBloomCacheBytes) {
+            bloomCache.clear()
+            bloomCacheBytes.set(0L)
+          }
+          if (bloomCache.putIfAbsent(p, bf) == null)
+            bloomCacheBytes.addAndGet(bytes)
         }
-        bloomCache.put(p, bf)
         Some(bf)
       } catch { case _: java.io.IOException => None } // lost sidecar: fall back
     }
@@ -690,10 +699,25 @@ object TxTable {
     * contents (pass `keepExisting = true` for an append). Throws
     * [[ConcurrentCommitException]] — after cleaning up its data — if
     * another writer committed first. */
-  def commit(spark: SparkSession, dir: String, df: DataFrame,
+  def commit(spark: SparkSession, dir: String, df0: DataFrame,
              expected: Snapshot, keepExisting: Boolean = false,
              txnUpdate: Map[String, Long] = Map.empty): Snapshot = {
-    if (keepExisting) requireAppendCompatible(expected.schemaDdl, df.schema)
+    // Appends keep the table's declared column ORDER (new columns go
+    // last): the appended frame's schema becomes the manifest DDL, so
+    // without this select a batch whose columns merely arrive in a
+    // different order would silently reorder the table's logical
+    // schema for every later reader — append is a data operation, not
+    // a schema change (the PrunedReplace staging path holds the same
+    // line).
+    val df =
+      if (!keepExisting) df0
+      else {
+        requireAppendCompatible(expected.schemaDdl, df0.schema)
+        val prior = StructType.fromDDL(expected.schemaDdl).fieldNames
+        val extras = df0.schema.fieldNames.filterNot(prior.toSet)
+        if ((prior ++ extras).sameElements(df0.schema.fieldNames)) df0
+        else df0.select((prior ++ extras).map(org.apache.spark.sql.functions.col(_)): _*)
+      }
     val u = stage(dir, df)
     val (newStats, newSStats) = statsFor(dir, u, df.schema)
     val newBlooms = harvestBlooms(spark, dir, u, df.schema, expected.bloomCols)
@@ -1041,8 +1065,14 @@ object TxTable {
   def versions(dir: String): Seq[Long] =
     commitVersions(dir).filter(v => sizeOrZero(commitFile(dir, v)) > 0L)
 
+  /** Size of `p`, 0 when it VANISHED (a concurrent trimLog/vacuum
+    * retiring it between list and stat — the only absence this may
+    * paper over). Any other I/O failure propagates: treating an
+    * EACCES/stale-handle error as "size 0" would silently classify a
+    * real commit as a dead claim in [[versions]] or mis-size a live
+    * dir in [[levelZeroDirs]]. */
   private def sizeOrZero(p: Path): Long =
-    try Files.size(p) catch { case _: java.io.IOException => 0L }
+    try Files.size(p) catch { case _: java.nio.file.NoSuchFileException => 0L }
 
   private[sources] def snapshotAt(dir: String, version: Long): Snapshot = {
     val f = commitFile(dir, version)

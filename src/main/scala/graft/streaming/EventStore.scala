@@ -127,11 +127,23 @@ final class EventStore(root: String) {
     * IGNORE probe exposed for callers that land rows through their own
     * append path (the fact ingest dedups event_ids with it before
     * [[appendFacts]], instead of anti-scanning the fact history per
-    * batch). A missing table means everything is fresh. */
+    * batch). A missing table means everything is fresh.
+    *
+    * `updates` is PINNED to one evaluation (local checkpoint) before
+    * the probe: [[freshAgainst]] evaluates the batch twice — the
+    * driver key-collect that plans the pruned present-key read, then
+    * the anti-join — and a nondeterministic input could otherwise
+    * yield a key in the second evaluation that the first never probed,
+    * slipping an already-stored key past the idempotence check. The
+    * caller still sees exactly one logical evaluation of its frame. */
   def absentOnly(name: String, updates: DataFrame, key: String): DataFrame =
     if (!TxTable.exists(dir(name))) updates
-    else freshAgainst(updates.sparkSession, dir(name),
-      TxTable.snapshot(dir(name)), updates, key)
+    else {
+      val spark = updates.sparkSession
+      val pinned = spark.createDataFrame(
+        updates.rdd.localCheckpoint(), updates.schema)
+      freshAgainst(spark, dir(name), TxTable.snapshot(dir(name)), pinned, key)
+    }
 
   /** S4: first-writer-wins keyed insert (`INSERT IGNORE`) — APPEND-
     * shaped. The previous shape (anti-join inside [[TxTable.merge]])
@@ -369,14 +381,16 @@ final class EventStore(root: String) {
     * micro-batch append lands O(shuffle-partitions) files, and a week of
     * 10-second batches turns a 100 TB table into millions of KB-files —
     * scan planning then dominates query time. PARTIAL
-    * ([[TxTable.compactDirs]]): only the UNDERSIZED dirs (mean live
-    * file size below `targetBytes`) read and rewrite — bin-packed into
+    * ([[TxTable.compactDirs]]): only FOLD-WORTHY dirs read and rewrite
+    * — those holding more files than their bytes bin-pack to, or tiny
+    * ones (< targetBytes/2) worth merging upward — bin-packed into
     * ceil(their bytes / targetBytes) files, range-clustered and sorted
     * by event time so ts predicates prune whole files via parquet
-    * min/max — while every already-full-sized dir carries BY REFERENCE.
-    * A year of history whose old dirs were compacted long ago costs
-    * nothing to re-compact: each call's I/O is proportional to the
-    * small-file backlog, never the table. Time-slice pruning is
+    * min/max — while every other dir carries BY REFERENCE. A dir this
+    * compaction produced passes neither test once it outgrows half a
+    * bin, so steady state is a NO-OP and a year of history compacted
+    * long ago costs nothing to re-compact: each call's I/O is
+    * proportional to the small-file backlog, never the table. Time-slice pruning is
     * per-FILE, so global re-clustering across old dirs buys nothing
     * this keeps paying for. Committed as one new version (readers never
     * torn — they hold the old manifest); a racing append re-plans.
@@ -409,8 +423,22 @@ final class EventStore(root: String) {
       val snap = TxTable.snapshot(d)
       val perDir = TxTable.dataFiles(d, snap)
         .groupBy(_._1.getParent.getFileName.toString)
+      // A dir is fold-worthy when folding can actually help: it holds
+      // MORE files than its bytes bin-pack to (small-file backlog), or
+      // it is itself tiny (< half a bin — worth merging into a bigger
+      // neighbor). A dir this compaction produced — ceil(B/T) files —
+      // passes NEITHER test once it outgrows T/2, so steady state is a
+      // no-op: without the bin-count test, a folded dir's mean file
+      // size (B / ceil(B/T)) sits just under T forever and every call
+      // re-reads and re-writes ALL previously folded data — O(table)
+      // write amplification per fold, the exact cost this partial
+      // shape exists to avoid.
       val small = snap.dirs.filter { dd =>
-        perDir.get(dd).exists(fs => fs.map(f => Files.size(f._1)).sum / fs.size < targetBytes)
+        perDir.get(dd).exists { fs =>
+          val bytes = fs.map(f => Files.size(f._1)).sum
+          val bins = math.max(1L, (bytes + targetBytes - 1) / targetBytes)
+          fs.size > bins || bytes < targetBytes / 2
+        }
       }
       val smallFiles = small.flatMap(perDir.getOrElse(_, Nil))
       val smallBytes = smallFiles.map(f => Files.size(f._1)).sum

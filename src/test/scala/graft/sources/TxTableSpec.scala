@@ -357,6 +357,27 @@ class TxTableSpec extends SparkSpec {
     assert(TxTable.read(spark, dir).columns.toSeq == Seq("k"))
   }
 
+  test("appends keep the table's declared column order (new columns last)") {
+    val dir = tmp()
+    TxTable.init(spark, dir, schema)
+    TxTable.overwrite(spark, dir, Seq((1L, 10L)).toDF("k", "v"))
+    // A batch whose columns merely ARRIVE in a different order must not
+    // reorder the table's logical schema — append is a data operation.
+    TxTable.append(spark, dir,
+      Seq((20L, 2L)).toDF("v", "k").select(col("v"), col("k")))
+    assert(TxTable.read(spark, dir).columns.toSeq == Seq("k", "v"),
+      "a reordered append batch rewrote the table's column order")
+    // Additive append: existing order first, the new column last —
+    // regardless of where the batch put it.
+    TxTable.append(spark, dir,
+      Seq(("tagged", 3L, 30L)).toDF("tag", "k", "v"))
+    assert(TxTable.read(spark, dir).columns.toSeq == Seq("k", "v", "tag"))
+    val got = TxTable.read(spark, dir).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 10L), (2L, 20L), (3L, 30L)),
+      s"column-order normalization mixed up values: $got")
+  }
+
   test("key blooms: no false negatives, absence proof, carry, restore") {
     val dir = tmp()
     TxTable.init(spark, dir, schema, bloomCols = Seq("k"))

@@ -25,6 +25,43 @@ class EventStoreCompactSpec extends SparkSpec {
     assert(store.compactFacts(spark) == ((1L, 1L)))
   }
 
+  test("a previous fold is carried by reference, never refolded") {
+    import graft.sources.TxTable
+    val root = Files.createTempDirectory("graft_compact_ss").toString
+    val store = new EventStore(root)
+    val events = Tables(spark, S.Sf0001).events
+    (0 until 4).foreach { i =>
+      store.appendFacts(events.filter(col("event_id") % 5 === i).repartition(4))
+    }
+    val t = s"$root/fact_events"
+    val total = TxTable.dataFiles(t, TxTable.snapshot(t))
+      .map(f => Files.size(f._1)).sum
+    // One bin: everything folds into a single dir.
+    store.compactFacts(spark, targetBytes = total)
+    val folded = TxTable.snapshot(t).dirs
+    assert(folded.size == 1)
+    // Re-anchor the bin to the folded dir's REAL bytes (merging many
+    // tiny parquet files recompresses far below their sum at fixture
+    // scale), so the dir models a production fold at ≥ half a bin.
+    val foldedBytes = TxTable.dataFiles(t, TxTable.snapshot(t))
+      .map(f => Files.size(f._1)).sum
+    // Steady state with no backlog is a NO-OP — no new commit at all.
+    val v = TxTable.snapshot(t).version
+    store.compactFacts(spark, targetBytes = foldedBytes)
+    assert(TxTable.snapshot(t).version == v,
+      "re-compaction of an already-compact store committed a new version")
+    // A fresh delta folds ALONE; yesterday's fold carries by reference
+    // (the old mean-size test refolded ALL previously compacted data on
+    // every call — O(table) write amplification in steady state).
+    store.appendFacts(events.filter(col("event_id") % 5 === 4).repartition(3))
+    store.compactFacts(spark, targetBytes = foldedBytes)
+    val dirs = TxTable.snapshot(t).dirs
+    assert(dirs.contains(folded.head),
+      "compaction refolded the previous fold instead of carrying it")
+    assert(dirs.size == 2, s"expected previous fold + one new fold: $dirs")
+    assert(store.facts(spark).count() == events.count())
+  }
+
   test("z-order fact compaction: contents unchanged, id probe prunes files") {
     import graft.sources.TxTable
     val root = Files.createTempDirectory("graft_compact_z").toString
