@@ -92,13 +92,30 @@ object PQIndexTx {
     * [[AutoCompactDirs]] delta dirs the table folds level-0 style. */
   def appendIVF(spark: SparkSession, vecs: DataFrame, dir: String,
                 dsub: Int, nq: Int = 0, files: Int = 1): Unit = {
+    appendImpl(spark, vecs, dir, dsub, nq, files, txn = None)
+    ()
+  }
+
+  /** The shared append core — pin, probe, optimistic commit loop,
+    * level-0 fold — parameterized by the optional SetTransaction
+    * watermark ([[appendIVF]] passes none; [[appendIVFIfNew]] its
+    * (appId, batchId)). ONE body: the fold and probe-bound logic must
+    * not be able to drift between the batch and streaming paths. */
+  private def appendImpl(spark: SparkSession, vecs: DataFrame, dir: String,
+                         dsub: Int, nq: Int, files: Int,
+                         txn: Option[(String, Long)]): Boolean = {
     val cd = codesDir(dir)
+    def replayed(snap: TxTable.Snapshot): Boolean = txn.exists {
+      case (appId, batchId) => snap.txns.get(appId).exists(_ >= batchId)
+    }
+    if (replayed(TxTable.snapshot(cd))) return false
     val coarse = PQIndex.loadCoarse(spark, dir)
     val cbs = PQIndex.loadCodebooks(spark, dir)
     val delta0 = vecs.select(col("vec_id"), col("e"))
       .filter(col("vec_id") >= nq)
     val deltaRdd = delta0.rdd.localCheckpoint()
     val delta = spark.createDataFrame(deltaRdd, delta0.schema)
+    var applied = false
     try {
       val idRows = delta.select(col("vec_id")).limit(MaxProbeKeys + 1).collect()
       val enc = clustered(PQIndex.encodedIVF(
@@ -107,27 +124,34 @@ object PQIndexTx {
       var done = false
       while (!done) {
         val snap = TxTable.snapshot(cd)
-        val dupes =
-          if (idRows.length > MaxProbeKeys)
-            TxTable.read(spark, cd, snap).select(col("vec_id"))
-              .join(broadcast(delta.select(col("vec_id"))), Seq("vec_id"), "left_semi")
-              .count()
-          else if (idRows.isEmpty) 0L
-          else TxTable.lookupKeys(spark, cd, "vec_id",
-            idRows.toSeq.map(_.getLong(0)), Some(snap)).count()
-        require(dupes == 0L,
-          s"appendIVF: $dupes delta vec_ids already encoded in $cd")
-        try {
-          TxTable.commit(spark, cd, enc, snap, keepExisting = true)
-          done = true
-        } catch { case _: TxTable.ConcurrentCommitException => () } // re-probe
+        if (replayed(snap)) done = true // lost the race to our own replay: no-op
+        else {
+          val dupes =
+            if (idRows.length > MaxProbeKeys)
+              TxTable.read(spark, cd, snap).select(col("vec_id"))
+                .join(broadcast(delta.select(col("vec_id"))), Seq("vec_id"), "left_semi")
+                .count()
+            else if (idRows.isEmpty) 0L
+            else TxTable.lookupKeys(spark, cd, "vec_id",
+              idRows.toSeq.map(_.getLong(0)), Some(snap)).count()
+          require(dupes == 0L,
+            s"appendIVF: $dupes delta vec_ids already encoded in $cd")
+          try {
+            TxTable.commit(spark, cd, enc, snap, keepExisting = true,
+              txnUpdate = txn.map { case (a, b) => a -> b }.toMap)
+            applied = true
+            done = true
+          } catch { case _: TxTable.ConcurrentCommitException => () } // re-probe
+        }
       }
     } finally deltaRdd.unpersist(blocking = false)
-    val after = TxTable.snapshot(cd)
-    if (after.dirs.size > AutoCompactDirs)
-      try compactOnce(spark, cd, after)
-      catch { case _: TxTable.ConcurrentCommitException => () } // maintenance: next append retries
-    ()
+    if (applied) {
+      val after = TxTable.snapshot(cd)
+      if (after.dirs.size > AutoCompactDirs)
+        try compactOnce(spark, cd, after)
+        catch { case _: TxTable.ConcurrentCommitException => () } // next append retries
+    }
+    applied
   }
 
   /** [[appendIVF]] with the SetTransaction replay guard
@@ -146,53 +170,8 @@ object PQIndexTx {
     * fragment the index one dir per micro-batch forever. */
   def appendIVFIfNew(spark: SparkSession, vecs: DataFrame, dir: String,
                      dsub: Int, appId: String, batchId: Long,
-                     nq: Int = 0, files: Int = 1): Boolean = {
-    val cd = codesDir(dir)
-    if (TxTable.snapshot(cd).txns.get(appId).exists(_ >= batchId)) return false
-    val coarse = PQIndex.loadCoarse(spark, dir)
-    val cbs = PQIndex.loadCodebooks(spark, dir)
-    val delta0 = vecs.select(col("vec_id"), col("e"))
-      .filter(col("vec_id") >= nq)
-    val deltaRdd = delta0.rdd.localCheckpoint()
-    val delta = spark.createDataFrame(deltaRdd, delta0.schema)
-    var applied = false
-    try {
-      val idRows = delta.select(col("vec_id")).limit(MaxProbeKeys + 1).collect()
-      val enc = clustered(PQIndex.encodedIVF(
-        delta.selectExpr("vec_id", "e", s"${VectorOps.normSq("e")} AS nsq"),
-        coarse, cbs, dsub, nq), files)
-      var done = false
-      while (!done) {
-        val snap = TxTable.snapshot(cd)
-        if (snap.txns.get(appId).exists(_ >= batchId)) done = true // replay: no-op
-        else {
-          val dupes =
-            if (idRows.length > MaxProbeKeys)
-              TxTable.read(spark, cd, snap).select(col("vec_id"))
-                .join(broadcast(delta.select(col("vec_id"))), Seq("vec_id"), "left_semi")
-                .count()
-            else if (idRows.isEmpty) 0L
-            else TxTable.lookupKeys(spark, cd, "vec_id",
-              idRows.toSeq.map(_.getLong(0)), Some(snap)).count()
-          require(dupes == 0L,
-            s"appendIVFIfNew: $dupes delta vec_ids already encoded in $cd")
-          try {
-            TxTable.commit(spark, cd, enc, snap, keepExisting = true,
-              txnUpdate = Map(appId -> batchId))
-            applied = true
-            done = true
-          } catch { case _: TxTable.ConcurrentCommitException => () } // re-arbitrate
-        }
-      }
-    } finally deltaRdd.unpersist(blocking = false)
-    if (applied) {
-      val after = TxTable.snapshot(cd)
-      if (after.dirs.size > AutoCompactDirs)
-        try compactOnce(spark, cd, after)
-        catch { case _: TxTable.ConcurrentCommitException => () } // next batch retries
-    }
-    applied
-  }
+                     nq: Int = 0, files: Int = 1): Boolean =
+    appendImpl(spark, vecs, dir, dsub, nq, files, txn = Some((appId, batchId)))
 
   /** Same search plan as [[PQIndex.searchIVF]]; the codes scan reads
     * only the files whose manifest (cell, …) bounds intersect the

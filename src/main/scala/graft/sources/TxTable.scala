@@ -401,7 +401,10 @@ object TxTable {
     * correctness — it exists for tests and for operators who want a
     * lost-sidecar condition to surface as the conservative fallback
     * instead of being papered over by the cache. */
-  def clearBloomCache(): Unit = {
+  def clearBloomCache(): Unit = bloomCache.synchronized {
+    // Same monitor as the miss path: an unlocked clear between a
+    // loader's putIfAbsent and its addAndGet would strand the bytes in
+    // the counter with no entry in the map.
     bloomCache.clear()
     bloomCacheBytes.set(0L)
   }
@@ -716,7 +719,10 @@ object TxTable {
         val prior = StructType.fromDDL(expected.schemaDdl).fieldNames
         val extras = df0.schema.fieldNames.filterNot(prior.toSet)
         if ((prior ++ extras).sameElements(df0.schema.fieldNames)) df0
-        else df0.select((prior ++ extras).map(org.apache.spark.sql.functions.col(_)): _*)
+        // Backtick-quote: a bare col("a.b") would parse as a nested
+        // field probe, not the literal column name.
+        else df0.select((prior ++ extras).map(n =>
+          org.apache.spark.sql.functions.col(s"`${n.replace("`", "``")}`")): _*)
       }
     val u = stage(dir, df)
     val (newStats, newSStats) = statsFor(dir, u, df.schema)
@@ -820,10 +826,22 @@ object TxTable {
     val (newStats, newSStats) = statsFor(dir, uuid, schema) // once — not per retry
     val newBlooms = // once — the property can't change mid-claim (single writer)
       harvestBlooms(spark, dir, uuid, schema, snapshot(dir).bloomCols)
+    // Appends keep the table's declared column ORDER in the manifest
+    // (same invariant as [[commit]]): the staged files' physical order
+    // is irrelevant — every scan resolves by name against the manifest
+    // schema — but the DDL this claim writes is what later readers
+    // see, and a staged batch whose columns merely arrived in another
+    // order must not reorder the table.
+    def declaredDdl(priorDdl: String): String = {
+      val byName = schema.fields.map(f => f.name -> f).toMap
+      val prior = StructType.fromDDL(priorDdl).fieldNames
+      val extras = schema.fields.filterNot(f => prior.contains(f.name))
+      StructType(prior.map(byName) ++ extras).toDDL
+    }
     retrying(dir) { s =>
       if (keepExisting) requireAppendCompatible(s.schemaDdl, schema)
       claimFrom(dir, (if (keepExisting) s.dirs else Seq.empty) :+ uuid,
-        schema.toDDL, s.version + 1,
+        if (keepExisting) declaredDdl(s.schemaDdl) else schema.toDDL, s.version + 1,
         (if (keepExisting) s.stats else Map.empty[String, Map[String, (Long, Long)]]) ++ newStats,
         (if (keepExisting) s.sstats else Map.empty[String, Map[String, (String, String)]]) ++ newSStats,
         s.bloomCols, s.blooms ++ newBlooms,

@@ -135,14 +135,22 @@ final class EventStore(root: String) {
     * the anti-join — and a nondeterministic input could otherwise
     * yield a key in the second evaluation that the first never probed,
     * slipping an already-stored key past the idempotence check. The
-    * caller still sees exactly one logical evaluation of its frame. */
+    * RESULT comes back materialized (its own local checkpoint) so the
+    * input pin can be released before returning — holding it until
+    * driver GC would accumulate a pinned batch per trigger on a
+    * long-running stream. The returned frame is lineage-free; callers
+    * need no checkpoint of their own. */
   def absentOnly(name: String, updates: DataFrame, key: String): DataFrame =
     if (!TxTable.exists(dir(name))) updates
     else {
       val spark = updates.sparkSession
-      val pinned = spark.createDataFrame(
-        updates.rdd.localCheckpoint(), updates.schema)
-      freshAgainst(spark, dir(name), TxTable.snapshot(dir(name)), pinned, key)
+      val upRdd = updates.rdd.localCheckpoint()
+      val pinned = spark.createDataFrame(upRdd, updates.schema)
+      val freshRdd = freshAgainst(spark, dir(name),
+        TxTable.snapshot(dir(name)), pinned, key).rdd.localCheckpoint()
+      freshRdd.count() // materialize against THIS evaluation of the input
+      upRdd.unpersist(blocking = false)
+      spark.createDataFrame(freshRdd, updates.schema)
     }
 
   /** S4: first-writer-wins keyed insert (`INSERT IGNORE`) — APPEND-
@@ -437,7 +445,13 @@ final class EventStore(root: String) {
         perDir.get(dd).exists { fs =>
           val bytes = fs.map(f => Files.size(f._1)).sum
           val bins = math.max(1L, (bytes + targetBytes - 1) / targetBytes)
-          fs.size > bins || bytes < targetBytes / 2
+          // Multi-file dirs under one full bin are raw appends worth
+          // clustering even when their file count is already minimal
+          // (a fold PRODUCT under targetBytes is always ONE file —
+          // parts = ceil(B/T) = 1 — so this clause can never refold
+          // compaction's own output).
+          fs.size > bins || bytes < targetBytes / 2 ||
+            (fs.size > 1 && bytes < targetBytes)
         }
       }
       val smallFiles = small.flatMap(perDir.getOrElse(_, Nil))
