@@ -719,6 +719,44 @@ object Warehouse {
           AND ts <= TIMESTAMP '2024-01-13 23:59:59.999999'
         ORDER BY event_id""")),
 
+    // Time-based retention, oracle-gated end-to-end: build the
+    // week-sliced fact store (its own staged copy — expiry mutates it),
+    // then EventStore.expireFacts drops everything before Jan 12. The
+    // first week's files are FULLY aged — they leave by manifest
+    // reference with zero data I/O — while the week-2 file straddles
+    // the cutoff and rewrites filtered. The oracle is the raw events
+    // table from the cutoff on, so the gate asserts both expiry paths
+    // (drop-by-reference AND straddle-rewrite) are exactly
+    // content-transparent for every surviving row.
+    QueryDef(
+      "q_tx_retention",
+      t => {
+        import graft.operators.Stages
+        def micros(iso: String): Long = java.time.temporal.ChronoUnit.MICROS
+          .between(java.time.Instant.EPOCH, java.time.Instant.parse(iso))
+        val root = Stages.tempDir(t.spark, s"tx_retention:${t.dir}") { d =>
+          val store = new graft.streaming.EventStore(d)
+          val weeks = Seq("2024-01-01", "2024-01-08", "2024-01-15", "2024-01-22", "2024-01-31")
+          weeks.sliding(2).foreach { case Seq(lo, hi) =>
+            store.appendFacts(t.events.filter(
+              col("ts") >= lit(lo).cast("timestamp") && col("ts") < lit(hi).cast("timestamp")))
+          }
+          store.expireFacts(t.spark, micros("2024-01-12T00:00:00Z"))
+          ()
+        }
+        new graft.streaming.EventStore(root).facts(t.spark)
+          .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_str"))
+          .orderBy(col("event_id"))
+      },
+      Some("""
+        SELECT event_id, user_id, event_type, value,
+          strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-12 00:00:00'
+          AND ts < TIMESTAMP '2024-01-31 00:00:00'
+        ORDER BY event_id""")),
+
     // User-data erasure, oracle-gated end-to-end: build the fact store
     // (its own staged copy — erasure mutates it), lay it out on the
     // (ts, user_id) z-curve, then EventStore.eraseUsers removes two

@@ -974,6 +974,78 @@ object TxTable {
       knownBlooms = newBlooms)
   }
 
+  /** RETENTION (DELETE WHERE `col` < `cutoff`), manifest-planned — the
+    * lifecycle op that expires aged data from an append-only table. A
+    * file whose manifest max is below the cutoff drops BY REFERENCE (a
+    * manifest entry — zero data I/O, so expiring a year of history
+    * costs one commit); a file whose bounds straddle the cutoff — or
+    * that carries no stats — is read, filtered exactly, and rewritten
+    * (`layout` shapes the survivors; stats-less files are conservative
+    * rewrites, never silent keeps); every fully-live file carries
+    * untouched. One atomic commit; pinned readers keep their snapshot;
+    * [[vacuum]] reclaims the expired bytes after retention. Loops past
+    * racing commits (each retry re-plans). `col` must be a LONG or
+    * TIMESTAMP column (timestamps compare by epoch micros — the same
+    * unit the manifest stats record). Returns
+    * (droppedFiles, rewrittenFiles); (0, 0) with NO commit when
+    * nothing is expired. */
+  def expireBelow(spark: SparkSession, dir: String, col: String, cutoff: Long)
+                 (layout: DataFrame => DataFrame = identity): (Long, Long) = {
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    while (true) {
+      val snap = snapshot(dir)
+      val files = dataFiles(dir, snap)
+      val dropped = files.collect {
+        case (f, st) if st.get(col).exists(_._2 < cutoff) => f
+      }
+      val rewrite = files.collect {
+        case (f, st) if st.get(col).forall(_._1 < cutoff) &&
+          !st.get(col).exists(_._2 < cutoff) => f
+      }
+      if (dropped.isEmpty && rewrite.isEmpty) return (0L, 0L)
+      val removeByDir = (dropped ++ rewrite)
+        .groupBy(_.getParent.getFileName.toString)
+        .view.mapValues(_.map(_.getFileName.toString)).toMap
+      try {
+        if (rewrite.isEmpty) {
+          // Drop-only: one manifest claim, zero data I/O. claimFrom
+          // drops the removed files' stats and non-member dirs' state.
+          val merged = (snap.excludes.keySet ++ removeByDir.keySet).map { d =>
+            d -> (snap.excludes.getOrElse(d, Nil) ++
+              removeByDir.getOrElse(d, Nil)).distinct
+          }.toMap
+          val kept = snap.dirs.filter { d =>
+            val ex = merged.getOrElse(d, Nil).toSet
+            listNames(liveDirRoot(dir, snap, d))
+              .exists(n => n.endsWith(".parquet") && !ex(n))
+          }
+          claimFrom(dir, kept, snap.schemaDdl, snap.version + 1,
+            snap.stats, snap.sstats, snap.bloomCols, snap.blooms,
+            merged, snap.txns)
+        } else {
+          val schema = StructType.fromDDL(snap.schemaDdl)
+          val c = org.apache.spark.sql.functions
+            .col(s"`${col.replace("`", "``")}`")
+          val live = schema(col).dataType match {
+            case TimestampType => org.apache.spark.sql.functions.unix_micros(c) >= cutoff
+            case LongType => c >= cutoff
+            case t => throw new IllegalArgumentException(
+              s"expireBelow needs a LONG or TIMESTAMP column; $col is $t")
+          }
+          val survivors = layout(
+            spark.read.schema(schema).parquet(rewrite.map(_.toString): _*)
+              .filter(live))
+          val u = stage(dir, survivors)
+          val newBlooms = harvestBlooms(spark, dir, u, schema, snap.bloomCols)
+          commitStagedFrom(dir, u, schema, snap, carryDirs = true,
+            removeFiles = removeByDir, knownBlooms = newBlooms)
+        }
+        return (dropped.size.toLong, rewrite.size.toLong)
+      } catch { case _: ConcurrentCommitException => () } // re-plan
+    }
+    (0L, 0L) // unreachable
+  }
+
   def append(spark: SparkSession, dir: String, df: DataFrame): Snapshot =
     retrying(dir)(s => commit(spark, dir, df, s, keepExisting = true))
 

@@ -478,6 +478,21 @@ final class EventStore(root: String) {
       snapshotFiles(TxTable.snapshot(d), "fact_events").size.toLong)
   }
 
+  /** Time-based retention: expire every fact with ts < `beforeMicros`
+    * ([[TxTable.expireBelow]]) — whole files whose manifest ts range is
+    * fully aged drop BY REFERENCE (zero data I/O: expiring a year of
+    * 10-second micro-batches costs one commit), only cutoff-straddling
+    * files rewrite (filtered exactly, ts-clustered). With [[vacuum]]
+    * this is the append→compact→expire→vacuum lifecycle an append-only
+    * event log runs forever. Returns (droppedFiles, rewrittenFiles). */
+  def expireFacts(spark: SparkSession, beforeMicros: Long): (Long, Long) = {
+    val d = dir("fact_events")
+    if (!TxTable.exists(d)) return (0L, 0L)
+    TxTable.expireBelow(spark, d, "ts", beforeMicros)(
+      _.repartitionByRange(1, col("ts"), col("event_id"))
+        .sortWithinPartitions(col("ts"), col("event_id")))
+  }
+
   /** User-data erasure (the "right to be forgotten" a real warehouse
     * must serve): remove every row of `userIds` from the fact store,
     * the derived user summary, AND the user dimension — every
