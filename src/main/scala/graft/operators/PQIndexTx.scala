@@ -231,17 +231,22 @@ object PQIndexTx {
   /** One level-0 fold against `snap`: bin the folded bytes into
     * ceil(bytes / targetBytes) files. Range clustering keeps each
     * bin's (cell, vec_id) bounds narrow, so compaction preserves the
-    * pruning the append-time layout established. */
+    * pruning the append-time layout established. NO-OP (no commit)
+    * when the fold cannot improve anything — one level-0 dir already
+    * at its bin-packed file count is this compaction's own output, and
+    * refolding it every scheduled call would rewrite the accumulated
+    * delta for nothing. */
   private def compactOnce(spark: SparkSession, cd: String,
                           snap: TxTable.Snapshot,
                           targetBytes: Long = 128L * 1024 * 1024): Unit = {
     val fold = TxTable.levelZeroDirs(cd, snap)
     if (fold.isEmpty) return
     val foldSet = fold.toSet
-    val foldBytes = TxTable.dataFiles(cd, snap)
+    val foldFiles = TxTable.dataFiles(cd, snap)
       .filter(f => foldSet(f._1.getParent.getFileName.toString))
-      .map(f => java.nio.file.Files.size(f._1)).sum
+    val foldBytes = foldFiles.map(f => java.nio.file.Files.size(f._1)).sum
     val parts = math.max(1L, (foldBytes + targetBytes - 1) / targetBytes).toInt
+    if (fold.size == 1 && foldFiles.size <= parts) return
     TxTable.compactDirs(spark, cd, snap, fold)(clustered(_, parts))
     ()
   }

@@ -234,6 +234,11 @@ class PQIndexTxSpec extends SparkSpec {
     assert(snap.dirs.contains(baseDir), "compaction rewrote the base dir")
     assert(search(dir, vecs) === before,
       "compaction changed search results")
+    // Steady state: the folded dir is this compaction's own output —
+    // a second scheduled run must commit nothing, not refold it.
+    PQIndexTx.compactIVF(spark, dir)
+    assert(TxTable.snapshot(cd).version == snap.version,
+      "re-compaction of an already-compact index committed a new version")
     vecs.unpersist()
   }
 }
