@@ -198,12 +198,28 @@ object PQIndexTx {
     * hit files arbitrates. Returns (rewrittenFiles, totalFiles). */
   def deleteIds(spark: SparkSession, dir: String, ids: Seq[Long]): (Long, Long) = {
     val cd = codesDir(dir)
-    val schema = org.apache.spark.sql.types.StructType
-      .fromDDL(TxTable.snapshot(cd).schemaDdl)
+    val before = TxTable.snapshot(cd)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(before.schemaDdl)
     val empty = spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-    graft.sources.PrunedReplace.replaceKeys(spark, cd, "vec_id",
+    val res = graft.sources.PrunedReplace.replaceKeys(spark, cd, "vec_id",
       ids.toArray, empty)
+    // The replace stages its rewrite dir clustered on vec_id only —
+    // restore the (cell, vec_id) layout the probed-cell scan prunes by,
+    // folding JUST the new dir (delta-bounded; without this, the
+    // steady-state compaction guard would rightly skip a lone level-0
+    // dir and the rewrite would stay cell-unclustered forever).
+    val after = TxTable.snapshot(cd)
+    val fresh = after.dirs.filterNot(before.dirs.contains)
+    if (fresh.nonEmpty)
+      try {
+        val freshSet = fresh.toSet
+        val n = TxTable.dataFiles(cd, after)
+          .count(f => freshSet(f._1.getParent.getFileName.toString))
+        TxTable.compactDirs(spark, cd, after, fresh)(
+          clustered(_, math.max(1, n)))
+      } catch { case _: TxTable.ConcurrentCommitException => () } // next fold repairs
+    res
   }
 
   /** PARTIAL OPTIMIZE of the codes table: fold every level-0 dir (all

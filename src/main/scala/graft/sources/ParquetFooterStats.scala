@@ -112,4 +112,31 @@ object ParquetFooterStats {
     } finally r.close()
   }
 
+  /** TRUE only when the footer PROVES `column` has zero nulls — every
+    * row group's stats present with a SET null count of 0. Unknown
+    * (missing chunk, absent stats, unset count) is false: callers use
+    * this as a safety proof (e.g. [[TxTable.expireBelow]]'s
+    * drop-by-reference needs it because min/max stats say nothing
+    * about null rows, and SQL's `col < cutoff` never matches NULL).
+    * One footer open — metadata I/O, no data pages. */
+  def provenNoNulls(conf: org.apache.hadoop.conf.Configuration,
+                    file: java.nio.file.Path, column: String): Boolean = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(file.toUri), conf)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val blocks = r.getFooter.getBlocks.toArray
+        .map(_.asInstanceOf[org.apache.parquet.hadoop.metadata.BlockMetaData])
+      blocks.nonEmpty && blocks.forall { b =>
+        b.getColumns.toArray
+          .map(_.asInstanceOf[org.apache.parquet.hadoop.metadata.ColumnChunkMetaData])
+          .find(_.getPath.toDotString == column)
+          .exists { m =>
+            val s = m.getStatistics
+            s != null && !s.isEmpty && s.isNumNullsSet && s.getNumNulls == 0L
+          }
+      }
+    } finally r.close()
+  }
+
 }

@@ -975,67 +975,95 @@ object TxTable {
   }
 
   /** RETENTION (DELETE WHERE `col` < `cutoff`), manifest-planned — the
-    * lifecycle op that expires aged data from an append-only table. A
-    * file whose manifest max is below the cutoff drops BY REFERENCE (a
-    * manifest entry — zero data I/O, so expiring a year of history
-    * costs one commit); a file whose bounds straddle the cutoff — or
-    * that carries no stats — is read, filtered exactly, and rewritten
-    * (`layout` shapes the survivors; stats-less files are conservative
-    * rewrites, never silent keeps); every fully-live file carries
-    * untouched. One atomic commit; pinned readers keep their snapshot;
-    * [[vacuum]] reclaims the expired bytes after retention. Loops past
+    * lifecycle op that expires aged data from an append-only table,
+    * with exact SQL semantics: `NULL < cutoff` never matches, so NULL
+    * rows always SURVIVE. A file whose manifest max is below the
+    * cutoff — and whose footer PROVES zero nulls (min/max stats say
+    * nothing about null rows; one footer open per candidate, metadata
+    * not data) — drops BY REFERENCE, so expiring a year of history
+    * costs one commit and footer-only I/O; a file straddling the
+    * cutoff, lacking stats, or holding (possible) nulls next to aged
+    * values is read, filtered exactly (nulls kept), and rewritten
+    * (`layout` shapes the survivors); every fully-live file carries
+    * untouched, nulls and all. One atomic commit; pinned readers keep
+    * their snapshot; [[vacuum]] reclaims the expired bytes. Loops past
     * racing commits (each retry re-plans). `col` must be a LONG or
     * TIMESTAMP column (timestamps compare by epoch micros — the same
     * unit the manifest stats record). Returns
-    * (droppedFiles, rewrittenFiles); (0, 0) with NO commit when
-    * nothing is expired. */
+    * (droppedFiles, rewrittenFiles); (0, 0) with NO commit when the
+    * expiry would change nothing — including when the only rewrite
+    * candidates turn out to hold no expired rows, so a stats-less or
+    * all-null file cannot churn a fresh version per call forever. */
   def expireBelow(spark: SparkSession, dir: String, col: String, cutoff: Long)
                  (layout: DataFrame => DataFrame = identity): (Long, Long) = {
     import org.apache.spark.sql.types.{LongType, TimestampType}
+    val conf = spark.sessionState.newHadoopConf()
     while (true) {
       val snap = snapshot(dir)
-      val files = dataFiles(dir, snap)
-      val dropped = files.collect {
-        case (f, st) if st.get(col).exists(_._2 < cutoff) => f
+      val schema = StructType.fromDDL(snap.schemaDdl)
+      val c = org.apache.spark.sql.functions
+        .col(s"`${col.replace("`", "``")}`")
+      // Validate UP FRONT: an unsupported column type must fail on the
+      // first call, not only when data happens to straddle the cutoff.
+      val live = schema(col).dataType match {
+        case TimestampType =>
+          c.isNull || org.apache.spark.sql.functions.unix_micros(c) >= cutoff
+        case LongType => c.isNull || c >= cutoff
+        case t => throw new IllegalArgumentException(
+          s"expireBelow needs a LONG or TIMESTAMP column; $col is $t")
       }
-      val rewrite = files.collect {
-        case (f, st) if st.get(col).forall(_._1 < cutoff) &&
-          !st.get(col).exists(_._2 < cutoff) => f
+      val files = dataFiles(dir, snap)
+      val (dropped, rewrite) = {
+        val aged = files.collect {
+          case (f, st) if st.get(col).exists(_._2 < cutoff) => f
+        }
+        val (drop, agedWithNulls) =
+          aged.partition(f => ParquetFooterStats.provenNoNulls(conf, f, col))
+        val straddle = files.collect {
+          case (f, st) if st.get(col).forall(_._1 < cutoff) &&
+            !st.get(col).exists(_._2 < cutoff) => f
+        }
+        (drop, agedWithNulls ++ straddle)
       }
       if (dropped.isEmpty && rewrite.isEmpty) return (0L, 0L)
       val removeByDir = (dropped ++ rewrite)
         .groupBy(_.getParent.getFileName.toString)
         .view.mapValues(_.map(_.getFileName.toString)).toMap
+      // Which dirs still hold a live file — from the listing already in
+      // hand (re-walking every dir would double the planning I/O of an
+      // operation sold as zero-data-I/O).
+      def keptDirs: Seq[String] = {
+        val byDir = files.groupBy(_._1.getParent.getFileName.toString)
+        snap.dirs.filter { d =>
+          val rm = removeByDir.getOrElse(d, Nil).toSet
+          byDir.getOrElse(d, Nil).exists(f => !rm(f._1.getFileName.toString))
+        }
+      }
+      def mergedExcludes: Map[String, Seq[String]] =
+        (snap.excludes.keySet ++ removeByDir.keySet).map { d =>
+          d -> (snap.excludes.getOrElse(d, Nil) ++
+            removeByDir.getOrElse(d, Nil)).distinct
+        }.toMap
       try {
-        if (rewrite.isEmpty) {
-          // Drop-only: one manifest claim, zero data I/O. claimFrom
-          // drops the removed files' stats and non-member dirs' state.
-          val merged = (snap.excludes.keySet ++ removeByDir.keySet).map { d =>
-            d -> (snap.excludes.getOrElse(d, Nil) ++
-              removeByDir.getOrElse(d, Nil)).distinct
-          }.toMap
-          val kept = snap.dirs.filter { d =>
-            val ex = merged.getOrElse(d, Nil).toSet
-            listNames(liveDirRoot(dir, snap, d))
-              .exists(n => n.endsWith(".parquet") && !ex(n))
-          }
-          claimFrom(dir, kept, snap.schemaDdl, snap.version + 1,
+        val survivorsOpt =
+          if (rewrite.isEmpty) None
+          else Some(spark.read.schema(schema)
+            .parquet(rewrite.map(_.toString): _*).filter(live))
+        val survivorCnt = survivorsOpt.map(_.count()).getOrElse(0L)
+        if (survivorCnt == 0L) {
+          // Every rewrite candidate's rows are expired too: the whole
+          // removal is one manifest claim, zero data writes.
+          claimFrom(dir, keptDirs, snap.schemaDdl, snap.version + 1,
             snap.stats, snap.sstats, snap.bloomCols, snap.blooms,
-            merged, snap.txns)
+            mergedExcludes, snap.txns)
         } else {
-          val schema = StructType.fromDDL(snap.schemaDdl)
-          val c = org.apache.spark.sql.functions
-            .col(s"`${col.replace("`", "``")}`")
-          val live = schema(col).dataType match {
-            case TimestampType => org.apache.spark.sql.functions.unix_micros(c) >= cutoff
-            case LongType => c >= cutoff
-            case t => throw new IllegalArgumentException(
-              s"expireBelow needs a LONG or TIMESTAMP column; $col is $t")
-          }
-          val survivors = layout(
-            spark.read.schema(schema).parquet(rewrite.map(_.toString): _*)
-              .filter(live))
-          val u = stage(dir, survivors)
+          // Anything actually expired among the rewrite candidates? If
+          // not — stats-less or all-null files that keep every row —
+          // and nothing drops, there is NOTHING to commit.
+          val inputCnt = spark.read.schema(schema)
+            .parquet(rewrite.map(_.toString): _*).count()
+          if (dropped.isEmpty && survivorCnt == inputCnt) return (0L, 0L)
+          val u = stage(dir, layout(survivorsOpt.get))
           val newBlooms = harvestBlooms(spark, dir, u, schema, snap.bloomCols)
           commitStagedFrom(dir, u, schema, snap, carryDirs = true,
             removeFiles = removeByDir, knownBlooms = newBlooms)

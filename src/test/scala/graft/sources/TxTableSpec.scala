@@ -357,6 +357,34 @@ class TxTableSpec extends SparkSpec {
     assert(TxTable.read(spark, dir).columns.toSeq == Seq("k"))
   }
 
+  test("expireBelow: NULL keys survive (SQL semantics); null-bearing files never drop blind") {
+    val dir = tmp()
+    TxTable.init(spark, dir, schema)
+    // Aged values NEXT TO a null: min/max stats alone would call this
+    // file fully aged, but NULL < cutoff never matches — footer
+    // null-proof must route it to the exact rewrite.
+    TxTable.overwrite(spark, dir,
+      Seq((Option(1L), 1L), (Option(2L), 2L), (Option.empty[Long], 3L))
+        .toDF("k", "v").coalesce(1))
+    TxTable.append(spark, dir,
+      Seq((3L, 30L), (4L, 40L)).toDF("k", "v").coalesce(1)) // aged, null-free
+    TxTable.append(spark, dir,
+      Seq((100L, 5L)).toDF("k", "v").coalesce(1)) // fully live
+    val (d, r) = TxTable.expireBelow(spark, dir, "k", 50L)()
+    assert((d, r) == ((1L, 1L)),
+      s"expected the null-free aged file dropped + the null-bearing one rewritten, got ($d, $r)")
+    val got = TxTable.read(spark, dir).orderBy("v")
+      .collect().map(x => (Option(x.get(0)), x.getLong(1))).toSeq
+    assert(got == Seq((None, 3L), (Some(100L), 5L)),
+      s"NULL row must survive the expiry, live rows untouched: $got")
+    // Steady state: the surviving all-null rewrite output has no k
+    // stats, but a re-expiry that would change nothing commits nothing.
+    val v = TxTable.snapshot(dir).version
+    assert(TxTable.expireBelow(spark, dir, "k", 50L)() == ((0L, 0L)))
+    assert(TxTable.snapshot(dir).version == v,
+      "a no-change expiry committed a new version")
+  }
+
   test("appends keep the table's declared column order (new columns last)") {
     val dir = tmp()
     TxTable.init(spark, dir, schema)
