@@ -1,5 +1,6 @@
 package graft.operators
 
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.TxTable
@@ -198,28 +199,31 @@ object PQIndexTx {
     * hit files arbitrates. Returns (rewrittenFiles, totalFiles). */
   def deleteIds(spark: SparkSession, dir: String, ids: Seq[Long]): (Long, Long) = {
     val cd = codesDir(dir)
-    val before = TxTable.snapshot(cd)
-    val schema = org.apache.spark.sql.types.StructType.fromDDL(before.schemaDdl)
+    val schema = org.apache.spark.sql.types.StructType
+      .fromDDL(TxTable.snapshot(cd).schemaDdl)
     val empty = spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-    val res = graft.sources.PrunedReplace.replaceKeys(spark, cd, "vec_id",
-      ids.toArray, empty)
+    val st = graft.sources.PrunedReplace.stageReplaceWith(
+      spark, cd, "vec_id", ids.toArray)(_ => empty)
+    st.commit()
     // The replace stages its rewrite dir clustered on vec_id only —
     // restore the (cell, vec_id) layout the probed-cell scan prunes by,
-    // folding JUST the new dir (delta-bounded; without this, the
+    // folding EXACTLY the staged dir (the uuid pins it: a snapshot diff
+    // could catch a concurrent appender's dirs; without the fold, the
     // steady-state compaction guard would rightly skip a lone level-0
-    // dir and the rewrite would stay cell-unclustered forever).
-    val after = TxTable.snapshot(cd)
-    val fresh = after.dirs.filterNot(before.dirs.contains)
-    if (fresh.nonEmpty)
+    // dir and the rewrite would stay cell-unclustered forever). Skip
+    // when the replace hit nothing worth re-laying (no files staged).
+    val files = java.nio.file.Files.list(
+      java.nio.file.Paths.get(TxTable.stagedPath(cd, st.uuid)))
+    val n = try files.iterator().asScala.count(_.toString.endsWith(".parquet"))
+            finally files.close()
+    if (n > 0)
       try {
-        val freshSet = fresh.toSet
-        val n = TxTable.dataFiles(cd, after)
-          .count(f => freshSet(f._1.getParent.getFileName.toString))
-        TxTable.compactDirs(spark, cd, after, fresh)(
-          clustered(_, math.max(1, n)))
+        val snap = TxTable.snapshot(cd)
+        if (snap.dirs.contains(st.uuid))
+          TxTable.compactDirs(spark, cd, snap, Seq(st.uuid))(clustered(_, n))
       } catch { case _: TxTable.ConcurrentCommitException => () } // next fold repairs
-    res
+    (st.rewrittenFiles, st.totalFiles)
   }
 
   /** PARTIAL OPTIMIZE of the codes table: fold every level-0 dir (all

@@ -1044,32 +1044,39 @@ object TxTable {
           d -> (snap.excludes.getOrElse(d, Nil) ++
             removeByDir.getOrElse(d, Nil)).distinct
         }.toMap
+      val survivorsOpt =
+        if (rewrite.isEmpty) None
+        else Some(spark.read.schema(schema)
+          .parquet(rewrite.map(_.toString): _*).filter(live)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       try {
-        val survivorsOpt =
-          if (rewrite.isEmpty) None
-          else Some(spark.read.schema(schema)
-            .parquet(rewrite.map(_.toString): _*).filter(live))
+        // ONE data read over the rewrite candidates: the count below
+        // materializes the cached survivors the stage write then reuses.
         val survivorCnt = survivorsOpt.map(_.count()).getOrElse(0L)
         if (survivorCnt == 0L) {
           // Every rewrite candidate's rows are expired too: the whole
-          // removal is one manifest claim, zero data writes.
+          // removal is one manifest claim, zero data writes — and zero
+          // files REWRITTEN, whatever the planning classified.
           claimFrom(dir, keptDirs, snap.schemaDdl, snap.version + 1,
             snap.stats, snap.sstats, snap.bloomCols, snap.blooms,
             mergedExcludes, snap.txns)
-        } else {
-          // Anything actually expired among the rewrite candidates? If
-          // not — stats-less or all-null files that keep every row —
-          // and nothing drops, there is NOTHING to commit.
-          val inputCnt = spark.read.schema(schema)
-            .parquet(rewrite.map(_.toString): _*).count()
-          if (dropped.isEmpty && survivorCnt == inputCnt) return (0L, 0L)
-          val u = stage(dir, layout(survivorsOpt.get))
-          val newBlooms = harvestBlooms(spark, dir, u, schema, snap.bloomCols)
-          commitStagedFrom(dir, u, schema, snap, carryDirs = true,
-            removeFiles = removeByDir, knownBlooms = newBlooms)
+          return ((dropped.size + rewrite.size).toLong, 0L)
         }
+        // Anything actually expired among the rewrite candidates? If
+        // not — stats-less or all-null files that keep every row — and
+        // nothing drops, there is NOTHING to commit. (The extra count
+        // job runs only when it can decide something: dropped.nonEmpty
+        // already forces a commit.)
+        if (dropped.isEmpty && survivorCnt == spark.read.schema(schema)
+            .parquet(rewrite.map(_.toString): _*).count())
+          return (0L, 0L)
+        val u = stage(dir, layout(survivorsOpt.get))
+        val newBlooms = harvestBlooms(spark, dir, u, schema, snap.bloomCols)
+        commitStagedFrom(dir, u, schema, snap, carryDirs = true,
+          removeFiles = removeByDir, knownBlooms = newBlooms)
         return (dropped.size.toLong, rewrite.size.toLong)
       } catch { case _: ConcurrentCommitException => () } // re-plan
+      finally survivorsOpt.foreach(_.unpersist(blocking = false))
     }
     (0L, 0L) // unreachable
   }
