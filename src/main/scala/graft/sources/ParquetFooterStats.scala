@@ -112,15 +112,37 @@ object ParquetFooterStats {
     } finally r.close()
   }
 
+  /** [[provenNoNulls]] verdicts, cached process-wide: data files are
+    * immutable in this table format, so a (file, column) proof never
+    * changes — a retention retry loop or a scheduled re-expiry must
+    * not re-open the same footers. Entries are a boolean each; the
+    * size bound is a leak backstop (vacuumed files leave dead keys),
+    * not a working-set tuning knob. */
+  private val noNullsCache =
+    new java.util.concurrent.ConcurrentHashMap[(java.nio.file.Path, String), java.lang.Boolean]()
+  private val MaxNoNullsEntries = 1000000
+
   /** TRUE only when the footer PROVES `column` has zero nulls — every
     * row group's stats present with a SET null count of 0. Unknown
     * (missing chunk, absent stats, unset count) is false: callers use
     * this as a safety proof (e.g. [[TxTable.expireBelow]]'s
     * drop-by-reference needs it because min/max stats say nothing
     * about null rows, and SQL's `col < cutoff` never matches NULL).
-    * One footer open — metadata I/O, no data pages. */
+    * One footer open per (file, column) PROCESS-WIDE — metadata I/O,
+    * no data pages, cached because files are immutable. */
   def provenNoNulls(conf: org.apache.hadoop.conf.Configuration,
                     file: java.nio.file.Path, column: String): Boolean = {
+    val key = (file, column)
+    val cached = noNullsCache.get(key)
+    if (cached != null) return cached.booleanValue()
+    val v = provenNoNullsUncached(conf, file, column)
+    if (noNullsCache.size() >= MaxNoNullsEntries) noNullsCache.clear()
+    noNullsCache.put(key, java.lang.Boolean.valueOf(v))
+    v
+  }
+
+  private def provenNoNullsUncached(conf: org.apache.hadoop.conf.Configuration,
+                                    file: java.nio.file.Path, column: String): Boolean = {
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
       new org.apache.hadoop.fs.Path(file.toUri), conf)
     val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
