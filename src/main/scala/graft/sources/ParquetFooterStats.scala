@@ -63,20 +63,25 @@ object ParquetFooterStats {
                  columns: Seq[String]): Map[String, (Long, Long)] =
     allRanges(conf, file, columns, Seq.empty)._1
 
-  /** Long AND string ranges with ONE footer open (the commit-time
-    * harvest needs both; per-kind opens would double the footer I/O). */
+  /** Long AND string ranges — plus the requested columns PROVEN
+    * null-free (every row group's stats carry a SET null count of 0;
+    * min/max say nothing about nulls, so consumers with NULL-sensitive
+    * semantics, e.g. retention's drop-by-reference, need the explicit
+    * proof) — with ONE footer open (the commit-time harvest needs all
+    * three; per-kind opens would multiply the footer I/O). */
   def allRanges(conf: org.apache.hadoop.conf.Configuration,
                 file: java.nio.file.Path,
                 longColumns: Seq[String], stringColumns: Seq[String])
-      : (Map[String, (Long, Long)], Map[String, (String, String)]) = {
-    if (longColumns.isEmpty && stringColumns.isEmpty) return (Map.empty, Map.empty)
+      : (Map[String, (Long, Long)], Map[String, (String, String)], Seq[String]) = {
+    if (longColumns.isEmpty && stringColumns.isEmpty)
+      return (Map.empty, Map.empty, Seq.empty)
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
       new org.apache.hadoop.fs.Path(file.toUri), conf)
     val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
     try {
       val blocks = r.getFooter.getBlocks.toArray
         .map(_.asInstanceOf[org.apache.parquet.hadoop.metadata.BlockMetaData])
-      if (blocks.isEmpty) return (Map.empty, Map.empty)
+      if (blocks.isEmpty) return (Map.empty, Map.empty, Seq.empty)
       // Every row group's stats for column `c` with primitive `prim`,
       // or None when any block lacks usable stats (strict per-block —
       // see object doc).
@@ -108,7 +113,18 @@ object ParquetFooterStats {
             stats.map(_.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary]
               .toStringUsingUTF8).max(Utf8Ordering)) }
       }.toMap
-      (longs, strings)
+      val noNulls = (longColumns ++ stringColumns).filter { c =>
+        blocks.forall { b =>
+          b.getColumns.toArray
+            .map(_.asInstanceOf[org.apache.parquet.hadoop.metadata.ColumnChunkMetaData])
+            .find(_.getPath.toDotString == c)
+            .exists { m =>
+              val s = m.getStatistics
+              s != null && !s.isEmpty && s.isNumNullsSet && s.getNumNulls == 0L
+            }
+        }
+      }
+      (longs, strings, noNulls)
     } finally r.close()
   }
 

@@ -105,7 +105,8 @@ object TxTable {
                             bloomCols: Seq[String] = Nil,
                             blooms: Map[String, Seq[String]] = Map.empty,
                             excludes: Map[String, Seq[String]] = Map.empty,
-                            txns: Map[String, Long] = Map.empty)
+                            txns: Map[String, Long] = Map.empty,
+                            nonulls: Map[String, Seq[String]] = Map.empty)
 
   final class ConcurrentCommitException(version: Long)
     extends RuntimeException(
@@ -175,7 +176,7 @@ object TxTable {
           (m \ "schema").extract[String],
           (m \ "dirs").extract[Seq[String]],
           parseStats(m), parseSStats(m), parseBloomCols(m), parseBlooms(m),
-          parseExcludes(m), parseTxns(m))
+          parseExcludes(m), parseTxns(m), parseNonulls(m))
       }
     }
     throw new IllegalStateException(
@@ -200,6 +201,16 @@ object TxTable {
     (m \ "bloomCols") match {
       case org.json4s.JNothing | org.json4s.JNull => Nil
       case js => js.extract[Seq[String]]
+    }
+  }
+
+  /** Per-file proven-null-free column listing; absent (pre-nonulls
+    * commits) → empty — consumers fall back to a footer proof. */
+  private def parseNonulls(m: org.json4s.JValue): Map[String, Seq[String]] = {
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    (m \ "nonulls") match {
+      case org.json4s.JNothing | org.json4s.JNull => Map.empty
+      case js => js.extract[Map[String, Seq[String]]]
     }
   }
 
@@ -250,7 +261,8 @@ object TxTable {
   private def statsFor(dir: String, uuid: String, schema: StructType,
                        exclude: String => Boolean = _ => false)
       : (Map[String, Map[String, (Long, Long)]],
-         Map[String, Map[String, (String, String)]]) = {
+         Map[String, Map[String, (String, String)]],
+         Map[String, Seq[String]]) = {
     val longCols = schema.fields.collect {
       case f if f.dataType == org.apache.spark.sql.types.LongType ||
                 f.dataType == org.apache.spark.sql.types.TimestampType ||
@@ -259,9 +271,10 @@ object TxTable {
     val stringCols = schema.fields.collect {
       case f if f.dataType == org.apache.spark.sql.types.StringType => f.name
     }.toSeq
-    if (longCols.isEmpty && stringCols.isEmpty) return (Map.empty, Map.empty)
+    if (longCols.isEmpty && stringCols.isEmpty)
+      return (Map.empty, Map.empty, Map.empty)
     val root = Paths.get(stagedPath(dir, uuid))
-    if (!Files.isDirectory(root)) return (Map.empty, Map.empty)
+    if (!Files.isDirectory(root)) return (Map.empty, Map.empty, Map.empty)
     val conf = new org.apache.hadoop.conf.Configuration()
     val perFile = listNames(root)
       .filter(n => n.endsWith(".parquet") && !exclude(n)).map { name =>
@@ -273,12 +286,16 @@ object TxTable {
     // them) — keep only key-shaped bounds. Skipping is always safe: a
     // file absent from sstats is a conservative hit by contract.
     val maxBound = 128
-    (perFile.collect { case (k, (l, _)) if l.nonEmpty => k -> l }.toMap,
-     perFile.flatMap { case (k, (_, s)) =>
+    (perFile.collect { case (k, (l, _, _)) if l.nonEmpty => k -> l }.toMap,
+     perFile.flatMap { case (k, (_, s, _)) =>
        val kept = s.filter { case (_, (lo, hi)) =>
          lo.length <= maxBound && hi.length <= maxBound }
        if (kept.isEmpty) None else Some(k -> kept)
-     }.toMap)
+     }.toMap,
+     // Proven-null-free columns per file: what lets NULL-sensitive
+     // consumers (expireBelow's drop-by-reference) plan from the
+     // manifest alone — the same footer open harvested it.
+     perFile.collect { case (k, (_, _, nn)) if nn.nonEmpty => k -> nn }.toMap)
   }
 
   /** Bloom sizing: target false-positive rate, and the per-dir row
@@ -640,7 +657,8 @@ object TxTable {
                         bloomCols: Seq[String] = Nil,
                         blooms: Map[String, Seq[String]] = Map.empty,
                         excludes: Map[String, Seq[String]] = Map.empty,
-                        txns: Map[String, Long] = Map.empty)
+                        txns: Map[String, Long] = Map.empty,
+                        nonulls: Map[String, Seq[String]] = Map.empty)
       : Snapshot = {
     // A manifest only carries metadata for its own member dirs (a
     // replace drops the replaced dirs' filters and exclusions; the
@@ -663,13 +681,14 @@ object TxTable {
     }
     val liveStats = dropExcluded(stats)
     val liveSStats = dropExcluded(sstats)
+    val liveNonulls = dropExcluded(nonulls)
     var next = firstCandidate
     while (true) {
       try {
         writeCommit(commitFile(dir, next), schemaDdl, dirs, liveStats, liveSStats,
-          bloomCols, liveBlooms, liveExcludes, txns)
+          bloomCols, liveBlooms, liveExcludes, txns, liveNonulls)
         return Snapshot(next, schemaDdl, dirs, liveStats, liveSStats,
-          bloomCols, liveBlooms, liveExcludes, txns)
+          bloomCols, liveBlooms, liveExcludes, txns, liveNonulls)
       } catch { case _: FileAlreadyExistsException =>
         val existing = commitFile(dir, next)
         if (Files.exists(existing) && Files.size(existing) == 0L)
@@ -725,15 +744,16 @@ object TxTable {
           org.apache.spark.sql.functions.col(s"`${n.replace("`", "``")}`")): _*)
       }
     val u = stage(dir, df)
-    val (newStats, newSStats) = statsFor(dir, u, df.schema)
+    val (newStats, newSStats, newNonulls) = statsFor(dir, u, df.schema)
     val newBlooms = harvestBlooms(spark, dir, u, df.schema, expected.bloomCols)
     val dirs = (if (keepExisting) expected.dirs else Seq.empty) :+ u
     val stats = (if (keepExisting) expected.stats else Map.empty[String, Map[String, (Long, Long)]]) ++ newStats
     val sstats = (if (keepExisting) expected.sstats else Map.empty[String, Map[String, (String, String)]]) ++ newSStats
+    val nonulls = (if (keepExisting) expected.nonulls else Map.empty[String, Seq[String]]) ++ newNonulls
     try claimFrom(dir, dirs, df.schema.toDDL, expected.version + 1, stats, sstats,
       expected.bloomCols, expected.blooms ++ newBlooms,
       if (keepExisting) expected.excludes else Map.empty,
-      expected.txns ++ txnUpdate)
+      expected.txns ++ txnUpdate, nonulls)
     catch { case e: ConcurrentCommitException =>
       deleteRec(Paths.get(dir, "data", u)) // lost the race: our data never became visible
       throw e
@@ -823,7 +843,7 @@ object TxTable {
     * without rewriting data. */
   def commitStaged(spark: SparkSession, dir: String, uuid: String,
                    schema: StructType, keepExisting: Boolean = false): Snapshot = {
-    val (newStats, newSStats) = statsFor(dir, uuid, schema) // once — not per retry
+    val (newStats, newSStats, newNonulls) = statsFor(dir, uuid, schema) // once — not per retry
     val newBlooms = // once — the property can't change mid-claim (single writer)
       harvestBlooms(spark, dir, uuid, schema, snapshot(dir).bloomCols)
     // Appends keep the table's declared column ORDER in the manifest
@@ -845,7 +865,8 @@ object TxTable {
         (if (keepExisting) s.stats else Map.empty[String, Map[String, (Long, Long)]]) ++ newStats,
         (if (keepExisting) s.sstats else Map.empty[String, Map[String, (String, String)]]) ++ newSStats,
         s.bloomCols, s.blooms ++ newBlooms,
-        if (keepExisting) s.excludes else Map.empty, s.txns)
+        if (keepExisting) s.excludes else Map.empty, s.txns,
+        (if (keepExisting) s.nonulls else Map.empty[String, Seq[String]]) ++ newNonulls)
     }
   }
 
@@ -879,7 +900,7 @@ object TxTable {
                        carryDirs: Boolean = false,
                        removeFiles: Map[String, Seq[String]] = Map.empty,
                        knownBlooms: Map[String, Seq[String]] = Map.empty): Snapshot = {
-    val (newStats, newSStats) = statsFor(dir, uuid, schema, harvestExclude)
+    val (newStats, newSStats, newNonulls) = statsFor(dir, uuid, schema, harvestExclude)
     // No harvest on the replace path (no SparkSession here): the
     // property carries; carried dirs KEEP their filters — after removals
     // they are supersets, which only costs false positives, never a
@@ -905,7 +926,8 @@ object TxTable {
       (if (carryDirs) expected.stats else Map.empty[String, Map[String, (Long, Long)]]) ++ knownStats ++ newStats,
       (if (carryDirs) expected.sstats else Map.empty[String, Map[String, (String, String)]]) ++ knownSStats ++ newSStats,
       expected.bloomCols, expected.blooms ++ knownBlooms, excludes,
-      expected.txns)
+      expected.txns,
+      (if (carryDirs) expected.nonulls else Map.empty[String, Seq[String]]) ++ newNonulls)
     catch { case e: ConcurrentCommitException =>
       deleteRec(Paths.get(stagedPath(dir, uuid))) // never became visible
       throw e
@@ -1017,8 +1039,15 @@ object TxTable {
         val aged = files.collect {
           case (f, st) if st.get(col).exists(_._2 < cutoff) => f
         }
-        val (drop, agedWithNulls) =
-          aged.partition(f => ParquetFooterStats.provenNoNulls(conf, f, col))
+        // Null-proof from the MANIFEST when the commit-time harvest
+        // recorded it (fresh tables: zero footer opens here); footer
+        // fallback (cached, metadata-only) for pre-nonulls commits.
+        def nullFree(f: Path): Boolean = {
+          val key = s"${f.getParent.getFileName}/${f.getFileName}"
+          snap.nonulls.getOrElse(key, Nil).contains(col) ||
+            ParquetFooterStats.provenNoNulls(conf, f, col)
+        }
+        val (drop, agedWithNulls) = aged.partition(nullFree)
         val straddle = files.collect {
           case (f, st) if st.get(col).forall(_._1 < cutoff) &&
             !st.get(col).exists(_._2 < cutoff) => f
@@ -1059,7 +1088,7 @@ object TxTable {
           // files REWRITTEN, whatever the planning classified.
           claimFrom(dir, keptDirs, snap.schemaDdl, snap.version + 1,
             snap.stats, snap.sstats, snap.bloomCols, snap.blooms,
-            mergedExcludes, snap.txns)
+            mergedExcludes, snap.txns, snap.nonulls)
           return ((dropped.size + rewrite.size).toLong, 0L)
         }
         // Anything actually expired among the rewrite candidates? If
@@ -1175,7 +1204,8 @@ object TxTable {
       // restore removed must be replayable, and a carried-forward
       // watermark would no-op that replay and lose the rows for good.
       else claimFrom(dir, dirs, ddl, s.version + 1, parseStats(m), parseSStats(m),
-        parseBloomCols(m), parseBlooms(m), parseExcludes(m), parseTxns(m))
+        parseBloomCols(m), parseBlooms(m), parseExcludes(m), parseTxns(m),
+        parseNonulls(m))
     }
   }
 
@@ -1406,7 +1436,8 @@ object TxTable {
                           bloomCols: Seq[String] = Nil,
                           blooms: Map[String, Seq[String]] = Map.empty,
                           excludes: Map[String, Seq[String]] = Map.empty,
-                          txns: Map[String, Long] = Map.empty): Unit = {
+                          txns: Map[String, Long] = Map.empty,
+                          nonulls: Map[String, Seq[String]] = Map.empty): Unit = {
     implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
     val statsJson = stats.map { case (f, cols) =>
       f -> cols.map { case (c, (lo, hi)) => c -> Seq(lo, hi) }
@@ -1417,7 +1448,7 @@ object TxTable {
     val json = org.json4s.jackson.Serialization.write(
       Map("schema" -> schemaDdl, "dirs" -> dirs, "stats" -> statsJson,
         "sstats" -> sstatsJson, "bloomCols" -> bloomCols, "blooms" -> blooms,
-        "excludes" -> excludes, "txns" -> txns))
+        "excludes" -> excludes, "txns" -> txns, "nonulls" -> nonulls))
     // Content must be durable BEFORE the claim: write the manifest to a
     // private temp name, then claim the version with link(2) — atomic
     // and create-exclusive (fails EEXIST), and the commit file is

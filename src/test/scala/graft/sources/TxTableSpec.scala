@@ -370,6 +370,15 @@ class TxTableSpec extends SparkSpec {
       Seq((3L, 30L), (4L, 40L)).toDF("k", "v").coalesce(1)) // aged, null-free
     TxTable.append(spark, dir,
       Seq((100L, 5L)).toDF("k", "v").coalesce(1)) // fully live
+    // The commit-time harvest records the null proof in the manifest
+    // (one map lookup at expiry planning — zero footer opens for
+    // fresh tables): the null-free files prove both columns, the
+    // null-bearing file proves only v.
+    val nn = TxTable.snapshot(dir).nonulls
+    val byProof = nn.toSeq.flatMap { case (f, cols) => cols.map(c => (c, f)) }
+      .groupBy(_._1).view.mapValues(_.size).toMap
+    assert(byProof.getOrElse("v", 0) == 3, s"v should prove null-free in all 3 files: $nn")
+    assert(byProof.getOrElse("k", 0) == 2, s"k should prove null-free in 2 of 3 files: $nn")
     val (d, r) = TxTable.expireBelow(spark, dir, "k", 50L)()
     assert((d, r) == ((1L, 1L)),
       s"expected the null-free aged file dropped + the null-bearing one rewritten, got ($d, $r)")
