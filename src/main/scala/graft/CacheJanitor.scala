@@ -53,8 +53,18 @@ object CacheJanitor {
     // Resolve the sentinel's QueryExecution BEFORE registering so the
     // listener can recognize its event; run it AFTER registering so the
     // event is guaranteed to be delivered (FIFO) behind any in-flight
-    // body-side completion.
-    val sentinel = spark.emptyDataFrame
+    // body-side completion. The sentinel MUST be a freshly constructed
+    // Dataset: `spark.emptyDataFrame` is a session-cached lazy val, so
+    // reusing it pins `sentinelQe.id` to the id allocated at the
+    // session's FIRST use — every later registration would compare
+    // against a stale-small id and the `qe.id > sentinelQe.id` gate
+    // below would pass for in-flight body-side completions, releasing
+    // the caches before the caller's terminal action. A fresh empty
+    // LocalRelation allocates its QueryExecution id HERE, after every
+    // body-side execution already holds a smaller one.
+    val sentinel = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      new org.apache.spark.sql.types.StructType())
     val sentinelQe = sentinel.queryExecution
     val armed = new AtomicBoolean(false)
     val listener = new QueryExecutionListener {

@@ -1225,8 +1225,10 @@ object TxTable {
     * paper over). Any other I/O failure propagates: treating an
     * EACCES/stale-handle error as "size 0" would silently classify a
     * real commit as a dead claim in [[versions]] or mis-size a live
-    * dir in [[levelZeroDirs]]. */
-  private def sizeOrZero(p: Path): Long =
+    * dir in [[levelZeroDirs]]. Exposed package-wide so maintenance
+    * planners sizing a snapshot's listing (EventStore.compactFacts)
+    * tolerate the same list-then-stat vacuum race. */
+  private[graft] def sizeOrZero(p: Path): Long =
     try Files.size(p) catch { case _: java.nio.file.NoSuchFileException => 0L }
 
   private[sources] def snapshotAt(dir: String, version: Long): Snapshot = {

@@ -88,15 +88,19 @@ class TxTableStreamProvider extends StreamSourceProvider with StreamSinkProvider
     *     Spark's own file sink derives from the checkpoint).
     *   - `bloomCols` (comma-separated): registered at auto-init when
     *     the sink creates the table.
-    *   - `logRetainCommits` (default 1000; 0 disables): log-only
-    *     retention — after each batch the sink trims manifests older
-    *     than the newest N real commits ([[TxTable.trimLog]]), so a
-    *     long-running one-commit-per-batch sink keeps `_log` bounded
-    *     instead of making every snapshot's directory listing
-    *     O(batches ever run). Data is untouched. Downstream
-    *     graft-txtable STREAM consumers of the sunk table must stay
-    *     within N commits of the head (Delta documents the same for
-    *     its log retention); raise it for laggy consumers.
+    *   - `logRetainCommits` (default 0 = trimming OFF): opt-in
+    *     log-only retention — after each batch the sink trims
+    *     manifests older than the newest N real commits
+    *     ([[TxTable.trimLog]]), so a long-running one-commit-per-batch
+    *     sink keeps `_log` bounded instead of making every snapshot's
+    *     directory listing O(batches ever run). Data is untouched.
+    *     OPT-IN because trimming silently deletes manifest history: a
+    *     downstream graft-txtable STREAM consumer or a
+    *     `startingVersion`/time-travel read more than N commits behind
+    *     the head fails once its version is trimmed (Delta documents
+    *     the same hazard for its log retention). Set it only when
+    *     every consumer provably stays within N commits; size N above
+    *     the laggiest consumer's worst backlog.
     * Output modes: Append → idempotent append; Complete → idempotent
     * whole-table replace. Update is rejected (a keyed upsert needs the
     * caller's merge semantics — use foreachBatch + TxTable.merge).
@@ -118,7 +122,7 @@ class TxTableStreamProvider extends StreamSourceProvider with StreamSinkProvider
           "option(\"txnAppId\", ...) or a checkpointLocation"))
     val bloomCols = parameters.get("bloomCols")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
-    val logRetain = parameters.get("logRetainCommits").map(_.toInt).getOrElse(1000)
+    val logRetain = parameters.get("logRetainCommits").map(_.toInt).getOrElse(0)
     require(logRetain >= 0,
       s"logRetainCommits must be >= 0 (0 disables trimming), got $logRetain")
     new TxTableSink(
@@ -131,7 +135,7 @@ class TxTableStreamProvider extends StreamSourceProvider with StreamSinkProvider
 private[sources] final class TxTableSink(
     spark: org.apache.spark.sql.classic.SparkSession, dir: String,
     appId: String, complete: Boolean, bloomCols: Seq[String],
-    logRetainCommits: Int = 1000) extends Sink {
+    logRetainCommits: Int = 0) extends Sink {
 
   override def addBatch(batchId: Long, data: org.apache.spark.sql.DataFrame): Unit = {
     // The engine hands addBatch a STREAMING-marked frame; re-wrap its

@@ -111,7 +111,11 @@ final class EventStore(root: String) {
     val present: DataFrame =
       if (keyType != LongType && keyType != StringType) exact
       else {
-        val keyRows = up.select(key).limit(MaxProbeKeys + 1).collect()
+        // NULL keys never equi-match, so they are dropped from the probe
+        // set (getLong/getString would NPE on them); the anti-join below
+        // keeps their rows "fresh" exactly as the exact fallback would.
+        val keyRows =
+          up.select(key).na.drop(Seq(key)).limit(MaxProbeKeys + 1).collect()
         if (keyRows.length > MaxProbeKeys) exact
         else if (keyType == LongType)
           TxTable.lookupKeys(spark, d, key,
@@ -443,7 +447,9 @@ final class EventStore(root: String) {
       // shape exists to avoid.
       val small = snap.dirs.filter { dd =>
         perDir.get(dd).exists { fs =>
-          val bytes = fs.map(f => Files.size(f._1)).sum
+          // Vanish-tolerant: a concurrent vacuum may retire a listed
+          // file between list and stat; sizing it 0 only re-plans.
+          val bytes = fs.map(f => TxTable.sizeOrZero(f._1)).sum
           val bins = math.max(1L, (bytes + targetBytes - 1) / targetBytes)
           // Multi-file dirs under one full bin are raw appends worth
           // clustering even when their file count is already minimal
@@ -455,7 +461,7 @@ final class EventStore(root: String) {
         }
       }
       val smallFiles = small.flatMap(perDir.getOrElse(_, Nil))
-      val smallBytes = smallFiles.map(f => Files.size(f._1)).sum
+      val smallBytes = smallFiles.map(f => TxTable.sizeOrZero(f._1)).sum
       val parts = math.max(1L, (smallBytes + targetBytes - 1) / targetBytes).toInt
       if (small.isEmpty || smallFiles.size <= parts) done = true
       else {
