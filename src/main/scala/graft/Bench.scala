@@ -7,7 +7,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // 5 reps (was 3): with sub-second medians on a noisy shared host,
+    // 3-rep medians gave a 3.14x worst spread in round 11 and made
+    // round-over-round deltas below ~1.5x unfalsifiable. 5 reps let the
+    // spread stats drop the single best and worst sample (host-load
+    // spikes land in ONE rep, not three) while the median stays the
+    // median.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "5").toInt
     // Optional comma-separated query-name filter for local A/B loops
     // (unset = the full suite; the driver's per-round runs leave it
     // unset, so round artifacts always cover every query).
@@ -111,18 +117,31 @@ object Bench {
     // transient host-load window (one wild rep) without re-running.
     val rawJson = raw.map { case (k, ts) => s"\"" + k + "\":" + ts.mkString("[", ",", "]") }
       .mkString("{", ",", "}")
-    // Per-query [min, median, max]: the spread a reader needs before
-    // attributing a cross-round delta to a code change — this host's
-    // same-code suite totals have swung 79–129 s, and a query whose own
-    // max/min ratio covers the delta is host noise, not a regression.
-    val spreadJson = raw.map { case (k, ts) =>
+    // TRIMMED samples: with >= 5 reps, drop the single fastest and
+    // slowest before computing spread — a transient host-load spike
+    // lands in one rep, and including it made worst_spread measure the
+    // host, not the engine (3.14x in round 11 on a 0.6 s query). The
+    // median is unchanged by the trim; reps_raw keeps every sample.
+    def core(ts: Seq[Double]): Seq[Double] = {
       val sorted = ts.sorted
+      if (sorted.size >= 5) sorted.slice(1, sorted.size - 1) else sorted
+    }
+    // Per-query [min, median, max] over the trimmed core: the spread a
+    // reader needs before attributing a cross-round delta to a code
+    // change — a query whose own max/min ratio covers the delta is host
+    // noise, not a regression.
+    val spreadJson = raw.map { case (k, ts) =>
+      val sorted = core(ts)
       s"\"" + k + "\":[" + sorted.head + "," + sorted(sorted.size / 2) + "," + sorted.last + "]"
     }.mkString("{", ",", "}")
-    // The widest relative spread, surfaced in the compact line so the
-    // noise floor is visible even where only the tail survives capture.
+    // The widest relative spread over the trimmed core, surfaced in the
+    // compact line so the noise floor is visible even where only the
+    // tail survives capture.
     val worstSpread = raw.toSeq
-      .map { case (k, ts) => (k, if (ts.min > 0) ts.max / ts.min else 1.0) }
+      .map { case (k, ts) =>
+        val c = core(ts)
+        (k, if (c.min > 0) c.max / c.min else 1.0)
+      }
       .sortBy(-_._2).headOption
     val worstJson = worstSpread
       .map { case (k, r) => s""","worst_spread":{"query":"${esc(k)}","max_over_min":${math.round(r * 100) / 100.0}}""" }

@@ -304,6 +304,11 @@ object DedupIndex {
     // per-append overhead (stage writes, commit claims). Opt-in stderr
     // dump via GRAFT_PHASE_TIMINGS=1.
     val phases = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    // Commit-time metadata-harvest attribution: the footer/bloom work
+    // is INSIDE the stage/commit phases above it; publishing its exact
+    // total as a pseudo-phase (below) splits "manifest-planning write
+    // amplification" from the jobs proper without an env-gated A/B.
+    val harvestMark = TxTable.harvestNanos.get()
     var mark = System.nanoTime()
     def phase(name: String): Unit = {
       val now = System.nanoTime()
@@ -778,6 +783,11 @@ object DedupIndex {
       fold("components")(_.repartitionByRange(col("doc_id"))
         .sortWithinPartitions(col("doc_id")))
     }
+    // Pseudo-phase (wall-time OVERLAP of the phases above, not an
+    // addition): commit-time footer/bloom harvest across all staged
+    // tables this append touched.
+    phases += "commit_harvest" ->
+      (TxTable.harvestNanos.get() - harvestMark) / 1e9
     if (sys.env.get("GRAFT_PHASE_TIMINGS").exists(Set("1", "2")))
       System.err.println(phases.map { case (n, s) => f"$n=$s%.3fs" }
         .mkString("DedupIndex.append phases: ", " ", ""))
@@ -809,6 +819,47 @@ object DedupIndex {
         when(col("df") > cap, lit(null))
           .otherwise(array_sort(col("allids"))).as("ids"),
         col("df"))
+
+  /** OPT-IN BUCKETED layout for the groups segments — the 100 TB
+    * exchange-free fold the LSM notes promise, now exercised instead
+    * of asserted. Segments land in ONE sh-bucketed, in-bucket-sorted
+    * session-catalog table (every append pays its hash shuffle ONCE at
+    * write time; [[graft.etl.Layout.writeBucketed]]'s discipline), so
+    * the per-shingle segment fold — [[mergeSegments]]' groupBy(sh),
+    * the read amplification every LSM lookup and compaction pays —
+    * plans with ZERO Exchange: the scan's bucketing already satisfies
+    * the aggregation's clustering (BucketedGroupsPlanAuditSpec pins
+    * the plan shape and result parity with the TxTable path).
+    *
+    * This mode trades the TxTable machinery (atomic restore, manifest
+    * pruning, bloom sidecars) for catalog bucketing — the right trade
+    * exactly when segment folds dominate (a high-churn ingest at a
+    * scale where the fold's shuffle IS the bottleneck); the default
+    * TxTable segments with sh-range-clustered files stay the general
+    * path. Bucket count must stay fixed for the table's life (Spark
+    * appends enforce the spec). */
+  object BucketedGroups {
+    /** Create the bucketed segment table from the first segment. */
+    def init(spark: SparkSession, table: String, segment: DataFrame,
+             buckets: Int): Unit =
+      segment.write.mode("overwrite")
+        .bucketBy(buckets, "sh").sortBy("sh")
+        .format("parquet").saveAsTable(table)
+
+    /** Land one more segment: the same bucket spec, appended — Spark
+      * writes per-bucket files, so the table stays hash-clustered and
+      * the fold below stays exchange-free across any segment count. */
+    def appendSegment(spark: SparkSession, table: String,
+                      segment: DataFrame, buckets: Int): Unit =
+      segment.write.mode("append")
+        .bucketBy(buckets, "sh").sortBy("sh")
+        .format("parquet").saveAsTable(table)
+
+    /** The logical index over all landed segments — [[mergeSegments]]
+      * on the bucketed scan; zero Exchange by layout. */
+    def fold(spark: SparkSession, table: String, cap: Int): DataFrame =
+      mergeSegments(spark.table(table), cap)
+  }
 
   /** LSM compaction: fold all index segments into one (the scheduled
     * OPTIMIZE of a segment-structured table). Never changes query

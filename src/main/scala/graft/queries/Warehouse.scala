@@ -793,6 +793,45 @@ object Warehouse {
           AND user_id NOT IN (3, 7)
         ORDER BY event_id""")),
 
+    // DEFERRED (deletion-vector-shaped) erasure, oracle-gated on the
+    // UNCLUSTERED layout — the case where the eager keyed replace is
+    // honest-but-expensive (time-clustered files span the full user
+    // domain, so q_tx_erase_users pays a z-order fold first). Here the
+    // store is left exactly as the week-sliced appends landed it and
+    // eraseUsersDeferred masks the two users with ONE metadata commit
+    // per table — ZERO data files read or rewritten by construction
+    // (no replace machinery runs; DeletionVectorSpec pins the file set
+    // byte-identical across the erasure). The oracle is the same
+    // events-minus-users replay as the eager variant, so the gate
+    // asserts the scan-level tombstone mask is exactly
+    // content-equivalent to the physical rewrite.
+    QueryDef(
+      "q_tx_erase_users_dv",
+      t => {
+        import graft.operators.Stages
+        val root = Stages.tempDir(t.spark, s"tx_erase_dv:${t.dir}") { d =>
+          val store = new graft.streaming.EventStore(d)
+          val weeks = Seq("2024-01-01", "2024-01-08", "2024-01-15", "2024-01-22", "2024-01-31")
+          weeks.sliding(2).foreach { case Seq(lo, hi) =>
+            store.appendFacts(t.events.filter(
+              col("ts") >= lit(lo).cast("timestamp") && col("ts") < lit(hi).cast("timestamp")))
+          }
+          store.eraseUsersDeferred(Seq(3L, 7L))
+        }
+        new graft.streaming.EventStore(root).facts(t.spark)
+          .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_str"))
+          .orderBy(col("event_id"))
+      },
+      Some("""
+        SELECT event_id, user_id, event_type, value,
+          strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+          AND ts < TIMESTAMP '2024-01-31 00:00:00'
+          AND user_id NOT IN (3, 7)
+        ORDER BY event_id""")),
+
     // The commit log AS A STREAM, oracle-gated end-to-end: the same
     // week-sliced fact store is consumed through the graft-txtable
     // Structured Streaming source (sources/TxTableStream.scala — the

@@ -68,11 +68,16 @@ object PrunedReplace {
                           upgradedSStats: Map[String, Map[String, (String, String)]] = Map.empty,
                           carryDirs: Boolean = false,
                           stagedBlooms: Map[String, Seq[String]] = Map.empty) {
-    def commit(): Unit = {
+    /** `dkeysOverride`: replace (rather than carry) the committed
+      * version's tombstone block — TxTable.foldDeletes clears a folded
+      * column's entry in the SAME claim that makes its deletes
+      * physical (two commits would leave a window where the mask is
+      * gone but the rows are back). */
+    def commit(dkeysOverride: Option[Map[String, Seq[String]]] = None): Unit = {
       TxTable.commitStagedFrom(dir, uuid, schema, expected,
         knownStats = upgradedStats, knownSStats = upgradedSStats,
         carryDirs = carryDirs, removeFiles = removeFiles,
-        knownBlooms = stagedBlooms)
+        knownBlooms = stagedBlooms, dkeysOverride = dkeysOverride)
       ()
     }
   }
@@ -204,10 +209,18 @@ object PrunedReplace {
     val carry = annotated.filterNot(_._5)
       .map(a => (a._1, ko.remap(a._2, a._3, a._4)))
     val schema = StructType.fromDDL(snap.schemaDdl)
+    // Tombstone mask on the hit rows: without it a derive-from-old
+    // upsert (mergeSummary's arithmetic) would fold a LOGICALLY DELETED
+    // row's values back into its key — resurrection through the merge.
+    // Applying it here also physically drops masked rows from every
+    // file this replace rewrites anyway (a free partial fold; the
+    // commit still carries `dkeys` for the files it didn't touch, and
+    // re-masking absent rows is a no-op).
     val hitRows =
       if (hit.isEmpty)
         spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-      else spark.read.schema(schema).parquet(hit.map(_._1.toString): _*)
+      else TxTable.applyDeletes(
+        spark.read.schema(schema).parquet(hit.map(_._1.toString): _*), snap)
     val rewritten0 =
       if (hit.isEmpty) upsertsFor(hitRows)
       else hitRows.join(broadcast(ko.keysDf(keys.toSeq)), Seq(keyCol), "left_anti")

@@ -26,7 +26,9 @@ import org.apache.spark.sql.types.StructType
   *
   * Guarantees (single filesystem with atomic create-exclusive — local
   * POSIX here; object stores need a conditional-put, which is exactly
-  * what Delta requires of its log store too):
+  * what Delta requires of its log store too — the claim is routed
+  * through the pluggable [[TxTable.CommitOwner]] seam so a deployment
+  * swaps the primitive, not the format):
   *  - **Atomic commits.** Data directories are fully written BEFORE the
   *    commit file is claimed via `Files.createLink` from an already-
   *    written manifest (link(2): atomic, create-exclusive, and the
@@ -99,6 +101,23 @@ object TxTable {
     * the replay into a no-op instead of a duplicate. Manifests are
     * self-contained, so every commit carries the map forward verbatim
     * (Delta aggregates the same state into its checkpoints). */
+  /** `dkeys`: KEY TOMBSTONES — per key column, values whose rows are
+    * DELETED at this version without touching any data file (Delta's
+    * deletion vectors, keyed by value instead of row position: the
+    * erasure workloads this engine serves are "remove every row of
+    * key K", so a key list masks exactly the target rows and needs no
+    * per-file position index). Every read path applies the mask as a
+    * scan-level filter ([[applyDeletes]]); a later [[foldDeletes]] (or
+    * any whole-table replace) physically removes the rows and clears
+    * the entry. Inline in the manifest — bounded by [[MaxTombstones]]
+    * so snapshot resolution stays a single small-file read — and
+    * carried forward by appends/carry-by-reference replaces exactly
+    * like `txns` (re-masking rows a fold already removed is a no-op).
+    * Values serialize as strings; the column's schema type (long or
+    * string — the only key shapes the delete API admits) decides the
+    * comparison type at apply time. NULL keys never match a tombstone
+    * (SQL `NOT IN` would say unknown; a DELETE of key K must not touch
+    * NULL-keyed rows), which [[applyDeletes]] encodes explicitly. */
   final case class Snapshot(version: Long, schemaDdl: String, dirs: Seq[String],
                             stats: Map[String, Map[String, (Long, Long)]] = Map.empty,
                             sstats: Map[String, Map[String, (String, String)]] = Map.empty,
@@ -106,7 +125,8 @@ object TxTable {
                             blooms: Map[String, Seq[String]] = Map.empty,
                             excludes: Map[String, Seq[String]] = Map.empty,
                             txns: Map[String, Long] = Map.empty,
-                            nonulls: Map[String, Seq[String]] = Map.empty)
+                            nonulls: Map[String, Seq[String]] = Map.empty,
+                            dkeys: Map[String, Seq[String]] = Map.empty)
 
   final class ConcurrentCommitException(version: Long)
     extends RuntimeException(
@@ -176,7 +196,7 @@ object TxTable {
           (m \ "schema").extract[String],
           (m \ "dirs").extract[Seq[String]],
           parseStats(m), parseSStats(m), parseBloomCols(m), parseBlooms(m),
-          parseExcludes(m), parseTxns(m), parseNonulls(m))
+          parseExcludes(m), parseTxns(m), parseNonulls(m), parseDkeys(m))
       }
     }
     throw new IllegalStateException(
@@ -209,6 +229,15 @@ object TxTable {
   private def parseNonulls(m: org.json4s.JValue): Map[String, Seq[String]] = {
     implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
     (m \ "nonulls") match {
+      case org.json4s.JNothing | org.json4s.JNull => Map.empty
+      case js => js.extract[Map[String, Seq[String]]]
+    }
+  }
+
+  /** Key-tombstone block; absent (pre-dkeys commits) → empty. */
+  private def parseDkeys(m: org.json4s.JValue): Map[String, Seq[String]] = {
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    (m \ "dkeys") match {
       case org.json4s.JNothing | org.json4s.JNull => Map.empty
       case js => js.extract[Map[String, Seq[String]]]
     }
@@ -253,6 +282,31 @@ object TxTable {
     }
   }
 
+  /** Cumulative wall nanos this process has spent in COMMIT-TIME
+    * metadata harvest — [[statsFor]]'s footer opens plus
+    * [[harvestBlooms]]' data passes. This is the write-amplification
+    * side of the manifest-planning trade (write-time work buying
+    * read-time pruning), exposed as a counter so a profiling run can
+    * ATTRIBUTE an append's cost to the harvest without disabling it
+    * (DedupIndex.append publishes the per-append delta as a
+    * `commit_harvest` pseudo-phase). */
+  val harvestNanos = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Profiling A/B gate: `GRAFT_NO_COMMIT_HARVEST=1` skips the footer
+    * stats/nonull harvest and the bloom data pass (caller-provided
+    * [[preBloom]] sidecars still register — they cost nothing here).
+    * CORRECTNESS is unaffected — stats, blooms, and null proofs are
+    * optimizations with conservative fallbacks at every consumer — but
+    * reads lose manifest pruning, so this is a measurement instrument,
+    * never a production setting. */
+  private val noCommitHarvest =
+    sys.env.get("GRAFT_NO_COMMIT_HARVEST").contains("1")
+
+  private def timedHarvest[T](body: => T): T = {
+    val t0 = System.nanoTime()
+    try body finally harvestNanos.addAndGet(System.nanoTime() - t0)
+  }
+
   /** Write-time stats harvest for a just-staged data directory: per-file
     * (min, max) of every top-level LongType/TimestampType column, read
     * from the files' own footers exactly once (the one moment the
@@ -262,7 +316,9 @@ object TxTable {
                        exclude: String => Boolean = _ => false)
       : (Map[String, Map[String, (Long, Long)]],
          Map[String, Map[String, (String, String)]],
-         Map[String, Seq[String]]) = {
+         Map[String, Seq[String]]) = timedHarvest {
+    if (noCommitHarvest)
+      return (Map.empty, Map.empty, Map.empty)
     val longCols = schema.fields.collect {
       case f if f.dataType == org.apache.spark.sql.types.LongType ||
                 f.dataType == org.apache.spark.sql.types.TimestampType ||
@@ -339,7 +395,7 @@ object TxTable {
     * filter = exact fallback at probe time). */
   private def harvestBlooms(spark: SparkSession, dir: String, uuid: String,
                             schema: StructType, bloomCols: Seq[String])
-      : Map[String, Seq[String]] = {
+      : Map[String, Seq[String]] = timedHarvest {
     val cols = bloomCols.filter(c => schema.fieldNames.contains(c))
     if (cols.isEmpty) return Map.empty
     val root = Paths.get(stagedPath(dir, uuid))
@@ -348,7 +404,7 @@ object TxTable {
     // data pass.
     val (pre, todo) = cols.partition(c => Files.exists(bloomPath(dir, uuid, c)))
     val listing = if (pre.isEmpty) Map.empty[String, Seq[String]] else Map(uuid -> pre)
-    if (todo.isEmpty) return listing
+    if (todo.isEmpty || noCommitHarvest) return listing
     val rows = stagedRowCount(dir, uuid)
     if (rows > MaxBloomItems) return listing
     Files.createDirectories(indexDir(dir))
@@ -548,8 +604,10 @@ object TxTable {
     if (files.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema).parquet(files.map(_.toString): _*)
-      .filter(org.apache.spark.sql.functions.col(col).isInCollection(keys))
+    else applyDeletes(
+      spark.read.schema(schema).parquet(files.map(_.toString): _*)
+        .filter(org.apache.spark.sql.functions.col(col).isInCollection(keys)),
+      snap)
   }
 
   /** POINT LOOKUP by a string natural key (the reference's every-page
@@ -569,8 +627,132 @@ object TxTable {
     if (files.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema).parquet(files.map(_.toString): _*)
-      .filter(org.apache.spark.sql.functions.col(col).isInCollection(keys))
+    else applyDeletes(
+      spark.read.schema(schema).parquet(files.map(_.toString): _*)
+        .filter(org.apache.spark.sql.functions.col(col).isInCollection(keys)),
+      snap)
+  }
+
+  /** Tombstone cap: total `dkeys` values per table. The list lives
+    * inline in every manifest (self-containment keeps snapshot
+    * resolution at one small-file read) and is collected driver-side
+    * at plan time, so it must stay kilobytes-to-a-few-MB — the same
+    * 100k bound the other driver-collected key paths use. Past it,
+    * callers take the physical path ([[foldDeletes]] first, or a
+    * pruned keyed replace). */
+  val MaxTombstones = 100000
+
+  /** The live-row mask for `snap`'s tombstones: for each tombstoned
+    * column, keep rows whose key is NULL (a DELETE of key K never
+    * touches NULL keys) or outside the deleted set. A scan-level
+    * FILTER, not a join: it stays inside whole-stage codegen (InSet
+    * probe), pushes to parquet where the reader supports Not(In), and
+    * leaves every downstream plan shape untouched. Identity when the
+    * snapshot has no tombstones. Applied by [[read]] and the point
+    * lookups; any caller that scans a snapshot's files DIRECTLY must
+    * apply it too or resurrect deleted rows. */
+  def applyDeletes(df: DataFrame, snap: Snapshot): DataFrame =
+    if (snap.dkeys.isEmpty) df
+    else {
+      val schema = StructType.fromDDL(snap.schemaDdl)
+      import org.apache.spark.sql.functions.col
+      snap.dkeys.foldLeft(df) { case (acc, (c, vals)) =>
+        val typed: Seq[Any] = schema(c).dataType match {
+          case org.apache.spark.sql.types.LongType => vals.map(_.toLong)
+          case _ => vals
+        }
+        acc.filter(col(c).isNull || !col(c).isInCollection(typed))
+      }
+    }
+
+  /** DEFERRED DELETE of every row whose LONG `col` is in `keys` — the
+    * deletion-vector-shaped erasure: ONE metadata commit, zero data
+    * files read or written, whatever the table's layout. The rows
+    * vanish from every subsequent read via [[applyDeletes]]'s scan
+    * filter; [[foldDeletes]] (or any whole-table replace) later makes
+    * the deletion physical. This is what makes GDPR erasure from a
+    * TIME-clustered log affordable: the eager keyed replace rewrites
+    * every file whose key range admits a target (most of the table
+    * when files span the full key domain), where the tombstone costs
+    * one commit now and folds into the next scheduled compaction —
+    * Delta's deletion-vector trade, keyed by value because the
+    * workload is always "erase key K".
+    *
+    * Incremental CONSUMERS ([[readChanges]], the graft-txtable
+    * stream) see appended rows only — a tombstone commit adds no data
+    * dir, so deletes do not flow to them (the same gap Delta documents
+    * for CDF-less deletion vectors); a pipeline that must propagate
+    * deletions reads the `dkeys` delta between versions.
+    *
+    * Keys must be non-null; the per-table total is bounded by
+    * [[MaxTombstones]] (the mask is driver-collected at every plan).
+    * Throws past the bound — fold first. */
+  def deleteKeysDeferred(dir: String, col: String, keys: Seq[Long]): Snapshot =
+    tombstone(dir, col, keys.map(_.toString),
+      Set(org.apache.spark.sql.types.LongType))
+
+  /** [[deleteKeysDeferred]] for STRING keys. */
+  def deleteStringKeysDeferred(dir: String, col: String, keys: Seq[String]): Snapshot = {
+    require(keys.forall(_ != null), "tombstone keys must be non-null")
+    tombstone(dir, col, keys, Set(org.apache.spark.sql.types.StringType))
+  }
+
+  private def tombstone(dir: String, col: String, keys: Seq[String],
+                        okTypes: Set[org.apache.spark.sql.types.DataType]): Snapshot =
+    retrying(dir) { s =>
+      val schema = StructType.fromDDL(s.schemaDdl)
+      require(schema.fieldNames.contains(col),
+        s"tombstone column $col is not in $dir's schema")
+      require(okTypes.contains(schema(col).dataType),
+        s"tombstone column $col has type ${schema(col).dataType.simpleString}; " +
+          "deferred deletes support BIGINT and STRING keys — use a keyed " +
+          "replace for other key shapes")
+      val merged = (s.dkeys.getOrElse(col, Nil) ++ keys).distinct
+      val all = s.dkeys + (col -> merged)
+      require(all.valuesIterator.map(_.size).sum <= MaxTombstones,
+        s"tombstones for $dir would exceed $MaxTombstones values — run " +
+          "foldDeletes (or a keyed replace) before deferring more deletes")
+      if (merged.size == s.dkeys.getOrElse(col, Nil).size) s // all known: no-op
+      else claimFrom(dir, s.dirs, s.schemaDdl, s.version + 1, s.stats, s.sstats,
+        s.bloomCols, s.blooms, s.excludes, s.txns, s.nonulls, all)
+    }
+
+  /** Make every tombstone PHYSICAL and clear the `dkeys` block — the
+    * compaction-time fold ([[deleteKeysDeferred]]'s other half).
+    * Per tombstoned column this is exactly a pruned keyed replace
+    * ([[PrunedReplace]]): only files whose manifest bounds / Bloom
+    * filters admit a deleted key are read and rewritten, everything
+    * else carries by reference — and the SAME claim clears that
+    * column's mask (a separate metadata commit would leave a window
+    * where the mask is gone but unrewritten files still hold the
+    * rows). Rows masked by a DIFFERENT column's tombstones may
+    * physically survive a rewrite; their mask is carried, so they stay
+    * deleted and fold on their own column's pass. Returns
+    * (rewrittenFiles, totalFiles) summed over the per-column
+    * replaces. */
+  def foldDeletes(spark: SparkSession, dir: String): (Long, Long) = {
+    var rewritten = 0L
+    var total = 0L
+    var snap = snapshot(dir)
+    while (snap.dkeys.nonEmpty) {
+      val (c, vals) = snap.dkeys.head
+      val schema = StructType.fromDDL(snap.schemaDdl)
+      val staged = schema(c).dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          PrunedReplace.stageReplaceWith(spark, dir, c, vals.map(_.toLong).toArray)(
+            hit => hit.limit(0)) // pure delete: no replacement rows
+        case _ =>
+          PrunedReplace.stageReplaceWithStringKeys(spark, dir, c, vals.toArray)(
+            hit => hit.limit(0))
+      }
+      try {
+        staged.commit(dkeysOverride = Some(snap.dkeys - c))
+        rewritten += staged.rewrittenFiles
+        total += staged.totalFiles
+      } catch { case _: ConcurrentCommitException => () } // re-plan below
+      snap = snapshot(dir)
+    }
+    (rewritten, total)
   }
 
   /** The table AT `snap`: scans the snapshot's literal paths, immune to
@@ -596,7 +778,7 @@ object TxTable {
     }
     if (paths.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema).parquet(paths: _*)
+    else applyDeletes(spark.read.schema(schema).parquet(paths: _*), snap)
   }
 
   /** The table at its latest version. */
@@ -658,7 +840,8 @@ object TxTable {
                         blooms: Map[String, Seq[String]] = Map.empty,
                         excludes: Map[String, Seq[String]] = Map.empty,
                         txns: Map[String, Long] = Map.empty,
-                        nonulls: Map[String, Seq[String]] = Map.empty)
+                        nonulls: Map[String, Seq[String]] = Map.empty,
+                        dkeys: Map[String, Seq[String]] = Map.empty)
       : Snapshot = {
     // A manifest only carries metadata for its own member dirs (a
     // replace drops the replaced dirs' filters and exclusions; the
@@ -686,9 +869,9 @@ object TxTable {
     while (true) {
       try {
         writeCommit(commitFile(dir, next), schemaDdl, dirs, liveStats, liveSStats,
-          bloomCols, liveBlooms, liveExcludes, txns, liveNonulls)
+          bloomCols, liveBlooms, liveExcludes, txns, liveNonulls, dkeys)
         return Snapshot(next, schemaDdl, dirs, liveStats, liveSStats,
-          bloomCols, liveBlooms, liveExcludes, txns, liveNonulls)
+          bloomCols, liveBlooms, liveExcludes, txns, liveNonulls, dkeys)
       } catch { case _: FileAlreadyExistsException =>
         val existing = commitFile(dir, next)
         if (Files.exists(existing) && Files.size(existing) == 0L)
@@ -753,7 +936,11 @@ object TxTable {
     try claimFrom(dir, dirs, df.schema.toDDL, expected.version + 1, stats, sstats,
       expected.bloomCols, expected.blooms ++ newBlooms,
       if (keepExisting) expected.excludes else Map.empty,
-      expected.txns ++ txnUpdate, nonulls)
+      expected.txns ++ txnUpdate, nonulls,
+      // Tombstones ride appends (the masked rows are still in the kept
+      // files); a whole-table replace DEFINES the new contents, so they
+      // fold away with the replaced data.
+      if (keepExisting) expected.dkeys else Map.empty)
     catch { case e: ConcurrentCommitException =>
       deleteRec(Paths.get(dir, "data", u)) // lost the race: our data never became visible
       throw e
@@ -866,7 +1053,8 @@ object TxTable {
         (if (keepExisting) s.sstats else Map.empty[String, Map[String, (String, String)]]) ++ newSStats,
         s.bloomCols, s.blooms ++ newBlooms,
         if (keepExisting) s.excludes else Map.empty, s.txns,
-        (if (keepExisting) s.nonulls else Map.empty[String, Seq[String]]) ++ newNonulls)
+        (if (keepExisting) s.nonulls else Map.empty[String, Seq[String]]) ++ newNonulls,
+        if (keepExisting) s.dkeys else Map.empty)
     }
   }
 
@@ -899,7 +1087,8 @@ object TxTable {
                        harvestExclude: String => Boolean = _ => false,
                        carryDirs: Boolean = false,
                        removeFiles: Map[String, Seq[String]] = Map.empty,
-                       knownBlooms: Map[String, Seq[String]] = Map.empty): Snapshot = {
+                       knownBlooms: Map[String, Seq[String]] = Map.empty,
+                       dkeysOverride: Option[Map[String, Seq[String]]] = None): Snapshot = {
     val (newStats, newSStats, newNonulls) = statsFor(dir, uuid, schema, harvestExclude)
     // No harvest on the replace path (no SparkSession here): the
     // property carries; carried dirs KEEP their filters — after removals
@@ -927,7 +1116,8 @@ object TxTable {
       (if (carryDirs) expected.sstats else Map.empty[String, Map[String, (String, String)]]) ++ knownSStats ++ newSStats,
       expected.bloomCols, expected.blooms ++ knownBlooms, excludes,
       expected.txns,
-      (if (carryDirs) expected.nonulls else Map.empty[String, Seq[String]]) ++ newNonulls)
+      (if (carryDirs) expected.nonulls else Map.empty[String, Seq[String]]) ++ newNonulls,
+      dkeysOverride.getOrElse(if (carryDirs) expected.dkeys else Map.empty))
     catch { case e: ConcurrentCommitException =>
       deleteRec(Paths.get(stagedPath(dir, uuid))) // never became visible
       throw e
@@ -1088,7 +1278,7 @@ object TxTable {
           // files REWRITTEN, whatever the planning classified.
           claimFrom(dir, keptDirs, snap.schemaDdl, snap.version + 1,
             snap.stats, snap.sstats, snap.bloomCols, snap.blooms,
-            mergedExcludes, snap.txns, snap.nonulls)
+            mergedExcludes, snap.txns, snap.nonulls, snap.dkeys)
           return ((dropped.size + rewrite.size).toLong, 0L)
         }
         // Anything actually expired among the rewrite candidates? If
@@ -1205,7 +1395,7 @@ object TxTable {
       // watermark would no-op that replay and lose the rows for good.
       else claimFrom(dir, dirs, ddl, s.version + 1, parseStats(m), parseSStats(m),
         parseBloomCols(m), parseBlooms(m), parseExcludes(m), parseTxns(m),
-        parseNonulls(m))
+        parseNonulls(m), parseDkeys(m))
     }
   }
 
@@ -1243,7 +1433,8 @@ object TxTable {
     val m = org.json4s.jackson.JsonMethods.parse(json)
     Snapshot(version, (m \ "schema").extract[String],
       (m \ "dirs").extract[Seq[String]], parseStats(m), parseSStats(m),
-      parseBloomCols(m), parseBlooms(m), parseExcludes(m), parseTxns(m))
+      parseBloomCols(m), parseBlooms(m), parseExcludes(m), parseTxns(m),
+      parseNonulls(m), parseDkeys(m))
   }
 
   /** Rows ADDED to the table by commits in `(sinceVersion, toVersion]`
@@ -1439,7 +1630,8 @@ object TxTable {
                           blooms: Map[String, Seq[String]] = Map.empty,
                           excludes: Map[String, Seq[String]] = Map.empty,
                           txns: Map[String, Long] = Map.empty,
-                          nonulls: Map[String, Seq[String]] = Map.empty): Unit = {
+                          nonulls: Map[String, Seq[String]] = Map.empty,
+                          dkeys: Map[String, Seq[String]] = Map.empty): Unit = {
     implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
     val statsJson = stats.map { case (f, cols) =>
       f -> cols.map { case (c, (lo, hi)) => c -> Seq(lo, hi) }
@@ -1450,19 +1642,68 @@ object TxTable {
     val json = org.json4s.jackson.Serialization.write(
       Map("schema" -> schemaDdl, "dirs" -> dirs, "stats" -> statsJson,
         "sstats" -> sstatsJson, "bloomCols" -> bloomCols, "blooms" -> blooms,
-        "excludes" -> excludes, "txns" -> txns, "nonulls" -> nonulls))
-    // Content must be durable BEFORE the claim: write the manifest to a
-    // private temp name, then claim the version with link(2) — atomic
-    // and create-exclusive (fails EEXIST), and the commit file is
-    // complete the instant it exists. A writer crash before the link
-    // leaves only an unclaimed temp file; a crash after it is a
-    // completed commit. No window in which readers can observe an
-    // empty or half-written manifest.
-    val tmp = path.resolveSibling(
-      path.getFileName.toString + "." + UUID.randomUUID().toString + ".tmp")
-    Files.writeString(tmp, json)
-    try Files.createLink(path, tmp) // atomic claim; throws if the version exists
-    finally Files.deleteIfExists(tmp)
+        "excludes" -> excludes, "txns" -> txns, "nonulls" -> nonulls,
+        "dkeys" -> dkeys))
+    commitOwner.claim(path, json)
+  }
+
+  /** The ATOMIC-CLAIM SEAM — the one filesystem contract every
+    * TxTable guarantee reduces to. `claim` must publish `content` at
+    * `path` ALL-OR-NOTHING and CREATE-EXCLUSIVELY: of N concurrent
+    * claimers of the same path exactly one succeeds, the rest throw
+    * [[FileAlreadyExistsException]], and no reader ever observes an
+    * empty or torn file at `path`. Everything else TxTable does —
+    * snapshot isolation, serialized writers, exactly-once streaming —
+    * is built on ordinary immutable-file writes plus this one
+    * primitive, which is why the seam is a single method.
+    *
+    * This is Delta's LogStore contract (their docs state the same
+    * three requirements: mutual exclusion, consistent listing, no torn
+    * reads). The default [[LocalFsCommitOwner]] implements it with
+    * POSIX link(2); an object-store deployment swaps in an owner
+    * backed by the store's conditional put (S3 `If-None-Match: *`,
+    * GCS precondition `ifGenerationMatch: 0`, ABFS ETag) or an
+    * external coordination service (Delta's S3 DynamoDB LogStore) —
+    * none of which this sandbox can exercise, so the seam plus the
+    * routing spec IS the portability story. Install via
+    * [[TxTable.setCommitOwner]] before any table activity. */
+  trait CommitOwner {
+    /** Atomically create `path` with `content`; throw
+      * [[FileAlreadyExistsException]] if `path` exists (a competing
+      * claim — live, or a crashed writer's dead empty file, which the
+      * caller distinguishes by size). */
+    def claim(path: Path, content: String): Unit
+  }
+
+  /** Local-filesystem owner: write the manifest to a private temp
+    * name, then claim the version with link(2) — atomic and
+    * create-exclusive (fails EEXIST), and the commit file is complete
+    * the instant it exists. A writer crash before the link leaves only
+    * an unclaimed temp file; a crash after it is a completed commit.
+    * No window in which readers can observe an empty or half-written
+    * manifest. */
+  object LocalFsCommitOwner extends CommitOwner {
+    override def claim(path: Path, content: String): Unit = {
+      val tmp = path.resolveSibling(
+        path.getFileName.toString + "." + UUID.randomUUID().toString + ".tmp")
+      Files.writeString(tmp, content)
+      try Files.createLink(path, tmp) // atomic claim; throws if the version exists
+      finally Files.deleteIfExists(tmp)
+    }
+  }
+
+  @volatile private var commitOwner: CommitOwner = LocalFsCommitOwner
+
+  /** Swap the claim primitive (object-store ports, fault-injection
+    * specs). JVM-wide: the owner is part of the table FORMAT's
+    * deployment, not per-table state — mixing owners over one log
+    * would void the mutual-exclusion guarantee, exactly as Delta
+    * documents for mixed LogStore configurations. Returns the previous
+    * owner so tests can restore it. */
+  def setCommitOwner(owner: CommitOwner): CommitOwner = {
+    val prev = commitOwner
+    commitOwner = owner
+    prev
   }
 
   private[graft] def deleteRec(p: Path): Unit =

@@ -376,7 +376,11 @@ final class EventStore(root: String) {
     val df =
       if (hit.isEmpty)
         spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-      else residual(spark.read.schema(schema).parquet(hit.map(_.toString): _*))
+      // Tombstone mask BEFORE the residual filter: this is a direct
+      // file scan, and skipping applyDeletes would resurrect rows a
+      // deferred erasure removed ([[eraseUsersDeferred]]).
+      else TxTable.applyDeletes(
+        residual(spark.read.schema(schema).parquet(hit.map(_.toString): _*)), snap)
     (df, hit.size.toLong, files.size.toLong)
   }
 
@@ -538,6 +542,29 @@ final class EventStore(root: String) {
       }
     }.toMap
   }
+
+  /** [[eraseUsers]]' DEFERRED twin — deletion-vector-shaped erasure
+    * (TxTable key tombstones): per user-keyed table, ONE metadata
+    * commit masks every row of `userIds` with ZERO data files read or
+    * rewritten, whatever the layout. This is the erasure path for the
+    * default TIME-clustered fact log, where the eager keyed replace
+    * honestly rewrites most of the table (each file spans the full
+    * user domain); the tombstone costs one commit now, every read
+    * masks via a codegen'd scan filter, and the next
+    * [[TxTable.foldDeletes]] / compaction-window maintenance makes it
+    * physical — Delta's deletion-vector trade. Same atomicity story as
+    * [[eraseUsers]]: one commit per table, no cross-table transaction.
+    * NOTE the legal-erasure nuance Delta documents too: the bytes
+    * remain on disk until a fold + [[vacuum]] — a GDPR workflow defers
+    * the erasure into its compaction window, it does not skip the
+    * fold. Returns the per-table committed version. */
+  def eraseUsersDeferred(userIds: Seq[Long]): Map[String, Long] =
+    Seq("fact_events", "summary_user", "dim_user").flatMap { name =>
+      val d = dir(name)
+      if (!TxTable.exists(d)) None
+      else Some(name ->
+        TxTable.deleteKeysDeferred(d, "user_id", userIds).version)
+    }.toMap
 
   /** Reclaim superseded versions and crash orphans across every table
     * in the store (Delta's VACUUM). Readers pinned to vacuumed versions

@@ -1,0 +1,186 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Key tombstones (the engine's deletion-vector shape): a deferred
+  * delete is ONE metadata commit — zero data files read or written —
+  * whose mask every read path applies; a later fold (or any rewrite
+  * that happens to touch the files) makes it physical. Semantics are
+  * SUPPRESSION-LIST: the mask applies to the table, not to the files
+  * that existed at delete time, so a key re-appended before the fold
+  * stays masked (for the erasure workload this is the desired
+  * behavior — late-arriving rows of an erased user are suppressed
+  * too); the fold is the re-admission point.
+  */
+class DeletionVectorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp() = Files.createTempDirectory("graft_dv").toString
+  private val schema = StructType.fromDDL("k BIGINT, v BIGINT")
+
+  private def fileSet(dir: String): Set[String] =
+    TxTable.dataFiles(dir, TxTable.snapshot(dir))
+      .map(_._1.toString).toSet
+
+  test("deferred delete: one metadata commit, zero data I/O, masked everywhere") {
+    val dir = tmp()
+    TxTable.init(spark, dir, schema, bloomCols = Seq("k"))
+    TxTable.append(spark, dir,
+      Seq[(java.lang.Long, java.lang.Long)]((1L, 10L), (2L, 20L), (null, 99L))
+        .toDF("k", "v"))
+    TxTable.append(spark, dir, Seq((3L, 30L), (4L, 40L)).toDF("k", "v"))
+    val filesBefore = fileSet(dir)
+    val vBefore = TxTable.snapshot(dir).version
+
+    TxTable.deleteKeysDeferred(dir, "k", Seq(2L, 3L))
+
+    assert(fileSet(dir) == filesBefore,
+      "deferred delete touched data files — it must be metadata-only")
+    assert(TxTable.snapshot(dir).version == vBefore + 1)
+    // read masks; the NULL key survives (DELETE of key K never matches NULL).
+    val keys = TxTable.read(spark, dir)
+      .select(col("k")).collect().map(r => if (r.isNullAt(0)) null else r.getLong(0))
+    assert(keys.toSet == Set[Any](1L, 4L, null),
+      s"mask wrong: ${keys.mkString(",")}")
+    // The point lookup masks too (it scans files directly).
+    assert(TxTable.lookupKeys(spark, dir, "k", Seq(2L, 4L)).count() == 1L)
+    // Idempotent re-delete is a commit no-op.
+    val v = TxTable.snapshot(dir).version
+    TxTable.deleteKeysDeferred(dir, "k", Seq(2L))
+    assert(TxTable.snapshot(dir).version == v, "known tombstone re-committed")
+  }
+
+  test("time travel sees pre-delete rows; restore rolls the mask back") {
+    val dir = tmp()
+    TxTable.init(spark, dir, schema)
+    TxTable.append(spark, dir, Seq((1L, 10L), (2L, 20L)).toDF("k", "v")) // v1
+    TxTable.deleteKeysDeferred(dir, "k", Seq(2L)) // v2
+    assert(TxTable.read(spark, dir).count() == 1L)
+    assert(TxTable.readVersion(spark, dir, 1L).count() == 2L,
+      "versionAsOf before the delete must not apply the later mask")
+    TxTable.restore(spark, dir, 1L) // v3 = v1's contents AND v1's (empty) mask
+    assert(TxTable.read(spark, dir).count() == 2L,
+      "restore past the delete must roll the tombstones back with the data")
+  }
+
+  test("suppression semantics: re-appended key stays masked until the fold") {
+    val dir = tmp()
+    TxTable.init(spark, dir, schema)
+    TxTable.append(spark, dir, Seq((1L, 10L), (2L, 20L)).toDF("k", "v"))
+    TxTable.deleteKeysDeferred(dir, "k", Seq(2L))
+    TxTable.append(spark, dir, Seq((2L, 21L)).toDF("k", "v")) // late arrival
+    assert(TxTable.read(spark, dir).select("k").as[Long].collect().toSeq == Seq(1L),
+      "a key re-appended under an open tombstone must stay suppressed")
+    val (rewritten, _) = TxTable.foldDeletes(spark, dir)
+    assert(rewritten >= 1L)
+    assert(TxTable.snapshot(dir).dkeys.isEmpty, "fold must clear the mask")
+    assert(TxTable.read(spark, dir).select("k").as[Long].collect().toSeq == Seq(1L),
+      "fold changed visible contents")
+    TxTable.append(spark, dir, Seq((2L, 22L)).toDF("k", "v")) // re-admission
+    assert(TxTable.read(spark, dir).orderBy("k").select("v").as[Long]
+      .collect().toSeq == Seq(10L, 22L))
+  }
+
+  test("fold is pruned: only files whose bounds admit a deleted key rewrite") {
+    val dir = tmp()
+    TxTable.init(spark, dir, schema, bloomCols = Seq("k"))
+    // Key-range-clustered files: 0-99, 100-199, 200-299, 300-399.
+    (0 until 4).foreach { b =>
+      TxTable.append(spark, dir,
+        spark.range(b * 100L, b * 100L + 100L).toDF("k")
+          .withColumn("v", col("k") * 2).coalesce(1))
+    }
+    TxTable.deleteKeysDeferred(dir, "k", Seq(150L, 160L)) // inside file 2 only
+    val before = fileSet(dir)
+    val (rewritten, total) = TxTable.foldDeletes(spark, dir)
+    assert(rewritten == 1L && total == 4L,
+      s"expected exactly the straddling file to rewrite, got $rewritten/$total")
+    val after = fileSet(dir)
+    assert((before -- after).size == 1, "more than one file replaced")
+    assert(TxTable.read(spark, dir).count() == 398L)
+    assert(TxTable.snapshot(dir).dkeys.isEmpty)
+  }
+
+  test("a derive-from-old keyed replace cannot resurrect a tombstoned key") {
+    val dir = tmp()
+    TxTable.init(spark, dir, schema)
+    TxTable.append(spark, dir, Seq((1L, 10L), (2L, 20L)).toDF("k", "v"))
+    TxTable.deleteKeysDeferred(dir, "k", Seq(2L))
+    // An arithmetic merge of key 1 reads its hit file — which ALSO
+    // physically holds tombstoned key 2. The derive must see masked
+    // rows only, and the rewrite must not carry key 2's row forward
+    // unmasked.
+    PrunedReplace.replaceWith(spark, dir, "k", Array(1L)) { hit =>
+      assert(hit.filter(col("k") === 2L).isEmpty,
+        "derive-from-old exposed a tombstoned row to the merge")
+      hit.filter(col("k") === 1L).select(col("k"), (col("v") + 1L).as("v"))
+    }
+    val out = TxTable.read(spark, dir).orderBy("k").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L) && out.head.getLong(1) == 11L,
+      s"unexpected contents after merge over a tombstoned table")
+  }
+
+  test("string keys, type check, and the tombstone cap") {
+    val dir = tmp()
+    TxTable.init(spark, dir, StructType.fromDDL("name STRING, v BIGINT"))
+    TxTable.append(spark, dir, Seq(("a", 1L), ("b", 2L)).toDF("name", "v"))
+    TxTable.deleteStringKeysDeferred(dir, "name", Seq("b"))
+    assert(TxTable.read(spark, dir).select("name").as[String]
+      .collect().toSeq == Seq("a"))
+    // Long API on a string column is a loud type error, not a bad cast.
+    intercept[IllegalArgumentException] {
+      TxTable.deleteKeysDeferred(dir, "v2_missing", Seq(1L))
+    }
+    intercept[IllegalArgumentException] {
+      TxTable.deleteStringKeysDeferred(dir, "v", Seq("1"))
+    }
+    // The cap: one oversized request is refused toward the physical path.
+    intercept[IllegalArgumentException] {
+      TxTable.deleteStringKeysDeferred(dir, "name",
+        (0 to TxTable.MaxTombstones).map(i => s"k$i"))
+    }
+  }
+
+  test("eraseUsersDeferred: zero rewrites on the unclustered layout, facts masked") {
+    val root = Files.createTempDirectory("graft_dv_erase").toString
+    val store = new graft.streaming.EventStore(root)
+    val events = graft.sources.Tables(spark, SparkSpec.Sf0001).events
+    (0 until 3).foreach { i =>
+      store.appendFacts(events.filter(col("event_id") % 3 === i).repartition(2))
+    }
+    store.insertIfAbsent("dim_user", events.groupBy(col("user_id"))
+      .agg(min(col("ts")).as("first_seen")), "user_id")
+    val users = events.select(col("user_id")).distinct().orderBy("user_id")
+      .limit(2).collect().map(_.getLong(0)).toSeq
+    val factDir = s"$root/fact_events"
+    val filesBefore = fileSet(factDir)
+    val before = store.facts(spark).count()
+
+    store.eraseUsersDeferred(users)
+
+    assert(fileSet(factDir) == filesBefore,
+      "deferred erasure rewrote data files — the whole point is zero data I/O")
+    val facts = store.facts(spark)
+    assert(facts.filter(col("user_id").isInCollection(users)).isEmpty,
+      "erased users still visible in facts")
+    assert(facts.count() < before)
+    assert(TxTable.read(spark, s"$root/dim_user")
+      .filter(col("user_id").isInCollection(users)).isEmpty,
+      "erased users still visible in the dimension")
+    // factsInRange (direct file scan) masks too.
+    val loHi = events.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+      .collect().head
+    val (ranged, _, _) = store.factsInRange(spark, loHi.getLong(0), loHi.getLong(1))
+    assert(ranged.filter(col("user_id").isInCollection(users)).isEmpty,
+      "factsInRange bypassed the tombstone mask")
+    // The fold makes it physical and is content-transparent.
+    val (rw, _) = TxTable.foldDeletes(spark, factDir)
+    assert(rw >= 1L)
+    assert(TxTable.snapshot(factDir).dkeys.isEmpty)
+    assert(store.facts(spark).count() == facts.count())
+  }
+}

@@ -35,6 +35,12 @@ THRESHOLD = 30.0
 # Overhead-dominated queries: below this absolute time at the larger SF,
 # ratios measure fixed costs, not asymptotics.
 MIN_SECONDS = 1.5
+# Same gate for DedupIndex.append phases: a phase is delta-bounded when
+# its sf0.01 -> sf0.1 growth stays within the delta's own 10x growth
+# (plus the same 3x host-noise slack as the query gate); tiny phases are
+# commit/scheduler floor, not asymptotics.
+PHASE_THRESHOLD = 30.0
+PHASE_MIN_SECONDS = 1.0
 EXEMPT_PREFIXES = (
     "q_graph_shortest_path",   # bounded-depth BFS: frontier iterations grow with diameter
     "q_dedup_components",      # min-label propagation: iterations grow with component size
@@ -86,9 +92,33 @@ def main() -> int:
         }
         if flagged:
             failures.append((q, f"{r12:.1f}x on 10x data"))
+    # Gate the per-phase decomposition, not just the query totals: the
+    # lifecycle queries are EXEMPT from the query gate (CC-fold iteration
+    # counts are data-shaped), so a corpus-proportional regression inside
+    # one append phase would otherwise be data in a JSON nobody reads.
+    # Each phase must grow no faster than the delta itself (10x data per
+    # SF step, same 3x slack) once it is past the fixed commit floor.
+    phase_flags = []
+    lo_sf, hi_sf = SFS[1], SFS[2]
+    for q, ph_hi in runs[hi_sf].get("phases", {}).items():
+        ph_lo = runs[lo_sf].get("phases", {}).get(q, {})
+        for p, sec_hi in ph_hi.items():
+            sec_lo = ph_lo.get(p)
+            if sec_lo is None or sec_hi < PHASE_MIN_SECONDS:
+                continue
+            ratio = sec_hi / sec_lo if sec_lo > 0 else float("inf")
+            if ratio > PHASE_THRESHOLD:
+                phase_flags.append(
+                    f"{q}/{p}: {ratio:.1f}x on 10x data "
+                    f"({sec_lo:.2f}s -> {sec_hi:.2f}s)")
+    for f in phase_flags:
+        failures.append((f.split(":")[0], "phase " + f.split(": ", 1)[1]))
     artifact = {
         "threshold": THRESHOLD,
         "min_seconds": MIN_SECONDS,
+        "phase_threshold": PHASE_THRESHOLD,
+        "phase_min_seconds": PHASE_MIN_SECONDS,
+        "phase_flags": phase_flags,
         "exempt_prefixes": list(EXEMPT_PREFIXES),
         "totals_sec": {sf: round(runs[sf]["value"], 1) for sf in SFS},
         "queries": report,
