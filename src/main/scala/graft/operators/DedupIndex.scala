@@ -123,33 +123,55 @@ object DedupIndex {
     * provably holds no key), so the caller's row-level semi-join
     * applies identically to either side. One definition for the four
     * per-append reads that use the shape. */
+  /** Below this live-file count the manifest-planned pruned read is
+    * pure overhead: the planning collect (up to [[MaxLookupKeys]] delta
+    * keys — the round-12 A/B measured the collect + per-dir refinement
+    * at ~0.4 s per append at sf0.1, against 8-file tables where pruning
+    * can save at most a few MB of page-cache-hot reads) costs more
+    * driver time than brute-scanning every file. Above it — any real
+    * deployment; a 100 TB table holds millions of files — the same
+    * planning is what turns an O(corpus) read into O(hit files). The
+    * gate runs BEFORE the key collect (`keyRows` is by-name), so the
+    * skipped path pays only a manifest listing. A `var` solely so the
+    * spec can force the pruned branch on its small fixtures (every
+    * test table is under the production threshold). */
+  private[operators] var MinPruneFiles = 64
+
   private def prunedByLongKeys(spark: SparkSession, table: String,
       snap: TxTable.Snapshot, keyCol: String,
-      keyRows: Array[org.apache.spark.sql.Row], bound: Int,
+      keyRows: => Array[org.apache.spark.sql.Row], bound: Int,
       fallback: => DataFrame): DataFrame =
-    if (keyRows.length > bound) fallback
+    if (TxTable.dataFiles(table, snap).size <= MinPruneFiles) fallback
     else {
-      val hits = TxTable.lookupFiles(table, snap, keyCol,
-        keyRows.toSeq.map(_.getLong(0)))
-      if (hits.isEmpty) fallback.limit(0)
-      else spark.read
-        .schema(org.apache.spark.sql.types.StructType.fromDDL(snap.schemaDdl))
-        .parquet(hits.map(_.toString): _*)
+      val kr = keyRows
+      if (kr.length > bound) fallback
+      else {
+        val hits = TxTable.lookupFiles(table, snap, keyCol,
+          kr.toSeq.map(_.getLong(0)))
+        if (hits.isEmpty) fallback.limit(0)
+        else spark.read
+          .schema(org.apache.spark.sql.types.StructType.fromDDL(snap.schemaDdl))
+          .parquet(hits.map(_.toString): _*)
+      }
     }
 
   /** [[prunedByLongKeys]] on STRING keys (sstats bounds). */
   private def prunedByStringKeys(spark: SparkSession, table: String,
       snap: TxTable.Snapshot, keyCol: String,
-      keyRows: Array[org.apache.spark.sql.Row], bound: Int,
+      keyRows: => Array[org.apache.spark.sql.Row], bound: Int,
       fallback: => DataFrame): DataFrame =
-    if (keyRows.length > bound) fallback
+    if (TxTable.dataFilesString(table, snap).size <= MinPruneFiles) fallback
     else {
-      val hits = TxTable.lookupStringFiles(table, snap, keyCol,
-        keyRows.toSeq.map(_.getString(0)))
-      if (hits.isEmpty) fallback.limit(0)
-      else spark.read
-        .schema(org.apache.spark.sql.types.StructType.fromDDL(snap.schemaDdl))
-        .parquet(hits.map(_.toString): _*)
+      val kr = keyRows
+      if (kr.length > bound) fallback
+      else {
+        val hits = TxTable.lookupStringFiles(table, snap, keyCol,
+          kr.toSeq.map(_.getString(0)))
+        if (hits.isEmpty) fallback.limit(0)
+        else spark.read
+          .schema(org.apache.spark.sql.types.StructType.fromDDL(snap.schemaDdl))
+          .parquet(hits.map(_.toString): _*)
+      }
     }
 
   /** Exact-Jaccard verify of candidate pairs against the full shingle
@@ -449,9 +471,12 @@ object DedupIndex {
     // O(delta shingles), not O(corpus files). Over the key bound, fall
     // back to the full semi-scan (a delta that size approaches a
     // rebuild).
-    val shRows = deltaShs.limit(MaxLookupKeys + 1).collect()
+    // The shingle-key collect is INSIDE the by-name argument: when the
+    // groups table is under the MinPruneFiles gate (toy scale, fresh
+    // table), the pruned path — and its up-to-MaxLookupKeys driver
+    // collect — is skipped entirely.
     val ogDelta = prunedByStringKeys(spark, s"$dir/groups", groupsSnap, "sh",
-        shRows, MaxLookupKeys, og)
+        deltaShs.limit(MaxLookupKeys + 1).collect(), MaxLookupKeys, og)
       .join(broadcast(deltaShs), Seq("sh"), "left_semi")
     val sideMerged = ogDelta
         .select(col("sh"), col("ids"), col("df"), lit(true).as("old"))
@@ -515,17 +540,19 @@ object DedupIndex {
     // approaches a rebuild). Row-level filtering stays a broadcast
     // semi-join either way — a 10^5-key IN predicate would defeat
     // codegen where the hash semi probes in O(1).
-    val endRows = candEnds.limit(MaxReplaceKeys + 1).collect()
     val docsCand = prunedByLongKeys(spark, s"$dir/docs", docsSnap, "doc_id",
-        endRows, MaxReplaceKeys, docsStored)
+        candEnds.limit(MaxReplaceKeys + 1).collect(), MaxReplaceKeys, docsStored)
       .unionByName(nd)
       .join(broadcast(candEnds), Seq("doc_id"), "left_semi")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // Phase boundary: the endpoint collect above materialized the
-    // candidate mine (sideMerged + cands caches populate under it), so
-    // mine_candidates ends here and the endpoint FETCH — the read this
-    // round converted from a corpus scan to a manifest-planned lookup —
-    // times as its own phase, per-SF visible in the scale sweep.
+    // Phase boundary: when the pruned path runs, its endpoint collect
+    // (inside the by-name argument above) materialized the candidate
+    // mine (sideMerged + cands caches populate under it), so
+    // mine_candidates ends here and the endpoint FETCH — a
+    // manifest-planned lookup, not a corpus scan — times as its own
+    // phase, per-SF visible in the scale sweep. (Under the
+    // MinPruneFiles gate the mine materializes inside the fetch count
+    // below instead; the phase split blurs, the sum doesn't.)
     phase("mine_candidates")
     docsCand.count()
     phase("docs_cand_fetch")
@@ -573,11 +600,10 @@ object DedupIndex {
       // lookup (docsH holds only OLD ids — oids come from stored
       // segments), and the witness re-aggregation's old-segment scan
       // prunes by the suspects' shingle keys.
-      val hRows = docsH.limit(MaxReplaceKeys + 1).collect()
       // docsH holds only OLD ids (oids come from stored segments), so
       // the stored table alone is the fallback — no delta union needed.
       val docsOfH = prunedByLongKeys(spark, s"$dir/docs", docsSnap, "doc_id",
-          hRows, MaxReplaceKeys, docsStored)
+          docsH.limit(MaxReplaceKeys + 1).collect(), MaxReplaceKeys, docsStored)
         .join(docsH, Seq("doc_id"), "left_semi")
       val hShs = docsOfH
         .select(explode(col("shs")).as("sh")).distinct()

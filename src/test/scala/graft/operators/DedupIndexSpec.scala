@@ -379,8 +379,14 @@ class DedupIndexSpec extends SparkSpec {
       s"groups lookup read ${gHit.size}/$groupFiles files — no pruning")
     // End-to-end: an append over the clustered base (whose reads run
     // through these pruned plans) still equals a from-scratch mine.
+    // Force the pruned branch open — the fixture sits under the
+    // production MinPruneFiles gate, and the gated fallback must not
+    // be the only branch the suite ever runs.
     val d = Seq(500L -> Seq("b0001_1", "b0001_2"), 501L -> Seq("nw1", "nw2"))
-    DedupIndex.append(spark, df(d), dir, Cap)
+    val prevGate = DedupIndex.MinPruneFiles
+    DedupIndex.MinPruneFiles = 0
+    try DedupIndex.append(spark, df(d), dir, Cap)
+    finally DedupIndex.MinPruneFiles = prevGate
     assertParity(dir, bigBase ++ d)
     spark.sharedState.cacheManager.clearCache()
   }
