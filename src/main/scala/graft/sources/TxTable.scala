@@ -717,6 +717,27 @@ object TxTable {
         s.bloomCols, s.blooms, s.excludes, s.txns, s.nonulls, all)
     }
 
+  /** The tombstones ADDED in `(sinceVersion, toVersion]` — the
+    * deletion half of the change feed ([[readChanges]] carries only
+    * appended rows; a tombstone commit adds no data dir). A downstream
+    * pipeline propagating erasure polls this alongside readChanges and
+    * applies the keys as its own deletes. Per column, the values
+    * present at `toVersion` but not at `sinceVersion`; a key whose
+    * tombstone was FOLDED away in between and re-deleted after counts
+    * as added (downstream deletes are idempotent, and the fold itself
+    * changes no visible rows). Both manifests must still be in the
+    * log — same retention contract as [[readChanges]]. */
+  def deletedKeysBetween(dir: String, sinceVersion: Long,
+                         toVersion: Long): Map[String, Seq[String]] = {
+    val before = snapshotAt(dir, sinceVersion).dkeys
+    val after = snapshotAt(dir, toVersion).dkeys
+    after.flatMap { case (c, vals) =>
+      val known = before.getOrElse(c, Nil).toSet
+      val added = vals.filterNot(known)
+      if (added.isEmpty) None else Some(c -> added)
+    }
+  }
+
   /** Make every tombstone PHYSICAL and clear the `dkeys` block — the
     * compaction-time fold ([[deleteKeysDeferred]]'s other half).
     * Per tombstoned column this is exactly a pruned keyed replace
@@ -1173,10 +1194,15 @@ object TxTable {
       listNames(root).filter(n => n.endsWith(".parquet") && !ex(n))
         .map(n => root.resolve(n).toString)
     }
-    val folded = layout(
+    // Tombstone mask on the fold read: a FREE partial fold — rows a
+    // deferred delete masked never reach the folded dir (the commit
+    // still carries `dkeys` for the dirs it didn't touch, and
+    // re-masking absent rows is a no-op). Without it the fold would
+    // merely move masked bytes around, which is harmless but wasted.
+    val folded = layout(applyDeletes(
       if (files.isEmpty)
         spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-      else spark.read.schema(schema).parquet(files: _*))
+      else spark.read.schema(schema).parquet(files: _*), snap))
     val u = stage(dir, folded)
     val newBlooms = harvestBlooms(spark, dir, u, schema, snap.bloomCols)
     commitStagedFrom(dir, u, schema, snap, carryDirs = true,

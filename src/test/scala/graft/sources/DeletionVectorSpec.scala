@@ -124,6 +124,51 @@ class DeletionVectorSpec extends SparkSpec {
       s"unexpected contents after merge over a tombstoned table")
   }
 
+  test("compaction folds masked rows away for free; carried mask stays correct") {
+    val dir = tmp()
+    TxTable.init(spark, dir, schema)
+    TxTable.append(spark, dir, Seq((1L, 10L), (2L, 20L)).toDF("k", "v"))
+    TxTable.append(spark, dir, Seq((3L, 30L), (4L, 40L)).toDF("k", "v"))
+    TxTable.append(spark, dir, Seq((5L, 50L)).toDF("k", "v"))
+    TxTable.deleteKeysDeferred(dir, "k", Seq(2L, 5L))
+    val snap = TxTable.snapshot(dir)
+    // Fold the two level-0 dirs (largest carries by reference): the
+    // folded output must not contain the masked rows physically.
+    val fold = TxTable.levelZeroDirs(dir, snap)
+    assert(fold.nonEmpty)
+    TxTable.compactDirs(spark, dir, snap, fold)()
+    val after = TxTable.snapshot(dir)
+    assert(after.dkeys.nonEmpty, "compaction must carry the mask for untouched dirs")
+    // Visible contents unchanged by the fold.
+    assert(TxTable.read(spark, dir).select("k").as[Long].collect().sorted.toSeq
+      == Seq(1L, 3L, 4L))
+    // Physical check: the freshly folded dir holds no masked keys.
+    val foldedDir = after.dirs.filterNot(snap.dirs.contains).head
+    val physical = spark.read.parquet(TxTable.stagedPath(dir, foldedDir))
+      .select("k").as[Long].collect().toSet
+    assert(!physical.contains(2L) && !physical.contains(5L),
+      s"fold kept masked rows: $physical")
+  }
+
+  test("deletedKeysBetween: the deletion half of the change feed") {
+    val dir = tmp()
+    TxTable.init(spark, dir, schema)
+    TxTable.append(spark, dir, Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v")) // v1
+    TxTable.deleteKeysDeferred(dir, "k", Seq(2L)) // v2
+    TxTable.append(spark, dir, Seq((4L, 40L)).toDF("k", "v")) // v3 (carries mask)
+    TxTable.deleteKeysDeferred(dir, "k", Seq(3L)) // v4
+    assert(TxTable.deletedKeysBetween(dir, 1L, 4L) == Map("k" -> Seq("2", "3")))
+    assert(TxTable.deletedKeysBetween(dir, 2L, 4L) == Map("k" -> Seq("3")))
+    assert(TxTable.deletedKeysBetween(dir, 4L, 4L) == Map.empty)
+    // A fold clears the block; a post-fold re-delete counts as added
+    // (downstream deletes are idempotent).
+    TxTable.foldDeletes(spark, dir) // v5 (+1 per folded column)
+    val folded = TxTable.snapshot(dir).version
+    TxTable.deleteKeysDeferred(dir, "k", Seq(2L))
+    assert(TxTable.deletedKeysBetween(dir, folded, folded + 1) ==
+      Map("k" -> Seq("2")))
+  }
+
   test("string keys, type check, and the tombstone cap") {
     val dir = tmp()
     TxTable.init(spark, dir, StructType.fromDDL("name STRING, v BIGINT"))
