@@ -226,6 +226,24 @@ object PQIndexTx {
     (st.rewrittenFiles, st.totalFiles)
   }
 
+  /** [[deleteIds]]' DEFERRED twin — FAISS `remove_ids` as a TxTable
+    * key tombstone: ONE metadata commit, zero code files read or
+    * rewritten; every search excludes the ids through the scan-level
+    * mask ([[TxTable.applyDeletes]] inside the lookup the probed-cell
+    * scan already uses), and the next [[TxTable.foldDeletes]] (or any
+    * rewrite touching the hit files — [[compactIVF]] folds masked rows
+    * away for free) makes it physical. The serving trade: an erasure
+    * or recall-pruning request costs one commit at any index size,
+    * deferred into the OPTIMIZE window the deployment already runs.
+    * SUPPRESSION caveat (differs from the eager [[deleteIds]]): a
+    * vec_id re-appended while its tombstone is open stays masked —
+    * and the dupe probe reads through the mask, so the append LANDS
+    * but serves nothing until the fold clears the tombstone. Re-add
+    * after erase ⇒ run foldDeletes (then compactIVF for the (cell,
+    * vec_id) layout) first. */
+  def deleteIdsDeferred(dir: String, ids: Seq[Long]): Long =
+    TxTable.deleteKeysDeferred(codesDir(dir), "vec_id", ids).version
+
   /** PARTIAL OPTIMIZE of the codes table: fold every level-0 dir (all
     * but the largest) into one (cell, vec_id)-clustered dir, carrying
     * the base by reference — O(accumulated deltas) I/O, never a

@@ -348,6 +348,30 @@ object PQQueries {
           Dsub, NProbe, Shortlist, TopK)
       },
       Some(ivfpqOracleSql(TxDeleteIds))),
+
+    // DEFERRED delete on the serving index — the same remove_ids
+    // semantics as q_embed_ivfpq_tx_delete but as ONE metadata commit
+    // (key tombstone): zero code files rewritten, the probed-cell scan
+    // masks the ids at read time, and the SAME oracle must hold — the
+    // gate asserts the scan-level mask is exactly content-equivalent
+    // to the physical rewrite, shortlist/rerank/ranks included.
+    QueryDef(
+      "q_embed_ivfpq_tx_delete_dv",
+      t => {
+        val idxDir = graft.operators.Stages.tempDir(
+          t.spark, s"ivfpq_txdeldv_idx:${t.dir}") { d =>
+            graft.operators.PQIndexTx.buildIVF(t.spark, norms(t), d,
+              M, Dsub, Ksub, Iters, NQ, CoarseK, CoarseIters)
+            graft.operators.PQIndexTx.deleteIdsDeferred(d, TxDeleteIds)
+            ()
+          }
+        val vecs = norms(t)
+        graft.operators.PQIndexTx.searchIVF(t.spark, idxDir,
+          vecs.filter(col("vec_id") < NQ).select(col("vec_id"), col("e")),
+          vecs.select(col("vec_id"), col("e")),
+          Dsub, NProbe, Shortlist, TopK)
+      },
+      Some(ivfpqOracleSql(TxDeleteIds))),
   )
 
   /** Train codebooks and build per-query ADC LUTs + query norms —

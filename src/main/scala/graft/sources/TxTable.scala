@@ -1488,7 +1488,16 @@ object TxTable {
   /** [[readChanges]] against an already-resolved head snapshot — a
     * poll loop that needs the head version for its checkpoint resolves
     * it once and passes it here, instead of re-reading the manifest
-    * (whose stats block is file-count-sized). */
+    * (whose stats block is file-count-sized).
+    *
+    * Tombstones: a [[deleteKeysDeferred]] commit in the range neither
+    * throws (no dir or exclusion changed) nor retracts — this feed
+    * carries additions only. NEW rows in the range are delivered
+    * through the head snapshot's mask (a key tombstoned at `to` never
+    * flows), but rows delivered to an EARLIER poll cannot be unsent;
+    * a consumer that must propagate erasure polls
+    * [[deletedKeysBetween]] alongside and applies those keys as its
+    * own deletes. */
   def readChanges(spark: SparkSession, dir: String, sinceVersion: Long,
                   to: Snapshot): DataFrame = {
     if (to.version == sinceVersion)

@@ -163,6 +163,39 @@ class PQIndexTxSpec extends SparkSpec {
     vecs.unpersist()
   }
 
+  test("deleteIdsDeferred: zero file changes, search parity with the eager delete, fold makes it physical") {
+    val t = Tables(spark, SparkSpec.Sf0001)
+    val vecs = vecsOf(t).persist()
+    val dirE = tmp("graft_pqtx_dde")
+    val dirD = tmp("graft_pqtx_ddd")
+    Seq(dirE, dirD).foreach(d => PQIndexTx.buildIVF(spark, vecs, d, m, dsub,
+      ksub, iters, nq, coarseK, coarseIters))
+    val victims = TxTable.read(spark, s"$dirE/codes")
+      .select(col("vec_id")).orderBy("vec_id").limit(3)
+      .collect().map(_.getLong(0)).toSeq
+    PQIndexTx.deleteIds(spark, dirE, victims) // eager reference
+    val filesBefore = TxTable.dataFiles(s"$dirD/codes",
+      TxTable.snapshot(s"$dirD/codes")).map(_._1.toString).toSet
+    PQIndexTx.deleteIdsDeferred(dirD, victims)
+    assert(TxTable.dataFiles(s"$dirD/codes",
+      TxTable.snapshot(s"$dirD/codes")).map(_._1.toString).toSet == filesBefore,
+      "deferred delete touched code files")
+    // The probed-cell search masks the ids and ranks exactly like the
+    // physical rewrite.
+    assert(search(dirD, vecs) === search(dirE, vecs),
+      "masked search diverged from the eager-delete search")
+    // Fold: physical removal, mask cleared, same results.
+    val (rw, _) = TxTable.foldDeletes(spark, s"$dirD/codes")
+    assert(rw >= 1L)
+    assert(TxTable.snapshot(s"$dirD/codes").dkeys.isEmpty)
+    assert(TxTable.read(spark, s"$dirD/codes")
+      .filter(col("vec_id").isInCollection(victims)).isEmpty,
+      "fold left masked rows physically matched")
+    assert(search(dirD, vecs) === search(dirE, vecs),
+      "search changed across the fold")
+    vecs.unpersist()
+  }
+
   test("foreachBatch maintenance lands exactly once; restore rolls index AND watermark back") {
     implicit val sc = spark.sqlContext
     val spark0 = spark

@@ -150,6 +150,20 @@ class DeletionVectorSpec extends SparkSpec {
       s"fold kept masked rows: $physical")
   }
 
+  test("readChanges delivers new rows through the head mask; tombstone commits don't break the feed") {
+    val dir = tmp()
+    TxTable.init(spark, dir, schema)
+    TxTable.append(spark, dir, Seq((1L, 10L)).toDF("k", "v")) // v1
+    TxTable.deleteKeysDeferred(dir, "k", Seq(2L)) // v2 — no dir change
+    TxTable.append(spark, dir, Seq((2L, 20L), (3L, 30L)).toDF("k", "v")) // v3
+    // The range spans the tombstone commit: must not throw, and the
+    // appended-but-masked key 2 must not flow.
+    val changed = TxTable.readChanges(spark, dir, 1L, 3L)
+      .select("k").as[Long].collect().toSeq
+    assert(changed == Seq(3L),
+      s"changes over a tombstoned range delivered $changed (want Seq(3))")
+  }
+
   test("deletedKeysBetween: the deletion half of the change feed") {
     val dir = tmp()
     TxTable.init(spark, dir, schema)
