@@ -33,10 +33,11 @@ class CacheJanitorSpec extends SparkSpec {
     // The caller's REAL terminal action — same QueryExecution instance,
     // delivered after the sentinel — triggers cleanup.
     out.collect()
-    // 30 s: the async listener bus has missed a 10 s bound once under
-    // full-suite host load (one flake in an otherwise green run); the
+    // 10 s again: the old 30 s bump papered over the stale-sentinel bug
+    // (a body-side event passing the id gate under suite load); with the
+    // per-registration sentinel the bound is just bus latency, and the
     // wait only runs long on failure.
-    assert(waitUntil(30000)(cached.storageLevel == StorageLevel.NONE),
+    assert(waitUntil(10000)(cached.storageLevel == StorageLevel.NONE),
       "terminal action on the returned frame did not release the caches")
   }
 
@@ -83,10 +84,8 @@ class CacheJanitorSpec extends SparkSpec {
     val out = CacheJanitor.afterTerminalAction(
       cached.selectExpr("sum(x) AS s"), Seq(cached))
     out.write.format("noop").mode("overwrite").save() // fresh QueryExecution
-    // 30 s: the async listener bus has missed a 10 s bound once under
-    // full-suite host load (one flake in an otherwise green run); the
-    // wait only runs long on failure.
-    assert(waitUntil(30000)(cached.storageLevel == StorageLevel.NONE),
+    // See above: 10 s of pure bus latency, long only on failure.
+    assert(waitUntil(10000)(cached.storageLevel == StorageLevel.NONE),
       "fresh terminal execution did not release the caches")
   }
 }
