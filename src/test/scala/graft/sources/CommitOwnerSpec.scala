@@ -99,6 +99,61 @@ class CommitOwnerSpec extends SparkSpec {
     assert(TxTable.read(spark, dir).count() == 1)
   }
 
+  test("a conditional-put owner (no link(2)) drives the full lifecycle") {
+    // The portability claim made executable: an owner with object-store
+    // semantics — an atomic compare-and-set keyed by path, no hard
+    // links, no POSIX rename — runs init/append/merge/retention and
+    // REAL two-writer contention. If any TxTable path secretly relied
+    // on link(2) beyond the seam, this owner would miss it.
+    val puts = new java.util.concurrent.ConcurrentHashMap[Path, String]()
+    val condPut = new TxTable.CommitOwner {
+      override def claim(path: Path, content: String): Unit = {
+        // S3 If-None-Match:* / GCS ifGenerationMatch:0 shape: atomic
+        // create-if-absent on the store's key space, then the file
+        // becomes visible (here: materialized for the reader side,
+        // which lists/reads through the ordinary filesystem).
+        if (puts.putIfAbsent(path, content) != null)
+          throw new FileAlreadyExistsException(path.toString)
+        if (Files.exists(path)) { // a dead pre-link-era claim may sit here
+          puts.remove(path)
+          throw new FileAlreadyExistsException(path.toString)
+        }
+        val tmp = path.resolveSibling(path.getFileName.toString + ".put")
+        Files.writeString(tmp, content)
+        Files.move(tmp, path,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
+    }
+    val dir = tmp()
+    withOwner(condPut) {
+      TxTable.init(spark, dir, schema)
+      TxTable.append(spark, dir, Seq((1L, 10L), (2L, 20L)).toDF("k", "v"))
+      TxTable.merge(spark, dir) { t =>
+        t.withColumn("v", org.apache.spark.sql.functions.col("v") + 1L)
+      }
+      TxTable.deleteKeysDeferred(dir, "k", Seq(2L))
+      // Two writers race appends through the conditional put: both must
+      // land (the optimistic retry re-claims), exactly once each.
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      try {
+        val futures = (0 until 2).map { i =>
+          pool.submit(new java.util.concurrent.Callable[Unit] {
+            override def call(): Unit = {
+              TxTable.append(spark, dir, Seq((10L + i, 100L)).toDF("k", "v"))
+              ()
+            }
+          })
+        }
+        futures.foreach(_.get())
+      } finally pool.shutdown()
+    }
+    val out = TxTable.read(spark, dir).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((1L, 11L), (10L, 100L), (11L, 100L)),
+      s"conditional-put lifecycle produced $out")
+    assert(puts.size >= 5, "claims did not route through the owner")
+  }
+
   test("local owner publishes all-or-nothing: claimed file is complete at first sight") {
     // The contract a swap-in owner must match: after claim() returns the
     // file exists with the full content; a second claim of the same path

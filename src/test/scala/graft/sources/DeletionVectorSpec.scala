@@ -183,6 +183,34 @@ class DeletionVectorSpec extends SparkSpec {
       Map("k" -> Seq("2")))
   }
 
+  test("a deferred delete racing an append: both land, mask coherent") {
+    val dir = tmp()
+    TxTable.init(spark, dir, schema)
+    TxTable.append(spark, dir, Seq((1L, 10L), (2L, 20L)).toDF("k", "v"))
+    // Real thread contention: the optimistic retry must serialize the
+    // metadata-only tombstone commit against a data append without
+    // losing either — a lost tombstone would resurrect an erased key,
+    // a lost append would drop rows.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val del = pool.submit(new java.util.concurrent.Callable[Unit] {
+        override def call(): Unit = {
+          TxTable.deleteKeysDeferred(dir, "k", Seq(2L)); ()
+        }
+      })
+      val app = pool.submit(new java.util.concurrent.Callable[Unit] {
+        override def call(): Unit = {
+          TxTable.append(spark, dir, Seq((3L, 30L)).toDF("k", "v")); ()
+        }
+      })
+      del.get(); app.get()
+    } finally pool.shutdown()
+    val snap = TxTable.snapshot(dir)
+    assert(snap.dkeys == Map("k" -> Seq("2")), s"tombstone lost: ${snap.dkeys}")
+    assert(TxTable.read(spark, dir).select("k").as[Long].collect().sorted.toSeq
+      == Seq(1L, 3L), "race lost a row or resurrected a masked one")
+  }
+
   test("string keys, type check, and the tombstone cap") {
     val dir = tmp()
     TxTable.init(spark, dir, StructType.fromDDL("name STRING, v BIGINT"))
