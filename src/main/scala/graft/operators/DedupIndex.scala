@@ -123,37 +123,45 @@ object DedupIndex {
     * provably holds no key), so the caller's row-level semi-join
     * applies identically to either side. One definition for the four
     * per-append reads that use the shape. */
-  /** Below this live-file count the manifest-planned pruned read is
-    * pure overhead: the planning collect (up to [[MaxLookupKeys]] delta
-    * keys — the round-12 A/B measured the collect + per-dir refinement
-    * at ~0.4 s per append at sf0.1, against 8-file tables where pruning
-    * can save at most a few MB of page-cache-hot reads) costs more
-    * driver time than brute-scanning every file. Above it — any real
-    * deployment; a 100 TB table holds millions of files — the same
-    * planning is what turns an O(corpus) read into O(hit files). The
-    * gate runs BEFORE the key collect (`keyRows` is by-name), so the
-    * skipped path pays only a manifest listing. A `var` solely so the
-    * spec can force the pruned branch on its small fixtures (every
-    * test table is under the production threshold). */
+  /** Below this live-file count the manifest-planned STRING-keyed
+    * pruned read is pure overhead: its planning collect (up to
+    * [[MaxLookupKeys]] shingle strings — the round-12 A/B measured the
+    * collect + per-dir refinement at ~0.4 s per append at sf0.1,
+    * against 8-file tables where pruning can save at most a few MB of
+    * page-cache-hot reads) costs more driver time than brute-scanning
+    * every file. Above it — any real deployment; a 100 TB table holds
+    * millions of files — the same planning is what turns an O(corpus)
+    * read into O(hit files). The gate runs BEFORE the key collect
+    * (`keyRows` is by-name), so the skipped path pays only a manifest
+    * listing. LONG-keyed reads are deliberately UNgated: their key
+    * sets are candidate-endpoint-sized (hundreds — the collect is
+    * driver-cheap at any bound) and the pushed IN predicate's
+    * row-group skipping on the doc_id-clustered table beats the brute
+    * scan even at few files (fetch ~1.2 s pruned vs ~2.1 s brute in
+    * the same A/B). A `var` solely so the spec can force the pruned
+    * string branch on its small fixtures (every test table is under
+    * the production threshold). */
   private[operators] var MinPruneFiles = 64
 
   private def prunedByLongKeys(spark: SparkSession, table: String,
       snap: TxTable.Snapshot, keyCol: String,
       keyRows: => Array[org.apache.spark.sql.Row], bound: Int,
-      fallback: => DataFrame): DataFrame =
-    if (TxTable.dataFiles(table, snap).size <= MinPruneFiles) fallback
+      fallback: => DataFrame): DataFrame = {
+    val kr = keyRows
+    if (kr.length > bound) fallback
     else {
-      val kr = keyRows
-      if (kr.length > bound) fallback
-      else {
-        val hits = TxTable.lookupFiles(table, snap, keyCol,
-          kr.toSeq.map(_.getLong(0)))
-        if (hits.isEmpty) fallback.limit(0)
-        else spark.read
-          .schema(org.apache.spark.sql.types.StructType.fromDDL(snap.schemaDdl))
-          .parquet(hits.map(_.toString): _*)
-      }
+      val keys = kr.toSeq.map(_.getLong(0))
+      val hits = TxTable.lookupFiles(table, snap, keyCol, keys)
+      if (hits.isEmpty) fallback.limit(0)
+      else spark.read
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(snap.schemaDdl))
+        .parquet(hits.map(_.toString): _*)
+        // The IN predicate is the point at toy file counts: row-group
+        // skipping inside the (doc_id-clustered) hit files. Exactness
+        // is unchanged — callers re-filter row-level (semi-joins).
+        .filter(col(keyCol).isInCollection(keys))
     }
+  }
 
   /** [[prunedByLongKeys]] on STRING keys (sstats bounds). */
   private def prunedByStringKeys(spark: SparkSession, table: String,
@@ -540,10 +548,21 @@ object DedupIndex {
     // approaches a rebuild). Row-level filtering stays a broadcast
     // semi-join either way — a 10^5-key IN predicate would defeat
     // codegen where the hash semi probes in O(1).
+    // The collected endpoint keys DOUBLE as the broadcast side (a local
+    // relation — same trick as the recheck's hShKeys): candEnds is a
+    // distinct-shuffle over the cached cands, and evaluating it for the
+    // collect AND again for the broadcast measurably re-runs that
+    // shuffle per append.
+    val endRows = candEnds.limit(MaxReplaceKeys + 1).collect()
+    val candEndKeys =
+      if (endRows.length <= MaxReplaceKeys)
+        spark.createDataset(endRows.toSeq.map(_.getLong(0)))(
+          org.apache.spark.sql.Encoders.scalaLong).toDF("doc_id")
+      else candEnds
     val docsCand = prunedByLongKeys(spark, s"$dir/docs", docsSnap, "doc_id",
-        candEnds.limit(MaxReplaceKeys + 1).collect(), MaxReplaceKeys, docsStored)
+        endRows, MaxReplaceKeys, docsStored)
       .unionByName(nd)
-      .join(broadcast(candEnds), Seq("doc_id"), "left_semi")
+      .join(broadcast(candEndKeys), Seq("doc_id"), "left_semi")
       .persist(StorageLevel.MEMORY_AND_DISK)
     // Phase boundary: when the pruned path runs, its endpoint collect
     // (inside the by-name argument above) materialized the candidate
