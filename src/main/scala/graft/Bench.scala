@@ -140,13 +140,21 @@ object Bench {
     }.mkString("{", ",", "}")
     // The widest relative spread over the trimmed core, surfaced in the
     // compact line so the noise floor is visible even where only the
-    // tail survives capture.
+    // tail survives capture. Sub-200 ms queries are excluded: at that
+    // duration the spread measures scheduler jitter (a 60 ms point
+    // lookup legitimately lands anywhere in 60-180 ms on a shared
+    // host), not plan stability — their per-rep samples stay in
+    // reps_raw. Residual spreads above ~1.5x on sub-second queries are
+    // this host's measurement floor (same-code suites swing 79-129 s);
+    // cross-round claims at that size need interleaved A/B runs.
     val worstSpread = raw.toSeq
       .map { case (k, ts) =>
         val c = core(ts)
-        (k, if (c.min > 0) c.max / c.min else 1.0)
+        (k, if (c.min > 0) c.max / c.min else 1.0, c.min)
       }
+      .filter(_._3 >= 0.2)
       .sortBy(-_._2).headOption
+      .map { case (k, r, _) => (k, r) }
     val worstJson = worstSpread
       .map { case (k, r) => s""","worst_spread":{"query":"${esc(k)}","max_over_min":${math.round(r * 100) / 100.0}}""" }
       .getOrElse("")
