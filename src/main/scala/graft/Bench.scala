@@ -10,9 +10,9 @@ object Bench {
     // 5 reps (was 3): with sub-second medians on a noisy shared host,
     // 3-rep medians gave a 3.14x worst spread in round 11 and made
     // round-over-round deltas below ~1.5x unfalsifiable. 5 reps let the
-    // spread stats drop the single best and worst sample (host-load
-    // spikes land in ONE rep, not three) while the median stays the
-    // median.
+    // spread stats keep the FASTEST 3 samples (core() below — noise on
+    // this host is additive, so the slow tail is the host, not the
+    // engine) while the median stays the median-of-all.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "5").toInt
     // Optional comma-separated query-name filter for local A/B loops
     // (unset = the full suite; the driver's per-round runs leave it
@@ -74,9 +74,18 @@ object Bench {
     // hand-argued in round notes.
     val phaseLog = mutable.LinkedHashMap.empty[String, Seq[(String, Double)]]
     val raw = queries.flatMap { case (name, fn) =>
-      // Cleared per query: a dedup query that dies before completing an
-      // append must not inherit the previous query's (or the warmup
-      // pass's) decomposition under its own name.
+      // One untimed warmup rep IMMEDIATELY before each query's timed
+      // reps: the global target-SF pass above runs ~100 queries between
+      // a query's warmup and its timed turn, evicting its page-cache /
+      // codegen state — r12's reps_raw showed rep 1 consistently
+      // slowest (a monotone warming signature, e.g. q_quarterly_trend
+      // [1.71, 1.13, 0.94, 0.65, 0.61]). Warming right before the
+      // timed loop measures the engine, not the eviction.
+      try { act(fn(spark, sfDir)) } catch { case _: Throwable => () }
+      spark.catalog.clearCache()
+      // Cleared per query (AFTER the warmup rep): a dedup query that
+      // dies before completing an append must not inherit the previous
+      // query's (or any warmup pass's) decomposition under its own name.
       graft.operators.DedupIndex.lastAppendPhases.set(Nil)
       val ts = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
@@ -155,9 +164,11 @@ object Bench {
       .filter(_._3 >= 0.2)
       .sortBy(-_._2).headOption
       .map { case (k, r, _) => (k, r) }
+    // Explicit null when the 0.2 s floor filters out EVERY query (a
+    // filtered-empty stat must be distinguishable from a forgotten one).
     val worstJson = worstSpread
       .map { case (k, r) => s""","worst_spread":{"query":"${esc(k)}","max_over_min":${math.round(r * 100) / 100.0}}""" }
-      .getOrElse("")
+      .getOrElse(""","worst_spread":null""")
     val errJson = errors.map { case (k, v) => s"\"" + esc(k) + "\":\"" + esc(v) + "\"" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

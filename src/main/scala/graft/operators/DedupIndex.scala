@@ -153,13 +153,18 @@ object DedupIndex {
       val keys = kr.toSeq.map(_.getLong(0))
       val hits = TxTable.lookupFiles(table, snap, keyCol, keys)
       if (hits.isEmpty) fallback.limit(0)
-      else spark.read
+      // applyDeletes on the direct file scan (identity when dkeys is
+      // empty — the hot path): deleteKeysDeferred is public API on any
+      // TxTable, and a tombstoned docs/groups table must not feed
+      // resurrected rows into the append, exactly as the lookupKeys/
+      // EventStore consumers of the same planning already guarantee.
+      else TxTable.applyDeletes(spark.read
         .schema(org.apache.spark.sql.types.StructType.fromDDL(snap.schemaDdl))
         .parquet(hits.map(_.toString): _*)
         // The IN predicate is the point at toy file counts: row-group
         // skipping inside the (doc_id-clustered) hit files. Exactness
         // is unchanged — callers re-filter row-level (semi-joins).
-        .filter(col(keyCol).isInCollection(keys))
+        .filter(col(keyCol).isInCollection(keys)), snap)
     }
   }
 
@@ -176,9 +181,11 @@ object DedupIndex {
         val hits = TxTable.lookupStringFiles(table, snap, keyCol,
           kr.toSeq.map(_.getString(0)))
         if (hits.isEmpty) fallback.limit(0)
-        else spark.read
+        // Tombstone mask on the direct scan — same contract as the
+        // long-keyed twin above; identity when the table has no dkeys.
+        else TxTable.applyDeletes(spark.read
           .schema(org.apache.spark.sql.types.StructType.fromDDL(snap.schemaDdl))
-          .parquet(hits.map(_.toString): _*)
+          .parquet(hits.map(_.toString): _*), snap)
       }
     }
 

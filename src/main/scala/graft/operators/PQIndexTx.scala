@@ -282,7 +282,11 @@ object PQIndexTx {
     val foldSet = fold.toSet
     val foldFiles = TxTable.dataFiles(cd, snap)
       .filter(f => foldSet(f._1.getParent.getFileName.toString))
-    val foldBytes = foldFiles.map(f => java.nio.file.Files.size(f._1)).sum
+    // sizeOrZero, not Files.size: a concurrent vacuum retiring an
+    // excluded file between the listing and this stat must re-plan as
+    // "0 bytes", not throw (same list-then-stat race EventStore
+    // .compactFacts tolerates with the same helper).
+    val foldBytes = foldFiles.map(f => TxTable.sizeOrZero(f._1)).sum
     val parts = math.max(1L, (foldBytes + targetBytes - 1) / targetBytes).toInt
     if (fold.size == 1 && foldFiles.size <= parts) return
     TxTable.compactDirs(spark, cd, snap, fold)(clustered(_, parts))

@@ -757,6 +757,7 @@ object TxTable {
     var snap = snapshot(dir)
     while (snap.dkeys.nonEmpty) {
       val (c, vals) = snap.dkeys.head
+      foldInterleave()
       val schema = StructType.fromDDL(snap.schemaDdl)
       val staged = schema(c).dataType match {
         case org.apache.spark.sql.types.LongType =>
@@ -767,7 +768,22 @@ object TxTable {
             hit => hit.limit(0))
       }
       try {
-        staged.commit(dkeysOverride = Some(snap.dkeys - c))
+        // The override derives from the STAGED replace's own planning
+        // snapshot (`staged.expected`), not the loop-top `snap`: a
+        // concurrent tombstone landing between the two reads is part of
+        // the version this claim commits over, and its rows were never
+        // rewritten (the replace pruned by `vals`) — `snap.dkeys - c`
+        // would silently drop that mask and resurrect the rows. Only
+        // the keys this fold actually made physical (`vals`) clear;
+        // residual keys on `c` and every other column's entry carry.
+        val valSet = vals.toSet
+        val residual = staged.expected.dkeys.get(c)
+          .map(_.filterNot(valSet)).filter(_.nonEmpty)
+        val adjusted = residual match {
+          case Some(rest) => staged.expected.dkeys + (c -> rest)
+          case None       => staged.expected.dkeys - c
+        }
+        staged.commit(dkeysOverride = Some(adjusted))
         rewritten += staged.rewrittenFiles
         total += staged.totalFiles
       } catch { case _: ConcurrentCommitException => () } // re-plan below
@@ -775,6 +791,15 @@ object TxTable {
     }
     (rewritten, total)
   }
+
+  /** Test seam: runs between [[foldDeletes]]' loop-top snapshot and the
+    * staged replace's own planning read — the window where a concurrent
+    * tombstone commit can land WITHOUT tripping the staged commit's
+    * version check (the replace plans against the post-tombstone
+    * version). Default no-op; the DeletionVectorSpec injects a writer
+    * here to pin that the fold's dkeys override never drops a tombstone
+    * it did not fold. */
+  private[graft] var foldInterleave: () => Unit = () => ()
 
   /** The table AT `snap`: scans the snapshot's literal paths, immune to
     * later commits (snapshot isolation by construction). */

@@ -211,6 +211,39 @@ class DeletionVectorSpec extends SparkSpec {
       == Seq(1L, 3L), "race lost a row or resurrected a masked one")
   }
 
+  test("fold racing a concurrent tombstone: the unfolded mask survives (ADVICE r12)") {
+    val dir = tmp()
+    TxTable.init(spark, dir, StructType.fromDDL("k BIGINT, v BIGINT, u BIGINT"))
+    TxTable.append(spark, dir,
+      Seq((1L, 10L, 100L), (2L, 20L, 200L), (3L, 30L, 300L), (4L, 40L, 400L))
+        .toDF("k", "v", "u"))
+    TxTable.deleteKeysDeferred(dir, "k", Seq(2L))
+    // Inject tombstones in the window between foldDeletes' loop-top
+    // snapshot and the staged replace's planning read: one more key on
+    // the SAME column being folded (k=3, not in the fold's vals) and
+    // one on a DIFFERENT column (u=100). Neither trips the staged
+    // commit's version check — the replace plans against the
+    // post-injection version — so a dkeys override derived from the
+    // stale loop-top snapshot would silently drop both and resurrect
+    // the rows.
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    TxTable.foldInterleave = () =>
+      if (fired.compareAndSet(false, true)) {
+        TxTable.deleteKeysDeferred(dir, "k", Seq(3L))
+        TxTable.deleteKeysDeferred(dir, "u", Seq(100L))
+        ()
+      }
+    try TxTable.foldDeletes(spark, dir)
+    finally TxTable.foldInterleave = () => ()
+    assert(TxTable.snapshot(dir).dkeys.isEmpty,
+      "fold returned with tombstones still pending")
+    // k=2 folded, k=3 and u=100 (row k=1) landed mid-fold and must
+    // still be deleted; k=4 was never touched and must survive.
+    assert(TxTable.read(spark, dir).select("k").as[Long].collect().toSeq
+      == Seq(4L),
+      "a tombstone that landed during the fold was dropped — rows resurrected")
+  }
+
   test("string keys, type check, and the tombstone cap") {
     val dir = tmp()
     TxTable.init(spark, dir, StructType.fromDDL("name STRING, v BIGINT"))
