@@ -135,13 +135,33 @@ object TxTable {
   private def logDir(dir: String) = Paths.get(dir, "_log")
   private def commitFile(dir: String, v: Long): Path =
     logDir(dir).resolve(f"v$v%016d.commit")
+  private def checkpointFile(dir: String, v: Long): Path =
+    logDir(dir).resolve(f"v$v%016d.checkpoint")
 
-  /** Diagnostic counter: manifest files READ since JVM start. Manifests
-    * here are SELF-CONTAINED — every commit is its own checkpoint (the
-    * degenerate, simplest form of Delta's checkpointing) — so resolving
-    * a snapshot reads exactly ONE commit file no matter how long the
-    * history is; spec-asserted through this counter so the property
-    * can't silently regress into a log replay. */
+  /** CHECKPOINT CADENCE: every N real commits the full table state is
+    * serialized alongside the commit's delta (Delta's checkpointing,
+    * on JSON instead of parquet). Commits themselves carry only their
+    * DELTA — added/removed dirs, changed per-file stats entries,
+    * tombstone/txn updates — so the write path's commit payload is
+    * O(delta), not O(live files): at the 100 TB north star a table
+    * with 10⁵–10⁶ live files must not re-serialize its whole file +
+    * stats + bloom listing on every append (×4 for the dedup index's
+    * staged tables). Snapshot resolution reads the newest checkpoint
+    * at-or-below the target plus the ≤N delta tail — O(1) amortized
+    * file reads, bounded by this interval. The periodic O(table)
+    * checkpoint write amortizes to O(table/N) per commit — the same
+    * trade Delta ships with (default 10 there too). Configurable
+    * (JVM-wide, like the commit owner): larger N = cheaper writes,
+    * longer replay tails; 0 disables periodic checkpoints (trimLog/
+    * vacuum still write the retention checkpoint they need). */
+  @volatile var CheckpointInterval: Int = 10
+
+  /** Diagnostic counter: manifest files READ since JVM start
+    * (commits and checkpoints both). Resolution reads at most one
+    * readable checkpoint plus the delta tail behind the target —
+    * bounded by [[CheckpointInterval]], never a full log replay;
+    * spec-asserted through this counter so the property can't
+    * silently regress into O(history) reads. */
   val commitReads = new java.util.concurrent.atomic.AtomicLong(0L)
 
   private def readManifest(p: Path): String = {
@@ -156,8 +176,9 @@ object TxTable {
            bloomCols: Seq[String] = Nil): Unit = {
     Files.createDirectories(logDir(dir))
     Files.createDirectories(Paths.get(dir, "data"))
-    writeCommit(commitFile(dir, 0L), schema.toDDL, Seq.empty, Map.empty, Map.empty,
-      bloomCols, Map.empty)
+    // v0 is always FULL form: the base every delta replay bottoms out on.
+    commitOwner.claim(commitFile(dir, 0L),
+      fullJson(Snapshot(0L, schema.toDDL, Seq.empty, bloomCols = bloomCols)))
   }
 
   /** List a directory's entry names, closing the stream (Files.list
@@ -175,13 +196,38 @@ object TxTable {
       .map(n => n.stripPrefix("v").stripSuffix(".commit").toLong)
       .sorted
 
-  /** Latest committed snapshot. [[writeCommit]] claims a version by
+  private def checkpointVersions(dir: String): Seq[Long] =
+    listNames(logDir(dir))
+      .filter(_.endsWith(".checkpoint"))
+      .map(n => n.stripPrefix("v").stripSuffix(".checkpoint").toLong)
+      .sorted
+
+  /** Latest committed snapshot. [[claimFrom]] claims a version by
     * hard-linking an already-written manifest into place, so a commit
     * file is complete the instant it exists. An empty/unparsable commit
     * can therefore only be debris from a crashed pre-link-era claim; it
-    * is treated as never-committed and the predecessor wins. */
+    * is treated as never-committed and the predecessor wins.
+    * Resolution: a FULL-form head (init/restore/fallback commits)
+    * parses directly; a DELTA head replays from the newest readable
+    * checkpoint at-or-below it — bounded by [[CheckpointInterval]]
+    * commit reads, never O(history). */
   def snapshot(dir: String): Snapshot = {
-    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    // A commit that VANISHES mid-replay is a concurrent trimLog
+    // retiring manifests below its fresh retention checkpoint — the
+    // re-listed resolution finds that newer checkpoint. Never the
+    // head: the head survives every trim.
+    var attempts = 0
+    while (true) {
+      try return resolveHead(dir)
+      catch { case e: java.nio.file.NoSuchFileException =>
+        attempts += 1
+        if (attempts > 3) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def resolveHead(dir: String): Snapshot = {
     val versions = commitVersions(dir)
     // Walk newest → oldest: skip crashed (empty) claims — and files a
     // concurrent trimLog retired between the listing and this read
@@ -192,21 +238,106 @@ object TxTable {
         catch { case _: java.nio.file.NoSuchFileException => "" }
       if (json.nonEmpty) {
         val m = org.json4s.jackson.JsonMethods.parse(json)
-        return Snapshot(v,
-          (m \ "schema").extract[String],
-          (m \ "dirs").extract[Seq[String]],
-          parseStats(m), parseSStats(m), parseBloomCols(m), parseBlooms(m),
-          parseExcludes(m), parseTxns(m), parseNonulls(m), parseDkeys(m))
+        return if (isDelta(m)) resolveAt(dir, v, versions)
+               else parseFull(v, m)
       }
     }
     throw new IllegalStateException(
       s"no readable commit in $dir (${versions.size} claim files, all empty)")
   }
 
-  /** Stats block of a manifest; absent (pre-stats commits) → empty. */
-  private def parseStats(m: org.json4s.JValue): Map[String, Map[String, (Long, Long)]] = {
+  private def isDelta(m: org.json4s.JValue): Boolean =
+    (m \ "parent") != org.json4s.JNothing
+
+  private def parseFull(v: Long, m: org.json4s.JValue): Snapshot = {
     implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
-    (m \ "stats") match {
+    Snapshot(v,
+      (m \ "schema").extract[String],
+      (m \ "dirs").extract[Seq[String]],
+      parseStats(m \ "stats"), parseSStats(m \ "sstats"),
+      parseBloomCols(m \ "bloomCols"), parseBlooms(m \ "blooms"),
+      parseExcludes(m \ "excludes"), parseTxns(m \ "txns"),
+      parseNonulls(m \ "nonulls"), parseDkeys(m \ "dkeys"))
+  }
+
+  /** Apply one delta commit's manifest on top of `parent`'s state. */
+  private def applyDelta(parent: Snapshot, v: Long,
+                         m: org.json4s.JValue): Snapshot = {
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    val parentV = (m \ "parent").extract[Long]
+    require(parent.version == parentV,
+      s"torn log: delta v$v expects parent v$parentV but replay is at " +
+        s"v${parent.version}")
+    def rm(field: String): Set[String] = (m \ field) match {
+      case org.json4s.JNothing | org.json4s.JNull => Set.empty
+      case js => js.extract[Seq[String]].toSet
+    }
+    val removeDirs = rm("removeDirs")
+    val addDirs = (m \ "addDirs") match {
+      case org.json4s.JNothing | org.json4s.JNull => Seq.empty[String]
+      case js => js.extract[Seq[String]]
+    }
+    Snapshot(v,
+      (m \ "schema").extract[String],
+      parent.dirs.filterNot(removeDirs) ++ addDirs,
+      parent.stats -- rm("statsRemove") ++ parseStats(m \ "statsAdd"),
+      parent.sstats -- rm("sstatsRemove") ++ parseSStats(m \ "sstatsAdd"),
+      parseBloomCols(m \ "bloomCols"),
+      parent.blooms -- rm("bloomsRemove") ++ parseBlooms(m \ "bloomsSet"),
+      parent.excludes -- rm("excludesRemove") ++ parseExcludes(m \ "excludesSet"),
+      parent.txns ++ parseTxns(m \ "txnsSet"),
+      parent.nonulls -- rm("nonullsRemove") ++ parseNonulls(m \ "nonullsAdd"),
+      parent.dkeys -- rm("dkeysRemove") ++ parseDkeys(m \ "dkeysSet"))
+  }
+
+  private def tryReadCheckpoint(dir: String, v: Long): Option[Snapshot] =
+    try {
+      val json = readManifest(checkpointFile(dir, v))
+      if (json.isEmpty) None
+      else Some(parseFull(v, org.json4s.jackson.JsonMethods.parse(json)))
+    } catch { case _: java.io.IOException => None } // lost/torn: older base
+
+  /** The state at version `v`: newest readable checkpoint ≤ `v`, then
+    * replay of the delta tail `(base, v]`. A log always has a full-form
+    * base — v0 (init) is full, and retention (trimLog/vacuum) writes a
+    * checkpoint at the oldest version it keeps before dropping older
+    * manifests — so replay never needs more than the tail behind one
+    * checkpoint interval (or the pre-first-checkpoint prefix). */
+  private def resolveAt(dir: String, v: Long, versions: Seq[Long]): Snapshot = {
+    var state: Snapshot = null
+    var from = -1L // replay commits with version strictly above this
+    checkpointVersions(dir).filter(_ <= v).reverseIterator
+      .map(cv => (cv, tryReadCheckpoint(dir, cv)))
+      .collectFirst { case (cv, Some(s)) => (cv, s) }
+      .foreach { case (cv, s) => state = s; from = cv }
+    versions.filter(w => w > from && w <= v).foreach { w =>
+      // A VANISHED commit here breaks the delta chain (unlike the
+      // head-seeking walk, a mid-chain manifest can't be skipped):
+      // propagate NoSuchFileException so the caller re-lists — the
+      // concurrent trim that removed it wrote a newer checkpoint first.
+      val json = readManifest(commitFile(dir, w))
+      if (json.nonEmpty) { // empty = dead claim: never a commit, skip
+        val m = org.json4s.jackson.JsonMethods.parse(json)
+        state =
+          if (!isDelta(m)) parseFull(w, m)
+          else {
+            if (state == null) throw new IllegalStateException(
+              s"cannot resolve v$w of $dir: delta commit with no " +
+                "checkpoint or full-form base below it (log corrupted, or " +
+                "manifests dropped without the retention checkpoint)")
+            applyDelta(state, w, m)
+          }
+      }
+    }
+    if (state == null || state.version != v) throw new IllegalStateException(
+      s"no readable commit at v$v of $dir")
+    state
+  }
+
+  /** Stats block of a manifest; absent (pre-stats commits) → empty. */
+  private def parseStats(node: org.json4s.JValue): Map[String, Map[String, (Long, Long)]] = {
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    node match {
       case org.json4s.JNothing | org.json4s.JNull => Map.empty
       case js => js.extract[Map[String, Map[String, Seq[Long]]]]
         .map { case (f, cols) =>
@@ -216,9 +347,9 @@ object TxTable {
   }
 
   /** Bloom-column table property; absent (pre-bloom commits) → none. */
-  private def parseBloomCols(m: org.json4s.JValue): Seq[String] = {
+  private def parseBloomCols(node: org.json4s.JValue): Seq[String] = {
     implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
-    (m \ "bloomCols") match {
+    node match {
       case org.json4s.JNothing | org.json4s.JNull => Nil
       case js => js.extract[Seq[String]]
     }
@@ -226,54 +357,54 @@ object TxTable {
 
   /** Per-file proven-null-free column listing; absent (pre-nonulls
     * commits) → empty — consumers fall back to a footer proof. */
-  private def parseNonulls(m: org.json4s.JValue): Map[String, Seq[String]] = {
+  private def parseNonulls(node: org.json4s.JValue): Map[String, Seq[String]] = {
     implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
-    (m \ "nonulls") match {
+    node match {
       case org.json4s.JNothing | org.json4s.JNull => Map.empty
       case js => js.extract[Map[String, Seq[String]]]
     }
   }
 
   /** Key-tombstone block; absent (pre-dkeys commits) → empty. */
-  private def parseDkeys(m: org.json4s.JValue): Map[String, Seq[String]] = {
+  private def parseDkeys(node: org.json4s.JValue): Map[String, Seq[String]] = {
     implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
-    (m \ "dkeys") match {
+    node match {
       case org.json4s.JNothing | org.json4s.JNull => Map.empty
       case js => js.extract[Map[String, Seq[String]]]
     }
   }
 
   /** Per-dir bloom sidecar listing; absent → empty. */
-  private def parseBlooms(m: org.json4s.JValue): Map[String, Seq[String]] = {
+  private def parseBlooms(node: org.json4s.JValue): Map[String, Seq[String]] = {
     implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
-    (m \ "blooms") match {
+    node match {
       case org.json4s.JNothing | org.json4s.JNull => Map.empty
       case js => js.extract[Map[String, Seq[String]]]
     }
   }
 
   /** Per-dir excluded-file listing; absent → empty. */
-  private def parseExcludes(m: org.json4s.JValue): Map[String, Seq[String]] = {
+  private def parseExcludes(node: org.json4s.JValue): Map[String, Seq[String]] = {
     implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
-    (m \ "excludes") match {
+    node match {
       case org.json4s.JNothing | org.json4s.JNull => Map.empty
       case js => js.extract[Map[String, Seq[String]]]
     }
   }
 
   /** Writer-transaction watermarks; absent (pre-txn commits) → empty. */
-  private def parseTxns(m: org.json4s.JValue): Map[String, Long] = {
+  private def parseTxns(node: org.json4s.JValue): Map[String, Long] = {
     implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
-    (m \ "txns") match {
+    node match {
       case org.json4s.JNothing | org.json4s.JNull => Map.empty
       case js => js.extract[Map[String, Long]]
     }
   }
 
   /** String-stats block; absent (pre-sstats commits) → empty. */
-  private def parseSStats(m: org.json4s.JValue): Map[String, Map[String, (String, String)]] = {
+  private def parseSStats(node: org.json4s.JValue): Map[String, Map[String, (String, String)]] = {
     implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
-    (m \ "sstats") match {
+    node match {
       case org.json4s.JNothing | org.json4s.JNull => Map.empty
       case js => js.extract[Map[String, Map[String, Seq[String]]]]
         .map { case (f, cols) =>
@@ -714,7 +845,8 @@ object TxTable {
           "foldDeletes (or a keyed replace) before deferring more deletes")
       if (merged.size == s.dkeys.getOrElse(col, Nil).size) s // all known: no-op
       else claimFrom(dir, s.dirs, s.schemaDdl, s.version + 1, s.stats, s.sstats,
-        s.bloomCols, s.blooms, s.excludes, s.txns, s.nonulls, all)
+        s.bloomCols, s.blooms, s.excludes, s.txns, s.nonulls, all,
+        parent = Some(s))
     }
 
   /** The tombstones ADDED in `(sinceVersion, toVersion]` — the
@@ -877,7 +1009,16 @@ object TxTable {
     * pre-link-era writers: they were never commits (no reader resolves
     * them), so the claim walks past them instead of treating them as a
     * competing writer. Throws [[ConcurrentCommitException]] on a real
-    * competing commit (caller owns staged-data cleanup). */
+    * competing commit (caller owns staged-data cleanup).
+    *
+    * `parent` is the state this claim's target DERIVES from (the
+    * caller's expected snapshot): with it, the commit file serializes
+    * only the DELTA — added/removed dirs, changed stats/bloom/exclude/
+    * tombstone entries — so commit payload is O(delta) whatever the
+    * table's width; without it (init, restore, or a delta the diff
+    * can't express), the full self-contained form is written. Every
+    * [[CheckpointInterval]]-th version also writes a checkpoint from
+    * the target state already in hand. */
   private def claimFrom(dir: String, dirs: Seq[String], schemaDdl: String,
                         firstCandidate: Long,
                         stats: Map[String, Map[String, (Long, Long)]] = Map.empty,
@@ -887,7 +1028,8 @@ object TxTable {
                         excludes: Map[String, Seq[String]] = Map.empty,
                         txns: Map[String, Long] = Map.empty,
                         nonulls: Map[String, Seq[String]] = Map.empty,
-                        dkeys: Map[String, Seq[String]] = Map.empty)
+                        dkeys: Map[String, Seq[String]] = Map.empty,
+                        parent: Option[Snapshot] = None)
       : Snapshot = {
     // A manifest only carries metadata for its own member dirs (a
     // replace drops the replaced dirs' filters and exclusions; the
@@ -913,19 +1055,60 @@ object TxTable {
     val liveNonulls = dropExcluded(nonulls)
     var next = firstCandidate
     while (true) {
+      val target = Snapshot(next, schemaDdl, dirs, liveStats, liveSStats,
+        bloomCols, liveBlooms, liveExcludes, txns, liveNonulls, dkeys)
+      val json = parent.flatMap(p => deltaJson(p, target))
+        .getOrElse(fullJson(target))
       try {
-        writeCommit(commitFile(dir, next), schemaDdl, dirs, liveStats, liveSStats,
-          bloomCols, liveBlooms, liveExcludes, txns, liveNonulls, dkeys)
-        return Snapshot(next, schemaDdl, dirs, liveStats, liveSStats,
-          bloomCols, liveBlooms, liveExcludes, txns, liveNonulls, dkeys)
+        commitOwner.claim(commitFile(dir, next), json)
+        maybeCheckpoint(dir, target)
+        return target
       } catch { case _: FileAlreadyExistsException =>
         val existing = commitFile(dir, next)
-        if (Files.exists(existing) && Files.size(existing) == 0L)
+        val published =
+          try Files.readString(existing)
+          catch { case _: java.io.IOException => null } // invisible yet: competing
+        if (published != null && published.isEmpty)
           next += 1 // dead claim: skip over it, our snapshot is still current
+        else if (published == json) {
+          // OUR claim, acked as a conflict: an at-least-once store
+          // (S3-style retry after a lost response) can land the put and
+          // then report EEXISTS on the retry. The published state is
+          // byte-identical to what this writer meant to publish, so the
+          // commit SUCCEEDED — treating it as a lost race would make
+          // commit() delete the data directory a live manifest now
+          // references. (Two DISTINCT writers can only collide here on
+          // byte-identical metadata-only commits — same tombstone from
+          // the same parent — where either writer's intent is satisfied
+          // by the published state.)
+          maybeCheckpoint(dir, target)
+          return target
+        }
         else throw new ConcurrentCommitException(next)
       }
     }
     throw new IllegalStateException("unreachable")
+  }
+
+  /** Periodic checkpoint from a state already in memory — zero extra
+    * computation at the claim; write failures are swallowed (the
+    * checkpoint is derived data, the next multiple writes again). */
+  private def maybeCheckpoint(dir: String, s: Snapshot): Unit =
+    if (CheckpointInterval > 0 && s.version > 0 &&
+        s.version % CheckpointInterval == 0)
+      try writeCheckpoint(dir, s) catch { case _: java.io.IOException => () }
+
+  /** Write `s` as `v<version>.checkpoint` (full form) via a private
+    * temp + atomic move. Content is a pure function of the log up to
+    * that version, so concurrent writers of the same checkpoint are
+    * idempotent; REPLACE_EXISTING keeps the race harmless. */
+  private[sources] def writeCheckpoint(dir: String, s: Snapshot): Unit = {
+    val tmp = logDir(dir).resolve(s"ckpt-${UUID.randomUUID()}.tmp")
+    Files.writeString(tmp, fullJson(s))
+    try Files.move(tmp, checkpointFile(dir, s.version),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    finally Files.deleteIfExists(tmp)
   }
 
   /** Append-path schema ENFORCEMENT (Delta's): an appended batch may
@@ -986,7 +1169,8 @@ object TxTable {
       // Tombstones ride appends (the masked rows are still in the kept
       // files); a whole-table replace DEFINES the new contents, so they
       // fold away with the replaced data.
-      if (keepExisting) expected.dkeys else Map.empty)
+      if (keepExisting) expected.dkeys else Map.empty,
+      parent = Some(expected))
     catch { case e: ConcurrentCommitException =>
       deleteRec(Paths.get(dir, "data", u)) // lost the race: our data never became visible
       throw e
@@ -1100,7 +1284,8 @@ object TxTable {
         s.bloomCols, s.blooms ++ newBlooms,
         if (keepExisting) s.excludes else Map.empty, s.txns,
         (if (keepExisting) s.nonulls else Map.empty[String, Seq[String]]) ++ newNonulls,
-        if (keepExisting) s.dkeys else Map.empty)
+        if (keepExisting) s.dkeys else Map.empty,
+        parent = Some(s))
     }
   }
 
@@ -1163,7 +1348,8 @@ object TxTable {
       expected.bloomCols, expected.blooms ++ knownBlooms, excludes,
       expected.txns,
       (if (carryDirs) expected.nonulls else Map.empty[String, Seq[String]]) ++ newNonulls,
-      dkeysOverride.getOrElse(if (carryDirs) expected.dkeys else Map.empty))
+      dkeysOverride.getOrElse(if (carryDirs) expected.dkeys else Map.empty),
+      parent = Some(expected))
     catch { case e: ConcurrentCommitException =>
       deleteRec(Paths.get(stagedPath(dir, uuid))) // never became visible
       throw e
@@ -1329,7 +1515,8 @@ object TxTable {
           // files REWRITTEN, whatever the planning classified.
           claimFrom(dir, keptDirs, snap.schemaDdl, snap.version + 1,
             snap.stats, snap.sstats, snap.bloomCols, snap.blooms,
-            mergedExcludes, snap.txns, snap.nonulls, snap.dkeys)
+            mergedExcludes, snap.txns, snap.nonulls, snap.dkeys,
+            parent = Some(snap))
           return ((dropped.size + rewrite.size).toLong, 0L)
         }
         // Anything actually expired among the rewrite candidates? If
@@ -1432,21 +1619,19 @@ object TxTable {
     * again, so vacuum keeps them). No-op when `version` is already
     * newest. */
   def restore(spark: SparkSession, dir: String, version: Long): Snapshot = {
-    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
-    val json = readManifest(commitFile(dir, version))
-    require(json.nonEmpty, s"cannot restore $dir to dead claim v$version")
-    val m = org.json4s.jackson.JsonMethods.parse(json)
-    val ddl = (m \ "schema").extract[String]
-    val dirs = (m \ "dirs").extract[Seq[String]]
+    val old = snapshotAt(dir, version)
     retrying(dir) { s =>
       if (s.version == version) s
       // Writer watermarks roll back WITH the data (the restored
       // manifest's `txns`, not the newest's): a batch whose rows this
       // restore removed must be replayable, and a carried-forward
       // watermark would no-op that replay and lose the rows for good.
-      else claimFrom(dir, dirs, ddl, s.version + 1, parseStats(m), parseSStats(m),
-        parseBloomCols(m), parseBlooms(m), parseExcludes(m), parseTxns(m),
-        parseNonulls(m), parseDkeys(m))
+      // FULL-form commit (parent = None): a restore can shrink the txn
+      // map and reorder dirs, neither of which the delta form admits —
+      // and the full head doubles as a fresh replay base.
+      else claimFrom(dir, old.dirs, old.schemaDdl, s.version + 1, old.stats,
+        old.sstats, old.bloomCols, old.blooms, old.excludes, old.txns,
+        old.nonulls, old.dkeys, parent = None)
     }
   }
 
@@ -1478,14 +1663,23 @@ object TxTable {
       s"version $version of $dir is gone (vacuumed?) — an incremental " +
         "consumer's checkpoint must stay within the vacuum retention, " +
         "exactly as Delta documents for its streaming sources")
-    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
     val json = readManifest(f)
     require(json.nonEmpty, s"version $version of $dir is a dead claim")
     val m = org.json4s.jackson.JsonMethods.parse(json)
-    Snapshot(version, (m \ "schema").extract[String],
-      (m \ "dirs").extract[Seq[String]], parseStats(m), parseSStats(m),
-      parseBloomCols(m), parseBlooms(m), parseExcludes(m), parseTxns(m),
-      parseNonulls(m), parseDkeys(m))
+    if (!isDelta(m)) parseFull(version, m)
+    else {
+      // Delta head: replay from a checkpoint base; retry a vanished
+      // mid-chain manifest (concurrent trim — see [[snapshot]]).
+      var attempts = 0
+      while (true) {
+        try return resolveAt(dir, version, commitVersions(dir))
+        catch { case e: java.nio.file.NoSuchFileException =>
+          attempts += 1
+          if (attempts > 3) throw e
+        }
+      }
+      throw new IllegalStateException("unreachable")
+    }
   }
 
   /** Rows ADDED to the table by commits in `(sinceVersion, toVersion]`
@@ -1594,8 +1788,18 @@ object TxTable {
     val real = versions.filter(v => sizeOrZero(commitFile(dir, v)) > 0L)
     if (real.size <= keepLast) return
     val keepFrom = real.takeRight(keepLast).head
+    // RETENTION CHECKPOINT, before anything is dropped: kept versions'
+    // delta chains may run through the manifests about to die, so the
+    // oldest kept version gets a full-form base first. (Resolved while
+    // the whole chain is still intact; readers racing this trim find
+    // either their old chain or this checkpoint.)
+    writeCheckpoint(dir, snapshotAt(dir, keepFrom))
     versions.filter(_ < keepFrom)
       .foreach(v => Files.deleteIfExists(commitFile(dir, v)))
+    // Checkpoints below the kept range have no tail to replay from and
+    // serve nothing — retire them with the manifests.
+    checkpointVersions(dir).filter(_ < keepFrom)
+      .foreach(v => Files.deleteIfExists(checkpointFile(dir, v)))
   }
 
   /** Delete data directories not referenced by the newest `keepLast`
@@ -1614,19 +1818,22 @@ object TxTable {
     * writer can be concurrent (e.g. single-process tests). */
   def vacuum(dir: String, keepLast: Int = 1,
              orphanRetentionMs: Long = 10L * 60 * 1000): Unit = {
-    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
-    def dirsOf(v: Long): Seq[String] = {
-      val json = readManifest(commitFile(dir, v))
-      if (json.isEmpty) Seq.empty // dead claim from a crashed writer
-      else (org.json4s.jackson.JsonMethods.parse(json) \ "dirs").extract[Seq[String]]
-    }
     val versions = commitVersions(dir)
     // keepLast counts REAL commits; dead (empty) claim files are debris
     // and always droppable.
     val real = versions.filter(v => Files.size(commitFile(dir, v)) > 0L)
     val keep = real.takeRight(keepLast)
+    // Kept versions resolved ONCE, while every chain is intact — their
+    // dirs/excludes drive reclamation below, and the oldest kept state
+    // becomes the retention checkpoint written before any manifest
+    // drops (same reason as [[trimLog]]'s).
+    val keptSnaps = keep.map(v => snapshotAt(dir, v))
+    keptSnaps.headOption.foreach(s => writeCheckpoint(dir, s))
+    def dirsOf(v: Long): Seq[String] =
+      if (sizeOrZero(commitFile(dir, v)) == 0L) Seq.empty // dead claim
+      else snapshotAt(dir, v).dirs
     val drop = versions.filterNot(keep.toSet)
-    val live = keep.flatMap(dirsOf).toSet
+    val live = keptSnaps.flatMap(_.dirs).toSet
     val superseded = drop.flatMap(dirsOf).toSet -- live
     val cutoff = System.currentTimeMillis() - orphanRetentionMs
     val dataRoot = Paths.get(dir, "data")
@@ -1643,11 +1850,7 @@ object TxTable {
     // usual vacuum caveat applies to readers pinned on dropped
     // manifests). Files are immutable and were committed, so no orphan
     // retention is needed.
-    val keptManifests = keep.map { v =>
-      val m = org.json4s.jackson.JsonMethods.parse(
-        readManifest(commitFile(dir, v)))
-      ((m \ "dirs").extract[Seq[String]], parseExcludes(m))
-    }
+    val keptManifests = keptSnaps.map(s => (s.dirs, s.excludes))
     live.foreach { d =>
       val exSets = keptManifests.collect {
         case (dirs, ex) if dirs.contains(d) => ex.getOrElse(d, Nil).toSet
@@ -1661,6 +1864,11 @@ object TxTable {
       }
     }
     drop.foreach(v => Files.delete(commitFile(dir, v)))
+    // Checkpoints below the kept range died with their tails.
+    keep.headOption.foreach { oldest =>
+      checkpointVersions(dir).filter(_ < oldest)
+        .foreach(v => Files.deleteIfExists(checkpointFile(dir, v)))
+    }
     // Bloom sidecars die with their data dir: reclaim any whose dir is
     // no longer live — superseded immediately, never-committed under
     // the same retention as data orphans (the sidecar is written just
@@ -1683,28 +1891,69 @@ object TxTable {
     }
   }
 
-  private def writeCommit(path: Path, schemaDdl: String, dirs: Seq[String],
-                          stats: Map[String, Map[String, (Long, Long)]],
-                          sstats: Map[String, Map[String, (String, String)]],
-                          bloomCols: Seq[String] = Nil,
-                          blooms: Map[String, Seq[String]] = Map.empty,
-                          excludes: Map[String, Seq[String]] = Map.empty,
-                          txns: Map[String, Long] = Map.empty,
-                          nonulls: Map[String, Seq[String]] = Map.empty,
-                          dkeys: Map[String, Seq[String]] = Map.empty): Unit = {
+  private def statsJsonable(stats: Map[String, Map[String, (Long, Long)]]) =
+    stats.map { case (f, cols) =>
+      f -> cols.map { case (c, (lo, hi)) => c -> Seq(lo, hi) }
+    }
+  private def sstatsJsonable(sstats: Map[String, Map[String, (String, String)]]) =
+    sstats.map { case (f, cols) =>
+      f -> cols.map { case (c, (lo, hi)) => c -> Seq(lo, hi) }
+    }
+
+  /** The SELF-CONTAINED manifest form (init, restore, checkpoints, and
+    * any delta the diff can't express): the exact shape every commit
+    * had before delta commits existed, so old logs parse unchanged. */
+  private def fullJson(s: Snapshot): String = {
     implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
-    val statsJson = stats.map { case (f, cols) =>
-      f -> cols.map { case (c, (lo, hi)) => c -> Seq(lo, hi) }
-    }
-    val sstatsJson = sstats.map { case (f, cols) =>
-      f -> cols.map { case (c, (lo, hi)) => c -> Seq(lo, hi) }
-    }
-    val json = org.json4s.jackson.Serialization.write(
-      Map("schema" -> schemaDdl, "dirs" -> dirs, "stats" -> statsJson,
-        "sstats" -> sstatsJson, "bloomCols" -> bloomCols, "blooms" -> blooms,
-        "excludes" -> excludes, "txns" -> txns, "nonulls" -> nonulls,
-        "dkeys" -> dkeys))
-    commitOwner.claim(path, json)
+    org.json4s.jackson.Serialization.write(
+      Map("schema" -> s.schemaDdl, "dirs" -> s.dirs,
+        "stats" -> statsJsonable(s.stats), "sstats" -> sstatsJsonable(s.sstats),
+        "bloomCols" -> s.bloomCols, "blooms" -> s.blooms,
+        "excludes" -> s.excludes, "txns" -> s.txns, "nonulls" -> s.nonulls,
+        "dkeys" -> s.dkeys))
+  }
+
+  /** The DELTA manifest form: only what changed vs `p`. `None` when the
+    * diff can't express the transition — a dropped writer watermark
+    * (restore), or a dir-list transition that isn't remove-then-append
+    * shaped — in which case the caller writes full form. Map diffs are
+    * generic add/changed/removed by key, so the payload is O(changed
+    * entries) for every delta-bounded operation (append, pruned
+    * replace, tombstone, compaction) regardless of table width. */
+  private def deltaJson(p: Snapshot, t: Snapshot): Option[String] = {
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    if (!p.txns.keysIterator.forall(t.txns.contains)) return None
+    val tDirSet = t.dirs.toSet
+    val pDirSet = p.dirs.toSet
+    val removeDirs = p.dirs.filterNot(tDirSet)
+    val addDirs = t.dirs.filterNot(pDirSet)
+    // The replay reconstructs dirs as carried-order ++ appended; a
+    // transition that reorders carried dirs (possible only through
+    // exotic restores, which use full form anyway) must not be forced
+    // into that shape.
+    if (p.dirs.filter(tDirSet) ++ addDirs != t.dirs) return None
+    def mapDiff[V](pm: Map[String, V], tm: Map[String, V])
+        : (Map[String, V], Seq[String]) =
+      (tm.filter { case (k, v) => !pm.get(k).contains(v) },
+       pm.keysIterator.filterNot(tm.contains).toSeq)
+    val (stAdd, stRm) = mapDiff(p.stats, t.stats)
+    val (ssAdd, ssRm) = mapDiff(p.sstats, t.sstats)
+    val (nnAdd, nnRm) = mapDiff(p.nonulls, t.nonulls)
+    val (blSet, blRm) = mapDiff(p.blooms, t.blooms)
+    val (exSet, exRm) = mapDiff(p.excludes, t.excludes)
+    val (dkSet, dkRm) = mapDiff(p.dkeys, t.dkeys)
+    val txSet = t.txns.filter { case (k, v) => !p.txns.get(k).contains(v) }
+    Some(org.json4s.jackson.Serialization.write(
+      Map("parent" -> p.version, "schema" -> t.schemaDdl,
+        "bloomCols" -> t.bloomCols,
+        "addDirs" -> addDirs, "removeDirs" -> removeDirs,
+        "statsAdd" -> statsJsonable(stAdd), "statsRemove" -> stRm,
+        "sstatsAdd" -> sstatsJsonable(ssAdd), "sstatsRemove" -> ssRm,
+        "nonullsAdd" -> nnAdd, "nonullsRemove" -> nnRm,
+        "bloomsSet" -> blSet, "bloomsRemove" -> blRm,
+        "excludesSet" -> exSet, "excludesRemove" -> exRm,
+        "txnsSet" -> txSet,
+        "dkeysSet" -> dkSet, "dkeysRemove" -> dkRm)))
   }
 
   /** The ATOMIC-CLAIM SEAM — the one filesystem contract every

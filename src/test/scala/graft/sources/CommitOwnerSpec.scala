@@ -59,7 +59,11 @@ class CommitOwnerSpec extends SparkSpec {
     val losing = new TxTable.CommitOwner {
       override def claim(path: Path, content: String): Unit = {
         if (raced.getAndIncrement() == 0)
-          TxTable.LocalFsCommitOwner.claim(path, content) // the "other" writer wins
+          // The "other" writer wins — with ITS OWN (different) manifest
+          // content: byte-identical content would correctly resolve as
+          // this writer's own landed claim (the ambiguous-ack path).
+          TxTable.LocalFsCommitOwner.claim(path,
+            content.replaceFirst("\\{", "{\"competitor\":true,"))
         TxTable.LocalFsCommitOwner.claim(path, content)
       }
     }
@@ -152,6 +156,122 @@ class CommitOwnerSpec extends SparkSpec {
     assert(out == Seq((1L, 11L), (10L, 100L), (11L, 100L)),
       s"conditional-put lifecycle produced $out")
     assert(puts.size >= 5, "claims did not route through the owner")
+  }
+
+  test("two OS processes contend on one log: one winner per version, serializable history") {
+    // The in-JVM races above share a memory model; the 100 TB
+    // mutual-exclusion claim rests on SEPARATE writers. This forks a
+    // real second JVM (no Spark needed for metadata commits) and races
+    // it against this process: both issue tombstone commits through
+    // link(2), the OS-level create-exclusive primitive.
+    val dir = tmp()
+    TxTable.init(spark, dir, schema)
+    val perWriter = 30
+    val javaBin = java.nio.file.Paths
+      .get(sys.props("java.home"), "bin", "java").toString
+    val child = new ProcessBuilder(
+      javaBin, "-cp", sys.props("java.class.path"),
+      "graft.sources.CommitRaceChild", dir, "2", perWriter.toString)
+      .redirectErrorStream(true).start()
+    // Parent writer races the child with its own key prefix.
+    (1 to perWriter).foreach { i =>
+      TxTable.deleteKeysDeferred(dir, "k", Seq(1000000L + i))
+    }
+    val out = new String(child.getInputStream.readAllBytes())
+    assert(child.waitFor() == 0 && out.contains("child-done"),
+      s"child writer failed:\n$out")
+    val snap = TxTable.snapshot(dir)
+    // No lost update: every key from both writers is in the final mask.
+    val want = ((1 to perWriter).map(i => (1000000L + i).toString) ++
+      (1 to perWriter).map(i => (2000000L + i).toString)).toSet
+    assert(snap.dkeys.getOrElse("k", Nil).toSet == want,
+      s"lost tombstones: ${want -- snap.dkeys.getOrElse("k", Nil).toSet}")
+    // One winner per version, no torn or duplicated commits: exactly
+    // init + one commit per logical write, every manifest readable.
+    assert(snap.version == 2L * perWriter,
+      s"history has ${snap.version} versions for ${2 * perWriter} writes")
+    assert(TxTable.versions(dir).size == 2 * perWriter + 1,
+      "dead or torn claim files in a two-process race")
+    // Serializable: each version's state is its predecessor plus exactly
+    // one key — replayable at every point of the history.
+    (1L to snap.version).foreach { v =>
+      assert(TxTable.snapshotAt(dir, v).dkeys.getOrElse("k", Nil).size == v,
+        s"v$v does not extend v${v - 1} by exactly one tombstone")
+    }
+  }
+
+  test("eventual visibility: a claim that lands but materializes late never corrupts") {
+    // Object-store shape: the conditional put SUCCEEDS in the store's
+    // key space immediately, but the file a reader lists/reads appears
+    // after a delay. Competing writers that cannot see the in-flight
+    // commit must spin on ConcurrentCommitException (liveness) rather
+    // than double-claim or clobber (safety).
+    val puts = new java.util.concurrent.ConcurrentHashMap[Path, String]()
+    val delayed = new TxTable.CommitOwner {
+      override def claim(path: Path, content: String): Unit = {
+        if (puts.putIfAbsent(path, content) != null)
+          throw new FileAlreadyExistsException(path.toString)
+        Thread.sleep(20) // visibility lag between claim and listing
+        val tmp = path.resolveSibling(path.getFileName.toString + ".put")
+        Files.writeString(tmp, content)
+        Files.move(tmp, path, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
+    }
+    val dir = tmp()
+    withOwner(delayed) {
+      TxTable.init(spark, dir, schema)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+      try {
+        val fs = (0 until 3).map { i =>
+          pool.submit(new java.util.concurrent.Callable[Unit] {
+            override def call(): Unit =
+              (1 to 5).foreach(j =>
+                TxTable.deleteKeysDeferred(dir, "k", Seq(i * 100L + j)))
+          })
+        }
+        fs.foreach(_.get())
+      } finally pool.shutdown()
+    }
+    val snap = TxTable.snapshot(dir)
+    assert(snap.dkeys("k").size == 15, s"lost writes: ${snap.dkeys}")
+    assert(snap.version == 15L, s"duplicated or dead claims: v${snap.version}")
+  }
+
+  test("ambiguous ack: a store that lands the put but reports conflict is our own success") {
+    // S3-style at-least-once retry: the put LANDS, the response is
+    // lost, the store's retry answers EEXISTS. claimFrom must
+    // recognize the published content as its own claim — treating it
+    // as a lost race would delete the data directory the now-live
+    // manifest references.
+    val lieOnce = new AtomicInteger(0)
+    val lying = new TxTable.CommitOwner {
+      override def claim(path: Path, content: String): Unit = {
+        TxTable.LocalFsCommitOwner.claim(path, content)
+        if (path.getFileName.toString.endsWith(".commit") &&
+            lieOnce.getAndIncrement() == 0)
+          throw new FileAlreadyExistsException(path.toString) // lost ack
+      }
+    }
+    val dir = tmp()
+    TxTable.init(spark, dir, schema)
+    val filesBefore = {
+      val st = Files.list(java.nio.file.Paths.get(dir, "data"))
+      try st.count() finally st.close()
+    }
+    withOwner(lying) {
+      TxTable.append(spark, dir, Seq((1L, 10L)).toDF("k", "v"))
+    }
+    // The append landed EXACTLY once, and its data dir survived (the
+    // old behavior deleted it on the spurious conflict, leaving a live
+    // manifest pointing at vanished files).
+    assert(TxTable.snapshot(dir).version == 1L)
+    assert(TxTable.read(spark, dir).collect().map(_.getLong(0)).toSeq == Seq(1L),
+      "ambiguous ack lost the committed data")
+    val filesAfter = {
+      val st = Files.list(java.nio.file.Paths.get(dir, "data"))
+      try st.count() finally st.close()
+    }
+    assert(filesAfter == filesBefore + 1)
   }
 
   test("local owner publishes all-or-nothing: claimed file is complete at first sight") {

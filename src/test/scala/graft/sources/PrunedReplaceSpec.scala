@@ -75,18 +75,9 @@ class PrunedReplaceSpec extends SparkSpec {
   test("a pre-stats manifest falls back to footer pruning, exactly") {
     val dir = tmp()
     seed(dir, 100, 4)
-    // Strip the stats block from the newest manifest: the on-disk shape
-    // of every commit before stats existed.
-    val log = java.nio.file.Paths.get(dir, "_log")
-    val newest = {
-      val s = Files.list(log)
-      try s.sorted().toArray.last.asInstanceOf[java.nio.file.Path]
-      finally s.close()
-    }
-    val stripped = org.json4s.jackson.JsonMethods.compact(
-      org.json4s.jackson.JsonMethods.parse(Files.readString(newest))
-        .removeField(_._1 == "stats"))
-    Files.delete(newest); Files.writeString(newest, stripped)
+    // Strip the stats blocks from every manifest: the on-disk shape
+    // of a log written before stats existed.
+    assert(LogSurgery.stripStats(dir), "test setup: no stats to strip")
     // The footer FALLBACK now prunes (ranges still exist in the files
     // themselves): keys 3,7 live in one of four range files.
     val (rewritten, total) = PrunedReplace.replaceKeys(
@@ -143,16 +134,7 @@ class PrunedReplaceSpec extends SparkSpec {
     // And a pre-stats footer FALLBACK read upgrades carried files into
     // the manifest: strip stats, replace once, and the next manifest
     // has key ranges again (for free, from the fallback's footer reads).
-    val log = java.nio.file.Paths.get(dir, "_log")
-    val newest = {
-      val s = Files.list(log)
-      try s.sorted().toArray.last.asInstanceOf[java.nio.file.Path]
-      finally s.close()
-    }
-    val stripped = org.json4s.jackson.JsonMethods.compact(
-      org.json4s.jackson.JsonMethods.parse(Files.readString(newest))
-        .removeField(_._1 == "stats"))
-    Files.delete(newest); Files.writeString(newest, stripped)
+    assert(LogSurgery.stripStats(dir), "test setup: no stats to strip")
     PrunedReplace.replaceKeys(spark, dir, "k", Array(5L), Seq((5L, 55L)).toDF("k", "v"))
     val upgraded = TxTable.snapshot(dir)
     assert(upgraded.stats.count(_._2.contains("k")) >=

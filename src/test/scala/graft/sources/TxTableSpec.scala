@@ -57,7 +57,7 @@ class TxTableSpec extends SparkSpec {
     assert(TxTable.read(spark, dir).count() == 1) // live version untouched
   }
 
-  test("snapshot reads ONE manifest on a 100-commit history; trimLog bounds the log") {
+  test("full-form head resolves in ONE read on a 100-commit history; trimLog bounds the log") {
     val dir = tmp()
     TxTable.init(spark, dir, schema)
     TxTable.append(spark, dir, Seq((1L, 10L)).toDF("k", "v"))
@@ -66,8 +66,9 @@ class TxTableSpec extends SparkSpec {
     // batch streaming sink produces over a day.
     (1 to 100).foreach(i => TxTable.restore(spark, dir, ((i + 1) % 2).toLong))
     assert(TxTable.versions(dir).size >= 100)
-    // Self-contained manifests: snapshot resolution reads exactly ONE
-    // commit file regardless of history length — never a log replay.
+    // A restore writes the FULL self-contained form, so the head parses
+    // in exactly ONE commit read — no checkpoint, no replay (the delta
+    // path's bounded resolution is pinned in its own spec above).
     val before = TxTable.commitReads.get()
     val snap = TxTable.snapshot(dir)
     assert(TxTable.commitReads.get() - before == 1,
@@ -84,6 +85,74 @@ class TxTableSpec extends SparkSpec {
     // dropped manifests are plain orphans under its retention rules.
     TxTable.vacuum(dir, keepLast = 1, orphanRetentionMs = 0L)
     assert(TxTable.read(spark, dir).count() == 1)
+  }
+
+  test("delta commits: payload O(delta), resolution bounded, lost checkpoint tolerated") {
+    val dir = tmp()
+    TxTable.init(spark, dir, schema)
+    (1 to 25).foreach { i =>
+      TxTable.append(spark, dir,
+        Seq((i.toLong, i.toLong)).toDF("k", "v").coalesce(1))
+    }
+    // Payload: an append commit on a 24-file table costs the same few
+    // hundred bytes as one on a 4-file table — O(its own delta), never
+    // O(live files).
+    def size(v: Long): Long =
+      Files.size(Paths.get(dir, "_log", f"v$v%016d.commit"))
+    assert(size(25L) <= size(5L) * 2,
+      s"delta payload grew with the table: v5=${size(5L)}B v25=${size(25L)}B")
+    assert(size(25L) < 2048, s"delta commit is ${size(25L)}B, expected sub-KB scale")
+    // The periodic checkpoint holds the FULL state — strictly heavier
+    // than any delta, written every CheckpointInterval commits.
+    val ckptPath = Paths.get(dir, "_log", f"v${20L}%016d.checkpoint")
+    assert(Files.exists(ckptPath), "no checkpoint at the v20 cadence point")
+    assert(Files.size(ckptPath) > size(25L) * 3,
+      s"checkpoint ${Files.size(ckptPath)}B vs delta ${size(25L)}B")
+    // Resolution reads checkpoint + tail, bounded by the interval —
+    // never the 25-commit history.
+    val before = TxTable.commitReads.get()
+    val snap = TxTable.snapshot(dir)
+    val reads = TxTable.commitReads.get() - before
+    assert(reads <= 2 + TxTable.CheckpointInterval,
+      s"snapshot resolution read $reads log files")
+    assert(snap.version == 25L && snap.dirs.size == 25)
+    assert(TxTable.read(spark, dir).count() == 25L)
+    // Per-file stats survive the delta chain (each append contributed
+    // its own entry; replay accumulated all of them).
+    assert(TxTable.dataFiles(dir, snap).count(_._2.contains("k")) == 25)
+    // A LOST checkpoint degrades to the older base and a longer replay
+    // — bit-identical state, never an error or a wrong answer.
+    Files.delete(ckptPath)
+    assert(TxTable.snapshot(dir) == snap, "resolution diverged without v20 ckpt")
+  }
+
+  test("append to a 1000-file table writes a KB-scale commit (the r12 O(table) fix)") {
+    val dir = tmp()
+    TxTable.init(spark, dir, schema)
+    // 1,000 live files in 10 commits (100 one-row files each). Built
+    // from a 100-slice RDD: a planner-side repartition(100) is fair
+    // game for AQE coalescing, but the test needs an exact wide-table
+    // shape, not a plan opinion.
+    (1 to 10).foreach { i =>
+      val rows = spark.sparkContext.parallelize(
+        (1 to 100).map(j =>
+          org.apache.spark.sql.Row((i * 1000 + j).toLong, j.toLong)), 100)
+      TxTable.append(spark, dir, spark.createDataFrame(rows, schema))
+    }
+    val s = TxTable.snapshot(dir)
+    assert(TxTable.dataFiles(dir, s).size == 1000, "setup: expected 1000 files")
+    TxTable.append(spark, dir, Seq((1L, 1L)).toDF("k", "v").coalesce(1))
+    val commitBytes =
+      Files.size(Paths.get(dir, "_log", f"v${11L}%016d.commit"))
+    // The checkpoint at v10 is the FULL state (1000 files of stats +
+    // nonulls): the self-contained form every commit used to pay.
+    val fullBytes =
+      Files.size(Paths.get(dir, "_log", f"v${10L}%016d.checkpoint"))
+    assert(commitBytes < 4 * 1024,
+      s"single-file append wrote a ${commitBytes}B manifest on a 1000-file table")
+    assert(fullBytes > 20L * commitBytes,
+      s"full state ${fullBytes}B should dwarf the ${commitBytes}B delta")
+    assert(TxTable.read(spark, dir).count() == 1001L)
   }
 
   test("two writers at the same expected version: exactly one wins") {
@@ -254,20 +323,9 @@ class TxTableSpec extends SparkSpec {
     val dir = tmp()
     TxTable.init(spark, dir, schema)
     TxTable.overwrite(spark, dir, Seq((1L, 1L)).toDF("k", "v"))
-    // Rewrite the newest manifest WITHOUT its stats key — the on-disk
+    // Rewrite every manifest WITHOUT its stats blocks — the on-disk
     // shape every commit had before stats existed.
-    val log = Paths.get(dir, "_log")
-    val newest = {
-      val s = Files.list(log)
-      try s.sorted().toArray.last.asInstanceOf[java.nio.file.Path]
-      finally s.close()
-    }
-    val json = Files.readString(newest)
-    val stripped = org.json4s.jackson.JsonMethods.compact(
-      org.json4s.jackson.JsonMethods.parse(json).removeField(_._1 == "stats"))
-    assert(stripped != json, "test setup: stats block not found to strip")
-    Files.delete(newest)
-    Files.writeString(newest, stripped)
+    assert(LogSurgery.stripStats(dir), "test setup: no stats block to strip")
     val s = TxTable.snapshot(dir)
     assert(s.stats.isEmpty, "absent stats block must parse as empty")
     assert(TxTable.read(spark, dir).count() == 1) // reads unaffected
