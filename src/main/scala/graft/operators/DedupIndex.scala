@@ -853,6 +853,41 @@ object DedupIndex {
   def components(spark: SparkSession, dir: String): DataFrame =
     TxTable.read(spark, s"$dir/components")
 
+  /** ERASE documents from the index's SERVING tables as key tombstones
+    * — the deletion half of a change-feed pipeline ([[graft.streaming
+    * .CdcSync]]) and the GDPR path for an indexed corpus: one metadata
+    * commit per table, zero data I/O. After this, `docs`, [[pairs]]
+    * (either endpoint), and [[components]] exclude the ids on every
+    * read; the next compaction of each table folds the masks free.
+    *
+    * Contracts and caveats:
+    *  - The `groups` inverted index keeps erased ids inside its
+    *    per-shingle arrays until a rebuild — candidate MINING may still
+    *    propose an erased endpoint, but [[append]]'s verify join reads
+    *    `docs` through the mask, so no pair with an erased endpoint is
+    *    ever stored or served (the arrays hold opaque ids, not
+    *    document content). Document frequencies likewise keep counting
+    *    erased docs — conservative (a shingle can only look MORE
+    *    common, never rarer, so no spurious candidates appear that
+    *    full recompute would reject... the reverse loses only recall
+    *    against a from-scratch rebuild, never precision).
+    *  - `components` labels are opaque cluster ids (the min doc_id at
+    *    fold time): a label VALUE numerically equal to an erased id
+    *    may persist on surviving members — it identifies the cluster,
+    *    not the erased document.
+    *  - Suppression semantics as everywhere in the engine: an id
+    *    re-appended while its tombstone is open stays masked until a
+    *    fold clears it.
+    *  - One commit per table (four total): a crash mid-way leaves a
+    *    partial mask; the call is idempotent — re-run to completion. */
+  def deleteDocsDeferred(dir: String, ids: Seq[Long]): Unit = {
+    TxTable.deleteKeysDeferred(s"$dir/docs", "doc_id", ids)
+    TxTable.deleteKeysDeferred(s"$dir/components", "doc_id", ids)
+    TxTable.deleteKeysDeferred(s"$dir/pairs", "a", ids)
+    TxTable.deleteKeysDeferred(s"$dir/pairs", "b", ids)
+    ()
+  }
+
   /** Logical index view over LSM segments: per-shingle re-aggregation
     * of per-segment (ids, df) rows. df adds; ids concat while the
     * MERGED df ≤ cap — every contributing segment's list is complete

@@ -30,6 +30,19 @@ import org.apache.spark.sql.types.StructType
   *     strictly after version N.
   *   - `maxCommitsPerTrigger`: admission control — at most this many
   *     commits per micro-batch (the snapshot batch counts as one).
+  *   - `readChangeFeed` (default false): Delta CDF's shape — every row
+  *     carries a `_change_type` column; appended rows arrive as
+  *     `insert` and the range's NEW tombstones
+  *     ([[TxTable.deletedKeysBetween]]) as `delete` rows holding ONLY
+  *     the tombstoned key column (the engine deletes by key, not row
+  *     position, so the key IS the whole deletion record; other
+  *     columns are null). This closes the deletion half of the feed: a
+  *     downstream index fed by the plain stream never learns about
+  *     erasures, because a tombstone commit adds no data dir. The
+  *     snapshot-first batch is all `insert` (already masked). In-batch
+  *     ordering: a key tombstoned at the batch's head version never
+  *     flows as an insert (the head mask suppresses it), so consumers
+  *     may apply inserts before deletes.
   *
   * Contract: the streamed range must be APPEND-ONLY, and
   * [[TxTable.readChanges]] CHECKS it — a rewrite/compaction inside the
@@ -48,7 +61,11 @@ class TxTableStreamProvider extends StreamSourceProvider with StreamSinkProvider
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
                             providerName: String, parameters: Map[String, String])
       : (String, StructType) = {
-    val table = StructType.fromDDL(TxTable.snapshot(dirOf(parameters)).schemaDdl)
+    val base = StructType.fromDDL(TxTable.snapshot(dirOf(parameters)).schemaDdl)
+    val table =
+      if (parameters.get("readChangeFeed").exists(_.toBoolean))
+        TxTableSource.cdfSchema(base)
+      else base
     // The table's manifest OWNS the schema (as for Delta): a
     // user-specified one either matches (redundant, accepted) or is a
     // silent projection/widening trap — rejected, not half-honored.
@@ -72,7 +89,8 @@ class TxTableStreamProvider extends StreamSourceProvider with StreamSinkProvider
     val starting = parameters.getOrElse("startingVersion", "earliest")
     new TxTableSource(
       sqlContext.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
-      dir, metadataPath, starting, maxCommits)
+      dir, metadataPath, starting, maxCommits,
+      cdf = parameters.get("readChangeFeed").exists(_.toBoolean))
   }
 
   /** EXACTLY-ONCE streaming SINK — DeltaSink's shape on the engine's
@@ -161,13 +179,32 @@ private[sources] final class TxTableSink(
   override def toString: String = s"TxTableSink[$dir]"
 }
 
+private[sources] object TxTableSource {
+  /** The change-feed column (Delta CDF's name, so a consumer written
+    * against either reads the same). */
+  val ChangeTypeCol = "_change_type"
+
+  /** Base table schema + `_change_type`, all nullable: delete rows
+    * carry ONLY their key column, so every other field must admit
+    * null (insert rows only ever widen nullability under union). */
+  def cdfSchema(base: StructType): StructType =
+    StructType(base.fields.map(_.copy(nullable = true)) :+
+      org.apache.spark.sql.types.StructField(ChangeTypeCol,
+        org.apache.spark.sql.types.StringType, nullable = true))
+}
+
 private[sources] final class TxTableSource(
     spark: org.apache.spark.sql.classic.SparkSession, dir: String,
     metadataPath: String, startingVersion: String,
-    maxCommitsPerTrigger: Option[Int]) extends Source {
+    maxCommitsPerTrigger: Option[Int], cdf: Boolean = false) extends Source {
+
+  /** The TABLE schema this source pinned at query start (schema drift
+    * fails the stream loudly below). */
+  private val baseSchema: StructType =
+    StructType.fromDDL(TxTable.snapshot(dir).schemaDdl)
 
   override val schema: StructType =
-    StructType.fromDDL(TxTable.snapshot(dir).schemaDdl)
+    if (cdf) TxTableSource.cdfSchema(baseSchema) else baseSchema
 
   /** `earliest` → snapshot-first (no base version needed: a `(None,
     * end]` batch IS the snapshot at `end`, deterministic on replay).
@@ -260,20 +297,56 @@ private[sources] final class TxTableSource(
     // (Delta's sources fail the same way; a restart re-resolves).
     val endDdl = TxTable.snapshotAt(dir, endV).schemaDdl
     if (StructType.fromDDL(endDdl).map(f => (f.name, f.dataType.catalogString))
-        != schema.map(f => (f.name, f.dataType.catalogString)))
+        != baseSchema.map(f => (f.name, f.dataType.catalogString)))
       throw new IllegalStateException(
-        s"graft-txtable: $dir changed schema mid-stream (was ${schema.toDDL}, " +
+        s"graft-txtable: $dir changed schema mid-stream (was ${baseSchema.toDDL}, " +
           s"version $endV has $endDdl) — restart the query to pick it up")
-    val batch = start match {
-      case Some(s) => TxTable.readChanges(spark, dir, versionOf(s), endV)
-      case None if snapshotStart =>
-        TxTable.read(spark, dir, TxTable.snapshotAt(dir, endV))
-      case None => TxTable.readChanges(spark, dir, baseVersion, endV)
+    val since: Option[Long] = start match {
+      case Some(s) => Some(versionOf(s))
+      case None if snapshotStart => None // snapshot batch: no delete half
+      case None => Some(baseVersion)
     }
+    val batch = since match {
+      case Some(s) => TxTable.readChanges(spark, dir, s, endV)
+      case None => TxTable.read(spark, dir, TxTable.snapshotAt(dir, endV))
+    }
+    val out = if (!cdf) batch else cdfBatch(batch, since, endV)
     // v1 sources must hand back a frame marked streaming; the shim is
     // the only way in (see StreamingFrame).
     org.apache.spark.sql.graft.StreamingFrame.mark(spark,
-      batch.asInstanceOf[org.apache.spark.sql.classic.DataFrame])
+      out.asInstanceOf[org.apache.spark.sql.classic.DataFrame])
+  }
+
+  /** The change-feed form of a batch: appended rows tagged `insert`,
+    * plus one `delete` row per key tombstoned in `(since, end]` —
+    * holding only its key column (the engine deletes by key; there is
+    * no row pre-image to deliver, and the key is the entire deletion
+    * record a downstream index needs). Tombstone lists are bounded by
+    * [[TxTable.MaxTombstones]], so the local-relation build is
+    * driver-cheap at any scale. */
+  private def cdfBatch(batch: DataFrame, since: Option[Long],
+                       endV: Long): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val ins = batch.withColumn(TxTableSource.ChangeTypeCol, lit("insert"))
+    val dels = since.map(s => TxTable.deletedKeysBetween(dir, s, endV))
+      .getOrElse(Map.empty)
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    dels.foreach { case (c, vals) =>
+      val idx = baseSchema.fieldIndex(c)
+      val typed: Seq[Any] = baseSchema(c).dataType match {
+        case org.apache.spark.sql.types.LongType => vals.map(_.toLong)
+        case _ => vals
+      }
+      typed.foreach { v =>
+        val arr = new Array[Any](baseSchema.length + 1)
+        arr(idx) = v
+        arr(baseSchema.length) = "delete"
+        rows.add(org.apache.spark.sql.Row.fromSeq(arr.toIndexedSeq))
+      }
+    }
+    // Union even when empty: the per-batch schema must stay the
+    // declared (all-nullable) CDF schema, not flap with delete volume.
+    ins.unionByName(spark.createDataFrame(rows, TxTableSource.cdfSchema(baseSchema)))
   }
 
   private def versionOf(o: OffsetV1): Long = o match {

@@ -1,0 +1,119 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.{DedupIndex, PQIndexTx}
+import graft.sources.TxTable
+
+/** CHANGE-FEED CONSUMERS: wire a TxTable's change feed — additions AND
+  * deletions — into the engine's serving indexes, closing the CDC loop
+  * the plain stream leaves open (a tombstone commit adds no data dir,
+  * so a downstream index fed additions-only never learns about
+  * erasures; reference parity: the webapp's MySQL/Mongo/Neo4j stores
+  * see deletes implicitly because every query re-reads the primary
+  * store — a lake-scale serving index is a MATERIALIZATION and must be
+  * told).
+  *
+  * Both consumers read `format("graft-txtable")` with
+  * `readChangeFeed=true` (the Delta-CDF-shaped `_change_type` column)
+  * and apply, per micro-batch, inserts first and deletes second — safe
+  * in-batch ordering because the source's head mask already suppresses
+  * an insert of a key tombstoned within the same range. Exactly-once:
+  * insert application is watermark-guarded in the INDEX's own commit
+  * (appendIVFIfNew / a presence probe for the dedup index), and
+  * deferred deletes are idempotent (re-masking a known key is a
+  * commit no-op), so a replayed batch converges instead of duplicating
+  * or crashing.
+  */
+object CdcSync {
+
+  /** The change-feed column the consumers dispatch on. */
+  val ChangeTypeCol = "_change_type"
+
+  /** Stream `srcDir` (a TxTable of (vec_id, e)) into a [[PQIndexTx]]
+    * serving index: GDPR erasure (or any keyed delete) on the source
+    * table flows to the ANN index as FAISS-`remove_ids`-shaped
+    * tombstones; appended vectors encode with the stored quantizers.
+    * The index must exist ([[PQIndexTx.buildIVF]] trains it); pass the
+    * source version the index was built FROM as `sinceVersion` so the
+    * feed replays only post-build changes (the build already holds the
+    * snapshot). Returns the started query — caller owns its lifecycle
+    * (`processAllAvailable`/`stop` for a drain, or leave it running). */
+  def vectorsToAnn(spark: SparkSession, srcDir: String, indexDir: String,
+                   checkpointDir: String, sinceVersion: Long, dsub: Int,
+                   nq: Int = 0, files: Int = 1): StreamingQuery = {
+    val appId = checkpointDir // unique per query, stable across restarts
+    spark.readStream.format("graft-txtable")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", sinceVersion.toString)
+      .load(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val inserts = batch.filter(col(ChangeTypeCol) === "insert")
+          .select(col("vec_id"), col("e"))
+        // Empty-insert batches (delete-only ranges) skip the append
+        // entirely: an empty watermark commit per delete batch would
+        // fragment the codes table for nothing, and the deletes below
+        // are idempotent on replay anyway.
+        if (!inserts.isEmpty)
+          PQIndexTx.appendIVFIfNew(spark, inserts, indexDir, dsub = dsub,
+            appId = appId, batchId = batchId, nq = nq, files = files)
+        val delIds = batch.filter(col(ChangeTypeCol) === "delete")
+          .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
+        if (delIds.nonEmpty) PQIndexTx.deleteIdsDeferred(indexDir, delIds)
+        ()
+      }
+      .start()
+  }
+
+  /** [[vectorsToAnn]]'s text twin: stream `srcDir` (a TxTable of
+    * (doc_id, shs)) into a [[DedupIndex]] — appended documents ingest
+    * via the incremental mine, erased doc_ids tombstone across the
+    * index's serving tables ([[DedupIndex.deleteDocsDeferred]]).
+    * Replay guard: [[DedupIndex.append]] REFUSES duplicate doc_ids (by
+    * design — a silent double-insert corrupts downstream counts), so a
+    * replayed batch is detected by a manifest-planned presence probe
+    * and skipped; a PARTIALLY-present batch is a real corruption and
+    * fails loudly. */
+  def docsToDedup(spark: SparkSession, srcDir: String, indexDir: String,
+                  checkpointDir: String, sinceVersion: Long,
+                  cap: Int): StreamingQuery = {
+    spark.readStream.format("graft-txtable")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", sinceVersion.toString)
+      .load(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val inserts = batch.filter(col(ChangeTypeCol) === "insert")
+          .select(col("doc_id"), col("shs"))
+        applyDocInserts(spark, inserts, indexDir, cap)
+        val delIds = batch.filter(col(ChangeTypeCol) === "delete")
+          .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+        if (delIds.nonEmpty) DedupIndex.deleteDocsDeferred(indexDir, delIds)
+        ()
+      }
+      .start()
+  }
+
+  /** Insert half of [[docsToDedup]]: append unless the batch already
+    * landed. The probe is the manifest-planned point lookup (Bloom
+    * absence proof + stats pruning — O(hit files)); ids are micro-batch
+    * sized, so the driver collect is delta-bounded. */
+  private def applyDocInserts(spark: SparkSession, inserts: DataFrame,
+                              indexDir: String, cap: Int): Unit = {
+    val ids = inserts.select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    if (ids.isEmpty) return
+    val present = TxTable.lookupKeys(spark, s"$indexDir/docs", "doc_id", ids)
+      .count()
+    if (present == ids.size) return // replayed batch: already landed
+    require(present == 0L,
+      s"docs CDC batch is PARTIALLY present ($present of ${ids.size} ids) — " +
+        "batch boundaries drifted across a replay; re-seed the consumer")
+    DedupIndex.append(spark, inserts, indexDir, cap)
+    ()
+  }
+}

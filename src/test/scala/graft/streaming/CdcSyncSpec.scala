@@ -1,0 +1,157 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.operators.{DedupIndex, PQIndexTx}
+import graft.sources.{Tables, TxTable}
+import org.apache.spark.sql.functions._
+
+/** The CDC loop closed end-to-end: GDPR erasure lands on a source
+  * TxTable as ONE tombstone commit ([[graft.streaming.EventStore
+  * .eraseUsersDeferred]] is exactly this on the fact log), flows
+  * through the change feed's deletion half (`readChangeFeed` —
+  * `_change_type` rows), and a [[CdcSync]] consumer applies it to the
+  * serving indexes — so an ANN search or a dedup-pair read downstream
+  * excludes the erased keys without anyone rebuilding anything.
+  */
+class CdcSyncSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(p: String) = Files.createTempDirectory(p).toString
+
+  private val (m, dsub, ksub, iters) = (8, 8, 8, 2)
+  private val (coarseK, coarseIters, nprobe) = (8, 3, 2)
+  private val nq = 5
+
+  test("erasure on the fact table is visible in the change feed as delete rows") {
+    val root = tmp("graft_cdc_facts")
+    val store = new EventStore(root)
+    val events = Tables(spark, SparkSpec.Sf0001).events
+    store.appendFacts(events)
+    val factDir = s"$root/fact_events"
+    val since = TxTable.snapshot(factDir).version
+    val users = events.select(col("user_id")).distinct().orderBy("user_id")
+      .limit(2).collect().map(_.getLong(0)).toSeq
+
+    store.eraseUsersDeferred(users)
+
+    // Drain the CDF stream over the erasure range into memory.
+    val q = spark.readStream.format("graft-txtable")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", since.toString)
+      .load(factDir)
+      .writeStream.format("memory").queryName("facts_feed")
+      .option("checkpointLocation", tmp("graft_cdc_facts_ck"))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val feed = spark.table("facts_feed")
+    val dels = feed.filter(col("_change_type") === "delete")
+      .select(col("user_id")).collect().map(_.getLong(0)).toSeq
+    assert(dels.sorted == users.sorted,
+      s"the feed's deletion half delivered $dels, wanted $users")
+    // Delete rows carry ONLY the key; nothing else leaks.
+    assert(feed.filter(col("_change_type") === "delete")
+      .filter(col("event_id").isNotNull).isEmpty,
+      "delete rows must hold only the tombstoned key column")
+    assert(feed.filter(col("_change_type") === "insert").isEmpty,
+      "no data commit in the range, so no insert rows")
+  }
+
+  test("erased vectors flow feed → PQIndexTx: the ANN search excludes them") {
+    val vecs = Tables(spark, SparkSpec.Sf0001).embeddings
+      .selectExpr("vec_id", "CAST(embedding AS array<double>) AS e")
+      .persist()
+    val srcDir = tmp("graft_cdc_vsrc")
+    val indexDir = tmp("graft_cdc_vidx")
+    val ckpt = tmp("graft_cdc_vck")
+    val initial = vecs.filter(col("vec_id") < 300)
+    TxTable.init(spark, srcDir, initial.schema)
+    TxTable.append(spark, srcDir, initial)
+    PQIndexTx.buildIVF(spark, TxTable.read(spark, srcDir), indexDir,
+      m, dsub, ksub, iters, nq, coarseK, coarseIters)
+    val since = TxTable.snapshot(srcDir).version
+
+    // Post-build changes on the SOURCE: a delta batch and an erasure.
+    val delta = vecs.filter(col("vec_id") >= 300 && col("vec_id") < 350)
+    TxTable.append(spark, srcDir, delta)
+    val erase = Seq(100L, 101L, 102L)
+    TxTable.deleteKeysDeferred(srcDir, "vec_id", erase)
+
+    val q = CdcSync.vectorsToAnn(spark, srcDir, indexDir, ckpt, since,
+      dsub = dsub, nq = nq)
+    try q.processAllAvailable() finally q.stop()
+
+    val codes = TxTable.read(spark, s"$indexDir/codes")
+    assert(codes.filter(col("vec_id").isInCollection(erase)).isEmpty,
+      "erased vec_ids still served by the codes table")
+    assert(codes.filter(col("vec_id") >= 300).count() == 50L,
+      "the delta batch did not reach the index")
+    // The search itself (generous shortlist so the erased ids would
+    // surface if still encoded) never returns an erased candidate.
+    val res = PQIndexTx.searchIVF(spark, indexDir,
+      vecs.filter(col("vec_id") < nq), rerankVecs = vecs, dsub = dsub,
+      nprobe = coarseK, shortlist = 400, topK = 100)
+    assert(res.filter(col("cand_id").isInCollection(erase)).isEmpty,
+      "ANN search returned an erased vector")
+    // Restart from the same checkpoint: nothing replays, nothing moves.
+    val v = TxTable.snapshot(s"$indexDir/codes").version
+    val q2 = CdcSync.vectorsToAnn(spark, srcDir, indexDir, ckpt, since,
+      dsub = dsub, nq = nq)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(TxTable.snapshot(s"$indexDir/codes").version == v,
+      "a restart with an intact checkpoint re-applied the feed")
+    vecs.unpersist()
+    ()
+  }
+
+  test("erased docs flow feed → DedupIndex: pairs and components exclude them") {
+    val srcDir = tmp("graft_cdc_dsrc")
+    val indexDir = tmp("graft_cdc_didx")
+    val ckpt = tmp("graft_cdc_dck")
+    // 1 and 2 are near-dups (jaccard 3/5 = 0.6); 3 stands alone.
+    val initial = Seq(
+      (1L, Seq("a", "b", "c", "d")),
+      (2L, Seq("a", "b", "c", "e")),
+      (3L, Seq("x", "y", "z", "w"))).toDF("doc_id", "shs")
+    TxTable.init(spark, srcDir, initial.schema)
+    TxTable.append(spark, srcDir, initial)
+    DedupIndex.build(spark, TxTable.read(spark, srcDir), indexDir, cap = 10)
+    assert(DedupIndex.pairs(spark, indexDir).count() == 1L) // (1,2)
+    val since = TxTable.snapshot(srcDir).version
+
+    // Delta doc 4 is a near-dup of 1 AND 2; doc 1 is erased in the
+    // same range. The mined candidates include (1,4) — groups still
+    // hold doc 1 — but the verify join reads docs through the mask,
+    // so only (2,4) may be stored.
+    TxTable.append(spark, srcDir,
+      Seq((4L, Seq("a", "b", "c", "f"))).toDF("doc_id", "shs"))
+    TxTable.deleteKeysDeferred(srcDir, "doc_id", Seq(1L))
+
+    val q = CdcSync.docsToDedup(spark, srcDir, indexDir, ckpt, since, cap = 10)
+    try q.processAllAvailable() finally q.stop()
+
+    val docs = TxTable.read(spark, s"$indexDir/docs")
+    assert(docs.filter(col("doc_id") === 1L).isEmpty, "erased doc still served")
+    assert(docs.filter(col("doc_id") === 4L).count() == 1L, "delta doc missing")
+    val pairs = DedupIndex.pairs(spark, indexDir)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((2L, 4L)),
+      s"pairs after erasure should be exactly (2,4), got $pairs")
+    val comps = DedupIndex.components(spark, indexDir)
+    assert(comps.filter(col("doc_id") === 1L).isEmpty,
+      "erased doc still in components")
+    val compOf = comps.filter(col("doc_id").isin(2L, 4L))
+      .select("component").distinct().collect()
+    assert(compOf.length == 1, "docs 2 and 4 should share one component")
+    // Replay with a FRESH checkpoint (same sinceVersion): the presence
+    // probe detects the landed batch, deletes re-mask as no-ops —
+    // nothing moves.
+    val vDocs = TxTable.snapshot(s"$indexDir/docs").version
+    val q2 = CdcSync.docsToDedup(spark, srcDir, indexDir,
+      tmp("graft_cdc_dck2"), since, cap = 10)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(TxTable.snapshot(s"$indexDir/docs").version == vDocs,
+      "a replayed docs batch re-landed instead of no-opping")
+  }
+}
