@@ -832,6 +832,47 @@ object Warehouse {
           AND user_id NOT IN (3, 7)
         ORDER BY event_id""")),
 
+    // SCHEMA EVOLUTION on the transactional table, oracle-gated: a
+    // long-lived pipeline table gains a column mid-life (the
+    // reference's fixed DDL never alters, but a 100 TB table lives for
+    // years — Delta's additive mergeSchema case). The base commit
+    // carries three columns; a widened delta appends a fourth; the
+    // union read serves old rows with NULL in the new column straight
+    // from the schema-on-read scan — no backfill rewrite of history.
+    // The oracle replays the same split with an explicit NULL column,
+    // so the gate asserts the widened read is exactly the union.
+    // (Drop/retype refusal and new-column stats/bloom behavior are
+    // spec-pinned in TxTableSpec.)
+    QueryDef(
+      "q_tx_schema_evolution",
+      t => {
+        import graft.operators.Stages
+        import graft.sources.TxTable
+        val root = Stages.tempDir(t.spark, s"tx_evolve:${t.dir}") { d =>
+          val dir = s"$d/orders_tx"
+          val base = t.orders.filter(col("o_orderkey") % 2 === 0)
+            .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          TxTable.init(t.spark, dir, base.schema)
+          TxTable.append(t.spark, dir, base)
+          TxTable.append(t.spark, dir,
+            t.orders.filter(col("o_orderkey") % 2 === 1)
+              .select(col("o_orderkey"), col("o_custkey"),
+                col("o_totalprice"), col("o_orderpriority")))
+        }
+        TxTable.read(t.spark, s"$root/orders_tx")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+            col("o_orderpriority"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""
+        SELECT o_orderkey, o_custkey, o_totalprice,
+          CAST(NULL AS VARCHAR) AS o_orderpriority
+        FROM orders WHERE o_orderkey % 2 = 0
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        FROM orders WHERE o_orderkey % 2 = 1
+        ORDER BY o_orderkey""")),
+
     // The commit log AS A STREAM, oracle-gated end-to-end: the same
     // week-sliced fact store is consumed through the graft-txtable
     // Structured Streaming source (sources/TxTableStream.scala — the

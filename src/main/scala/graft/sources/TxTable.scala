@@ -773,6 +773,36 @@ object TxTable {
     * pruned keyed replace). */
   val MaxTombstones = 100000
 
+  /** AUTO-FOLD threshold: once a table's total tombstone count crosses
+    * this, the writer that pushed it over schedules a synchronous
+    * [[foldDeletes]] — the same self-maintenance discipline the dedup
+    * index applies to its segments (AutoCompactSegments): at steady
+    * erasure volume no operator has to remember to fold, and the mask
+    * never drifts toward the [[MaxTombstones]] hard error. Folding is
+    * amortized (once per ~threshold deletes, O(hit files) each) and
+    * best-effort: a fold failure leaves the tombstones masked and the
+    * next crossing retries. Deliberately below MaxTombstones so the
+    * hard cap stays a genuine never-in-practice backstop. A `var` so
+    * specs exercise the fold at test-fixture scale. */
+  @volatile var AutoFoldTombstones: Int = 80000
+
+  /** Fold when over the auto-fold threshold, with whatever session is
+    * in hand — the explicit one from a data-path caller, else the
+    * active/default session (tombstone commits take no SparkSession;
+    * erasure drivers virtually always run inside one). No session and
+    * over threshold: leave masked — the next append or tombstone with
+    * a session folds. */
+  private def maybeAutoFold(dir: String, dkeys: Map[String, Seq[String]],
+                            spark: Option[SparkSession]): Unit =
+    if (dkeys.valuesIterator.map(_.size).sum > AutoFoldTombstones)
+      spark
+        .orElse(org.apache.spark.sql.SparkSession.getActiveSession)
+        .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+        .foreach { sp =>
+          try { foldDeletes(sp, dir); () }
+          catch { case scala.util.control.NonFatal(_) => () } // retried at next crossing
+        }
+
   /** The live-row mask for `snap`'s tombstones: for each tombstoned
     * column, keep rows whose key is NULL (a DELETE of key K never
     * touches NULL keys) or outside the deleted set. A scan-level
@@ -829,8 +859,8 @@ object TxTable {
   }
 
   private def tombstone(dir: String, col: String, keys: Seq[String],
-                        okTypes: Set[org.apache.spark.sql.types.DataType]): Snapshot =
-    retrying(dir) { s =>
+                        okTypes: Set[org.apache.spark.sql.types.DataType]): Snapshot = {
+    val snap = retrying(dir) { s =>
       val schema = StructType.fromDDL(s.schemaDdl)
       require(schema.fieldNames.contains(col),
         s"tombstone column $col is not in $dir's schema")
@@ -848,6 +878,9 @@ object TxTable {
         s.bloomCols, s.blooms, s.excludes, s.txns, s.nonulls, all,
         parent = Some(s))
     }
+    maybeAutoFold(dir, snap.dkeys, spark = None)
+    snap
+  }
 
   /** The tombstones ADDED in `(sinceVersion, toVersion]` — the
     * deletion half of the change feed ([[readChanges]] carries only
@@ -1162,19 +1195,24 @@ object TxTable {
     val stats = (if (keepExisting) expected.stats else Map.empty[String, Map[String, (Long, Long)]]) ++ newStats
     val sstats = (if (keepExisting) expected.sstats else Map.empty[String, Map[String, (String, String)]]) ++ newSStats
     val nonulls = (if (keepExisting) expected.nonulls else Map.empty[String, Seq[String]]) ++ newNonulls
-    try claimFrom(dir, dirs, df.schema.toDDL, expected.version + 1, stats, sstats,
-      expected.bloomCols, expected.blooms ++ newBlooms,
-      if (keepExisting) expected.excludes else Map.empty,
-      expected.txns ++ txnUpdate, nonulls,
-      // Tombstones ride appends (the masked rows are still in the kept
-      // files); a whole-table replace DEFINES the new contents, so they
-      // fold away with the replaced data.
-      if (keepExisting) expected.dkeys else Map.empty,
-      parent = Some(expected))
-    catch { case e: ConcurrentCommitException =>
-      deleteRec(Paths.get(dir, "data", u)) // lost the race: our data never became visible
-      throw e
-    }
+    val out =
+      try claimFrom(dir, dirs, df.schema.toDDL, expected.version + 1, stats, sstats,
+        expected.bloomCols, expected.blooms ++ newBlooms,
+        if (keepExisting) expected.excludes else Map.empty,
+        expected.txns ++ txnUpdate, nonulls,
+        // Tombstones ride appends (the masked rows are still in the kept
+        // files); a whole-table replace DEFINES the new contents, so they
+        // fold away with the replaced data.
+        if (keepExisting) expected.dkeys else Map.empty,
+        parent = Some(expected))
+      catch { case e: ConcurrentCommitException =>
+        deleteRec(Paths.get(dir, "data", u)) // lost the race: our data never became visible
+        throw e
+      }
+    // Appends are the guaranteed-session chance to fold a mask an
+    // earlier session-less tombstone crossing left over threshold.
+    if (keepExisting) maybeAutoFold(dir, out.dkeys, Some(spark))
+    out
   }
 
   /** Write `df` as a STAGED (not yet visible) data directory of the

@@ -244,6 +244,30 @@ class DeletionVectorSpec extends SparkSpec {
       "a tombstone that landed during the fold was dropped — rows resurrected")
   }
 
+  test("sustained deferred deletes self-fold: mask stays bounded, never errors") {
+    val dir = tmp()
+    TxTable.init(spark, dir, schema)
+    TxTable.append(spark, dir,
+      (1L to 1000L).map(k => (k, k)).toDF("k", "v").coalesce(1))
+    val prev = TxTable.AutoFoldTombstones
+    TxTable.AutoFoldTombstones = 10
+    try {
+      // 20 batches of 3 distinct keys: every crossing past 10 pending
+      // tombstones must self-schedule a fold, so the mask NEVER grows
+      // toward the MaxTombstones error — the operator just deletes.
+      var worstPending = 0
+      (0 until 20).foreach { b =>
+        TxTable.deleteKeysDeferred(dir, "k", (1L to 3L).map(b * 3 + _))
+        worstPending = math.max(worstPending,
+          TxTable.snapshot(dir).dkeys.valuesIterator.map(_.size).sum)
+      }
+      assert(worstPending <= TxTable.AutoFoldTombstones + 3,
+        s"auto-fold let the mask grow to $worstPending pending tombstones")
+      assert(TxTable.read(spark, dir).count() == 940L,
+        "auto-folding lost or resurrected rows")
+    } finally TxTable.AutoFoldTombstones = prev
+  }
+
   test("string keys, type check, and the tombstone cap") {
     val dir = tmp()
     TxTable.init(spark, dir, StructType.fromDDL("name STRING, v BIGINT"))

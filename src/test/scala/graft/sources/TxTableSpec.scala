@@ -415,6 +415,40 @@ class TxTableSpec extends SparkSpec {
     assert(TxTable.read(spark, dir).columns.toSeq == Seq("k"))
   }
 
+  test("a column added mid-life gets stats and blooms from its first write on") {
+    val dir = tmp()
+    // The bloom registration is a TABLE property: a future key column
+    // can be registered up front; harvest starts once it exists.
+    TxTable.init(spark, dir, schema, bloomCols = Seq("k", "tag"))
+    TxTable.append(spark, dir,
+      Seq((1L, 10L), (2L, 20L)).toDF("k", "v").coalesce(1))
+    TxTable.append(spark, dir,
+      Seq((3L, 30L, "x1"), (4L, 40L, "x2")).toDF("k", "v", "tag").coalesce(1))
+    val s = TxTable.snapshot(dir)
+    assert(s.dirs.size == 2)
+    // The widened commit harvested the new column's bounds for ITS OWN
+    // files; pre-evolution files simply lack the entry — which every
+    // pruning consumer treats as a conservative hit, never a proof.
+    val withTag = TxTable.dataFilesString(dir, s).filter(_._2.contains("tag"))
+    assert(withTag.size == 1, s"expected 1 file with tag bounds: ${s.sstats}")
+    assert(s.blooms.getOrElse(s.dirs.last, Nil).contains("tag"),
+      "the widened dir must harvest the registered new-column bloom")
+    assert(!s.blooms.getOrElse(s.dirs.head, Nil).contains("tag"),
+      "a pre-evolution dir cannot claim a filter for a column it predates")
+    // Whole-table absence proof is conservative (partial coverage)...
+    assert(TxTable.keyBlooms(dir, s, "tag").isEmpty)
+    // ...and per-dir refinement composes: an absent value keeps the
+    // pre-evolution file as a hit (it cannot prove absence) while the
+    // widened dir's bloom + bounds prune its own file away.
+    val hits = TxTable.lookupStringFiles(dir, s, "tag", Seq("zz"))
+    assert(hits.map(_.getParent.getFileName.toString).distinct
+      == Seq(s.dirs.head), s"new-column pruning wrong: $hits")
+    // Exact lookup through the evolved schema: the old file reads tag
+    // as null and drops out row-level; the new file answers.
+    assert(TxTable.lookupStringKeys(spark, dir, "tag", Seq("x2"))
+      .collect().map(_.getLong(0)).toSeq == Seq(4L))
+  }
+
   test("expireBelow: NULL keys survive (SQL semantics); null-bearing files never drop blind") {
     val dir = tmp()
     TxTable.init(spark, dir, schema)
