@@ -176,6 +176,9 @@ object TxTable {
            bloomCols: Seq[String] = Nil): Unit = {
     Files.createDirectories(logDir(dir))
     Files.createDirectories(Paths.get(dir, "data"))
+    // A re-created table at an existing path must not serve the OLD
+    // table's cached head (version numbers restart at 0).
+    snapCache.remove(dir)
     // v0 is always FULL form: the base every delta replay bottoms out on.
     commitOwner.claim(commitFile(dir, 0L),
       fullJson(Snapshot(0L, schema.toDDL, Seq.empty, bloomCols = bloomCols)))
@@ -227,23 +230,135 @@ object TxTable {
     throw new IllegalStateException("unreachable")
   }
 
+  /** HEAD-SNAPSHOT CACHE (Delta's incremental Snapshot update): the
+    * last resolved state per table. Manifests are immutable and
+    * versions only grow, so a cached head is always a valid replay
+    * base: unchanged head → answer from memory (one directory listing,
+    * ZERO manifest reads — resolution on an object store is one LIST,
+    * not 1 + interval GETs per plan); advanced head → replay exactly
+    * the new tail on top of the cached state; regressed head (a table
+    * re-created at the same path) → full re-resolve. Every successful
+    * claim seeds the cache with the state it just committed — the
+    * common read-after-write resolves without touching storage at all.
+    * Entry-bounded like [[bloomCache]]: past the bound the whole map
+    * drops (test suites create hundreds of throwaway tables; eviction
+    * precision is worthless next to the reads a hit saves). The one
+    * blind spot is the same immutability bet [[bloomCache]] makes: a
+    * table DELETED and RE-CREATED at the same path by another process,
+    * observed only once it has reached the cached version count again
+    * — in-process [[init]] invalidates, and a lower head re-resolves. */
+  private val snapCache = new java.util.concurrent.ConcurrentHashMap[String, Snapshot]()
+  private val MaxSnapCacheEntries = 256
+
+  private def cachePut(dir: String, s: Snapshot): Unit = {
+    if (snapCache.size() > MaxSnapCacheEntries) snapCache.clear()
+    // Keep the newest version: a racing older resolution must not
+    // clobber a fresher commit's seed.
+    snapCache.merge(dir, s, (a, b) => if (a.version >= b.version) a else b)
+    ()
+  }
+
+  /** Drop every cached head (tests; never needed for correctness on a
+    * live log — see [[snapCache]]). */
+  def clearSnapshotCache(): Unit = snapCache.clear()
+
+  /** Test seam: seed the head cache with a known base so a spec can
+    * measure the incremental-advance path deterministically. */
+  private[sources] def seedSnapshotCacheForTest(dir: String, s: Snapshot): Unit = {
+    snapCache.put(dir, s); ()
+  }
+
   private def resolveHead(dir: String): Snapshot = {
     val versions = commitVersions(dir)
-    // Walk newest → oldest: skip crashed (empty) claims — and files a
-    // concurrent trimLog retired between the listing and this read
-    // (only ever OLD manifests; the head survives every trim).
-    versions.reverseIterator.foreach { v =>
+    // Head = newest non-dead claim, by SIZE (no content read): a claim
+    // file is complete the instant it exists, so size>0 is exactly the
+    // real-commit test. Files a concurrent trimLog retired between the
+    // listing and the stat read as size 0 — only ever OLD manifests;
+    // the head survives every trim.
+    val head = versions.reverseIterator
+      .find(v => sizeOrZero(commitFile(dir, v)) > 0L)
+      .getOrElse(throw new IllegalStateException(
+        s"no readable commit in $dir (${versions.size} claim files, all empty)"))
+    val cached = snapCache.get(dir)
+    if (cached != null && cached.version == head) return cached
+    if (cached != null && cached.version > head) {
+      // Regressed head: the table was re-created at this path (version
+      // numbers restarted). Full re-resolve, FORCED into the cache —
+      // the keep-newest merge would pin the dead table forever. (An
+      // in-process init() already invalidates; this covers an external
+      // rebuild observed mid-session.)
+      val fresh = coldResolve(dir, head, versions)
+      snapCache.put(dir, fresh)
+      return fresh
+    }
+    val resolved =
+      if (cached != null)
+        // Incremental advance: replay only (cached, head] on the cached
+        // base. A vanished tail manifest (concurrent trim below a fresh
+        // retention checkpoint) falls back to the full resolution.
+        try replayRange(dir, cached, head, versions)
+        catch { case _: java.nio.file.NoSuchFileException =>
+          coldResolve(dir, head, versions) }
+      else coldResolve(dir, head, versions)
+    cachePut(dir, resolved)
+    resolved
+  }
+
+  /** Cache-miss resolution: read the head manifest once — a FULL-form
+    * head (init/restore) is the whole state in that one read; a delta
+    * head replays from the newest checkpoint base. */
+  private def coldResolve(dir: String, head: Long,
+                          versions: Seq[Long]): Snapshot = {
+    val json = readManifest(commitFile(dir, head))
+    if (json.isEmpty) throw new IllegalStateException(
+      s"no readable commit at v$head of $dir")
+    val m = org.json4s.jackson.JsonMethods.parse(json)
+    if (!isDelta(m)) parseFull(head, m)
+    else resolveAt(dir, head, versions)
+  }
+
+  /** One forward pass over every version in the log — the per-version
+    * states MAINTENANCE needs (vacuum's dirs/excludes per manifest) at
+    * one manifest read per version, instead of a full resolution per
+    * version. Dead claims yield no entry. The first real version is
+    * self-resolvable by the retention invariant: full form (v0,
+    * restore) or covered by a checkpoint at exactly itself (what
+    * trimLog/vacuum write before dropping older manifests). */
+  private def replayAll(dir: String, versions: Seq[Long]): Map[Long, Snapshot] = {
+    var state: Snapshot = null
+    val out = Map.newBuilder[Long, Snapshot]
+    versions.foreach { v =>
       val json =
         try readManifest(commitFile(dir, v))
         catch { case _: java.nio.file.NoSuchFileException => "" }
       if (json.nonEmpty) {
         val m = org.json4s.jackson.JsonMethods.parse(json)
-        return if (isDelta(m)) resolveAt(dir, v, versions)
-               else parseFull(v, m)
+        state =
+          if (!isDelta(m)) parseFull(v, m)
+          else if (state != null) applyDelta(state, v, m)
+          else tryReadCheckpoint(dir, v)
+            .getOrElse(resolveAt(dir, v, versions))
+        out += v -> state
       }
     }
-    throw new IllegalStateException(
-      s"no readable commit in $dir (${versions.size} claim files, all empty)")
+    out.result()
+  }
+
+  /** Replay `(base.version, head]` on top of `base`. Dead claims skip;
+    * a full-form commit in the tail resets the state. */
+  private def replayRange(dir: String, base: Snapshot, head: Long,
+                          versions: Seq[Long]): Snapshot = {
+    var state = base
+    versions.filter(w => w > base.version && w <= head).foreach { w =>
+      val json = readManifest(commitFile(dir, w))
+      if (json.nonEmpty) {
+        val m = org.json4s.jackson.JsonMethods.parse(json)
+        state = if (!isDelta(m)) parseFull(w, m) else applyDelta(state, w, m)
+      }
+    }
+    if (state.version != head) throw new IllegalStateException(
+      s"no readable commit at v$head of $dir")
+    state
   }
 
   private def isDelta(m: org.json4s.JValue): Boolean =
@@ -1094,6 +1209,7 @@ object TxTable {
         .getOrElse(fullJson(target))
       try {
         commitOwner.claim(commitFile(dir, next), json)
+        cachePut(dir, target) // read-after-write resolves from memory
         maybeCheckpoint(dir, target)
         return target
       } catch { case _: FileAlreadyExistsException =>
@@ -1114,6 +1230,7 @@ object TxTable {
           // byte-identical metadata-only commits — same tombstone from
           // the same parent — where either writer's intent is satisfied
           // by the published state.)
+          cachePut(dir, target)
           maybeCheckpoint(dir, target)
           return target
         }
@@ -1861,15 +1978,17 @@ object TxTable {
     // and always droppable.
     val real = versions.filter(v => Files.size(commitFile(dir, v)) > 0L)
     val keep = real.takeRight(keepLast)
-    // Kept versions resolved ONCE, while every chain is intact — their
-    // dirs/excludes drive reclamation below, and the oldest kept state
-    // becomes the retention checkpoint written before any manifest
-    // drops (same reason as [[trimLog]]'s).
-    val keptSnaps = keep.map(v => snapshotAt(dir, v))
+    // EVERY version's state in ONE forward replay (one manifest read
+    // per version — a resolveAt per version would be O(V × interval)
+    // reads): dropped versions' dirs decide what is superseded, kept
+    // versions' dirs/excludes drive file-level reclamation, and the
+    // oldest kept state becomes the retention checkpoint written
+    // before any manifest drops (same reason as [[trimLog]]'s).
+    val byVersion = replayAll(dir, versions)
+    val keptSnaps = keep.flatMap(byVersion.get)
     keptSnaps.headOption.foreach(s => writeCheckpoint(dir, s))
     def dirsOf(v: Long): Seq[String] =
-      if (sizeOrZero(commitFile(dir, v)) == 0L) Seq.empty // dead claim
-      else snapshotAt(dir, v).dirs
+      byVersion.get(v).map(_.dirs).getOrElse(Seq.empty) // absent = dead claim
     val drop = versions.filterNot(keep.toSet)
     val live = keptSnaps.flatMap(_.dirs).toSet
     val superseded = drop.flatMap(dirsOf).toSet -- live

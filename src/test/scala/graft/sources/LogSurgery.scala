@@ -18,6 +18,9 @@ object LogSurgery {
       val st = Files.list(log)
       try st.iterator().asScala.toVector finally st.close()
     }
+    // In-place manifest rewrites violate the immutability the head
+    // cache bets on — drop it so the next resolution re-reads disk.
+    TxTable.clearSnapshotCache()
     var changed = false
     files.filter { p =>
       val n = p.getFileName.toString

@@ -66,9 +66,11 @@ class TxTableSpec extends SparkSpec {
     // batch streaming sink produces over a day.
     (1 to 100).foreach(i => TxTable.restore(spark, dir, ((i + 1) % 2).toLong))
     assert(TxTable.versions(dir).size >= 100)
-    // A restore writes the FULL self-contained form, so the head parses
-    // in exactly ONE commit read — no checkpoint, no replay (the delta
-    // path's bounded resolution is pinned in its own spec above).
+    // A restore writes the FULL self-contained form, so a COLD head
+    // resolution is exactly ONE commit read — no checkpoint, no replay
+    // (the delta path's bounded resolution is pinned in its own spec
+    // above; a WARM head is zero reads, also pinned there).
+    TxTable.clearSnapshotCache()
     val before = TxTable.commitReads.get()
     val snap = TxTable.snapshot(dir)
     assert(TxTable.commitReads.get() - before == 1,
@@ -108,22 +110,44 @@ class TxTableSpec extends SparkSpec {
     assert(Files.exists(ckptPath), "no checkpoint at the v20 cadence point")
     assert(Files.size(ckptPath) > size(25L) * 3,
       s"checkpoint ${Files.size(ckptPath)}B vs delta ${size(25L)}B")
-    // Resolution reads checkpoint + tail, bounded by the interval —
-    // never the 25-commit history.
+    // COLD resolution reads checkpoint + tail, bounded by the interval
+    // — never the 25-commit history.
+    TxTable.clearSnapshotCache()
     val before = TxTable.commitReads.get()
     val snap = TxTable.snapshot(dir)
     val reads = TxTable.commitReads.get() - before
     assert(reads <= 2 + TxTable.CheckpointInterval,
       s"snapshot resolution read $reads log files")
     assert(snap.version == 25L && snap.dirs.size == 25)
-    assert(TxTable.read(spark, dir).count() == 25L)
+    // WARM resolution of an unchanged head: one listing, ZERO reads.
+    val warmBefore = TxTable.commitReads.get()
+    assert(TxTable.snapshot(dir) == snap)
+    assert(TxTable.commitReads.get() == warmBefore,
+      "unchanged-head resolution should answer from the cache")
+    // An ADVANCED head replays only the new tail on the cached base.
+    TxTable.append(spark, dir, Seq((99L, 99L)).toDF("k", "v").coalesce(1))
+    TxTable.clearSnapshotCache() // cold-resolve v26 to seed a fresh base
+    val s26 = TxTable.snapshot(dir)
+    TxTable.append(spark, dir, Seq((98L, 98L)).toDF("k", "v").coalesce(1))
+    // Simulate ANOTHER process's commit being discovered: forget the
+    // committing writer's own seed, keep the v26 base.
+    TxTable.clearSnapshotCache()
+    TxTable.seedSnapshotCacheForTest(dir, s26)
+    val incBefore = TxTable.commitReads.get()
+    assert(TxTable.snapshot(dir).version == 27L)
+    assert(TxTable.commitReads.get() - incBefore == 1,
+      "advancing one commit should read exactly that commit")
+    assert(TxTable.read(spark, dir).count() == 27L)
     // Per-file stats survive the delta chain (each append contributed
     // its own entry; replay accumulated all of them).
-    assert(TxTable.dataFiles(dir, snap).count(_._2.contains("k")) == 25)
+    assert(TxTable.dataFiles(dir, TxTable.snapshot(dir))
+      .count(_._2.contains("k")) == 27)
     // A LOST checkpoint degrades to the older base and a longer replay
     // — bit-identical state, never an error or a wrong answer.
     Files.delete(ckptPath)
-    assert(TxTable.snapshot(dir) == snap, "resolution diverged without v20 ckpt")
+    TxTable.clearSnapshotCache()
+    assert(TxTable.snapshot(dir).dirs.take(25) == snap.dirs,
+      "resolution diverged without the v20 checkpoint")
   }
 
   test("append to a 1000-file table writes a KB-scale commit (the r12 O(table) fix)") {
