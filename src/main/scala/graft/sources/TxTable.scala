@@ -1813,6 +1813,11 @@ object TxTable {
     try Files.size(p) catch { case _: java.nio.file.NoSuchFileException => 0L }
 
   private[sources] def snapshotAt(dir: String, version: Long): Snapshot = {
+    // The cached head serves exact-version asks too — the streaming
+    // source resolves its batch-end version (usually the head) once
+    // per micro-batch, which this turns into a map hit.
+    val cached = snapCache.get(dir)
+    if (cached != null && cached.version == version) return cached
     val f = commitFile(dir, version)
     require(Files.exists(f),
       s"version $version of $dir is gone (vacuumed?) — an incremental " +

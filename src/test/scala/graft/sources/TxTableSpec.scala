@@ -179,6 +179,43 @@ class TxTableSpec extends SparkSpec {
     assert(TxTable.read(spark, dir).count() == 1001L)
   }
 
+  test("randomized op chains: cached resolution ≡ cold resolution at every step") {
+    // The head cache's incremental advance and the checkpoint+tail
+    // cold path must be indistinguishable over ANY op interleaving —
+    // appends (delta commits), tombstones (metadata deltas), folds
+    // (carry-by-reference replaces + dkeys overrides), restores
+    // (full-form commits), log trims (manifest drops + retention
+    // checkpoint), and vacuums. Seeded, so a failure replays.
+    val dir = tmp()
+    TxTable.init(spark, dir, schema, bloomCols = Seq("k"))
+    val rnd = new scala.util.Random(13)
+    var nextKey = 0L
+    (1 to 40).foreach { i =>
+      rnd.nextInt(7) match {
+        case 0 | 1 =>
+          nextKey += 1
+          TxTable.append(spark, dir,
+            Seq((nextKey, nextKey)).toDF("k", "v").coalesce(1))
+        case 2 =>
+          TxTable.deleteKeysDeferred(dir, "k", Seq(rnd.between(0L, nextKey + 2)))
+        case 3 =>
+          TxTable.foldDeletes(spark, dir)
+        case 4 =>
+          val vs = TxTable.versions(dir)
+          TxTable.restore(spark, dir, vs(rnd.nextInt(vs.size)))
+        case 5 =>
+          TxTable.trimLog(dir, keepLast = 1 + rnd.nextInt(10))
+        case 6 =>
+          TxTable.vacuum(dir, keepLast = 1 + rnd.nextInt(5),
+            orphanRetentionMs = 0L)
+      }
+      val warm = TxTable.snapshot(dir)
+      TxTable.clearSnapshotCache()
+      val cold = TxTable.snapshot(dir)
+      assert(warm == cold, s"step $i: warm/cold resolution divergence")
+    }
+  }
+
   test("two writers at the same expected version: exactly one wins") {
     val dir = tmp()
     TxTable.init(spark, dir, schema)
