@@ -180,8 +180,11 @@ object TxTable {
     // table's cached head (version numbers restart at 0).
     snapCache.remove(dir)
     // v0 is always FULL form: the base every delta replay bottoms out on.
-    commitOwner.claim(commitFile(dir, 0L),
-      fullJson(Snapshot(0L, schema.toDDL, Seq.empty, bloomCols = bloomCols)))
+    val json = fullJson(Snapshot(0L, schema.toDDL, Seq.empty, bloomCols = bloomCols))
+    commitOwner.claim(commitFile(dir, 0L), json)
+    commitBytes.addAndGet(
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8).length.toLong)
+    ()
   }
 
   /** List a directory's entry names, closing the stream (Files.list
@@ -537,6 +540,19 @@ object TxTable {
     * (DedupIndex.append publishes the per-append delta as a
     * `commit_harvest` pseudo-phase). */
   val harvestNanos = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Cumulative MANIFEST bytes this process has claimed (commit files
+    * only — checkpoints are amortized derived data and tracked in
+    * [[checkpointBytes]]). The write-amplification telemetry for the
+    * O(delta) commit claim: on a healthy table this grows with DELTAS
+    * (a flat few-hundred-bytes per append at any table width), and a
+    * regression back toward O(live-files) payloads shows up here
+    * without any spec fixture. */
+  val commitBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Cumulative checkpoint bytes written (the every-Nth-commit
+    * full-state serialization — O(table)/N amortized per commit). */
+  val checkpointBytes = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Profiling A/B gate: `GRAFT_NO_COMMIT_HARVEST=1` skips the footer
     * stats/nonull harvest and the bloom data pass (caller-provided
@@ -1209,6 +1225,8 @@ object TxTable {
         .getOrElse(fullJson(target))
       try {
         commitOwner.claim(commitFile(dir, next), json)
+        commitBytes.addAndGet(
+          json.getBytes(java.nio.charset.StandardCharsets.UTF_8).length.toLong)
         cachePut(dir, target) // read-after-write resolves from memory
         maybeCheckpoint(dir, target)
         return target
@@ -1230,6 +1248,8 @@ object TxTable {
           // byte-identical metadata-only commits — same tombstone from
           // the same parent — where either writer's intent is satisfied
           // by the published state.)
+          commitBytes.addAndGet( // the put DID land
+            json.getBytes(java.nio.charset.StandardCharsets.UTF_8).length.toLong)
           cachePut(dir, target)
           maybeCheckpoint(dir, target)
           return target
@@ -1254,7 +1274,10 @@ object TxTable {
     * idempotent; REPLACE_EXISTING keeps the race harmless. */
   private[sources] def writeCheckpoint(dir: String, s: Snapshot): Unit = {
     val tmp = logDir(dir).resolve(s"ckpt-${UUID.randomUUID()}.tmp")
-    Files.writeString(tmp, fullJson(s))
+    val json = fullJson(s)
+    checkpointBytes.addAndGet(
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8).length.toLong)
+    Files.writeString(tmp, json)
     try Files.move(tmp, checkpointFile(dir, s.version),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)

@@ -99,6 +99,58 @@ object CdcSync {
       .start()
   }
 
+  /** Replicate `srcDir` into a MIRROR TxTable at `dstDir`, erasures
+    * included — the generic materialized-replica shape (cross-region
+    * copy, downstream cleanroom, a serving mirror the primary's GDPR
+    * obligations must reach). Inserts land via the exactly-once
+    * idempotent append (the watermark rides the mirror's own commit);
+    * deletes re-issue as the mirror's own deferred deletes (re-masking
+    * a known key is a commit no-op, so replays converge). `keyCols`
+    * names the columns erasures may arrive on — each BIGINT or STRING,
+    * the tombstone key shapes. The mirror auto-inits from the source's
+    * current schema (same bloom registration) on first batch;
+    * `sinceVersion < 0` bootstraps from the full snapshot (`earliest`),
+    * otherwise the feed starts strictly after that source version. */
+  def mirrorTable(spark: SparkSession, srcDir: String, dstDir: String,
+                  checkpointDir: String, keyCols: Seq[String],
+                  sinceVersion: Long = -1L): StreamingQuery = {
+    val appId = checkpointDir
+    val starting = if (sinceVersion < 0) "earliest" else sinceVersion.toString
+    spark.readStream.format("graft-txtable")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", starting)
+      .load(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        if (!TxTable.exists(dstDir)) {
+          val src = TxTable.snapshot(srcDir)
+          TxTable.init(spark,
+            dstDir,
+            org.apache.spark.sql.types.StructType.fromDDL(src.schemaDdl),
+            bloomCols = src.bloomCols)
+        }
+        val inserts = batch.filter(col(ChangeTypeCol) === "insert")
+          .drop(ChangeTypeCol)
+        if (!inserts.isEmpty)
+          TxTable.appendIfNew(spark, dstDir, inserts, appId, batchId)
+        val schema = inserts.schema
+        keyCols.foreach { c =>
+          val dels = batch.filter(col(ChangeTypeCol) === "delete")
+            .filter(col(c).isNotNull).select(col(c)).collect()
+          if (dels.nonEmpty) schema(c).dataType match {
+            case org.apache.spark.sql.types.LongType =>
+              TxTable.deleteKeysDeferred(dstDir, c, dels.toSeq.map(_.getLong(0)))
+            case _ =>
+              TxTable.deleteStringKeysDeferred(dstDir, c,
+                dels.toSeq.map(_.getString(0)))
+          }
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Insert half of [[docsToDedup]]: append unless the batch already
     * landed. The probe is the manifest-planned point lookup (Bloom
     * absence proof + stats pruning — O(hit files)); ids are micro-batch

@@ -165,9 +165,14 @@ class TxTableSpec extends SparkSpec {
     }
     val s = TxTable.snapshot(dir)
     assert(TxTable.dataFiles(dir, s).size == 1000, "setup: expected 1000 files")
+    val telemetryBefore = TxTable.commitBytes.get()
     TxTable.append(spark, dir, Seq((1L, 1L)).toDF("k", "v").coalesce(1))
     val commitBytes =
       Files.size(Paths.get(dir, "_log", f"v${11L}%016d.commit"))
+    // The write-amplification counter sees the same O(delta) payload —
+    // the production-telemetry face of this spec's file-size check.
+    assert(TxTable.commitBytes.get() - telemetryBefore == commitBytes,
+      "commitBytes telemetry diverged from the claimed manifest size")
     // The checkpoint at v10 is the FULL state (1000 files of stats +
     // nonulls): the self-contained form every commit used to pay.
     val fullBytes =

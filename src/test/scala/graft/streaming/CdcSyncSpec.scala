@@ -105,6 +105,43 @@ class CdcSyncSpec extends SparkSpec {
     ()
   }
 
+  test("mirrorTable replicates appends AND erasures into a second TxTable") {
+    val srcDir = tmp("graft_cdc_msrc")
+    val dstDir = tmp("graft_cdc_mdst") + "/mirror"
+    val ckpt = tmp("graft_cdc_mck")
+    val init = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+      .toDF("k", "name", "v")
+    TxTable.init(spark, srcDir, init.schema, bloomCols = Seq("k"))
+    TxTable.append(spark, srcDir, init)
+    // Bootstrap: the snapshot-first batch materializes the mirror.
+    val q = CdcSync.mirrorTable(spark, srcDir, dstDir, ckpt,
+      keyCols = Seq("k", "name"))
+    try q.processAllAvailable() finally q.stop()
+    def rows(d: String) = TxTable.read(spark, d).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(rows(dstDir) == rows(srcDir))
+    assert(TxTable.snapshot(dstDir).bloomCols == Seq("k"),
+      "mirror must inherit the source's bloom registration")
+    // Post-bootstrap: an append plus erasures on BOTH key shapes.
+    TxTable.append(spark, srcDir, Seq((4L, "d", 40L)).toDF("k", "name", "v"))
+    TxTable.deleteKeysDeferred(srcDir, "k", Seq(2L))
+    TxTable.deleteStringKeysDeferred(srcDir, "name", Seq("c"))
+    val q2 = CdcSync.mirrorTable(spark, srcDir, dstDir, ckpt,
+      keyCols = Seq("k", "name"))
+    try q2.processAllAvailable() finally q2.stop()
+    assert(rows(dstDir) == Seq((1L, "a", 10L), (4L, "d", 40L)),
+      s"mirror diverged: ${rows(dstDir)}")
+    assert(rows(dstDir) == rows(srcDir))
+    // Replay from the intact checkpoint: watermark skips the inserts,
+    // re-masks are commit no-ops — the mirror does not move.
+    val v = TxTable.snapshot(dstDir).version
+    val q3 = CdcSync.mirrorTable(spark, srcDir, dstDir, ckpt,
+      keyCols = Seq("k", "name"))
+    try q3.processAllAvailable() finally q3.stop()
+    assert(TxTable.snapshot(dstDir).version == v,
+      "a replayed mirror batch re-landed instead of no-opping")
+  }
+
   test("erased docs flow feed → DedupIndex: pairs and components exclude them") {
     val srcDir = tmp("graft_cdc_dsrc")
     val indexDir = tmp("graft_cdc_didx")
