@@ -832,6 +832,55 @@ object Warehouse {
           AND user_id NOT IN (3, 7)
         ORDER BY event_id""")),
 
+    // CDC MIRROR, oracle-gated end-to-end: the fact store replicates
+    // into a SECOND TxTable over its own change feed
+    // (readChangeFeed + streaming/CdcSync.mirrorTable) — bootstrap
+    // snapshot BEFORE the erasure, so the GDPR delete must genuinely
+    // FLOW as the feed's deletion half (key-only `delete` rows →
+    // the mirror's own deferred deletes), not arrive pre-masked in the
+    // snapshot. The query reads the MIRROR; the oracle is the same
+    // events-minus-users replay as the erase twins, so the gate
+    // asserts primary-erasure → feed → replica is exactly
+    // content-equivalent to erasing the replica directly.
+    QueryDef(
+      "q_tx_mirror_erase",
+      t => {
+        import graft.operators.Stages
+        val root = Stages.tempDir(t.spark, s"tx_mirror:${t.dir}") { d =>
+          val store = new graft.streaming.EventStore(d)
+          val weeks = Seq("2024-01-01", "2024-01-08", "2024-01-15", "2024-01-22", "2024-01-31")
+          weeks.sliding(2).foreach { case Seq(lo, hi) =>
+            store.appendFacts(t.events.filter(
+              col("ts") >= lit(lo).cast("timestamp") && col("ts") < lit(hi).cast("timestamp")))
+          }
+          val factDir = s"$d/fact_events"
+          val mirror = s"$d/fact_mirror"
+          val ckpt = s"$d/mirror_ckpt"
+          // Bootstrap the replica from the pre-erasure snapshot...
+          val q1 = graft.streaming.CdcSync.mirrorTable(
+            t.spark, factDir, mirror, ckpt, keyCols = Seq("user_id"))
+          try q1.processAllAvailable() finally q1.stop()
+          // ...then erase on the PRIMARY and drain the feed's deletion
+          // half into the replica.
+          store.eraseUsersDeferred(Seq(3L, 7L))
+          val q2 = graft.streaming.CdcSync.mirrorTable(
+            t.spark, factDir, mirror, ckpt, keyCols = Seq("user_id"))
+          try q2.processAllAvailable() finally q2.stop()
+        }
+        graft.sources.TxTable.read(t.spark, s"$root/fact_mirror")
+          .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_str"))
+          .orderBy(col("event_id"))
+      },
+      Some("""
+        SELECT event_id, user_id, event_type, value,
+          strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+          AND ts < TIMESTAMP '2024-01-31 00:00:00'
+          AND user_id NOT IN (3, 7)
+        ORDER BY event_id""")),
+
     // SCHEMA EVOLUTION on the transactional table, oracle-gated: a
     // long-lived pipeline table gains a column mid-life (the
     // reference's fixed DDL never alters, but a 100 TB table lives for

@@ -1199,10 +1199,23 @@ object TxTable {
     // replace drops the replaced dirs' filters and exclusions; the
     // sidecars and files die with the dirs at vacuum). Stats entries of
     // EXCLUDED files are dropped too — dead manifest weight otherwise.
+    //
+    // APPEND fast path (O(dirs), not O(files)): when the claim keeps
+    // every parent dir and adds no exclusion, the caller's maps are
+    // parent-filtered state plus fresh-dir entries — the member/exclude
+    // scans below would be identity over the live-file count, the one
+    // remaining O(table) DRIVER-CPU pass in the common hot commit (the
+    // serialization itself is already O(delta)). Every invariant the
+    // scan enforces is inherited: the parent commit filtered ITS maps,
+    // and fresh entries reference the newly staged member dirs.
     val dirSet = dirs.toSet
-    val liveBlooms = blooms.view.filterKeys(dirSet).toMap
     val liveExcludes = excludes.view.filterKeys(dirSet).toMap.filter(_._2.nonEmpty)
+    val appendShaped = parent.exists(p =>
+      p.dirs.forall(dirSet) && liveExcludes == p.excludes)
+    val liveBlooms =
+      if (appendShaped) blooms else blooms.view.filterKeys(dirSet).toMap
     def dropExcluded[T](m: Map[String, T]): Map[String, T] = {
+      if (appendShaped) return m
       val memberOnly = m.filter { case (k, _) =>
         val slash = k.indexOf('/')
         slash < 0 || dirSet(k.substring(0, slash))
@@ -2117,10 +2130,19 @@ object TxTable {
     // exotic restores, which use full form anyway) must not be forced
     // into that shape.
     if (p.dirs.filter(tDirSet) ++ addDirs != t.dirs) return None
+    // `eq` fast path: an untouched map rides through the claim as the
+    // SAME object (metadata-only commits pass the parent's maps
+    // verbatim), so its diff is free. Changed maps pay one hash-scan
+    // over their entries — O(live entries) of driver CPU (~tens of
+    // ns/entry; ~10⁵ files ≈ ms), the deliberate residual after the
+    // O(table) serialization + I/O per commit was removed: Delta
+    // avoids it by having callers EMIT actions instead of states,
+    // which is a far wider API for the same payload.
     def mapDiff[V](pm: Map[String, V], tm: Map[String, V])
         : (Map[String, V], Seq[String]) =
-      (tm.filter { case (k, v) => !pm.get(k).contains(v) },
-       pm.keysIterator.filterNot(tm.contains).toSeq)
+      if (pm.asInstanceOf[AnyRef] eq tm.asInstanceOf[AnyRef]) (Map.empty, Nil)
+      else (tm.filter { case (k, v) => !pm.get(k).contains(v) },
+        pm.keysIterator.filterNot(tm.contains).toSeq)
     val (stAdd, stRm) = mapDiff(p.stats, t.stats)
     val (ssAdd, ssRm) = mapDiff(p.sstats, t.sstats)
     val (nnAdd, nnRm) = mapDiff(p.nonulls, t.nonulls)
