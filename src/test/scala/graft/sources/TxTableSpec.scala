@@ -184,6 +184,35 @@ class TxTableSpec extends SparkSpec {
     assert(TxTable.read(spark, dir).count() == 1001L)
   }
 
+  test("CheckpointInterval = 0: no periodic checkpoints, replay-from-v0 stays exact") {
+    val prev = TxTable.CheckpointInterval
+    TxTable.CheckpointInterval = 0
+    try {
+      val dir = tmp()
+      TxTable.init(spark, dir, schema)
+      (1 to 15).foreach(i => TxTable.append(spark, dir,
+        Seq((i.toLong, i.toLong)).toDF("k", "v").coalesce(1)))
+      val log = Paths.get(dir, "_log")
+      val ckpts = {
+        val st = Files.list(log)
+        try st.filter(_.toString.endsWith(".checkpoint")).count()
+        finally st.close()
+      }
+      assert(ckpts == 0L, "interval 0 must write no periodic checkpoint")
+      // Cold resolution replays the whole delta chain from the v0 full
+      // form — correct, just unamortized (the documented trade).
+      TxTable.clearSnapshotCache()
+      val s = TxTable.snapshot(dir)
+      assert(s.version == 15L && TxTable.read(spark, dir).count() == 15L)
+      // Retention still writes ITS checkpoint (trim would otherwise
+      // orphan the kept versions' delta chains).
+      TxTable.trimLog(dir, keepLast = 5)
+      TxTable.clearSnapshotCache()
+      assert(TxTable.snapshot(dir).version == 15L)
+      assert(TxTable.read(spark, dir).count() == 15L)
+    } finally TxTable.CheckpointInterval = prev
+  }
+
   test("randomized op chains: cached resolution ≡ cold resolution at every step") {
     // The head cache's incremental advance and the checkpoint+tail
     // cold path must be indistinguishable over ANY op interleaving —
