@@ -105,6 +105,37 @@ class CdcSyncSpec extends SparkSpec {
     ()
   }
 
+  test("paced change feed: each delete lands exactly once, in its own range") {
+    val dir = tmp("graft_cdc_paced")
+    val init = Seq((1L, 1L)).toDF("k", "v")
+    TxTable.init(spark, dir, init.schema)
+    TxTable.append(spark, dir, init) // v1
+    TxTable.deleteKeysDeferred(dir, "k", Seq(1L)) // v2
+    TxTable.append(spark, dir, Seq((2L, 2L)).toDF("k", "v")) // v3
+    TxTable.deleteKeysDeferred(dir, "k", Seq(2L)) // v4
+    // One commit per micro-batch: the feed tiles (0,1](1,2](2,3](3,4].
+    // Each insert is delivered through ITS batch-end mask (empty at the
+    // time), and each tombstone surfaces exactly once, in the batch
+    // whose range added it — pacing must not drop, duplicate, or
+    // fast-forward the deletion half.
+    val q = spark.readStream.format("graft-txtable")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "0")
+      .option("maxCommitsPerTrigger", "1")
+      .load(dir)
+      .writeStream.format("memory").queryName("paced_feed")
+      .option("checkpointLocation", tmp("graft_cdc_paced_ck"))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val feed = spark.table("paced_feed")
+    assert(feed.filter(col("_change_type") === "insert")
+      .select("k").as[Long].collect().sorted.toSeq == Seq(1L, 2L),
+      "paced inserts must flow through their own batch-end mask")
+    assert(feed.filter(col("_change_type") === "delete")
+      .select("k").as[Long].collect().sorted.toSeq == Seq(1L, 2L),
+      "each tombstone must surface exactly once across paced batches")
+  }
+
   test("mirrorTable replicates appends AND erasures into a second TxTable") {
     val srcDir = tmp("graft_cdc_msrc")
     val dstDir = tmp("graft_cdc_mdst") + "/mirror"
