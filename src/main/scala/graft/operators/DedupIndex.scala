@@ -862,11 +862,16 @@ object DedupIndex {
     *
     * Contracts and caveats:
     *  - The `groups` inverted index keeps erased ids inside its
-    *    per-shingle arrays until a rebuild — candidate MINING may still
-    *    propose an erased endpoint, but [[append]]'s verify join reads
-    *    `docs` through the mask, so no pair with an erased endpoint is
-    *    ever stored or served (the arrays hold opaque ids, not
-    *    document content). Document frequencies likewise keep counting
+    *    per-shingle arrays until the next scheduled OPTIMIZE —
+    *    [[compactGroups]] purges every id no longer in the docs table
+    *    (the docs table IS the erasure ledger; re-admitted ids stay)
+    *    and drops fully-erased shingle rows, converging the index to
+    *    what a rebuild of the live corpus produces. In the window
+    *    before that, candidate MINING may still propose an erased
+    *    endpoint, but [[append]]'s verify join reads `docs` through
+    *    the mask, so no pair with an erased endpoint is ever stored or
+    *    served (the arrays hold opaque ids, not document content).
+    *    Document frequencies of partially-purged groups keep counting
     *    erased docs — conservative (a shingle can only look MORE
     *    common, never rarer, so no spurious candidates appear that
     *    full recompute would reject... the reverse loses only recall
@@ -954,11 +959,34 @@ object DedupIndex {
     * count the per-append scans touch. Single-writer, like every
     * compaction here. */
   def compactGroups(spark: SparkSession, dir: String, cap: Int): Unit = {
+    val merged = mergeSegments(TxTable.read(spark, s"$dir/groups"), cap)
+    // ERASURE PURGE: re-derive every rare group's membership against the
+    // docs table — ids of erased documents (masked by an open
+    // tombstone, or physically folded) drop out of the inverted-index
+    // arrays, and a shingle whose every doc was erased drops its row
+    // entirely (exactly what a from-scratch rebuild of the live corpus
+    // produces); a RE-ADMITTED id is back in docs and stays. `groups ⊆
+    // docs` holds for every non-erasure flow (docs commits before
+    // groups in each append), so this is a no-op there. Partially
+    // purged rows keep their recorded df — a documented-conservative
+    // upper bound (a shingle can only look MORE common, never rarer,
+    // so no candidate appears that the rebuild would reject). Hot
+    // (NULL-ids) rows pass through: they mine nothing. One extra
+    // exchange over the index per SCHEDULED compaction — the erasure
+    // ledger is the docs table itself, no side state.
+    val live = TxTable.read(spark, s"$dir/docs").select(col("doc_id"))
+    val hot = merged.filter(col("ids").isNull)
+    val purgedRare = merged.filter(col("ids").isNotNull)
+      .select(col("sh"), col("df"), explode(col("ids")).as("doc_id"))
+      .join(live, Seq("doc_id"), "left_semi")
+      .groupBy(col("sh"), col("df"))
+      .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
+      .select(col("sh"), col("ids"), col("df"))
     // Restores sh-range-clustering along with the fold (appends land
     // their segments clustered too, but compaction re-tightens the
     // per-file bounds across the merged whole).
     TxTable.overwrite(spark, s"$dir/groups",
-      mergeSegments(TxTable.read(spark, s"$dir/groups"), cap)
+      purgedRare.unionByName(hot)
         .repartitionByRange(col("sh")).sortWithinPartitions(col("sh")))
     ()
   }

@@ -217,6 +217,37 @@ class DedupIndexSpec extends SparkSpec {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("OPTIMIZE purges erased ids from the inverted index; re-admission restores them") {
+    import graft.sources.TxTable
+    val dir = tmp()
+    DedupIndex.build(spark, df(base), dir, Cap)
+    DedupIndex.deleteDocsDeferred(dir, Seq(1L))
+    // Serving tables mask immediately...
+    assert(DedupIndex.pairs(spark, dir)
+      .filter(col("a") === 1L || col("b") === 1L).isEmpty)
+    // ...but the inverted index physically holds the erased id until
+    // the scheduled OPTIMIZE (the documented window).
+    def physicallyHolds(id: Long): Boolean =
+      TxTable.read(spark, s"$dir/groups").filter(col("ids").isNotNull &&
+        array_contains(col("ids"), id)).count() > 0
+    assert(physicallyHolds(1L), "setup: erased id should linger pre-OPTIMIZE")
+    DedupIndex.compact(spark, dir, Cap)
+    assert(!physicallyHolds(1L), "OPTIMIZE left an erased id in the inverted index")
+    assert(physicallyHolds(2L), "purge overshot: a live doc's ids vanished")
+    // RE-ADMISSION: compact() folded every tombstone physically (its
+    // whole-table replaces define new contents), so the erased id can
+    // come back — it re-pairs with its near-dup (s1's purged group
+    // kept df=2, the documented-conservative count of the erased
+    // member; +1 for the re-append = 3 ≤ cap, still rare), and the
+    // next OPTIMIZE keeps it (it is in docs again).
+    DedupIndex.append(spark, df(Seq(1L -> Seq("s1", "s2"))), dir, Cap)
+    assert(sortedRows(DedupIndex.pairs(spark, dir).select(col("a"), col("b")))
+      .contains("[1,2]"), "re-admitted doc should re-pair with its near-dup")
+    DedupIndex.compact(spark, dir, Cap)
+    assert(physicallyHolds(1L), "re-admitted id purged despite being live")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("clean append never rewrites stored pairs: the table gains a segment") {
     val dir = tmp()
     DedupIndex.build(spark, df(base), dir, Cap)
