@@ -102,6 +102,23 @@ object PQIndexTx {
     * watermark ([[appendIVF]] passes none; [[appendIVFIfNew]] its
     * (appId, batchId)). ONE body: the fold and probe-bound logic must
     * not be able to drift between the batch and streaming paths. */
+  /** True iff any delta id is currently TOMBSTONED on the codes table
+    * — the erase-then-re-add collision [[appendImpl]] must fold before
+    * committing. Driver check when the delta's ids are already in hand
+    * (the probe's bounded collect); one distributed membership filter
+    * otherwise (the mask itself is bounded by TxTable.MaxTombstones). */
+  private def collidesWithMask(spark: SparkSession, delta: DataFrame,
+                               idRows: Array[org.apache.spark.sql.Row],
+                               snap: TxTable.Snapshot): Boolean = {
+    val masked = snap.dkeys.getOrElse("vec_id", Nil)
+    if (masked.isEmpty) return false
+    val maskedSet = masked.map(_.toLong).toSet
+    if (idRows.length <= MaxProbeKeys)
+      idRows.exists(r => maskedSet(r.getLong(0)))
+    else !delta.select(col("vec_id"))
+      .filter(col("vec_id").isInCollection(maskedSet)).isEmpty
+  }
+
   private def appendImpl(spark: SparkSession, vecs: DataFrame, dir: String,
                          dsub: Int, nq: Int, files: Int,
                          txn: Option[(String, Long)]): Boolean = {
@@ -126,6 +143,20 @@ object PQIndexTx {
       while (!done) {
         val snap = TxTable.snapshot(cd)
         if (replayed(snap)) done = true // lost the race to our own replay: no-op
+        else if (collidesWithMask(spark, delta, idRows, snap)) {
+          // FAISS `remove_ids` + `add(id)` parity: a delta id under an
+          // OPEN tombstone would pass the dupe probe (the mask hides
+          // the old row) and LAND — but serve nothing, because the
+          // scan-level mask suppresses the new row too. Fold the mask
+          // physical first (pruned, O(hit files)) and re-plan; the
+          // re-added vector then serves immediately, exactly like
+          // FAISS. Rare path: only an erase-then-re-add of the same id
+          // inside one fold window reaches it. (The fold's rewrite dir
+          // is vec_id-clustered; the (cell, vec_id) layout re-tightens
+          // at the next compactIVF/auto-compaction, a perf-conservative
+          // window, never a correctness one.)
+          TxTable.foldDeletes(spark, cd)
+        }
         else {
           val dupes =
             if (idRows.length > MaxProbeKeys)
@@ -235,12 +266,10 @@ object PQIndexTx {
     * away for free) makes it physical. The serving trade: an erasure
     * or recall-pruning request costs one commit at any index size,
     * deferred into the OPTIMIZE window the deployment already runs.
-    * SUPPRESSION caveat (differs from the eager [[deleteIds]]): a
-    * vec_id re-appended while its tombstone is open stays masked —
-    * and the dupe probe reads through the mask, so the append LANDS
-    * but serves nothing until the fold clears the tombstone. Re-add
-    * after erase ⇒ run foldDeletes (then compactIVF for the (cell,
-    * vec_id) layout) first. */
+    * Re-add after erase is FAISS `add(id)`-parity: an append whose
+    * delta collides with an open tombstone folds the mask physical
+    * first (see [[appendImpl]]), so the re-added vector serves
+    * immediately instead of being suppressed until a manual fold. */
   def deleteIdsDeferred(dir: String, ids: Seq[Long]): Long =
     TxTable.deleteKeysDeferred(codesDir(dir), "vec_id", ids).version
 

@@ -196,6 +196,35 @@ class PQIndexTxSpec extends SparkSpec {
     vecs.unpersist()
   }
 
+  test("re-add under an open tombstone auto-folds: the new vector serves (FAISS add parity)") {
+    val t = Tables(spark, SparkSpec.Sf0001)
+    val vecs = vecsOf(t).persist()
+    val dir = tmp("graft_pqtx_readd")
+    PQIndexTx.buildIVF(spark, vecs, dir, m, dsub, ksub, iters, nq,
+      coarseK, coarseIters)
+    val cd = s"$dir/codes"
+    val want = search(dir, vecs) // pre-delete reference
+    val victims = TxTable.read(spark, cd)
+      .select(col("vec_id")).orderBy("vec_id").limit(3)
+      .collect().map(_.getLong(0)).toSeq
+    PQIndexTx.deleteIdsDeferred(dir, victims)
+    // Re-add the SAME ids while the tombstone is open: the append must
+    // fold the mask first — otherwise the new rows land suppressed and
+    // the search silently loses them until a manual fold.
+    PQIndexTx.appendIVF(spark,
+      vecs.filter(col("vec_id").isin(victims: _*)), dir, dsub = dsub, nq = nq)
+    assert(TxTable.snapshot(cd).dkeys.isEmpty,
+      "colliding append should have folded the open tombstone")
+    assert(TxTable.read(spark, cd)
+      .filter(col("vec_id").isInCollection(victims)).count() == victims.size,
+      "re-added ids missing from the served codes")
+    // Content equals the original index (same vectors), so the search
+    // must too — the fold + re-add round-trip is invisible.
+    assert(search(dir, vecs) === want,
+      "delete + re-add of identical vectors changed search results")
+    vecs.unpersist()
+  }
+
   test("foreachBatch maintenance lands exactly once; restore rolls index AND watermark back") {
     implicit val sc = spark.sqlContext
     val spark0 = spark
