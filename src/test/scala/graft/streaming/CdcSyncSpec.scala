@@ -173,6 +173,42 @@ class CdcSyncSpec extends SparkSpec {
       "a replayed mirror batch re-landed instead of no-opping")
   }
 
+  test("randomized source histories: the mirror converges to the source") {
+    // Seeded random interleaving of appends and deferred deletes,
+    // drained in two stages (snapshot bootstrap mid-history, then the
+    // incremental feed with deletes inside the range): whatever the
+    // order, the replica must equal the source's masked contents.
+    val srcDir = tmp("graft_cdc_rnd_src")
+    val dstDir = tmp("graft_cdc_rnd_dst") + "/mirror"
+    val ckpt = tmp("graft_cdc_rnd_ck")
+    val seed = Seq((0L, 0L)).toDF("k", "v")
+    TxTable.init(spark, srcDir, seed.schema)
+    TxTable.append(spark, srcDir, seed)
+    val rnd = new scala.util.Random(7)
+    var key = 0L
+    def mutate(n: Int): Unit = (1 to n).foreach { _ =>
+      if (rnd.nextInt(3) < 2 || key == 0L) {
+        key += 1
+        TxTable.append(spark, srcDir, Seq((key, key)).toDF("k", "v"))
+      } else {
+        TxTable.deleteKeysDeferred(srcDir, "k", Seq(rnd.between(0L, key + 1)))
+        ()
+      }
+    }
+    def drain(): Unit = {
+      val q = CdcSync.mirrorTable(spark, srcDir, dstDir, ckpt, keyCols = Seq("k"))
+      try q.processAllAvailable() finally q.stop()
+    }
+    mutate(6)
+    drain() // snapshot bootstrap (mask already applied to batch 1)
+    mutate(10)
+    drain() // incremental: inserts + the range's delete rows
+    def rows(d: String) = TxTable.read(spark, d).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows(dstDir) == rows(srcDir),
+      s"mirror diverged from source after a randomized history (seed 7)")
+  }
+
   test("erased docs flow feed → DedupIndex: pairs and components exclude them") {
     val srcDir = tmp("graft_cdc_dsrc")
     val indexDir = tmp("graft_cdc_didx")
