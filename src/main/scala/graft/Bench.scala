@@ -38,23 +38,27 @@ object Bench {
     // Warmup failures are tolerated (a query may legitimately need the
     // target SF's layout) — but a query that also fails in the TIMED
     // loop is a hard error, never a fast timing.
+    // Warmups swallow NonFatal ONLY: an OOM/fatal error here can poison
+    // every timed rep on the shared SparkSession, and hiding it would
+    // publish engine-favorable timings off a broken JVM.
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)
       queries.foreach { case (_, fn) =>
-        try act(fn(spark, warmDir)) catch { case _: Throwable => () }
+        try act(fn(spark, warmDir))
+        catch { case scala.util.control.NonFatal(_) => () }
       }
     // Page-cache prewarm of the benchmark tables: one full read per file
     // so the timed loop measures engine time, not cold-disk variance.
     Option(new java.io.File(sfDir).listFiles(f => f.getName.endsWith(".parquet")))
       .getOrElse(Array.empty)
       .foreach(f => try spark.read.parquet(f.getPath).foreach(_ => ())
-        catch { case _: Throwable => () })
+        catch { case scala.util.control.NonFatal(_) => () })
     // One untimed pass at the TARGET SF: AQE picks different physical
     // plans at different scale factors, so the small-SF warmup misses
     // their Janino compilation — without this pass the first heavy query
     // pays ~10 s of one-time codegen inside its measurement.
     queries.foreach { case (_, fn) =>
-      try act(fn(spark, sfDir)) catch { case _: Throwable => () }
+      try act(fn(spark, sfDir)) catch { case scala.util.control.NonFatal(_) => () }
       spark.catalog.clearCache()
     }
     spark.catalog.clearCache()
@@ -81,7 +85,8 @@ object Bench {
       // slowest (a monotone warming signature, e.g. q_quarterly_trend
       // [1.71, 1.13, 0.94, 0.65, 0.61]). Warming right before the
       // timed loop measures the engine, not the eviction.
-      try { act(fn(spark, sfDir)) } catch { case _: Throwable => () }
+      try { act(fn(spark, sfDir)) }
+      catch { case scala.util.control.NonFatal(_) => () }
       spark.catalog.clearCache()
       // Cleared per query (AFTER the warmup rep): a dedup query that
       // dies before completing an append must not inherit the previous
@@ -183,9 +188,12 @@ object Bench {
       s"""{"metric":"total",$common,"phases":$phasesJson,"spread":$spreadJson,"reps_raw":$rawJson}"""
     // Authoritative copy on disk: sbt interleaves its own lines with
     // forked stdout, which has truncated the driver's capture twice.
-    // Filtered A/B runs never overwrite it — bench.json is the
-    // committed full-suite artifact.
-    if (only.isEmpty) try {
+    // Neither filtered runs NOR low-rep refreshes overwrite it (round
+    // 13's reps=1 sweep-style refresh clobbered the round's real 5-rep
+    // artifact — spread stats degenerate to 1.0 with one sample, so a
+    // low-rep file is unusable as the committed evidence): bench.json
+    // is the committed full-suite, full-rep artifact.
+    if (only.isEmpty && reps >= 5) try {
       val w = new java.io.PrintWriter(new java.io.File("bench.json"))
       try w.println(json) finally w.close()
     } catch { case _: Throwable => () }

@@ -309,7 +309,9 @@ object TxTable {
 
   /** Cache-miss resolution: read the head manifest once — a FULL-form
     * head (init/restore) is the whole state in that one read; a delta
-    * head replays from the newest checkpoint base. */
+    * head replays from the newest checkpoint base, reusing the
+    * already-parsed head for the tail's last step instead of
+    * re-reading it. */
   private def coldResolve(dir: String, head: Long,
                           versions: Seq[Long]): Snapshot = {
     val json = readManifest(commitFile(dir, head))
@@ -317,7 +319,7 @@ object TxTable {
       s"no readable commit at v$head of $dir")
     val m = org.json4s.jackson.JsonMethods.parse(json)
     if (!isDelta(m)) parseFull(head, m)
-    else resolveAt(dir, head, versions)
+    else resolveAt(dir, head, versions, preRead = Map(head -> m))
   }
 
   /** One forward pass over every version in the log — the per-version
@@ -421,7 +423,9 @@ object TxTable {
     * checkpoint at the oldest version it keeps before dropping older
     * manifests — so replay never needs more than the tail behind one
     * checkpoint interval (or the pre-first-checkpoint prefix). */
-  private def resolveAt(dir: String, v: Long, versions: Seq[Long]): Snapshot = {
+  private def resolveAt(dir: String, v: Long, versions: Seq[Long],
+                        preRead: Map[Long, org.json4s.JValue] = Map.empty)
+      : Snapshot = {
     var state: Snapshot = null
     var from = -1L // replay commits with version strictly above this
     checkpointVersions(dir).filter(_ <= v).reverseIterator
@@ -433,9 +437,15 @@ object TxTable {
       // head-seeking walk, a mid-chain manifest can't be skipped):
       // propagate NoSuchFileException so the caller re-lists — the
       // concurrent trim that removed it wrote a newer checkpoint first.
-      val json = readManifest(commitFile(dir, w))
-      if (json.nonEmpty) { // empty = dead claim: never a commit, skip
-        val m = org.json4s.jackson.JsonMethods.parse(json)
+      // `preRead` hands in manifests the caller already parsed (the
+      // cold-resolve head) so the tail's last step costs no second
+      // read of the same file.
+      val mOpt = preRead.get(w).orElse {
+        val json = readManifest(commitFile(dir, w))
+        if (json.isEmpty) None // dead claim: never a commit, skip
+        else Some(org.json4s.jackson.JsonMethods.parse(json))
+      }
+      mOpt.foreach { m =>
         state =
           if (!isDelta(m)) parseFull(w, m)
           else {
@@ -446,6 +456,7 @@ object TxTable {
             applyDelta(state, w, m)
           }
       }
+      ()
     }
     if (state == null || state.version != v) throw new IllegalStateException(
       s"no readable commit at v$v of $dir")
