@@ -188,12 +188,13 @@ object Bench {
       s"""{"metric":"total",$common,"phases":$phasesJson,"spread":$spreadJson,"reps_raw":$rawJson}"""
     // Authoritative copy on disk: sbt interleaves its own lines with
     // forked stdout, which has truncated the driver's capture twice.
-    // Neither filtered runs NOR low-rep refreshes overwrite it (round
-    // 13's reps=1 sweep-style refresh clobbered the round's real 5-rep
-    // artifact — spread stats degenerate to 1.0 with one sample, so a
-    // low-rep file is unusable as the committed evidence): bench.json
-    // is the committed full-suite, full-rep artifact.
-    if (only.isEmpty && reps >= 5) try {
+    // Neither filtered runs, NOR low-rep refreshes, NOR off-scale runs
+    // overwrite it (round 13's reps=1 sweep-style refresh clobbered the
+    // round's real 5-rep artifact — spread stats degenerate to 1.0 with
+    // one sample; and an sf0.001 smoke is not the artifact the README
+    // numbers cite): bench.json is the committed full-suite, 5-rep,
+    // sf0.1 artifact — exactly the driver's per-round configuration.
+    if (only.isEmpty && reps >= 5 && sfDir.endsWith("sf0.1")) try {
       val w = new java.io.PrintWriter(new java.io.File("bench.json"))
       try w.println(json) finally w.close()
     } catch { case _: Throwable => () }

@@ -72,12 +72,22 @@ object PrunedReplace {
       * version's tombstone block — TxTable.foldDeletes clears a folded
       * column's entry in the SAME claim that makes its deletes
       * physical (two commits would leave a window where the mask is
-      * gone but the rows are back). */
-    def commit(dkeysOverride: Option[Map[String, Seq[String]]] = None): Unit = {
+      * gone but the rows are back).
+      *
+      * `rewriteOnly`: mark the commit as LAYOUT-ONLY in the manifest —
+      * its staged dir holds only rows already visible at `expected`
+      * (a fold/compaction), never new or changed data, so the change
+      * feed can skip it instead of failing the append-only check. A
+      * caller whose staged rows CHANGE data (any real upsert) must
+      * leave this false: a lying marker silently corrupts every
+      * downstream feed consumer. */
+    def commit(dkeysOverride: Option[Map[String, Seq[String]]] = None,
+               rewriteOnly: Boolean = false): Unit = {
       TxTable.commitStagedFrom(dir, uuid, schema, expected,
         knownStats = upgradedStats, knownSStats = upgradedSStats,
         carryDirs = carryDirs, removeFiles = removeFiles,
-        knownBlooms = stagedBlooms, dkeysOverride = dkeysOverride)
+        knownBlooms = stagedBlooms, dkeysOverride = dkeysOverride,
+        rewriteOnly = rewriteOnly)
       ()
     }
   }

@@ -925,7 +925,14 @@ object TxTable {
     * best-effort: a fold failure leaves the tombstones masked and the
     * next crossing retries. Deliberately below MaxTombstones so the
     * hard cap stays a genuine never-in-practice backstop. A `var` so
-    * specs exercise the fold at test-fixture scale. */
+    * specs exercise the fold at test-fixture scale.
+    *
+    * CHANGE-FEED interaction: a fold is a rewrite, which would once
+    * wedge any [[readChanges]] consumer whose range spans it (erasure-
+    * heavy flows are exactly the ones that cross this threshold). Fold
+    * commits are therefore marked layout-only in the manifest and the
+    * feed TOLERATES them ([[rewriteTolerantChanges]]): no opt-out or
+    * consumer registry is needed — auto-fold may fire on any table. */
   @volatile var AutoFoldTombstones: Int = 80000
 
   /** Fold when over the auto-fold threshold, with whatever session is
@@ -1028,21 +1035,83 @@ object TxTable {
     * deletion half of the change feed ([[readChanges]] carries only
     * appended rows; a tombstone commit adds no data dir). A downstream
     * pipeline propagating erasure polls this alongside readChanges and
-    * applies the keys as its own deletes. Per column, the values
-    * present at `toVersion` but not at `sinceVersion`; a key whose
-    * tombstone was FOLDED away in between and re-deleted after counts
-    * as added (downstream deletes are idempotent, and the fold itself
-    * changes no visible rows). Both manifests must still be in the
+    * applies the keys as its own deletes. ACCUMULATED per version, not
+    * an endpoint diff: a key tombstoned AND folded inside one range
+    * must still be delivered (the endpoint states agree it is absent,
+    * but downstream materializations never saw the delete), and a key
+    * masked before `since`, folded, then re-deleted in range counts as
+    * added again (downstream deletes are idempotent). Costs one
+    * manifest read per version in the range — the consumer's lag, which
+    * pacing bounds. Every manifest in the range must still be in the
     * log — same retention contract as [[readChanges]]. */
   def deletedKeysBetween(dir: String, sinceVersion: Long,
-                         toVersion: Long): Map[String, Seq[String]] = {
-    val before = snapshotAt(dir, sinceVersion).dkeys
-    val after = snapshotAt(dir, toVersion).dkeys
-    after.flatMap { case (c, vals) =>
-      val known = before.getOrElse(c, Nil).toSet
-      val added = vals.filterNot(known)
-      if (added.isEmpty) None else Some(c -> added)
+                         toVersion: Long): Map[String, Seq[String]] =
+    changeEvents(dir, snapshotAt(dir, sinceVersion), toVersion)
+      .foldLeft(Map.empty[String, Seq[String]]) { (acc, ev) =>
+        mergeKeyLists(acc, ev.dkeysAdded)
+      }
+
+  /** Union of two per-column key lists (order-preserving, deduped). */
+  private def mergeKeyLists(a: Map[String, Seq[String]],
+                            b: Map[String, Seq[String]]): Map[String, Seq[String]] =
+    if (b.isEmpty) a
+    else (a.keySet ++ b.keySet).map { c =>
+      c -> (a.getOrElse(c, Nil) ++ b.getOrElse(c, Nil)).distinct
+    }.toMap
+
+  /** One commit's OBSERVABLE change in `(since, to]` — the per-version
+    * event stream the feed plumbing consumes. `rewrite` is the
+    * manifest's layout-only marker (folds/compactions); `dkeysFolded`
+    * are tombstones a fold made physical at this version (only rewrite
+    * commits shrink the mask without breaking the feed). */
+  private[sources] final case class ChangeEvent(
+      version: Long, state: Snapshot, rewrite: Boolean,
+      addedDirs: Seq[String], removedDirs: Seq[String],
+      excludesGrew: Seq[String],
+      dkeysAdded: Map[String, Seq[String]],
+      dkeysFolded: Map[String, Seq[String]])
+
+  /** Replay `(since.version, toV]` capturing each real commit's event —
+    * one manifest read per version (dead claims skip). A vanished
+    * manifest propagates (outside retention, or a concurrent trim the
+    * caller retries). */
+  private[sources] def changeEvents(dir: String, since: Snapshot,
+                                    toV: Long): Seq[ChangeEvent] = {
+    var prev = since
+    val out = Seq.newBuilder[ChangeEvent]
+    commitVersions(dir).filter(w => w > since.version && w <= toV).foreach { w =>
+      val json = readManifest(commitFile(dir, w))
+      if (json.nonEmpty) {
+        val m = org.json4s.jackson.JsonMethods.parse(json)
+        val cur = if (!isDelta(m)) parseFull(w, m) else applyDelta(prev, w, m)
+        val rewrite = (m \ "rewrite") match {
+          case org.json4s.JBool(b) => b
+          case _ => false
+        }
+        val prevDirs = prev.dirs.toSet
+        val curDirs = cur.dirs.toSet
+        def addedKeys(before: Map[String, Seq[String]],
+                      after: Map[String, Seq[String]]): Map[String, Seq[String]] =
+          after.flatMap { case (c, vals) =>
+            val known = before.getOrElse(c, Nil).toSet
+            val added = vals.filterNot(known)
+            if (added.isEmpty) None else Some(c -> added)
+          }
+        out += ChangeEvent(w, cur, rewrite,
+          addedDirs = cur.dirs.filterNot(prevDirs),
+          removedDirs = prev.dirs.filterNot(curDirs),
+          excludesGrew = prev.dirs.filter { d =>
+            curDirs(d) && (cur.excludes.getOrElse(d, Nil).toSet --
+              prev.excludes.getOrElse(d, Nil).toSet).nonEmpty
+          },
+          dkeysAdded = addedKeys(prev.dkeys, cur.dkeys),
+          dkeysFolded = addedKeys(cur.dkeys, prev.dkeys))
+        prev = cur
+      }
     }
+    if (prev.version != toV) throw new IllegalStateException(
+      s"no readable commit at v$toV of $dir")
+    out.result()
   }
 
   /** Make every tombstone PHYSICAL and clear the `dkeys` block — the
@@ -1090,7 +1159,10 @@ object TxTable {
           case Some(rest) => staged.expected.dkeys + (c -> rest)
           case None       => staged.expected.dkeys - c
         }
-        staged.commit(dkeysOverride = Some(adjusted))
+        // rewriteOnly: a fold removes only already-masked rows, so the
+        // change feed can keep flowing across it (readChanges treats
+        // rewrite-marked commits as layout maintenance, not data).
+        staged.commit(dkeysOverride = Some(adjusted), rewriteOnly = true)
         rewritten += staged.rewrittenFiles
         total += staged.totalFiles
       } catch { case _: ConcurrentCommitException => () } // re-plan below
@@ -1204,7 +1276,8 @@ object TxTable {
                         txns: Map[String, Long] = Map.empty,
                         nonulls: Map[String, Seq[String]] = Map.empty,
                         dkeys: Map[String, Seq[String]] = Map.empty,
-                        parent: Option[Snapshot] = None)
+                        parent: Option[Snapshot] = None,
+                        rewriteOnly: Boolean = false)
       : Snapshot = {
     // A manifest only carries metadata for its own member dirs (a
     // replace drops the replaced dirs' filters and exclusions; the
@@ -1245,8 +1318,8 @@ object TxTable {
     while (true) {
       val target = Snapshot(next, schemaDdl, dirs, liveStats, liveSStats,
         bloomCols, liveBlooms, liveExcludes, txns, liveNonulls, dkeys)
-      val json = parent.flatMap(p => deltaJson(p, target))
-        .getOrElse(fullJson(target))
+      val json = parent.flatMap(p => deltaJson(p, target, rewriteOnly))
+        .getOrElse(fullJson(target, rewriteOnly))
       try {
         commitOwner.claim(commitFile(dir, next), json)
         commitBytes.addAndGet(
@@ -1521,7 +1594,8 @@ object TxTable {
                        carryDirs: Boolean = false,
                        removeFiles: Map[String, Seq[String]] = Map.empty,
                        knownBlooms: Map[String, Seq[String]] = Map.empty,
-                       dkeysOverride: Option[Map[String, Seq[String]]] = None): Snapshot = {
+                       dkeysOverride: Option[Map[String, Seq[String]]] = None,
+                       rewriteOnly: Boolean = false): Snapshot = {
     val (newStats, newSStats, newNonulls) = statsFor(dir, uuid, schema, harvestExclude)
     // No harvest on the replace path (no SparkSession here): the
     // property carries; carried dirs KEEP their filters — after removals
@@ -1551,7 +1625,7 @@ object TxTable {
       expected.txns,
       (if (carryDirs) expected.nonulls else Map.empty[String, Seq[String]]) ++ newNonulls,
       dkeysOverride.getOrElse(if (carryDirs) expected.dkeys else Map.empty),
-      parent = Some(expected))
+      parent = Some(expected), rewriteOnly = rewriteOnly)
     catch { case e: ConcurrentCommitException =>
       deleteRec(Paths.get(stagedPath(dir, uuid))) // never became visible
       throw e
@@ -1618,11 +1692,14 @@ object TxTable {
       else spark.read.schema(schema).parquet(files: _*), snap))
     val u = stage(dir, folded)
     val newBlooms = harvestBlooms(spark, dir, u, schema, snap.bloomCols)
+    // rewriteOnly: compaction with a result-transparent layout moves
+    // rows it does not change (masked rows drop physically but stay
+    // masked by the carried dkeys), so the change feed survives it.
     commitStagedFrom(dir, u, schema, snap, carryDirs = true,
       removeFiles = foldDirs.map { d =>
         d -> listNames(Paths.get(stagedPath(dir, d))).filter(_.endsWith(".parquet"))
       }.toMap,
-      knownBlooms = newBlooms)
+      knownBlooms = newBlooms, rewriteOnly = true)
   }
 
   /** RETENTION (DELETE WHERE `col` < `cutoff`), manifest-planned — the
@@ -1932,23 +2009,76 @@ object TxTable {
       s"sinceVersion $sinceVersion is newer than $dir's version ${to.version}")
     val since = snapshotAt(dir, sinceVersion)
     val missing = since.dirs.filterNot(to.dirs.toSet)
-    require(missing.isEmpty,
-      s"$dir is not append-only over ($sinceVersion, ${to.version}]: " +
-        s"${missing.size} data dir(s) were rewritten or compacted away — " +
-        "incremental reads need an append-only range (re-seed the consumer " +
-        "from a full snapshot instead)")
     // A replace can also remove FILES from a surviving dir (excludes):
-    // any exclusion change on a dir visible at `since` is a rewrite —
-    // rows were removed or superseded, so row-level change attribution
-    // is gone, exactly like a vanished dir.
+    // any exclusion change on a dir visible at `since` is a rewrite.
     val excludesChanged = since.dirs.filter { d =>
       to.excludes.getOrElse(d, Nil).toSet != since.excludes.getOrElse(d, Nil).toSet
     }
-    require(excludesChanged.isEmpty,
-      s"$dir is not append-only over ($sinceVersion, ${to.version}]: " +
-        s"${excludesChanged.size} data dir(s) had files excluded by a keyed " +
-        "replace — re-seed the consumer from a full snapshot instead")
-    read(spark, dir, to.copy(dirs = to.dirs.filterNot(since.dirs.toSet)))
+    // FAST PATH (the common, strictly-append-only range): one endpoint
+    // diff, one scan of the new dirs, zero per-version reads. Correct
+    // even when a fold/compaction touched ONLY dirs added inside the
+    // range: the rewrite dir replaces them in `to.dirs`, holds exactly
+    // their surviving rows, and the head mask covers the rest.
+    if (missing.isEmpty && excludesChanged.isEmpty)
+      return read(spark, dir, to.copy(dirs = to.dirs.filterNot(since.dirs.toSet)))
+    // A since-visible dir was rewritten: tolerable ONLY when every such
+    // transition is a rewrite-marked layout commit (fold/compaction) —
+    // those move rows without changing them, so per-version delivery
+    // below reconstructs the additions exactly. Anything else (a keyed
+    // replace, an overwrite, a restore) destroys row-level change
+    // attribution and fails loudly, as before.
+    rewriteTolerantChanges(spark, dir, since, to)
+  }
+
+  /** [[readChanges]] over a range containing rewrite-marked layout
+    * commits: deliver PER VERSION — each non-rewrite commit's added
+    * dirs are read at their add-time file set (whole dirs; a dir has no
+    * exclusions when first committed, and later fold exclusions leave
+    * the files on disk until vacuum — the retention contract the feed
+    * already has) and rewrite commits' dirs are skipped (their rows are
+    * moves, delivered from the dirs they came from). The mask per
+    * delivered dir is `to`'s tombstones PLUS every key folded at a
+    * LATER rewrite in the range: a key folded at w masks exactly the
+    * rows visible before w, so rows added after w (a legitimate
+    * re-insert of a folded key) flow — Delta CDF gets the same ordering
+    * from `_commit_version`; this reconstructs it from fold position.
+    * Cost: one manifest read per version in the range, plus one scan
+    * per distinct fold-suffix group (ranges rarely hold more than one
+    * fold, so usually one). */
+  private def rewriteTolerantChanges(spark: SparkSession, dir: String,
+                                     since: Snapshot, to: Snapshot): DataFrame = {
+    val evs = changeEvents(dir, since, to.version)
+    evs.filterNot(_.rewrite).foreach { ev =>
+      require(ev.removedDirs.isEmpty && ev.excludesGrew.isEmpty,
+        s"$dir is not append-only over (${since.version}, ${to.version}]: " +
+          s"v${ev.version} rewrote or compacted data dirs without the " +
+          "layout-only marker (a keyed replace or overwrite) — re-seed the " +
+          "consumer from a full snapshot instead")
+      require(ev.dkeysFolded.isEmpty,
+        s"$dir: v${ev.version} dropped tombstones without a layout-only " +
+          "rewrite — re-seed the consumer from a full snapshot instead")
+    }
+    val schema = StructType.fromDDL(to.schemaDdl)
+    val rewrites = evs.filter(_.rewrite)
+    // Index of the first rewrite AFTER a version: additions sharing it
+    // share their fold mask, so they scan as one group.
+    def firstRewriteAfter(v: Long): Int = {
+      val i = rewrites.indexWhere(_.version > v)
+      if (i < 0) rewrites.size else i
+    }
+    val frames = evs.filter(e => !e.rewrite && e.addedDirs.nonEmpty)
+      .groupBy(e => firstRewriteAfter(e.version)).toSeq.map { case (i, es) =>
+        val foldMask = rewrites.drop(i)
+          .foldLeft(Map.empty[String, Seq[String]]) { (acc, r) =>
+            mergeKeyLists(acc, r.dkeysFolded)
+          }
+        val paths = es.flatMap(_.addedDirs).map(d => s"$dir/data/$d")
+        applyDeletes(spark.read.schema(schema).parquet(paths: _*),
+          to.copy(dkeys = mergeKeyLists(to.dkeys, foldMask)))
+      }
+    frames.reduceOption(_ unionByName _).getOrElse(
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
   }
 
   /** Optimistic read-modify-write: `transform` sees a CONSISTENT
@@ -2111,15 +2241,18 @@ object TxTable {
 
   /** The SELF-CONTAINED manifest form (init, restore, checkpoints, and
     * any delta the diff can't express): the exact shape every commit
-    * had before delta commits existed, so old logs parse unchanged. */
-  private def fullJson(s: Snapshot): String = {
+    * had before delta commits existed, so old logs parse unchanged.
+    * `rewrite = true` marks a LAYOUT-ONLY commit (fold/compaction —
+    * see [[deltaJson]]); checkpoints and data commits never set it. */
+  private def fullJson(s: Snapshot, rewrite: Boolean = false): String = {
     implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    val base = Map("schema" -> s.schemaDdl, "dirs" -> s.dirs,
+      "stats" -> statsJsonable(s.stats), "sstats" -> sstatsJsonable(s.sstats),
+      "bloomCols" -> s.bloomCols, "blooms" -> s.blooms,
+      "excludes" -> s.excludes, "txns" -> s.txns, "nonulls" -> s.nonulls,
+      "dkeys" -> s.dkeys)
     org.json4s.jackson.Serialization.write(
-      Map("schema" -> s.schemaDdl, "dirs" -> s.dirs,
-        "stats" -> statsJsonable(s.stats), "sstats" -> sstatsJsonable(s.sstats),
-        "bloomCols" -> s.bloomCols, "blooms" -> s.blooms,
-        "excludes" -> s.excludes, "txns" -> s.txns, "nonulls" -> s.nonulls,
-        "dkeys" -> s.dkeys))
+      if (rewrite) base + ("rewrite" -> true) else base)
   }
 
   /** The DELTA manifest form: only what changed vs `p`. `None` when the
@@ -2129,7 +2262,8 @@ object TxTable {
     * generic add/changed/removed by key, so the payload is O(changed
     * entries) for every delta-bounded operation (append, pruned
     * replace, tombstone, compaction) regardless of table width. */
-  private def deltaJson(p: Snapshot, t: Snapshot): Option[String] = {
+  private def deltaJson(p: Snapshot, t: Snapshot,
+                        rewrite: Boolean = false): Option[String] = {
     implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
     if (!p.txns.keysIterator.forall(t.txns.contains)) return None
     val tDirSet = t.dirs.toSet
@@ -2161,17 +2295,25 @@ object TxTable {
     val (exSet, exRm) = mapDiff(p.excludes, t.excludes)
     val (dkSet, dkRm) = mapDiff(p.dkeys, t.dkeys)
     val txSet = t.txns.filter { case (k, v) => !p.txns.get(k).contains(v) }
+    // `rewrite`: this commit is LAYOUT-ONLY — its added dirs hold only
+    // rows already visible at the parent (minus tombstone-masked ones),
+    // and its removed dirs/exclusions are superseded by them. Folds and
+    // compactions set it; the change feed uses it to keep flowing
+    // across layout maintenance instead of failing the append-only
+    // check (Delta CDF likewise treats OPTIMIZE as a no-op). Old
+    // readers ignore the field (and fail the range loudly, as before).
+    val base = Map("parent" -> p.version, "schema" -> t.schemaDdl,
+      "bloomCols" -> t.bloomCols,
+      "addDirs" -> addDirs, "removeDirs" -> removeDirs,
+      "statsAdd" -> statsJsonable(stAdd), "statsRemove" -> stRm,
+      "sstatsAdd" -> sstatsJsonable(ssAdd), "sstatsRemove" -> ssRm,
+      "nonullsAdd" -> nnAdd, "nonullsRemove" -> nnRm,
+      "bloomsSet" -> blSet, "bloomsRemove" -> blRm,
+      "excludesSet" -> exSet, "excludesRemove" -> exRm,
+      "txnsSet" -> txSet,
+      "dkeysSet" -> dkSet, "dkeysRemove" -> dkRm)
     Some(org.json4s.jackson.Serialization.write(
-      Map("parent" -> p.version, "schema" -> t.schemaDdl,
-        "bloomCols" -> t.bloomCols,
-        "addDirs" -> addDirs, "removeDirs" -> removeDirs,
-        "statsAdd" -> statsJsonable(stAdd), "statsRemove" -> stRm,
-        "sstatsAdd" -> sstatsJsonable(ssAdd), "sstatsRemove" -> ssRm,
-        "nonullsAdd" -> nnAdd, "nonullsRemove" -> nnRm,
-        "bloomsSet" -> blSet, "bloomsRemove" -> blRm,
-        "excludesSet" -> exSet, "excludesRemove" -> exRm,
-        "txnsSet" -> txSet,
-        "dkeysSet" -> dkSet, "dkeysRemove" -> dkRm)))
+      if (rewrite) base + ("rewrite" -> true) else base))
   }
 
   /** The ATOMIC-CLAIM SEAM — the one filesystem contract every

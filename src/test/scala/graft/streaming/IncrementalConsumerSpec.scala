@@ -72,15 +72,20 @@ class IncrementalConsumerSpec extends SparkSpec {
       assert(gt.compareTo(t) == 0, s"$k total: incremental $gt vs recompute $t")
     }
 
-    // Compaction rewrites history: a consumer checkpointed BEFORE it
-    // must get the append-only violation, not silently wrong deltas.
+    // Compaction is LAYOUT-ONLY maintenance: a consumer checkpointed
+    // BEFORE it keeps flowing — the rewrite-marked commit contributes
+    // no rows (its dir holds only moves), so the poll spanning it
+    // delivers an empty delta and the running aggregate stays equal to
+    // the recompute. (Before round 14 this wedged the consumer with
+    // the append-only violation, forcing a full re-seed after every
+    // OPTIMIZE — Delta CDF treats OPTIMIZE as a feed no-op too.)
     val pre = checkpoint
     store.compactFacts(spark)
     if (store.factVersion() != pre) {
-      val e = intercept[IllegalArgumentException] {
-        store.factChangesSince(spark, pre)
-      }
-      assert(e.getMessage.contains("not append-only"))
+      val (delta, head2) = store.factChangesSince(spark, pre)
+      assert(delta.isEmpty,
+        "a compaction-spanning poll must deliver no rows (moves only)")
+      assert(head2 == store.factVersion())
     }
   }
 
