@@ -290,14 +290,24 @@ private[sources] final class TxTableSource(
     // Restart recovery: re-anchor the pacing cursor at the engine's
     // checkpointed offset so the next getOffset paces FORWARD from it.
     offered = math.max(offered, endV)
-    // Schema changes mid-stream (an additive append widened the table)
-    // must fail LOUDLY with a restartable error — the engine pinned
-    // this source's schema at query start, and silently projecting the
-    // batch down would hide the new column from the consumer forever
-    // (Delta's sources fail the same way; a restart re-resolves).
+    // Schema drift vs the schema this source pinned at query start:
+    //  - endV WIDER than pinned (an additive append landed mid-stream):
+    //    fail LOUDLY with a restartable error — silently projecting the
+    //    batch down would hide the new column from the consumer forever
+    //    (Delta's sources fail the same way; a restart re-resolves).
+    //  - endV NARROWER than pinned, additively embeddable: this is the
+    //    RESTART path — the query re-pinned the widened schema and is
+    //    replaying ranges from before the widening; serve those rows
+    //    padded with nulls for the later columns (schema-on-read,
+    //    exactly what a batch read of the old version under the new
+    //    schema yields). Without this, a stream could never restart
+    //    across its own schema-evolution failure.
+    //  - anything else (dropped/retyped column): corrupt history, fail.
     val endDdl = TxTable.snapshotAt(dir, endV).schemaDdl
-    if (StructType.fromDDL(endDdl).map(f => (f.name, f.dataType.catalogString))
-        != baseSchema.map(f => (f.name, f.dataType.catalogString)))
+    val endSchema = StructType.fromDDL(endDdl)
+    val pinnedCols = baseSchema.map(f => (f.name, f.dataType.catalogString))
+    val endCols = endSchema.map(f => (f.name, f.dataType.catalogString))
+    if (endCols != pinnedCols && !endCols.toSet.subsetOf(pinnedCols.toSet))
       throw new IllegalStateException(
         s"graft-txtable: $dir changed schema mid-stream (was ${baseSchema.toDDL}, " +
           s"version $endV has $endDdl) — restart the query to pick it up")
@@ -306,16 +316,32 @@ private[sources] final class TxTableSource(
       case None if snapshotStart => None // snapshot batch: no delete half
       case None => Some(baseVersion)
     }
-    val batch = since match {
+    val batch0 = since match {
       case Some(s) => TxTable.readChanges(spark, dir, s, endV)
       case None => TxTable.read(spark, dir, TxTable.snapshotAt(dir, endV))
     }
+    val batch = padToBase(batch0)
     val out = if (!cdf) batch else cdfBatch(batch, since, endV)
     // v1 sources must hand back a frame marked streaming; the shim is
     // the only way in (see StreamingFrame).
     org.apache.spark.sql.graft.StreamingFrame.mark(spark,
       out.asInstanceOf[org.apache.spark.sql.classic.DataFrame])
   }
+
+  /** Pad a pre-widening batch up to the pinned table schema: existing
+    * columns pass through by name, later-added ones read as typed
+    * nulls (prior files have no values for them — the same rows a
+    * batch read of the old version under the new schema yields). */
+  private def padToBase(df: DataFrame): DataFrame =
+    if (df.schema.fieldNames.sameElements(baseSchema.fieldNames)) df
+    else {
+      import org.apache.spark.sql.functions.{col, lit}
+      val have = df.schema.fieldNames.toSet
+      df.select(baseSchema.fields.toIndexedSeq.map { f =>
+        if (have(f.name)) col(s"`${f.name.replace("`", "``")}`")
+        else lit(null).cast(f.dataType).as(f.name)
+      }: _*)
+    }
 
   /** The change-feed form of a batch: appended rows tagged `insert`,
     * plus one `delete` row per key tombstoned in `(since, end]` —

@@ -107,10 +107,21 @@ object CdcSync {
     * deletes re-issue as the mirror's own deferred deletes (re-masking
     * a known key is a commit no-op, so replays converge). `keyCols`
     * names the columns erasures may arrive on — each BIGINT or STRING,
-    * the tombstone key shapes. The mirror auto-inits from the source's
-    * current schema (same bloom registration) on first batch;
-    * `sinceVersion < 0` bootstraps from the full snapshot (`earliest`),
-    * otherwise the feed starts strictly after that source version. */
+    * the tombstone key shapes; a delete row carrying NONE of them
+    * fails the batch loudly (silently dropping it would diverge the
+    * mirror from the primary's erasures). The mirror auto-inits from
+    * the stream's schema (the source's bloom registration) on first
+    * batch; `sinceVersion < 0` bootstraps from the full snapshot
+    * (`earliest`), otherwise the feed starts strictly after that
+    * source version.
+    *
+    * SCHEMA EVOLUTION: an additive widen on the source fails the
+    * running stream loudly (the source pinned its schema at start);
+    * restarting the SAME mirrorTable call re-pins the widened schema,
+    * replays pre-widening ranges null-padded, and the mirror widens
+    * through the append path's additive evolution. A tombstone on a
+    * column the mirror has not yet seen is a proven no-op (no mirror
+    * row carries the column) and is skipped, not dropped silently. */
   def mirrorTable(spark: SparkSession, srcDir: String, dstDir: String,
                   checkpointDir: String, keyCols: Seq[String],
                   sinceVersion: Long = -1L): StreamingQuery = {
@@ -123,27 +134,56 @@ object CdcSync {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        if (!TxTable.exists(dstDir)) {
-          val src = TxTable.snapshot(srcDir)
-          TxTable.init(spark,
-            dstDir,
-            org.apache.spark.sql.types.StructType.fromDDL(src.schemaDdl),
-            bloomCols = src.bloomCols)
-        }
         val inserts = batch.filter(col(ChangeTypeCol) === "insert")
           .drop(ChangeTypeCol)
+        // Init from the BATCH schema (the stream's pinned schema), not
+        // the source head: a widen landing between stream start and the
+        // first batch would otherwise init the mirror wider than every
+        // batch this stream can deliver, failing the append-side schema
+        // check until a restart. The mirror then widens exactly as the
+        // restarted stream's batches do.
+        if (!TxTable.exists(dstDir))
+          TxTable.init(spark, dstDir, inserts.schema,
+            bloomCols = TxTable.snapshot(srcDir).bloomCols)
         if (!inserts.isEmpty)
           TxTable.appendIfNew(spark, dstDir, inserts, appId, batchId)
         val schema = inserts.schema
-        keyCols.foreach { c =>
-          val dels = batch.filter(col(ChangeTypeCol) === "delete")
-            .filter(col(c).isNotNull).select(col(c)).collect()
-          if (dels.nonEmpty) schema(c).dataType match {
-            case org.apache.spark.sql.types.LongType =>
-              TxTable.deleteKeysDeferred(dstDir, c, dels.toSeq.map(_.getLong(0)))
-            case _ =>
-              TxTable.deleteStringKeysDeferred(dstDir, c,
-                dels.toSeq.map(_.getString(0)))
+        // Delete rows carry exactly one non-null column: the tombstoned
+        // key. keyCols declares which columns erasures may arrive on —
+        // one driver-side collect routes each row to its column's pass
+        // (micro-batch bounded, like the index consumers' id sets).
+        val present = keyCols.filter(schema.fieldNames.contains)
+        val delRows = batch.filter(col(ChangeTypeCol) === "delete")
+          .select(present.map(c => col(c)): _*).collect()
+        if (delRows.nonEmpty) {
+          // FAIL-LOUD routing: a delete keyed on an undeclared column
+          // matches no pass — dropping it would silently diverge the
+          // mirror from the primary's erasures (a GDPR copy that keeps
+          // what the source deleted). Surface the misconfiguration.
+          val unrouted = delRows.count(r => present.indices.forall(r.isNullAt))
+          require(unrouted == 0,
+            s"mirrorTable: $unrouted delete row(s) in batch $batchId carry " +
+              s"no declared key column (keyCols=${keyCols.mkString(",")}) — " +
+              "the erasure cannot be routed; declare its tombstone column")
+          lazy val mirrorCols = org.apache.spark.sql.types.StructType
+            .fromDDL(TxTable.snapshot(dstDir).schemaDdl).fieldNames.toSet
+          present.zipWithIndex.foreach { case (c, i) =>
+            val keyed = delRows.filter(r => !r.isNullAt(i))
+            // A key column the mirror has never seen is a PROVEN no-op:
+            // the mirror's schema widens only through inserts, so no
+            // mirror row carries the column yet (the source widened and
+            // erased before any widened insert reached this replica).
+            if (keyed.nonEmpty && mirrorCols.contains(c)) {
+              schema(c).dataType match {
+                case org.apache.spark.sql.types.LongType =>
+                  TxTable.deleteKeysDeferred(dstDir, c,
+                    keyed.toSeq.map(_.getLong(i)))
+                case _ =>
+                  TxTable.deleteStringKeysDeferred(dstDir, c,
+                    keyed.toSeq.map(_.getString(i)))
+              }
+              ()
+            }
           }
         }
         ()

@@ -173,11 +173,79 @@ class CdcSyncSpec extends SparkSpec {
       "a replayed mirror batch re-landed instead of no-opping")
   }
 
+  test("mirrorTable under schema evolution: widen mid-stream, erase on the new column") {
+    val srcDir = tmp("graft_cdc_evo_src")
+    val dstDir = tmp("graft_cdc_evo_dst") + "/mirror"
+    val ckpt = tmp("graft_cdc_evo_ck")
+    val init = Seq((1L, 10L), (2L, 20L)).toDF("k", "v")
+    TxTable.init(spark, srcDir, init.schema)
+    TxTable.append(spark, srcDir, init)
+    def drain(): Unit = {
+      val q = CdcSync.mirrorTable(spark, srcDir, dstDir, ckpt,
+        keyCols = Seq("k", "region"))
+      try q.processAllAvailable() finally q.stop()
+    }
+    // Bootstrap at the narrow schema, KEEP the query running, then
+    // widen: the RUNNING stream (pinned narrow) must fail loudly — a
+    // silent projection would hide the new column from the replica
+    // forever — and the restart is the pickup (Delta's contract too).
+    val q0 = CdcSync.mirrorTable(spark, srcDir, dstDir, ckpt,
+      keyCols = Seq("k", "region"))
+    val midStreamErr = try {
+      q0.processAllAvailable() // bootstrap at narrow
+      assert(TxTable.read(spark, dstDir).columns.toSeq == Seq("k", "v"))
+      TxTable.append(spark, srcDir,
+        Seq((3L, 30L, "eu"), (4L, 40L, "us")).toDF("k", "v", "region"))
+      intercept[Throwable] { q0.processAllAvailable() }
+    } finally q0.stop()
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(midStreamErr).exists(_.contains("changed schema mid-stream")),
+      s"widening under a running stream must fail restartably: $midStreamErr")
+    // Erase ON THE NEW COLUMN (and an old-column key) while stopped.
+    TxTable.deleteStringKeysDeferred(srcDir, "region", Seq("eu"))
+    TxTable.deleteKeysDeferred(srcDir, "k", Seq(1L))
+    drain() // restart: re-pin widened, replay null-padded, converge
+    val got = TxTable.read(spark, dstDir).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getString(2))).toSeq
+    assert(got == Seq((2L, 20L, null), (4L, 40L, "us")),
+      s"mirror diverged after widen+erase: $got")
+    val want = TxTable.read(spark, srcDir).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getString(2))).toSeq
+    assert(got == want)
+    assert(TxTable.read(spark, dstDir).columns.toSeq == Seq("k", "v", "region"),
+      "the replica must widen with the source")
+  }
+
+  test("mirrorTable fails loudly when a delete row carries no declared key column") {
+    val srcDir = tmp("graft_cdc_loud_src")
+    val dstDir = tmp("graft_cdc_loud_dst") + "/mirror"
+    val init = Seq((1L, "a"), (2L, "b")).toDF("k", "name")
+    TxTable.init(spark, srcDir, init.schema)
+    TxTable.append(spark, srcDir, init)
+    val ck = tmp("graft_cdc_loud_ck")
+    val q0 = CdcSync.mirrorTable(spark, srcDir, dstDir, ck, keyCols = Seq("k"))
+    try q0.processAllAvailable() finally q0.stop() // bootstrap (no deletes)
+    // Erasure keyed on "name", but the mirror only declares "k": the
+    // batch must fail (GDPR divergence), not drop the delete.
+    TxTable.deleteStringKeysDeferred(srcDir, "name", Seq("b"))
+    val q = CdcSync.mirrorTable(spark, srcDir, dstDir, ck, keyCols = Seq("k"))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try q.processAllAvailable() finally q.stop()
+    }
+    assert(e.getMessage.contains("cannot be routed")
+      || Option(e.getCause).exists(_.getMessage.contains("cannot be routed")),
+      s"wanted the unrouted-erasure error, got: ${e.getMessage}")
+  }
+
   test("randomized source histories: the mirror converges to the source") {
-    // Seeded random interleaving of appends and deferred deletes,
-    // drained in two stages (snapshot bootstrap mid-history, then the
-    // incremental feed with deletes inside the range): whatever the
-    // order, the replica must equal the source's masked contents.
+    // Seeded random interleaving of appends, deferred deletes, and
+    // additive WIDENS, drained in stages (snapshot bootstrap
+    // mid-history, then incremental feeds with deletes and schema
+    // changes inside the ranges): whatever the order, the replica must
+    // equal the source's masked contents, columns included.
     val srcDir = tmp("graft_cdc_rnd_src")
     val dstDir = tmp("graft_cdc_rnd_dst") + "/mirror"
     val ckpt = tmp("graft_cdc_rnd_ck")
@@ -186,13 +254,23 @@ class CdcSyncSpec extends SparkSpec {
     TxTable.append(spark, srcDir, seed)
     val rnd = new scala.util.Random(7)
     var key = 0L
+    var extraCols = 0
+    def appendRow(): Unit = {
+      key += 1
+      var df = Seq((key, key)).toDF("k", "v")
+      (1 to extraCols).foreach(i => df = df.withColumn(s"c$i", lit(key + i)))
+      TxTable.append(spark, srcDir, df)
+      ()
+    }
     def mutate(n: Int): Unit = (1 to n).foreach { _ =>
-      if (rnd.nextInt(3) < 2 || key == 0L) {
-        key += 1
-        TxTable.append(spark, srcDir, Seq((key, key)).toDF("k", "v"))
-      } else {
-        TxTable.deleteKeysDeferred(srcDir, "k", Seq(rnd.between(0L, key + 1)))
-        ()
+      rnd.nextInt(6) match {
+        case w if w == 5 && extraCols < 3 => // widen, then use the column
+          extraCols += 1
+          appendRow()
+        case d if d >= 4 && key > 0L =>
+          TxTable.deleteKeysDeferred(srcDir, "k", Seq(rnd.between(0L, key + 1)))
+          ()
+        case _ => appendRow()
       }
     }
     def drain(): Unit = {
@@ -202,11 +280,17 @@ class CdcSyncSpec extends SparkSpec {
     mutate(6)
     drain() // snapshot bootstrap (mask already applied to batch 1)
     mutate(10)
-    drain() // incremental: inserts + the range's delete rows
-    def rows(d: String) = TxTable.read(spark, d).orderBy("k").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    drain() // incremental: inserts + deletes + widens in the range
+    mutate(8)
+    drain()
+    def rows(d: String) = {
+      val df = TxTable.read(spark, d)
+      (df.columns.toSeq,
+        df.orderBy("k").collect().map(_.toSeq).toSeq)
+    }
     assert(rows(dstDir) == rows(srcDir),
-      s"mirror diverged from source after a randomized history (seed 7)")
+      s"mirror diverged from source after a randomized history (seed 7): " +
+        s"mirror=${rows(dstDir)} source=${rows(srcDir)}")
   }
 
   test("erased docs flow feed → DedupIndex: pairs and components exclude them") {
