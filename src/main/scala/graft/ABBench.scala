@@ -1,0 +1,148 @@
+package graft
+
+import java.net.{URL, URLClassLoader}
+
+import scala.collection.mutable
+
+/** INTERLEAVED A/B benchmark — the only statistic this host's 79–129 s
+  * same-code suite swing cannot fake. Round 13's driver artifact showed
+  * nine phantom 2–3.4× "regressions" on untouched queries purely from
+  * the host window; sequential cross-round totals are therefore
+  * meaningless here (BENCH history + SKILL.md both say so). This main
+  * loads TWO builds of the engine into ONE JVM (child-first
+  * classloaders over two `sbt package` jars, sharing the parent's
+  * Spark/Scala), and alternates every timed rep A,B,A,B per query —
+  * so whatever the host is doing during a query's window, it does to
+  * BOTH builds, and the per-pair ratio isolates the code delta.
+  *
+  *   java -cp "<spark-jars-glob>:<runner-classes>" graft.ABBench A.jar B.jar [reps]
+  *
+  * Emits one JSON line (and AB_BENCH.json): per query the paired
+  * ratios' median, both medians, and the raw pairs; suite-level the
+  * total ratio and the queries whose ratio clears a noise band.
+  *
+  * Scope caveat (documented, inherent to one-session A/B): the shared
+  * SparkSession is built by the RUNNER's build — session-registered
+  * SQL extensions come from it; each side's query/operator/table code
+  * comes from its own jar (child-first). Queries present in only one
+  * build are reported as such and skipped.
+  */
+object ABBench {
+
+  /** Child-first loader: classes found in the jar shadow the runner's
+    * app classpath (both graft.* and the org.apache.spark.sql bridge
+    * classes shipped in the jar); everything else — Spark, Scala,
+    * JDK — resolves from the shared parent, so DataFrames and
+    * functions cross the boundary as ordinary shared types. */
+  private final class ChildFirst(jar: URL, parent: ClassLoader)
+      extends URLClassLoader(Array(jar), parent) {
+    override def loadClass(name: String, resolve: Boolean): Class[_] =
+      getClassLoadingLock(name).synchronized {
+        val loaded = findLoadedClass(name)
+        val c =
+          if (loaded != null) loaded
+          else try findClass(name)
+          catch { case _: ClassNotFoundException => super.loadClass(name, false) }
+        if (resolve) resolveClass(c)
+        c
+      }
+  }
+
+  private def queriesOf(loader: ClassLoader)
+      : Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] = {
+    val module = loader.loadClass("graft.SparkEntry$")
+    val instance = module.getField("MODULE$").get(null)
+    module.getMethod("queries").invoke(instance)
+      .asInstanceOf[Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame]]
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: ABBench <jarA> <jarB> [reps]")
+    val (jarA, jarB) = (args(0), args(1))
+    val reps = if (args.length > 2) args(2).toInt else 3
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+
+    val parent = getClass.getClassLoader
+    val ldA = new ChildFirst(new java.io.File(jarA).toURI.toURL, parent)
+    val ldB = new ChildFirst(new java.io.File(jarB).toURI.toURL, parent)
+    val qA = queriesOf(ldA)
+    val qB = queriesOf(ldB)
+    val names0 = qA.keys.toSeq.filter(qB.contains).sorted
+    val names = only.map(sel => names0.filter(sel)).getOrElse(names0)
+    val onlyIn = (qA.keySet diff qB.keySet, qB.keySet diff qA.keySet)
+
+    val spark = GraftSession.builder(master = s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def act(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def run(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] =
+      try {
+        val t0 = System.nanoTime()
+        act(fn(spark, sfDir))
+        val s = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        Some(s)
+      } catch { case scala.util.control.NonFatal(_) =>
+        spark.catalog.clearCache(); None
+      }
+
+    val errors = mutable.LinkedHashMap.empty[String, String]
+    val out = mutable.LinkedHashMap.empty[String, (Double, Double, Double, Seq[(Double, Double)])]
+    names.foreach { name =>
+      val (fa, fb) = (qA(name), qB(name))
+      // One untimed warmup per SIDE (codegen + page cache), then the
+      // interleaved pairs. A side that fails is recorded and skipped —
+      // a dead query must not read as an infinite speedup.
+      run(fa); run(fb)
+      val pairs = (1 to reps).flatMap { _ =>
+        for (a <- run(fa); b <- run(fb)) yield (a, b)
+      }
+      if (pairs.size < reps) errors(name) = s"only ${pairs.size}/$reps pairs completed"
+      if (pairs.nonEmpty) {
+        def med(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+        out(name) = (med(pairs.map(_._1)), med(pairs.map(_._2)),
+          med(pairs.map(p => p._2 / p._1)), pairs)
+      }
+    }
+    graft.operators.Stages.drop(spark)
+    spark.stop()
+
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val totalA = out.values.map(_._1).sum
+    val totalB = out.values.map(_._2).sum
+    val qjson = out.map { case (n, (a, b, r, pairs)) =>
+      s""""${esc(n)}":{"a":$a,"b":$b,"paired_ratio":${math.round(r * 1000) / 1000.0},""" +
+        s""""pairs":${pairs.map(p => s"[${p._1},${p._2}]").mkString("[", ",", "]")}}"""
+    }.mkString("{", ",", "}")
+    // Movers: paired ratio outside [1/band, band] — the only per-query
+    // claims the host swing cannot explain away.
+    val band = 1.3
+    val movers = out.collect {
+      case (n, (_, _, r, _)) if r > band || r < 1.0 / band =>
+        s""""${esc(n)}":${math.round(r * 1000) / 1000.0}"""
+    }.mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
+      .mkString("{", ",", "}")
+    val json =
+      s"""{"metric":"ab_paired","a_jar":"${esc(jarA)}","b_jar":"${esc(jarB)}",""" +
+        s""""sf":"${esc(sfDir)}","reps":$reps,"queries_compared":${out.size},""" +
+        s""""only_in_a":${onlyIn._1.size},"only_in_b":${onlyIn._2.size},""" +
+        s""""total_a":$totalA,"total_b":$totalB,""" +
+        s""""total_ratio":${math.round(totalB / totalA * 1000) / 1000.0},""" +
+        s""""movers_beyond_1.3x":$movers,"errors":$errJson,"queries":$qjson}"""
+    try {
+      val w = new java.io.PrintWriter(new java.io.File("AB_BENCH.json"))
+      try w.println(json) finally w.close()
+    } catch { case scala.util.control.NonFatal(_) => () }
+    println(json.take(2000)) // compact head; the full artifact is on disk
+    if (errors.nonEmpty) {
+      System.err.println(s"ab-bench: ${errors.size} queries incomplete: ${errors.keys.mkString(", ")}")
+      sys.exit(1)
+    }
+  }
+}

@@ -369,36 +369,33 @@ object TxTable {
   private def isDelta(m: org.json4s.JValue): Boolean =
     (m \ "parent") != org.json4s.JNothing
 
-  private def parseFull(v: Long, m: org.json4s.JValue): Snapshot = {
-    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+  private def parseFull(v: Long, m: org.json4s.JValue): Snapshot =
     Snapshot(v,
-      (m \ "schema").extract[String],
-      (m \ "dirs").extract[Seq[String]],
+      jString(m \ "schema"),
+      jStringSeq(m \ "dirs"),
       parseStats(m \ "stats"), parseSStats(m \ "sstats"),
       parseBloomCols(m \ "bloomCols"), parseBlooms(m \ "blooms"),
       parseExcludes(m \ "excludes"), parseTxns(m \ "txns"),
       parseNonulls(m \ "nonulls"), parseDkeys(m \ "dkeys"))
-  }
 
   /** Apply one delta commit's manifest on top of `parent`'s state. */
   private def applyDelta(parent: Snapshot, v: Long,
                          m: org.json4s.JValue): Snapshot = {
-    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
-    val parentV = (m \ "parent").extract[Long]
+    val parentV = jLong(m \ "parent")
     require(parent.version == parentV,
       s"torn log: delta v$v expects parent v$parentV but replay is at " +
         s"v${parent.version}")
     def rm(field: String): Set[String] = (m \ field) match {
-      case org.json4s.JNothing | org.json4s.JNull => Set.empty
-      case js => js.extract[Seq[String]].toSet
+      case org.json4s.JArray(xs) => xs.iterator.map(jString).toSet
+      case _ => Set.empty
     }
     val removeDirs = rm("removeDirs")
     val addDirs = (m \ "addDirs") match {
-      case org.json4s.JNothing | org.json4s.JNull => Seq.empty[String]
-      case js => js.extract[Seq[String]]
+      case org.json4s.JArray(xs) => xs.map(jString)
+      case _ => Seq.empty[String]
     }
     Snapshot(v,
-      (m \ "schema").extract[String],
+      jString(m \ "schema"),
       parent.dirs.filterNot(removeDirs) ++ addDirs,
       parent.stats -- rm("statsRemove") ++ parseStats(m \ "statsAdd"),
       parent.sstats -- rm("sstatsRemove") ++ parseSStats(m \ "sstatsAdd"),
@@ -410,7 +407,7 @@ object TxTable {
       parent.dkeys -- rm("dkeysRemove") ++ parseDkeys(m \ "dkeysSet"))
   }
 
-  private def tryReadCheckpoint(dir: String, v: Long): Option[Snapshot] =
+  private[sources] def tryReadCheckpoint(dir: String, v: Long): Option[Snapshot] =
     try {
       val json = readManifest(checkpointFile(dir, v))
       if (json.isEmpty) None
@@ -463,84 +460,104 @@ object TxTable {
     state
   }
 
-  /** Stats block of a manifest; absent (pre-stats commits) → empty. */
-  private def parseStats(node: org.json4s.JValue): Map[String, Map[String, (Long, Long)]] = {
-    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
-    node match {
-      case org.json4s.JNothing | org.json4s.JNull => Map.empty
-      case js => js.extract[Map[String, Map[String, Seq[Long]]]]
-        .map { case (f, cols) =>
-          f -> cols.collect { case (c, Seq(lo, hi)) => c -> (lo, hi) }
-        }
-    }
+  // MANUAL manifest-block parsers. These blocks are file-count-sized
+  // (a 10⁵-file checkpoint holds ~3×10⁵ map entries), and json4s's
+  // reflective `extract` paid per-entry reflection on every checkpoint
+  // parse and delta apply — measured at ~2× the whole parse cost at
+  // scale (CheckpointScaleSpec). Plain JValue pattern matches keep the
+  // exact shapes and the exact tolerance (absent block → empty;
+  // wrong-arity range entries dropped, as the old collect did).
+
+  private def jLong(v: org.json4s.JValue): Long = v match {
+    case org.json4s.JInt(b) => b.toLong
+    case org.json4s.JLong(l) => l
+    case org.json4s.JDecimal(d) => d.toLong
+    case org.json4s.JDouble(d) => d.toLong
+    case other => throw new IllegalStateException(
+      s"manifest: expected a number, got $other")
   }
 
-  /** Bloom-column table property; absent (pre-bloom commits) → none. */
-  private def parseBloomCols(node: org.json4s.JValue): Seq[String] = {
-    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+  private def jString(v: org.json4s.JValue): String = v match {
+    case org.json4s.JString(s) => s
+    case other => throw new IllegalStateException(
+      s"manifest: expected a string, got $other")
+  }
+
+  private def jStringSeq(v: org.json4s.JValue): Seq[String] = v match {
+    case org.json4s.JArray(xs) => xs.map(jString)
+    case other => throw new IllegalStateException(
+      s"manifest: expected a string array, got $other")
+  }
+
+  /** `{name: [string...]}` blocks (blooms/excludes/nonulls/dkeys). */
+  private def jStringListMap(node: org.json4s.JValue): Map[String, Seq[String]] =
     node match {
-      case org.json4s.JNothing | org.json4s.JNull => Nil
-      case js => js.extract[Seq[String]]
+      case org.json4s.JObject(fs) =>
+        fs.iterator.map { case (k, v) => k -> jStringSeq(v) }.toMap
+      case _ => Map.empty
     }
+
+  /** Stats block of a manifest; absent (pre-stats commits) → empty. */
+  private def parseStats(node: org.json4s.JValue): Map[String, Map[String, (Long, Long)]] =
+    node match {
+      case org.json4s.JObject(files) =>
+        files.iterator.map { case (f, cols) =>
+          f -> (cols match {
+            case org.json4s.JObject(cs) =>
+              cs.iterator.collect {
+                case (c, org.json4s.JArray(List(lo, hi))) => c -> (jLong(lo), jLong(hi))
+              }.toMap
+            case _ => Map.empty[String, (Long, Long)]
+          })
+        }.toMap
+      case _ => Map.empty
+    }
+
+  /** Bloom-column table property; absent (pre-bloom commits) → none. */
+  private def parseBloomCols(node: org.json4s.JValue): Seq[String] = node match {
+    case org.json4s.JArray(xs) => xs.map(jString)
+    case _ => Nil
   }
 
   /** Per-file proven-null-free column listing; absent (pre-nonulls
     * commits) → empty — consumers fall back to a footer proof. */
-  private def parseNonulls(node: org.json4s.JValue): Map[String, Seq[String]] = {
-    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
-    node match {
-      case org.json4s.JNothing | org.json4s.JNull => Map.empty
-      case js => js.extract[Map[String, Seq[String]]]
-    }
-  }
+  private def parseNonulls(node: org.json4s.JValue): Map[String, Seq[String]] =
+    jStringListMap(node)
 
   /** Key-tombstone block; absent (pre-dkeys commits) → empty. */
-  private def parseDkeys(node: org.json4s.JValue): Map[String, Seq[String]] = {
-    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
-    node match {
-      case org.json4s.JNothing | org.json4s.JNull => Map.empty
-      case js => js.extract[Map[String, Seq[String]]]
-    }
-  }
+  private def parseDkeys(node: org.json4s.JValue): Map[String, Seq[String]] =
+    jStringListMap(node)
 
   /** Per-dir bloom sidecar listing; absent → empty. */
-  private def parseBlooms(node: org.json4s.JValue): Map[String, Seq[String]] = {
-    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
-    node match {
-      case org.json4s.JNothing | org.json4s.JNull => Map.empty
-      case js => js.extract[Map[String, Seq[String]]]
-    }
-  }
+  private def parseBlooms(node: org.json4s.JValue): Map[String, Seq[String]] =
+    jStringListMap(node)
 
   /** Per-dir excluded-file listing; absent → empty. */
-  private def parseExcludes(node: org.json4s.JValue): Map[String, Seq[String]] = {
-    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
-    node match {
-      case org.json4s.JNothing | org.json4s.JNull => Map.empty
-      case js => js.extract[Map[String, Seq[String]]]
-    }
-  }
+  private def parseExcludes(node: org.json4s.JValue): Map[String, Seq[String]] =
+    jStringListMap(node)
 
   /** Writer-transaction watermarks; absent (pre-txn commits) → empty. */
-  private def parseTxns(node: org.json4s.JValue): Map[String, Long] = {
-    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
-    node match {
-      case org.json4s.JNothing | org.json4s.JNull => Map.empty
-      case js => js.extract[Map[String, Long]]
-    }
+  private def parseTxns(node: org.json4s.JValue): Map[String, Long] = node match {
+    case org.json4s.JObject(fs) =>
+      fs.iterator.map { case (k, v) => k -> jLong(v) }.toMap
+    case _ => Map.empty
   }
 
   /** String-stats block; absent (pre-sstats commits) → empty. */
-  private def parseSStats(node: org.json4s.JValue): Map[String, Map[String, (String, String)]] = {
-    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+  private def parseSStats(node: org.json4s.JValue): Map[String, Map[String, (String, String)]] =
     node match {
-      case org.json4s.JNothing | org.json4s.JNull => Map.empty
-      case js => js.extract[Map[String, Map[String, Seq[String]]]]
-        .map { case (f, cols) =>
-          f -> cols.collect { case (c, Seq(lo, hi)) => c -> (lo, hi) }
-        }
+      case org.json4s.JObject(files) =>
+        files.iterator.map { case (f, cols) =>
+          f -> (cols match {
+            case org.json4s.JObject(cs) =>
+              cs.iterator.collect {
+                case (c, org.json4s.JArray(List(lo, hi))) => c -> (jString(lo), jString(hi))
+              }.toMap
+            case _ => Map.empty[String, (String, String)]
+          })
+        }.toMap
+      case _ => Map.empty
     }
-  }
 
   /** Cumulative wall nanos this process has spent in COMMIT-TIME
     * metadata harvest — [[statsFor]]'s footer opens plus
@@ -1357,13 +1374,55 @@ object TxTable {
     throw new IllegalStateException("unreachable")
   }
 
-  /** Periodic checkpoint from a state already in memory — zero extra
-    * computation at the claim; write failures are swallowed (the
-    * checkpoint is derived data, the next multiple writes again). */
+  /** Periodic checkpoint from a state already in memory, written OFF
+    * the commit path: the checkpoint is derived data — a write that
+    * fails, or a process that dies before the background thread runs,
+    * only lengthens one cold resolution's replay tail to the previous
+    * checkpoint (the retention checkpoints trimLog/vacuum REQUIRE stay
+    * synchronous in their own paths). Measured motivation
+    * (CheckpointScaleSpec): at 10⁵ live files the full-state write is
+    * ~1.5 s — amortized over [[CheckpointInterval]] commits that is
+    * still a >100 ms tax per commit a hot streaming sink would pay
+    * inline at 8×10⁵ files. Writes are idempotent (pure function of
+    * the log) and FIFO per JVM; a backlog past a small bound skips the
+    * enqueue — the next cadence point re-queues, and resolution
+    * meanwhile just replays a longer tail. [[flushCheckpoints]] drains
+    * the queue (tests; a clean shutdown may call it too). */
+  private val checkpointPending = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val checkpointPool = java.util.concurrent.Executors.newSingleThreadExecutor(
+    (r: Runnable) => {
+      val t = new Thread(r, "graft-txtable-checkpoint")
+      t.setDaemon(true)
+      t
+    })
+
   private def maybeCheckpoint(dir: String, s: Snapshot): Unit =
     if (CheckpointInterval > 0 && s.version > 0 &&
-        s.version % CheckpointInterval == 0)
-      try writeCheckpoint(dir, s) catch { case _: java.io.IOException => () }
+        s.version % CheckpointInterval == 0 &&
+        checkpointPending.get() <= 4) {
+      checkpointPending.incrementAndGet()
+      checkpointPool.execute { () =>
+        // Guard the deferred write against a table DELETED and
+        // RE-CREATED at this path since the enqueue (version numbers
+        // restart at 0): a stale checkpoint landing in the new log
+        // would serve the dead table's state. Its version's commit
+        // still existing is the same immutability bet the head cache
+        // makes — and the queue drains in milliseconds.
+        try { if (Files.exists(commitFile(dir, s.version))) writeCheckpoint(dir, s) }
+        catch { case _: java.io.IOException => () }
+        finally { checkpointPending.decrementAndGet(); () }
+      }
+    }
+
+  /** Block until every queued periodic checkpoint has been written —
+    * determinism for specs that assert checkpoint presence (and the
+    * hook a clean shutdown can use). */
+  def flushCheckpoints(): Unit = {
+    val latch = new java.util.concurrent.CountDownLatch(1)
+    checkpointPool.execute(() => latch.countDown())
+    latch.await(60, java.util.concurrent.TimeUnit.SECONDS)
+    ()
+  }
 
   /** Write `s` as `v<version>.checkpoint` (full form) via a private
     * temp + atomic move. Content is a pure function of the log up to

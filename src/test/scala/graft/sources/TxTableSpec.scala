@@ -105,7 +105,9 @@ class TxTableSpec extends SparkSpec {
       s"delta payload grew with the table: v5=${size(5L)}B v25=${size(25L)}B")
     assert(size(25L) < 2048, s"delta commit is ${size(25L)}B, expected sub-KB scale")
     // The periodic checkpoint holds the FULL state — strictly heavier
-    // than any delta, written every CheckpointInterval commits.
+    // than any delta, written every CheckpointInterval commits (off the
+    // commit path: drain the background writer before asserting).
+    TxTable.flushCheckpoints()
     val ckptPath = Paths.get(dir, "_log", f"v${20L}%016d.checkpoint")
     assert(Files.exists(ckptPath), "no checkpoint at the v20 cadence point")
     assert(Files.size(ckptPath) > size(25L) * 3,
@@ -175,6 +177,7 @@ class TxTableSpec extends SparkSpec {
       "commitBytes telemetry diverged from the claimed manifest size")
     // The checkpoint at v10 is the FULL state (1000 files of stats +
     // nonulls): the self-contained form every commit used to pay.
+    TxTable.flushCheckpoints() // async writer — drain before stat
     val fullBytes =
       Files.size(Paths.get(dir, "_log", f"v${10L}%016d.checkpoint"))
     assert(commitBytes < 4 * 1024,
