@@ -875,7 +875,14 @@ object DedupIndex {
     *    erased docs — conservative (a shingle can only look MORE
     *    common, never rarer, so no spurious candidates appear that
     *    full recompute would reject... the reverse loses only recall
-    *    against a from-scratch rebuild, never precision).
+    *    against a from-scratch rebuild, never precision). QUANTIFIED —
+    *    DedupErasureRecallSpec pins the window exactly: the served
+    *    pairs equal a full-corpus (erasure-ignored) mine restricted to
+    *    live endpoints, so the only losable pairs are those whose
+    *    EVERY shared shingle is live-rare but full-hot; on an
+    *    adversarial 30%-erasure corpus (clusters straddling the cap)
+    *    that measures 12/18 pairs served, and closing the gap takes a
+    *    rebuild (OPTIMIZE keeps the conservative df by design).
     *  - `components` labels are opaque cluster ids (the min doc_id at
     *    fold time): a label VALUE numerically equal to an erased id
     *    may persist on surviving members — it identifies the cluster,

@@ -268,6 +268,68 @@ class DeletionVectorSpec extends SparkSpec {
     } finally TxTable.AutoFoldTombstones = prev
   }
 
+  test("auto-fold under contention: racing deleters and an appender all cross the threshold") {
+    // VERDICT r13 #6 — the crossing itself under contention, one level up
+    // from the fold-vs-tombstone interleave above: several writers push
+    // the mask over AutoFoldTombstones SIMULTANEOUSLY, so folds race
+    // folds (ConcurrentCommitException → re-plan), folds race tombstone
+    // commits (the dkeys override), and an appender loses claims to
+    // mid-fold rewrites and retries against the folded table. Required:
+    // no error surfaces, no tombstone is lost (every deleted key stays
+    // deleted), no row is lost (appended rows and untouched rows all
+    // survive), and the mask ends bounded near the threshold.
+    val dir = tmp()
+    TxTable.init(spark, dir, schema)
+    TxTable.append(spark, dir,
+      (1L to 600L).map(k => (k, k)).toDF("k", "v").coalesce(4))
+    val prev = TxTable.AutoFoldTombstones
+    TxTable.AutoFoldTombstones = 12
+    val deleters = 3; val batches = 6; val perBatch = 5
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(deleters + 1)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    try {
+      val work = (0 until deleters).map { w =>
+        pool.submit(new Runnable {
+          override def run(): Unit =
+            try (0 until batches).foreach { b =>
+              // Disjoint key ranges per writer: every key each writer
+              // tombstones must be gone at the end, no overlap excuses.
+              val base = w * 200L + b * perBatch
+              TxTable.deleteKeysDeferred(dir, "k", (1 to perBatch).map(base + _))
+              ()
+            } catch { case t: Throwable => errs.add(t); () }
+        })
+      } :+ pool.submit(new Runnable {
+        override def run(): Unit =
+          try (0 until 5).foreach { b =>
+            TxTable.append(spark, dir,
+              Seq((3000L + b, 3000L + b)).toDF("k", "v"))
+            ()
+          } catch { case t: Throwable => errs.add(t); () }
+      })
+      work.foreach(_.get(180, java.util.concurrent.TimeUnit.SECONDS))
+      assert(errs.isEmpty, s"contention surfaced: ${errs.peek()}")
+      val deleted = (for (w <- 0 until deleters; b <- 0 until batches;
+                          i <- 1 to perBatch) yield w * 200L + b * perBatch + i).toSet
+      val expected = ((1L to 600L).toSet -- deleted) ++ (0 until 5).map(3000L + _)
+      assert(TxTable.read(spark, dir).select("k").as[Long].collect().toSet == expected,
+        "contention lost a tombstone, lost an append, or resurrected a row")
+      // Every synchronous crossing folded: the residual mask is near zero,
+      // never drifting toward MaxTombstones (+ one racing batch of slack
+      // per writer that landed during another's fold).
+      val pending = TxTable.snapshot(dir).dkeys.valuesIterator.map(_.size).sum
+      assert(pending <= TxTable.AutoFoldTombstones + deleters * perBatch,
+        s"auto-fold under contention left $pending tombstones pending")
+      // And a final explicit fold converges to a clean table.
+      TxTable.foldDeletes(spark, dir)
+      assert(TxTable.snapshot(dir).dkeys.isEmpty)
+      assert(TxTable.read(spark, dir).select("k").as[Long].collect().toSet == expected)
+    } finally {
+      TxTable.AutoFoldTombstones = prev
+      pool.shutdown()
+    }
+  }
+
   test("string keys, type check, and the tombstone cap") {
     val dir = tmp()
     TxTable.init(spark, dir, StructType.fromDDL("name STRING, v BIGINT"))
