@@ -25,7 +25,13 @@ import scala.collection.mutable
   * SparkSession is built by the RUNNER's build — session-registered
   * SQL extensions come from it; each side's query/operator/table code
   * comes from its own jar (child-first). Queries present in only one
-  * build are reported as such and skipped.
+  * build are reported as such and skipped. A query whose plan NODES
+  * are session-extension classes (the native as-of join: the strategy
+  * registered at session build pattern-matches the runner loader's
+  * AsOfJoinPlan, never a child loader's) fails on BOTH sides — that is
+  * an A/B-scope exclusion, not a regression, so it is reported under
+  * `skipped_extension_scope` and does not fail the run; a query that
+  * fails on exactly ONE side is a real break and still exits 1.
   */
 object ABBench {
 
@@ -92,21 +98,27 @@ object ABBench {
       }
 
     val errors = mutable.LinkedHashMap.empty[String, String]
+    val skipped = mutable.ArrayBuffer.empty[String]
     val out = mutable.LinkedHashMap.empty[String, (Double, Double, Double, Seq[(Double, Double)])]
     names.foreach { name =>
       val (fa, fb) = (qA(name), qB(name))
       // One untimed warmup per SIDE (codegen + page cache), then the
       // interleaved pairs. A side that fails is recorded and skipped —
-      // a dead query must not read as an infinite speedup.
-      run(fa); run(fb)
-      val pairs = (1 to reps).flatMap { _ =>
-        for (a <- run(fa); b <- run(fb)) yield (a, b)
-      }
-      if (pairs.size < reps) errors(name) = s"only ${pairs.size}/$reps pairs completed"
-      if (pairs.nonEmpty) {
+      // a dead query must not read as an infinite speedup. Both sides
+      // failing the warmup = the query is outside one-session A/B scope
+      // (extension-registered plan classes — see scaladoc), skip it.
+      val (wa, wb) = (run(fa), run(fb))
+      if (wa.isEmpty && wb.isEmpty) { skipped += name }
+      else {
+        val pairs = (1 to reps).flatMap { _ =>
+          for (a <- run(fa); b <- run(fb)) yield (a, b)
+        }
+        if (pairs.size < reps) errors(name) = s"only ${pairs.size}/$reps pairs completed"
+        if (pairs.nonEmpty) {
         def med(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
         out(name) = (med(pairs.map(_._1)), med(pairs.map(_._2)),
           med(pairs.map(p => p._2 / p._1)), pairs)
+        }
       }
     }
     graft.operators.Stages.drop(spark)
@@ -128,9 +140,11 @@ object ABBench {
     }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
       .mkString("{", ",", "}")
+    val skipJson = skipped.map(s => s""""${esc(s)}"""").mkString("[", ",", "]")
     val json =
       s"""{"metric":"ab_paired","a_jar":"${esc(jarA)}","b_jar":"${esc(jarB)}",""" +
         s""""sf":"${esc(sfDir)}","reps":$reps,"queries_compared":${out.size},""" +
+        s""""skipped_extension_scope":$skipJson,""" +
         s""""only_in_a":${onlyIn._1.size},"only_in_b":${onlyIn._2.size},""" +
         s""""total_a":$totalA,"total_b":$totalB,""" +
         s""""total_ratio":${math.round(totalB / totalA * 1000) / 1000.0},""" +

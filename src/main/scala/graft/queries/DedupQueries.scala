@@ -386,6 +386,62 @@ object DedupQueries {
       },
       Some(componentsOracle)),
 
+    // ERASURE WINDOW on the serving index, oracle-gated — GDPR-erase a
+    // slice of the indexed corpus (one tombstone commit per serving
+    // table, zero data I/O — DedupIndex.deleteDocsDeferred), then
+    // ingest the next delta against the masked index. Precision is
+    // exact by construction (the verify join reads docs through the
+    // tombstone mask); recall sits in the DOCUMENTED window: served
+    // pairs == a FULL-corpus mine restricted to live endpoints
+    // (DedupErasureRecallSpec proves that characterization on
+    // constructed and randomized corpora; this gate replays it against
+    // DuckDB on the real one). The oracle is therefore the full-corpus
+    // pair mine with erased endpoints filtered — NOT a live-corpus
+    // rebuild: the difference is exactly the pairs whose every shared
+    // shingle is live-rare but over-counted hot, which only a rebuild
+    // recovers (by design — OPTIMIZE keeps the conservative df).
+    // Base index shared with q_dedup_index_append (both RESTORE to the
+    // mark before mutating), so the timed work is restore + erasure
+    // commits + one delta ingest.
+    QueryDef(
+      "q_dedup_erase_append",
+      t => {
+        import graft.operators.{DedupIndex, Stages}
+        val all = t.documents.selectExpr("doc_id", s"$shs AS shs")
+        val dir = Stages.tempDir(t.spark, s"dedup_base:${t.dir}") { d =>
+          DedupIndex.build(t.spark, all.filter(col("doc_id") % 5 =!= 0),
+            d, ShingleDfCap)
+          DedupIndex.markBase(d)
+        }
+        DedupIndex.restoreBase(t.spark, dir)
+        val erased = all.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 7 === 3)
+          .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+        DedupIndex.deleteDocsDeferred(dir, erased)
+        DedupIndex.append(t.spark, all.filter(col("doc_id") % 5 === 0),
+          dir, ShingleDfCap)
+        DedupIndex.pairs(t.spark, dir).orderBy(col("a"), col("b"))
+      },
+      Some(s"""
+        WITH sh AS $duckShingles,
+        inv AS (SELECT doc_id, unnest(shs) sh FROM sh),
+        df AS (SELECT sh, COUNT(*) n FROM inv GROUP BY sh),
+        inv2 AS (SELECT i.doc_id, i.sh FROM inv i JOIN df USING (sh)
+                 WHERE df.n <= $ShingleDfCap),
+        cand AS (
+          SELECT DISTINCT x.doc_id a, y.doc_id b
+          FROM inv2 x JOIN inv2 y ON x.sh = y.sh AND x.doc_id < y.doc_id)
+        SELECT a, b,
+          round(len(list_intersect(sa.shs, sb.shs)) /
+            CAST(len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs)) AS DOUBLE), 6) AS jaccard
+        FROM cand
+        JOIN sh sa ON a = sa.doc_id
+        JOIN sh sb ON b = sb.doc_id
+        WHERE round(len(list_intersect(sa.shs, sb.shs)) /
+            CAST(len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs)) AS DOUBLE), 6) >= 0.5
+          AND NOT (a % 5 <> 0 AND a % 7 = 3)
+          AND NOT (b % 5 <> 0 AND b % 7 = 3)
+        ORDER BY a, b""")),
+
     // SimHash near-dup: 32-bit shingle simhash per doc (map-side fold),
     // pigeonhole banding on 4 byte-chunks (hamming ≤ 3 ⇒ ≥1 chunk
     // equal), exact hamming verify on candidates only.

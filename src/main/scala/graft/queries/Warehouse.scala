@@ -881,6 +881,58 @@ object Warehouse {
           AND user_id NOT IN (3, 7)
         ORDER BY event_id""")),
 
+    // CDC MIRROR ACROSS A FOLD, oracle-gated: the replica must converge
+    // when the primary runs PHYSICAL maintenance mid-feed. Bootstrap
+    // the mirror, erase users on the primary (deferred tombstones),
+    // then foldDeletes — a pruned REWRITE of every hit file, committed
+    // layout-only — then keep appending past the fold, then drain. The
+    // feed has to (1) deliver the erasure's deletion half exactly once
+    // even though the tombstones were folded away inside the consumed
+    // range, (2) NOT re-deliver the fold's rewritten survivors as
+    // inserts (a duplicate row here is a hash mismatch), and (3) keep
+    // delivering post-fold appends. Same events-minus-users oracle as
+    // the erase twins — the replica after primary-side maintenance is
+    // content-identical to erasing the replica directly.
+    QueryDef(
+      "q_tx_mirror_fold",
+      t => {
+        import graft.operators.Stages
+        val root = Stages.tempDir(t.spark, s"tx_mirror_fold:${t.dir}") { d =>
+          val store = new graft.streaming.EventStore(d)
+          val weeks = Seq("2024-01-01", "2024-01-08", "2024-01-15", "2024-01-22")
+          weeks.sliding(2).foreach { case Seq(lo, hi) =>
+            store.appendFacts(t.events.filter(
+              col("ts") >= lit(lo).cast("timestamp") && col("ts") < lit(hi).cast("timestamp")))
+          }
+          val factDir = s"$d/fact_events"
+          val mirror = s"$d/fact_mirror"
+          val ckpt = s"$d/mirror_ckpt"
+          val q1 = graft.streaming.CdcSync.mirrorTable(
+            t.spark, factDir, mirror, ckpt, keyCols = Seq("user_id"))
+          try q1.processAllAvailable() finally q1.stop()
+          store.eraseUsersDeferred(Seq(3L, 7L))
+          graft.sources.TxTable.foldDeletes(t.spark, factDir)
+          store.appendFacts(t.events.filter(
+            col("ts") >= lit("2024-01-22").cast("timestamp") &&
+              col("ts") < lit("2024-01-31").cast("timestamp")))
+          val q2 = graft.streaming.CdcSync.mirrorTable(
+            t.spark, factDir, mirror, ckpt, keyCols = Seq("user_id"))
+          try q2.processAllAvailable() finally q2.stop()
+        }
+        graft.sources.TxTable.read(t.spark, s"$root/fact_mirror")
+          .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_str"))
+          .orderBy(col("event_id"))
+      },
+      Some("""
+        SELECT event_id, user_id, event_type, value,
+          strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+          AND ts < TIMESTAMP '2024-01-31 00:00:00'
+          AND user_id NOT IN (3, 7)
+        ORDER BY event_id""")),
+
     // SCHEMA EVOLUTION on the transactional table, oracle-gated: a
     // long-lived pipeline table gains a column mid-life (the
     // reference's fixed DDL never alters, but a 100 TB table lives for
