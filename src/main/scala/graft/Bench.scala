@@ -108,7 +108,8 @@ object Bench {
         spark.catalog.clearCache()
         if (ok) Some(elapsed) else None
       }
-      if (name == "q_dedup_incremental" || name == "q_dedup_index_append") {
+      if (name == "q_dedup_incremental" || name == "q_dedup_index_append" ||
+          name == "q_dedup_erase_append") {
         val ph = graft.operators.DedupIndex.lastAppendPhases.get()
         if (ph.nonEmpty) phaseLog(name) = ph
       }
@@ -177,8 +178,29 @@ object Bench {
     val errJson = errors.map { case (k, v) => s"\"" + esc(k) + "\":\"" + esc(v) + "\"" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // Committed interleaved-A/B artifact (graft.ABBench output, SHAs
+    // stamped at commit time): embed its summary so the round's bench
+    // line itself carries the only cross-round per-query statistic this
+    // host's 79-129 s same-code swing cannot fake — sequential totals
+    // (this line vs last round's) cannot be compared directly.
+    val abJson = try {
+      val f = new java.io.File("AB_BENCH.json")
+      if (!f.isFile) "" else {
+        import org.json4s._
+        val m = jackson.JsonMethods.parse(java.nio.file.Files.readString(f.toPath))
+        def str(k: String) = m \ k match { case JString(s) => s"""\"${esc(s)}\""""; case _ => "null" }
+        def num(k: String) = m \ k match {
+          case JDouble(d) => d.toString; case JInt(i) => i.toString
+          case JDecimal(d) => d.toString; case _ => "null" }
+        val movers = jackson.JsonMethods.compact(jackson.JsonMethods.render(
+          m \ "movers_beyond_1.3x" match { case JNothing => JObject(); case v => v }))
+        s""","ab_paired":{"a_sha":${str("a_sha")},"b_sha":${str("b_sha")},""" +
+          s""""queries_compared":${num("queries_compared")},""" +
+          s""""total_ratio":${num("total_ratio")},"movers_beyond_1.3x":$movers}"""
+      }
+    } catch { case scala.util.control.NonFatal(_) => "" }
     val common =
-      s""""value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"error_count":${errors.size},"sf":"$sfDir","reps":$reps,"action":"noop-write","stat":"median"$worstJson"""
+      s""""value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"error_count":${errors.size},"sf":"$sfDir","reps":$reps,"action":"noop-write","stat":"median"$worstJson$abJson"""
     val phasesJson = phaseLog.map { case (q, ph) =>
       s"\"" + esc(q) + "\":" +
         ph.map { case (n, s) => s"\"" + esc(n.trim) + "\":" + s }
@@ -198,6 +220,16 @@ object Bench {
       val w = new java.io.PrintWriter(new java.io.File("bench.json"))
       try w.println(json) finally w.close()
     } catch { case _: Throwable => () }
+    // Explicit full-line output for callers the guard above locks out
+    // (tools/sweep.py runs reps=1 per SF and needs phases + per-query
+    // timings; before this env the sweep read bench.json and the guard
+    // would have silently fed it the STALE committed artifact 3×).
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
+      try {
+        val w = new java.io.PrintWriter(new java.io.File(p))
+        try w.println(json) finally w.close()
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
     graft.operators.Stages.drop(spark) // release staged frames/index dirs
     spark.stop()
     // Printed LAST so nothing from Spark shutdown interleaves after it.

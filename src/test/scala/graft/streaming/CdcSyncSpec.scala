@@ -241,11 +241,14 @@ class CdcSyncSpec extends SparkSpec {
   }
 
   test("randomized source histories: the mirror converges to the source") {
-    // Seeded random interleaving of appends, deferred deletes, and
-    // additive WIDENS, drained in stages (snapshot bootstrap
-    // mid-history, then incremental feeds with deletes and schema
-    // changes inside the ranges): whatever the order, the replica must
-    // equal the source's masked contents, columns included.
+    // Seeded random interleaving of appends, deferred deletes, additive
+    // WIDENS, and physical FOLDS (the r14 layout-only rewrite the feed
+    // must flow across), drained in stages (snapshot bootstrap
+    // mid-history, then incremental feeds with deletes, schema changes,
+    // and folds inside the ranges): whatever the order, the replica
+    // must equal the source's masked contents, columns included —
+    // folded rows must not re-deliver, and a delete folded away inside
+    // a consumed range must still erase on the mirror.
     val srcDir = tmp("graft_cdc_rnd_src")
     val dstDir = tmp("graft_cdc_rnd_dst") + "/mirror"
     val ckpt = tmp("graft_cdc_rnd_ck")
@@ -263,10 +266,13 @@ class CdcSyncSpec extends SparkSpec {
       ()
     }
     def mutate(n: Int): Unit = (1 to n).foreach { _ =>
-      rnd.nextInt(6) match {
-        case w if w == 5 && extraCols < 3 => // widen, then use the column
+      rnd.nextInt(8) match {
+        case 7 if extraCols < 3 => // widen, then use the column
           extraCols += 1
           appendRow()
+        case 6 => // physical maintenance mid-feed: fold the open mask
+          TxTable.foldDeletes(spark, srcDir)
+          ()
         case d if d >= 4 && key > 0L =>
           TxTable.deleteKeysDeferred(srcDir, "k", Seq(rnd.between(0L, key + 1)))
           ()

@@ -47,6 +47,7 @@ EXEMPT_PREFIXES = (
     "q_embed_dedup_groups",    # same CC fold on the embedding near-dup graph
     "q_dedup_incremental",     # lifecycle: build+append, CC fold dominates at small SF
     "q_dedup_index_append",    # append fold includes the CC re-propagation
+    "q_dedup_erase_append",    # same lifecycle + erasure commits; phases stay gated
 )
 
 
@@ -55,11 +56,19 @@ def run_bench(sf: str) -> dict:
     env["SPARK_GRAFT_SF_DIR"] = f"{TESTDATA}/{sf}"
     env["SPARK_GRAFT_BENCH_REPS"] = "1"
     env.setdefault("SPARK_GRAFT_CPUS", "8")
+    # Explicit full-line output path: the committed bench.json is guarded
+    # against low-rep overwrites, so reading it here would silently feed
+    # the sweep a STALE artifact three times (all ratios 1.0 — a vacuous
+    # pass). The env-named file is written unconditionally by Bench.
+    out = f"/tmp/graft_sweep_bench_{sf}.json"
+    if os.path.exists(out):
+        os.remove(out)
+    env["SPARK_GRAFT_BENCH_OUT"] = out
     subprocess.run(
         ["sbt", "-batch", "runMain graft.Bench"],
         cwd="/root/repo", env=env, check=True,
         stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
-    with open("/root/repo/bench.json") as f:
+    with open(out) as f:  # missing file = loud failure, never stale data
         return json.load(f)
 
 
