@@ -152,6 +152,34 @@ class TxTableSpec extends SparkSpec {
       "resolution diverged without the v20 checkpoint")
   }
 
+  test("a checkpoint landing below the retention point is inert (late async write vs trim)") {
+    // The ONE interleaving the async checkpoint writer can lose against
+    // trimLog: the enqueue passed the commit-exists guard, the trim then
+    // wrote its retention checkpoint at R and dropped manifests and
+    // checkpoints below R, and the deferred write lands a checkpoint at
+    // v < R whose replay tail (v, R) no longer exists. Resolution must
+    // never be harmed: resolveAt takes the NEWEST readable checkpoint
+    // ≤ target, so the retention checkpoint always outranks the stale
+    // one, and the stale file is at worst an unused (but CORRECT —
+    // checkpoints are pure functions of the log) older base.
+    val dir = tmp()
+    TxTable.init(spark, dir, schema)
+    (1 to 12).foreach(i =>
+      TxTable.append(spark, dir, Seq((i.toLong, i.toLong)).toDF("k", "v").coalesce(1)))
+    TxTable.flushCheckpoints()
+    val v5 = TxTable.snapshotAt(dir, 5L) // the state the late write will serialize
+    TxTable.trimLog(dir, keepLast = 3)   // retention checkpoint at v10, drops < v10
+    assert(!Files.exists(Paths.get(dir, "_log", f"v${5L}%016d.commit")),
+      "setup: trim should have dropped v5's manifest")
+    TxTable.writeCheckpoint(dir, v5)     // the async writer's late landing
+    TxTable.clearSnapshotCache()
+    assert(TxTable.snapshot(dir).version == 12L)
+    assert(TxTable.read(spark, dir).count() == 12L,
+      "a stale below-retention checkpoint changed the resolved state")
+    // Kept versions stay resolvable through their retention checkpoint.
+    assert(TxTable.snapshotAt(dir, 10L).dirs.size == 10)
+  }
+
   test("append to a 1000-file table writes a KB-scale commit (the r12 O(table) fix)") {
     val dir = tmp()
     TxTable.init(spark, dir, schema)
