@@ -194,4 +194,42 @@ class DedupErasureRecallSpec extends SparkSpec {
       s"measured recall window moved: rebuild=${rebuild.size} served=${served.size} gap=${gap.size}")
     spark.sharedState.cacheManager.clearCache()
   }
+
+  test("the window model holds across seeds and erasure fractions") {
+    // The characterization backing the q_dedup_erase_append ORACLE is
+    // load-bearing: re-assert it across seeds and erasure severities
+    // (a light 10% trim and a drastic 50% purge), not just one shape.
+    for ((seed, frac) <- Seq((11L, 0.1), (12L, 0.5), (13L, 0.3), (14L, 0.5))) {
+      val rnd = new scala.util.Random(seed)
+      val hotPool = (1 to 4).map(i => s"hot_$i")
+      var id = 0L
+      def nextId(): Long = { id += 1; id }
+      val clusters = (1 to 14).map { c =>
+        ((1 to 4).map(j => s"s${seed}_${c}_$j"),
+          (1 to (1 + rnd.nextInt(4))).map(_ => nextId()))
+      }
+      val base = clusters.flatMap { case (sig, ids) =>
+        ids.map(i => i -> (sig :+ hotPool(rnd.nextInt(hotPool.size))))
+      }
+      val erased = rnd.shuffle(base.map(_._1)).take((base.size * frac).round.toInt)
+      val delta = (1 to 6).map { _ =>
+        val sig = clusters(rnd.nextInt(clusters.size))._1
+        nextId() -> (sig :+ hotPool(rnd.nextInt(hotPool.size)))
+      }
+      val dir = tmp()
+      DedupIndex.build(spark, df(base), dir, Cap)
+      DedupIndex.deleteDocsDeferred(dir, erased)
+      DedupIndex.append(spark, df(delta), dir, Cap)
+      val served = pairSet(DedupIndex.pairs(spark, dir))
+      val eset = erased.toSet
+      val expected = modelPairs(base ++ delta)
+        .filterNot { case (a, b) => eset(a) || eset(b) }
+      assert(served == expected,
+        s"seed=$seed frac=$frac: served != full-mine ∩ live ($served vs $expected)")
+      val rebuild = modelPairs(base.filterNot(d => eset(d._1)) ++ delta)
+      assert(served.subsetOf(rebuild),
+        s"seed=$seed frac=$frac: a false pair appeared")
+      spark.sharedState.cacheManager.clearCache()
+    }
+  }
 }
