@@ -19,7 +19,13 @@ class VacuumRaceSpec extends SparkSpec {
     val schema = Seq((0L, 0L)).toDF("k", "v").schema
     TxTable.init(spark, dir, schema)
 
-    val perChild = 40
+    // 70 iterations (was 40): under full-suite session state a parent
+    // maintenance round can take whole seconds, and one observed run
+    // finished the child before the parent's third round — the
+    // "race window never opened" assert below fired as designed. More
+    // child work widens the overlap on both sides without weakening
+    // any assertion.
+    val perChild = 70
     val javaBin = java.nio.file.Paths
       .get(sys.props("java.home"), "bin", "java").toString
     // Replicate this test JVM's own flags (JDK-17 --add-opens etc.):
@@ -64,7 +70,7 @@ class VacuumRaceSpec extends SparkSpec {
       // (trim's retention checkpoint always lands before drops).
       TxTable.read(spark, dir).count()
       maintenanceRounds += 1
-      Thread.sleep(25) // don't hammer the FS while the child's JVM boots
+      Thread.sleep(10) // don't hammer the FS while the child's JVM boots
     }
     val out = new String(child.getInputStream.readAllBytes())
     assert(child.waitFor() == 0 && out.contains("child-done"),
@@ -83,7 +89,7 @@ class VacuumRaceSpec extends SparkSpec {
       s"diverged after maintenance races: missing=${want.diff(ks).take(5)} " +
         s"extra=${ks.diff(want).take(5)}")
     // The log really was trimmed while the child ran (the races were
-    // exercised, not skipped): far fewer manifests than the ~48 commits
+    // exercised, not skipped): far fewer manifests than the ~84 commits
     // the child issued. A final trim pins the exact bound — the live
     // bound would race the child's last few commits landing after the
     // parent's final maintenance round.
