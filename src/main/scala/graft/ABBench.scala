@@ -30,10 +30,19 @@ import scala.collection.mutable
   * registered at session build pattern-matches the runner loader's
   * AsOfJoinPlan, never a child loader's) fails on BOTH sides — that is
   * an A/B-scope exclusion, not a regression, so it is reported under
-  * `skipped_extension_scope` and does not fail the run; a query that
-  * fails on exactly ONE side is a real break and still exits 1.
+  * `skipped_extension_scope` and does not fail the run — but ONLY for
+  * the [[ExtensionScope]] allowlist: any other both-side failure is a
+  * common-cause break and exits 1 with the exception recorded. A query
+  * that fails on exactly ONE side is a real break and still exits 1.
   */
 object ABBench {
+
+  /** The known A/B-scope exclusions: queries whose plan nodes are
+    * session-extension classes (the extension is registered by the
+    * RUNNER's session build, so it pattern-matches the runner loader's
+    * plan class — never a child jar's) and therefore fail on BOTH
+    * sides by construction. Only these may be silently skipped. */
+  private val ExtensionScope = Set("q_events_asof_native")
 
   /** Child-first loader: classes found in the jar shadow the runner's
     * app classpath (both graft.* and the org.apache.spark.sql bridge
@@ -86,16 +95,18 @@ object ABBench {
     spark.sparkContext.setLogLevel("WARN")
     def act(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
-    def run(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] =
+    def runE(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Either[Throwable, Double] =
       try {
         val t0 = System.nanoTime()
         act(fn(spark, sfDir))
         val s = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
-        Some(s)
-      } catch { case scala.util.control.NonFatal(_) =>
-        spark.catalog.clearCache(); None
+        Right(s)
+      } catch { case scala.util.control.NonFatal(e) =>
+        spark.catalog.clearCache(); Left(e)
       }
+    def run(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] =
+      runE(fn).toOption
 
     val errors = mutable.LinkedHashMap.empty[String, String]
     val skipped = mutable.ArrayBuffer.empty[String]
@@ -105,10 +116,20 @@ object ABBench {
       // One untimed warmup per SIDE (codegen + page cache), then the
       // interleaved pairs. A side that fails is recorded and skipped —
       // a dead query must not read as an infinite speedup. Both sides
-      // failing the warmup = the query is outside one-session A/B scope
-      // (extension-registered plan classes — see scaladoc), skip it.
-      val (wa, wb) = (run(fa), run(fb))
-      if (wa.isEmpty && wb.isEmpty) { skipped += name }
+      // failing the warmup is extension scope ONLY for the known
+      // allowlist (session-extension plan classes — see scaladoc); any
+      // OTHER both-side failure is a common-cause break (bad SF dir,
+      // OOM, a shared-setup bug present in both jars) and must fail
+      // the run, not pass silently as scope.
+      val (wa, wb) = (runE(fa), runE(fb))
+      if (wa.isLeft && wb.isLeft) {
+        if (ExtensionScope(name)) skipped += name
+        else {
+          val e = wb.swap.getOrElse(wa.swap.toOption.get)
+          errors(name) = "both sides failed warmup: " +
+            s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("").take(300)}"
+        }
+      }
       else {
         val pairs = (1 to reps).flatMap { _ =>
           for (a <- run(fa); b <- run(fb)) yield (a, b)

@@ -194,7 +194,13 @@ object Bench {
           case JDecimal(d) => d.toString; case _ => "null" }
         val movers = jackson.JsonMethods.compact(jackson.JsonMethods.render(
           m \ "movers_beyond_1.3x" match { case JNothing => JObject(); case v => v }))
+        // Scope fields travel WITH the summary: an artifact from an
+        // older round / different SF / different reps is then visibly
+        // out-of-scope in the bench line instead of silently passing
+        // as a description of this run's code.
         s""","ab_paired":{"a_sha":${str("a_sha")},"b_sha":${str("b_sha")},""" +
+          s""""sf":${str("sf")},"reps":${num("reps")},""" +
+          s""""artifact_mtime_ms":${f.lastModified()},""" +
           s""""queries_compared":${num("queries_compared")},""" +
           s""""total_ratio":${num("total_ratio")},"movers_beyond_1.3x":$movers}"""
       }
@@ -228,7 +234,11 @@ object Bench {
       try {
         val w = new java.io.PrintWriter(new java.io.File(p))
         try w.println(json) finally w.close()
-      } catch { case scala.util.control.NonFatal(_) => () }
+      } catch { case scala.util.control.NonFatal(e) =>
+        // The sweep dies loudly on the missing file — carry the root
+        // cause (permissions, bad path) instead of losing it here.
+        System.err.println(s"SPARK_GRAFT_BENCH_OUT write to $p failed: $e")
+      }
     }
     graft.operators.Stages.drop(spark) // release staged frames/index dirs
     spark.stop()

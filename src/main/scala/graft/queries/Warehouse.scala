@@ -890,9 +890,13 @@ object Warehouse {
     // even though the tombstones were folded away inside the consumed
     // range, (2) NOT re-deliver the fold's rewritten survivors as
     // inserts (a duplicate row here is a hash mismatch), and (3) keep
-    // delivering post-fold appends. Same events-minus-users oracle as
-    // the erase twins — the replica after primary-side maintenance is
-    // content-identical to erasing the replica directly.
+    // delivering post-fold appends — INCLUDING the erased users' NEW
+    // week-4 events: the primary's fold cleared its tombstones, so
+    // those rows are live on the primary, and the mirror's collision
+    // fold (CdcSync.mirrorTable) must re-admit them rather than let
+    // its own value-keyed mask suppress the keys forever. The oracle
+    // is therefore the primary's TRUE live content: weeks 1-3 minus
+    // the erased users, plus week 4 in full.
     QueryDef(
       "q_tx_mirror_fold",
       t => {
@@ -930,7 +934,8 @@ object Warehouse {
         FROM events
         WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
           AND ts < TIMESTAMP '2024-01-31 00:00:00'
-          AND user_id NOT IN (3, 7)
+          AND (user_id NOT IN (3, 7)
+               OR ts >= TIMESTAMP '2024-01-22 00:00:00')
         ORDER BY event_id""")),
 
     // SCHEMA EVOLUTION on the transactional table, oracle-gated: a

@@ -137,6 +137,14 @@ object TxTable {
     logDir(dir).resolve(f"v$v%016d.commit")
   private def checkpointFile(dir: String, v: Long): Path =
     logDir(dir).resolve(f"v$v%016d.checkpoint")
+  private def identityFile(dir: String): Path =
+    logDir(dir).resolve("_identity")
+
+  /** The table's identity uuid ([[init]] stamps one per lifetime);
+    * None for tables initialized before identities existed. */
+  private def identityOf(dir: String): Option[String] =
+    try Some(Files.readString(identityFile(dir)).trim)
+    catch { case _: java.io.IOException => None }
 
   /** CHECKPOINT CADENCE: every N real commits the full table state is
     * serialized alongside the commit's delta (Delta's checkpointing,
@@ -176,6 +184,16 @@ object TxTable {
            bloomCols: Seq[String] = Nil): Unit = {
     Files.createDirectories(logDir(dir))
     Files.createDirectories(Paths.get(dir, "data"))
+    // Table IDENTITY: a fresh uuid per init, so a table deleted and
+    // re-created at the same path is distinguishable from the table
+    // that enqueued work against it (version numbers restart at 0 —
+    // version equality alone cannot tell the two lifetimes apart).
+    // CREATE_NEW + swallow: if the file survives (an init racing on a
+    // live path — the v0 claim below settles the winner), the existing
+    // identity stands.
+    try Files.writeString(identityFile(dir), UUID.randomUUID().toString,
+      java.nio.file.StandardOpenOption.CREATE_NEW)
+    catch { case _: java.nio.file.FileAlreadyExistsException => () }
     // A re-created table at an existing path must not serve the OLD
     // table's cached head (version numbers restart at 0).
     snapCache.remove(dir)
@@ -1243,15 +1261,19 @@ object TxTable {
     * times are adjusted to be strictly increasing exactly as Delta
     * adjusts its commit timestamps: each version's time is
     * max(own mtime, predecessor's effective time + 1 ms). Fails clearly
-    * when `epochMillis` predates the first commit. */
+    * when `epochMillis` predates the first commit. A manifest that
+    * vanishes between the version listing and its stat was retired by
+    * a concurrent trimLog — below retention, so never the answer;
+    * skipped, same list-then-stat tolerance as [[versions]]. */
   def versionAtTime(dir: String, epochMillis: Long): Long = {
     val vs = versions(dir)
     var effective = Long.MinValue
     var result = -1L
     vs.foreach { v =>
-      val raw = Files.getLastModifiedTime(commitFile(dir, v)).toMillis
-      effective = math.max(raw, effective + 1)
-      if (effective <= epochMillis) result = v
+      mtimeOrNone(commitFile(dir, v)).foreach { raw =>
+        effective = math.max(raw, effective + 1)
+        if (effective <= epochMillis) result = v
+      }
     }
     require(result >= 0,
       s"no commit in $dir at or before epoch-ms $epochMillis (first commit " +
@@ -1389,6 +1411,12 @@ object TxTable {
     * meanwhile just replays a longer tail. [[flushCheckpoints]] drains
     * the queue (tests; a clean shutdown may call it too). */
   private val checkpointPending = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Test seam: when set at enqueue time, the deferred checkpoint task
+    * awaits this latch before running its guards — lets a spec hold
+    * the write in flight while it mutates the table's lifetime
+    * (delete + re-create) to exercise the identity guard. */
+  @volatile private[sources] var checkpointGateForTest: Option[java.util.concurrent.CountDownLatch] = None
   private val checkpointPool = java.util.concurrent.Executors.newSingleThreadExecutor(
     (r: Runnable) => {
       val t = new Thread(r, "graft-txtable-checkpoint")
@@ -1401,14 +1429,22 @@ object TxTable {
         s.version % CheckpointInterval == 0 &&
         checkpointPending.get() <= 4) {
       checkpointPending.incrementAndGet()
+      // Capture the table's IDENTITY at enqueue: the deferred write
+      // re-reads it and refuses on mismatch, so a table DELETED and
+      // RE-CREATED at this path since the enqueue — even one whose new
+      // log has already re-reached this version number — cannot receive
+      // the dead table's state as a checkpoint. (The commit-exists
+      // check alone was a name-collision bet: version numbers restart
+      // at 0 on re-create.) A pre-identity legacy table reads None on
+      // both sides, degrading to the old commit-exists guard.
+      val enqueueId = identityOf(dir)
+      val gate = checkpointGateForTest
       checkpointPool.execute { () =>
-        // Guard the deferred write against a table DELETED and
-        // RE-CREATED at this path since the enqueue (version numbers
-        // restart at 0): a stale checkpoint landing in the new log
-        // would serve the dead table's state. Its version's commit
-        // still existing is the same immutability bet the head cache
-        // makes — and the queue drains in milliseconds.
-        try { if (Files.exists(commitFile(dir, s.version))) writeCheckpoint(dir, s) }
+        try {
+          gate.foreach(_.await(30, java.util.concurrent.TimeUnit.SECONDS))
+          if (identityOf(dir) == enqueueId &&
+              Files.exists(commitFile(dir, s.version))) writeCheckpoint(dir, s)
+        }
         catch { case _: java.io.IOException => () }
         finally { checkpointPending.decrementAndGet(); () }
       }
@@ -1995,6 +2031,17 @@ object TxTable {
   private[graft] def sizeOrZero(p: Path): Long =
     try Files.size(p) catch { case _: java.nio.file.NoSuchFileException => 0L }
 
+  /** Mtime of `p`, None when it VANISHED between list and stat — the
+    * same TOCTOU class [[sizeOrZero]] tolerates, for vacuum's orphan
+    * sweeps: a tmp/sidecar/dir that disappears mid-sweep was claimed
+    * (writeCommit's link deletes its tmp) or reclaimed by a racing
+    * process, and a vanished candidate needs no reclamation — the act
+    * that removed it is the proof it was not an orphan. Any other I/O
+    * failure propagates, as with sizeOrZero. */
+  private def mtimeOrNone(p: Path): Option[Long] =
+    try Some(Files.getLastModifiedTime(p).toMillis)
+    catch { case _: java.nio.file.NoSuchFileException => None }
+
   private[sources] def snapshotAt(dir: String, version: Long): Snapshot = {
     // The cached head serves exact-version asks too — the streaming
     // source resolves its batch-end version (usually the head) once
@@ -2216,8 +2263,11 @@ object TxTable {
              orphanRetentionMs: Long = 10L * 60 * 1000): Unit = {
     val versions = commitVersions(dir)
     // keepLast counts REAL commits; dead (empty) claim files are debris
-    // and always droppable.
-    val real = versions.filter(v => Files.size(commitFile(dir, v)) > 0L)
+    // and always droppable. sizeOrZero: a manifest vanishing between
+    // the listing and the stat (a concurrent trim/vacuum retiring it)
+    // classifies as dead — replayAll skips it and the drop below is
+    // deleteIfExists, so the race is absorbed, not thrown.
+    val real = versions.filter(v => sizeOrZero(commitFile(dir, v)) > 0L)
     val keep = real.takeRight(keepLast)
     // EVERY version's state in ONE forward replay (one manifest read
     // per version — a resolveAt per version would be O(V × interval)
@@ -2239,7 +2289,7 @@ object TxTable {
       val p = dataRoot.resolve(name)
       if (superseded.contains(name)) deleteRec(p)
       else if (!live.contains(name) &&
-               Files.getLastModifiedTime(p).toMillis < cutoff) deleteRec(p)
+               mtimeOrNone(p).exists(_ < cutoff)) deleteRec(p)
     }
     // FILE-level reclamation inside live dirs: a keyed replace removes
     // files via manifest exclusions while the dir stays live — such a
@@ -2261,7 +2311,7 @@ object TxTable {
             .foreach(n => Files.deleteIfExists(root.resolve(n)))
       }
     }
-    drop.foreach(v => Files.delete(commitFile(dir, v)))
+    drop.foreach(v => Files.deleteIfExists(commitFile(dir, v)))
     // Checkpoints below the kept range died with their tails.
     keep.headOption.foreach { oldest =>
       checkpointVersions(dir).filter(_ < oldest)
@@ -2278,14 +2328,14 @@ object TxTable {
         val p = indexDir(dir).resolve(n)
         if (superseded.contains(uuid)) Files.deleteIfExists(p)
         else if (!live.contains(uuid) &&
-                 Files.getLastModifiedTime(p).toMillis < cutoff)
+                 mtimeOrNone(p).exists(_ < cutoff))
           Files.deleteIfExists(p)
       }
     // Unclaimed manifest temp files from crashed writers (writeCommit
     // crash before link): same retention as data orphans.
     listNames(logDir(dir)).filter(_.endsWith(".tmp")).foreach { n =>
       val p = logDir(dir).resolve(n)
-      if (Files.getLastModifiedTime(p).toMillis < cutoff) Files.deleteIfExists(p)
+      if (mtimeOrNone(p).exists(_ < cutoff)) Files.deleteIfExists(p)
     }
   }
 

@@ -102,10 +102,16 @@ object CdcSync {
   /** Replicate `srcDir` into a MIRROR TxTable at `dstDir`, erasures
     * included — the generic materialized-replica shape (cross-region
     * copy, downstream cleanroom, a serving mirror the primary's GDPR
-    * obligations must reach). Inserts land via the exactly-once
-    * idempotent append (the watermark rides the mirror's own commit);
-    * deletes re-issue as the mirror's own deferred deletes (re-masking
-    * a known key is a commit no-op, so replays converge). `keyCols`
+    * obligations must reach). Per batch the order is DELETES, then a
+    * COLLISION FOLD when an incoming insert carries a currently-masked
+    * key (the primary re-admitted a once-erased key after folding its
+    * own tombstones — the mirror's value-keyed mask would otherwise
+    * suppress that key's every future event forever), then inserts via
+    * the exactly-once idempotent append; the insert watermark commits
+    * last, so it seals the whole sequence and a replayed batch whose
+    * watermark is already committed is skipped in full (replaying just
+    * the delete half after a collision fold would re-erase rows the
+    * original run correctly appended). `keyCols`
     * names the columns erasures may arrive on — each BIGINT or STRING,
     * the tombstone key shapes; a delete row carrying NONE of them
     * fails the batch loudly (silently dropping it would diverge the
@@ -145,46 +151,86 @@ object CdcSync {
         if (!TxTable.exists(dstDir))
           TxTable.init(spark, dstDir, inserts.schema,
             bloomCols = TxTable.snapshot(srcDir).bloomCols)
-        if (!inserts.isEmpty)
-          TxTable.appendIfNew(spark, dstDir, inserts, appId, batchId)
-        val schema = inserts.schema
-        // Delete rows carry exactly one non-null column: the tombstoned
-        // key. keyCols declares which columns erasures may arrive on —
-        // one driver-side collect routes each row to its column's pass
-        // (micro-batch bounded, like the index consumers' id sets).
-        val present = keyCols.filter(schema.fieldNames.contains)
-        val delRows = batch.filter(col(ChangeTypeCol) === "delete")
-          .select(present.map(c => col(c)): _*).collect()
-        if (delRows.nonEmpty) {
-          // FAIL-LOUD routing: a delete keyed on an undeclared column
-          // matches no pass — dropping it would silently diverge the
-          // mirror from the primary's erasures (a GDPR copy that keeps
-          // what the source deleted). Surface the misconfiguration.
-          val unrouted = delRows.count(r => present.indices.forall(r.isNullAt))
-          require(unrouted == 0,
-            s"mirrorTable: $unrouted delete row(s) in batch $batchId carry " +
-              s"no declared key column (keyCols=${keyCols.mkString(",")}) — " +
-              "the erasure cannot be routed; declare its tombstone column")
-          lazy val mirrorCols = org.apache.spark.sql.types.StructType
-            .fromDDL(TxTable.snapshot(dstDir).schemaDdl).fieldNames.toSet
-          present.zipWithIndex.foreach { case (c, i) =>
-            val keyed = delRows.filter(r => !r.isNullAt(i))
-            // A key column the mirror has never seen is a PROVEN no-op:
-            // the mirror's schema widens only through inserts, so no
-            // mirror row carries the column yet (the source widened and
-            // erased before any widened insert reached this replica).
-            if (keyed.nonEmpty && mirrorCols.contains(c)) {
-              schema(c).dataType match {
-                case org.apache.spark.sql.types.LongType =>
-                  TxTable.deleteKeysDeferred(dstDir, c,
-                    keyed.toSeq.map(_.getLong(i)))
-                case _ =>
-                  TxTable.deleteStringKeysDeferred(dstDir, c,
-                    keyed.toSeq.map(_.getString(i)))
+        // WHOLE-BATCH replay guard, checked before ANY application: the
+        // insert watermark commits LAST below, so a committed watermark
+        // proves the full sequence (deletes, any fold, append) landed.
+        // Replaying just the delete half after a collision fold would
+        // re-mask and then re-erase rows the original run correctly
+        // appended — the one interleaving idempotence alone can't save.
+        if (!TxTable.snapshot(dstDir).txns.get(appId).exists(_ >= batchId)) {
+          val schema = inserts.schema
+          // DELETES FIRST. The feed's insert half delivers only rows
+          // LIVE at the primary at batch-end (readChanges masks by the
+          // end snapshot's tombstones plus later-fold position), so a
+          // delivered insert must never be swallowed by this batch's —
+          // or any earlier batch's — delete of the same key. Delete
+          // rows carry exactly one non-null column: the tombstoned key.
+          // keyCols declares which columns erasures may arrive on — one
+          // driver-side collect routes each row to its column's pass
+          // (micro-batch bounded, like the index consumers' id sets).
+          val present = keyCols.filter(schema.fieldNames.contains)
+          val delRows = batch.filter(col(ChangeTypeCol) === "delete")
+            .select(present.map(c => col(c)): _*).collect()
+          if (delRows.nonEmpty) {
+            // FAIL-LOUD routing: a delete keyed on an undeclared column
+            // matches no pass — dropping it would silently diverge the
+            // mirror from the primary's erasures (a GDPR copy that keeps
+            // what the source deleted). Surface the misconfiguration.
+            val unrouted = delRows.count(r => present.indices.forall(r.isNullAt))
+            require(unrouted == 0,
+              s"mirrorTable: $unrouted delete row(s) in batch $batchId carry " +
+                s"no declared key column (keyCols=${keyCols.mkString(",")}) — " +
+                "the erasure cannot be routed; declare its tombstone column")
+            lazy val mirrorCols = org.apache.spark.sql.types.StructType
+              .fromDDL(TxTable.snapshot(dstDir).schemaDdl).fieldNames.toSet
+            present.zipWithIndex.foreach { case (c, i) =>
+              val keyed = delRows.filter(r => !r.isNullAt(i))
+              // A key column the mirror has never seen is a PROVEN no-op:
+              // the mirror's schema widens only through inserts, so no
+              // mirror row carries the column yet (the source widened and
+              // erased before any widened insert reached this replica).
+              if (keyed.nonEmpty && mirrorCols.contains(c)) {
+                schema(c).dataType match {
+                  case org.apache.spark.sql.types.LongType =>
+                    TxTable.deleteKeysDeferred(dstDir, c,
+                      keyed.toSeq.map(_.getLong(i)))
+                  case _ =>
+                    TxTable.deleteStringKeysDeferred(dstDir, c,
+                      keyed.toSeq.map(_.getString(i)))
+                }
+                ()
               }
-              ()
             }
           }
+          // COLLISION FOLD: the mirror's deferred tombstones are
+          // value-keyed — left standing, they would mask these (or any
+          // later) inserts of a once-erased key FOREVER, silently
+          // dropping every future event of that key even though the
+          // primary folded its own tombstones and re-admitted it. When
+          // an incoming insert carries a currently-masked key, the
+          // primary's history proves a fold sits between that key's
+          // delete and this insert (delivered inserts are live at
+          // batch-end) — so mirror the fold: make the mask physical,
+          // clear it, and let the append below land live. Erasure-only
+          // workloads (no re-insert ever) never pay this rewrite.
+          val dk = TxTable.snapshot(dstDir).dkeys
+          if (dk.nonEmpty && !inserts.isEmpty) {
+            val sch = org.apache.spark.sql.types.StructType
+              .fromDDL(TxTable.snapshot(dstDir).schemaDdl)
+            val collide = dk.exists { case (c, vals) =>
+              schema.fieldNames.contains(c) && {
+                val typed: Seq[Any] = sch(c).dataType match {
+                  case org.apache.spark.sql.types.LongType => vals.map(_.toLong)
+                  case _ => vals
+                }
+                !inserts.filter(col(c).isInCollection(typed)).isEmpty
+              }
+            }
+            if (collide) { TxTable.foldDeletes(spark, dstDir); () }
+          }
+          // INSERTS LAST; their watermark commit seals the batch.
+          if (!inserts.isEmpty)
+            TxTable.appendIfNew(spark, dstDir, inserts, appId, batchId)
         }
         ()
       }

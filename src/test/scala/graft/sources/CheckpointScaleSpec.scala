@@ -17,9 +17,9 @@ import graft.SparkSpec
   *   3. resolved-Snapshot DRIVER FOOTPRINT (per-file stats/sstats/
   *      nonulls maps held inline).
   * The asserted bounds are deliberately loose (a shared host runs
-  * this); the PRINTED numbers feed the round note and
-  * docs/adr-checkpoint-scale.md, which records the accept/split
-  * decision they justify. */
+  * this); the PRINTED numbers feed the round note and the
+  * "Design rules" ADR block in README.md, which records the
+  * accept/split decision they justify. */
 class CheckpointScaleSpec extends SparkSpec {
 
   private def syntheticSnapshot(dirs: Int, filesPerDir: Int): TxTable.Snapshot = {

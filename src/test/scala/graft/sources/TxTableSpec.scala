@@ -180,6 +180,57 @@ class TxTableSpec extends SparkSpec {
     assert(TxTable.snapshotAt(dir, 10L).dirs.size == 10)
   }
 
+  test("a deferred checkpoint refuses a table deleted and RE-CREATED at its path (identity guard)") {
+    // The name-collision bet the commit-exists guard alone loses: the
+    // enqueue captured lifetime A's state at version V; the table is
+    // then deleted and re-created at the same path, and the NEW log
+    // re-reaches version V before the queue drains. v<V>.commit exists
+    // again — but it is lifetime B's commit, and landing A's state as
+    // a checkpoint would serve the dead table to every cold resolve.
+    // The init-stamped identity uuid distinguishes the lifetimes.
+    val dir = tmp()
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    TxTable.checkpointGateForTest = Some(gate)
+    val interval = TxTable.CheckpointInterval
+    try {
+      TxTable.init(spark, dir, schema)
+      (1 to interval).foreach(i =>
+        TxTable.append(spark, dir, Seq((i.toLong, i.toLong)).toDF("k", "v").coalesce(1)))
+      // Lifetime A's checkpoint for v<interval> is now queued, held in
+      // flight by the gate. Kill the table; re-create at the same path;
+      // replay lifetime B to the SAME version number (with the cadence
+      // disabled so B enqueues nothing of its own).
+      TxTable.checkpointGateForTest = None
+      TxTable.CheckpointInterval = Int.MaxValue
+      def rm(p: java.nio.file.Path): Unit = {
+        if (Files.isDirectory(p)) {
+          val s = Files.list(p)
+          try s.iterator().forEachRemaining(rm) finally s.close()
+        }
+        Files.deleteIfExists(p); ()
+      }
+      rm(Paths.get(dir))
+      TxTable.clearSnapshotCache()
+      TxTable.init(spark, dir, schema)
+      (1 to interval).foreach(i =>
+        TxTable.append(spark, dir, Seq((100L + i, 0L)).toDF("k", "v").coalesce(1)))
+      gate.countDown()
+      TxTable.flushCheckpoints()
+      // Cold resolution must see lifetime B only — a stale checkpoint
+      // at the head version would have served A's ten rows instead.
+      TxTable.clearSnapshotCache()
+      val ks = TxTable.read(spark, dir).select("k").collect().map(_.getLong(0)).toSet
+      assert(ks == (1 to interval).map(100L + _).toSet,
+        s"cold resolve served a dead lifetime's state: $ks")
+      assert(!Files.exists(Paths.get(dir, "_log", f"v${interval.toLong}%016d.checkpoint")),
+        "the dead lifetime's deferred checkpoint landed in the new log")
+    } finally {
+      TxTable.checkpointGateForTest = None
+      TxTable.CheckpointInterval = interval
+      gate.countDown()
+    }
+  }
+
   test("append to a 1000-file table writes a KB-scale commit (the r12 O(table) fix)") {
     val dir = tmp()
     TxTable.init(spark, dir, schema)

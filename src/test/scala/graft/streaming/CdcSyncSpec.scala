@@ -173,6 +173,52 @@ class CdcSyncSpec extends SparkSpec {
       "a replayed mirror batch re-landed instead of no-opping")
   }
 
+  test("a once-erased key re-admitted after a primary fold survives on the mirror") {
+    // The r14-advisory divergence: erase key K on the primary, FOLD
+    // (physical; clears the primary's tombstones), then append NEW
+    // rows under K — live on the primary. The mirror applied the
+    // erasure as its own value-keyed deferred tombstone; without the
+    // collision fold that mask would suppress K's every future event
+    // forever, silently dropping the re-admitted rows while an
+    // erase-shaped oracle still matched. The mirror must instead fold
+    // its mask when a delivered insert collides with it and land the
+    // new rows live.
+    val srcDir = tmp("graft_cdc_readmit_src")
+    val dstDir = tmp("graft_cdc_readmit_dst") + "/mirror"
+    val ckpt = tmp("graft_cdc_readmit_ck")
+    val init = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v")
+    TxTable.init(spark, srcDir, init.schema, bloomCols = Seq("k"))
+    TxTable.append(spark, srcDir, init)
+    val q = CdcSync.mirrorTable(spark, srcDir, dstDir, ckpt, keyCols = Seq("k"))
+    try q.processAllAvailable() finally q.stop()
+    // Erase, fold, re-admit — all between drains (one feed range), and
+    // then once more across separate drains.
+    TxTable.deleteKeysDeferred(srcDir, "k", Seq(2L))
+    TxTable.foldDeletes(spark, srcDir)
+    TxTable.append(spark, srcDir, Seq((2L, 21L)).toDF("k", "v"))
+    val q2 = CdcSync.mirrorTable(spark, srcDir, dstDir, ckpt, keyCols = Seq("k"))
+    try q2.processAllAvailable() finally q2.stop()
+    def rows(d: String) = TxTable.read(spark, d).orderBy("k", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows(dstDir) == Seq((1L, 10L), (2L, 21L), (3L, 30L)),
+      s"mirror suppressed the re-admitted key: ${rows(dstDir)}")
+    assert(rows(dstDir) == rows(srcDir))
+    // Cross-drain variant: the delete lands in one drained range, the
+    // fold + re-insert in the next — the mirror's standing tombstone
+    // from the earlier batch must fold when the collision arrives.
+    TxTable.deleteKeysDeferred(srcDir, "k", Seq(3L))
+    val q3 = CdcSync.mirrorTable(spark, srcDir, dstDir, ckpt, keyCols = Seq("k"))
+    try q3.processAllAvailable() finally q3.stop()
+    assert(rows(dstDir) == Seq((1L, 10L), (2L, 21L)), s"erase lost: ${rows(dstDir)}")
+    TxTable.foldDeletes(spark, srcDir)
+    TxTable.append(spark, srcDir, Seq((3L, 31L), (4L, 40L)).toDF("k", "v"))
+    val q4 = CdcSync.mirrorTable(spark, srcDir, dstDir, ckpt, keyCols = Seq("k"))
+    try q4.processAllAvailable() finally q4.stop()
+    assert(rows(dstDir) == Seq((1L, 10L), (2L, 21L), (3L, 31L), (4L, 40L)),
+      s"standing mirror tombstone suppressed a later re-admit: ${rows(dstDir)}")
+    assert(rows(dstDir) == rows(srcDir))
+  }
+
   test("mirrorTable under schema evolution: widen mid-stream, erase on the new column") {
     val srcDir = tmp("graft_cdc_evo_src")
     val dstDir = tmp("graft_cdc_evo_dst") + "/mirror"
@@ -257,24 +303,37 @@ class CdcSyncSpec extends SparkSpec {
     TxTable.append(spark, srcDir, seed)
     val rnd = new scala.util.Random(7)
     var key = 0L
+    var vctr = 1000000L
     var extraCols = 0
-    def appendRow(): Unit = {
-      key += 1
-      var df = Seq((key, key)).toDF("k", "v")
-      (1 to extraCols).foreach(i => df = df.withColumn(s"c$i", lit(key + i)))
+    val everDeleted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def appendKeyed(k: Long, v: Long): Unit = {
+      var df = Seq((k, v)).toDF("k", "v")
+      (1 to extraCols).foreach(i => df = df.withColumn(s"c$i", lit(k + i)))
       TxTable.append(spark, srcDir, df)
       ()
     }
+    def appendRow(): Unit = { key += 1; appendKeyed(key, key) }
     def mutate(n: Int): Unit = (1 to n).foreach { _ =>
-      rnd.nextInt(8) match {
-        case 7 if extraCols < 3 => // widen, then use the column
+      rnd.nextInt(10) match {
+        case 9 if extraCols < 3 => // widen, then use the column
           extraCols += 1
           appendRow()
-        case 6 => // physical maintenance mid-feed: fold the open mask
+        case 8 => // physical maintenance mid-feed: fold the open mask
           TxTable.foldDeletes(spark, srcDir)
           ()
-        case d if d >= 4 && key > 0L =>
-          TxTable.deleteKeysDeferred(srcDir, "k", Seq(rnd.between(0L, key + 1)))
+        case 7 if everDeleted.nonEmpty =>
+          // RE-INSERT of a previously deleted key — the arm the r14
+          // advisory showed was structurally missing: while the key is
+          // still tombstoned the new row stays masked on both sides,
+          // but once a fold clears the source's mask, the re-insert is
+          // LIVE at the source and the mirror's value-keyed tombstones
+          // must not suppress it (CdcSync's collision fold).
+          vctr += 1
+          appendKeyed(everDeleted(rnd.nextInt(everDeleted.size)), vctr)
+        case d if d >= 5 && key > 0L =>
+          val k = rnd.between(0L, key + 1)
+          everDeleted += k
+          TxTable.deleteKeysDeferred(srcDir, "k", Seq(k))
           ()
         case _ => appendRow()
       }
@@ -291,8 +350,10 @@ class CdcSyncSpec extends SparkSpec {
     drain()
     def rows(d: String) = {
       val df = TxTable.read(spark, d)
+      // Re-inserts can legitimately put several live rows under one
+      // key (fold, re-insert, re-insert) — order the tie on v too.
       (df.columns.toSeq,
-        df.orderBy("k").collect().map(_.toSeq).toSeq)
+        df.orderBy("k", "v").collect().map(_.toSeq).toSeq)
     }
     assert(rows(dstDir) == rows(srcDir),
       s"mirror diverged from source after a randomized history (seed 7): " +
