@@ -66,6 +66,12 @@ object DedupIndex {
     * broadcast-semi scan of the stored index. */
   private val MaxLookupKeys = 1000000
 
+  /** Bound on the per-row residue-strip set ([[append]]'s re-admission
+    * path): array_except builds its probe set per row, so the strip is
+    * only cheap while the residual-id set stays small; past the bound
+    * the append escapes to the groups OPTIMIZE purge instead. */
+  private val ResidueStripKeys = 10000
+
   /** Last [[append]]'s per-phase wall timings (seconds), as returned by
     * the call — published so a harness (graft.Bench) can attach them to
     * its artifact and the scale sweep can machine-check the flat
@@ -325,6 +331,18 @@ object DedupIndex {
     * double-insert would corrupt every downstream count; the check is a
     * delta-broadcast semi-join against the stored ids, the same price
     * the reference pays for its unique index on every INSERT IGNORE).
+    * An id under an OPEN tombstone counts as unseen, and the standing
+    * masks fold physical FIRST (PQIndexTx.appendImpl's FAISS
+    * remove+re-add parity): without the fold the re-added doc would
+    * land but serve nothing — the value-keyed scan mask suppresses the
+    * new rows too, and on the pairs table would suppress the doc's
+    * every future mined pair.
+    *
+    * `txn`: optional (appId, batchId) SetTransaction watermark,
+    * stamped on the LAST claim (groups) — CDC consumers probe it
+    * ([[lastBatch]]) as a WHOLE-batch replay guard; a crash between
+    * claims replays into the dupe check's loud failure instead of a
+    * silent half-applied skip.
     *
     * Scale notes: the delta's candidate EXPANSION touches only groups
     * containing a delta shingle (semi-join on the delta's shingle keys
@@ -335,7 +353,8 @@ object DedupIndex {
     * candidacy cannot improve. The verify join is candidate-bounded. */
   def append(spark: SparkSession, newDocs: DataFrame, dir: String, cap: Int,
              maxIter: Int = 20,
-             autoCompactSegments: Int = AutoCompactSegments): Seq[(String, Double)] = {
+             autoCompactSegments: Int = AutoCompactSegments,
+             txn: Option[(String, Long)] = None): Seq[(String, Double)] = {
     // Per-phase wall timings (seconds), returned so the caller can tell
     // the delta-proportional work (mine/recheck/fold) from fixed
     // per-append overhead (stage writes, commit claims). Opt-in stderr
@@ -363,6 +382,35 @@ object DedupIndex {
     val ndRdd = ndPlan.rdd.localCheckpoint()
     val nd = spark.createDataFrame(ndRdd, ndPlan.schema)
     val newIds = nd.select(col("doc_id"))
+    val deltaIdRows0 = newIds.limit(MaxReplaceKeys + 1).collect()
+    // ERASE-THEN-RE-ADD COLLISION (PQIndexTx.appendImpl's fold, the
+    // FAISS remove_ids+add parity): a delta id under an OPEN tombstone
+    // passes the dupe probe below (the mask hides the old row) and
+    // lands — but serves NOTHING, because the value-keyed scan mask
+    // suppresses the new docs row and, on the pairs table, every
+    // future pair mined with that endpoint. Fold the standing masks
+    // physical first so the re-added doc serves immediately. The mask
+    // union spans all three tombstoned tables: their auto-folds fire
+    // independently (pairs carries two key columns per erasure, docs
+    // one), so a docs-only check could miss a pairs mask still open.
+    val openMask =
+      (TxTable.snapshot(s"$dir/docs").dkeys.getOrElse("doc_id", Nil) ++
+        TxTable.snapshot(s"$dir/components").dkeys.getOrElse("doc_id", Nil) ++ {
+          val pk = TxTable.snapshot(s"$dir/pairs").dkeys
+          pk.getOrElse("a", Nil) ++ pk.getOrElse("b", Nil)
+        }).map(_.toLong).toSet
+    val collides =
+      if (openMask.isEmpty) false
+      else if (deltaIdRows0.length <= MaxReplaceKeys)
+        deltaIdRows0.exists(r => openMask(r.getLong(0)))
+      else !newIds.filter(col("doc_id").isInCollection(openMask)).isEmpty
+    if (collides) {
+      TxTable.foldDeletes(spark, s"$dir/docs")
+      TxTable.foldDeletes(spark, s"$dir/components")
+      TxTable.foldDeletes(spark, s"$dir/pairs")
+      ()
+    }
+    phase("collision_fold")
     val docsSnap = TxTable.snapshot(s"$dir/docs")
     val docsStored = TxTable.read(spark, s"$dir/docs", docsSnap)
     // Unique-key check via the manifest's doc_id BLOOM FILTERS: a Bloom
@@ -374,7 +422,7 @@ object DedupIndex {
     // parquet scan for row-group skipping. Fallbacks — missing blooms,
     // an over-bound delta, or a suspect set too big for an IN list —
     // take the exact corpus semi-join this replaces.
-    val deltaIdRows = newIds.limit(MaxReplaceKeys + 1).collect()
+    val deltaIdRows = deltaIdRows0 // pinned delta: the collision collect serves the probe too
     val bloomSuspects = TxTable.keyBlooms(s"$dir/docs", docsSnap, "doc_id") match {
       case Some(bfs) if deltaIdRows.length <= MaxReplaceKeys =>
         Some(deltaIdRows.iterator.map(_.getLong(0))
@@ -490,19 +538,68 @@ object DedupIndex {
     // groups table is under the MinPruneFiles gate (toy scale, fresh
     // table), the pruned path — and its up-to-MaxLookupKeys driver
     // collect — is skipped entirely.
-    val ogDelta = prunedByStringKeys(spark, s"$dir/groups", groupsSnap, "sh",
+    val ogDelta0 = prunedByStringKeys(spark, s"$dir/groups", groupsSnap, "sh",
         deltaShs.limit(MaxLookupKeys + 1).collect(), MaxLookupKeys, og)
       .join(broadcast(deltaShs), Seq("sh"), "left_semi")
-    val sideMerged = ogDelta
-        .select(col("sh"), col("ids"), col("df"), lit(true).as("old"))
-      .unionByName(dgSeg
-        .select(col("sh"), col("ids"), col("df"), lit(false).as("old")))
-      .groupBy(col("sh"))
-      .agg(sum(when(col("old"), col("df"))).as("odf"),
-        sum(when(!col("old"), col("df"))).as("ddf"),
-        flatten(collect_list(when(col("old"), col("ids")))).as("oids"),
-        flatten(collect_list(when(!col("old"), col("ids")))).as("dids"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    def mergedSides(old0: DataFrame, strip: Seq[Long]): DataFrame = {
+      val oldSide =
+        if (strip.isEmpty) old0
+        else old0.withColumn("ids",
+          when(col("ids").isNotNull,
+            array_except(col("ids"), typedLit(strip))).otherwise(col("ids")))
+      oldSide
+          .select(col("sh"), col("ids"), col("df"), lit(true).as("old"))
+        .unionByName(dgSeg
+          .select(col("sh"), col("ids"), col("df"), lit(false).as("old")))
+        .groupBy(col("sh"))
+        .agg(sum(when(col("old"), col("df"))).as("odf"),
+          sum(when(!col("old"), col("df"))).as("ddf"),
+          flatten(collect_list(when(col("old"), col("ids")))).as("oids"),
+          flatten(collect_list(when(!col("old"), col("ids")))).as("dids"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
+    val sideMerged0 = mergedSides(ogDelta0, Nil)
+    // RESIDUE STRIP for re-admitted ids: stored postings may still
+    // carry a delta id from its ERASED former life (erasure leaves the
+    // inverted index physical until the scheduled OPTIMIZE — the
+    // documented recall window; the window survives FOLDS, so an open
+    // mask is not a precondition). The dupe check above proves no LIVE
+    // old row holds a delta id, so any old-side posting of one is
+    // residue by construction; kept, it duplicates the id in the
+    // merged view and inflates kc past the doc's actual size (negative
+    // slack `o`), making boundedVerify spuriously drop the re-added
+    // doc's TRUE pairs. The probe is one delta-bounded job on the
+    // CACHED aggregation (zero extra corpus I/O); the common
+    // no-re-admission append finds nothing and pays only that probe.
+    // df keeps the residue count — the documented-conservative
+    // over-count, same as every other erased id.
+    val residue = sideMerged0.select(explode(col("oids")).as("doc_id"))
+      .join(broadcast(newIds), Seq("doc_id"), "left_semi")
+      .distinct().limit(ResidueStripKeys + 1).collect()
+      .map(_.getLong(0)).toSeq
+    val sideMerged =
+      if (residue.isEmpty) sideMerged0
+      else {
+        sideMerged0.unpersist()
+        if (residue.length <= ResidueStripKeys) mergedSides(ogDelta0, residue)
+        else {
+          // Rebuild-scale re-admission (> ResidueStripKeys residual
+          // ids): a per-row array_except set that size would cost
+          // O(rows × residue) — run the scheduled OPTIMIZE's groups
+          // purge instead (membership re-derived against the docs
+          // ledger; the delta is not committed yet, so its ids purge
+          // with the other erased ids) and re-plan against the fresh
+          // snapshot. Same physical cost profile as the compaction
+          // this much churn already owes.
+          compactGroups(spark, dir, cap)
+          val gSnap2 = TxTable.snapshot(s"$dir/groups")
+          val og2 = TxTable.read(spark, s"$dir/groups", gSnap2)
+          val ogd2 = prunedByStringKeys(spark, s"$dir/groups", gSnap2, "sh",
+              deltaShs.limit(MaxLookupKeys + 1).collect(), MaxLookupKeys, og2)
+            .join(broadcast(deltaShs), Seq("sh"), "left_semi")
+          mergedSides(ogd2, Nil)
+        }
+      }
 
     // Delta candidates: rare MERGED groups containing a delta shingle,
     // expanded, kept only when ≥1 endpoint is new. Merged view = old
@@ -673,7 +770,8 @@ object DedupIndex {
     // docs' shingles so FUTURE deltas can pair against them.
     if (newPairsCount == 0L && droppedCount == 0L) {
       TxTable.commitStaged(spark, s"$dir/docs", uDocs, docsSchema, keepExisting = true)
-      TxTable.commitStaged(spark, s"$dir/groups", uGroups, groupsSchema, keepExisting = true)
+      TxTable.commitStaged(spark, s"$dir/groups", uGroups, groupsSchema,
+        keepExisting = true, txnUpdate = txn.map(t => Map(t._1 -> t._2)).getOrElse(Map.empty))
       phase("commit_claims")
     } else {
     // PAIRS, write = O(delta) on the common path: when no stored pair
@@ -780,12 +878,17 @@ object DedupIndex {
     // (there is still no cross-table transaction: a crash between
     // claims leaves tables at adjacent versions — but never an
     // advanced docs table blocking a clean re-run, since docs claims
-    // here with the rest).
+    // here with the rest). Docs claims FIRST and the txn watermark
+    // rides the LAST claim (groups): a crash in between replays into
+    // the dupe check's loud failure — never a silent skip that loses
+    // the unclaimed tables, and never a watermark that lies about
+    // half-applied state.
     TxTable.commitStaged(spark, s"$dir/docs", uDocs, docsSchema, keepExisting = true)
-    TxTable.commitStaged(spark, s"$dir/groups", uGroups, groupsSchema, keepExisting = true)
     TxTable.commitStaged(spark, s"$dir/pairs", uPairs, pairsSchema,
       keepExisting = pairsAppendOnly)
     stagedComponents.commit()
+    TxTable.commitStaged(spark, s"$dir/groups", uGroups, groupsSchema,
+      keepExisting = true, txnUpdate = txn.map(t => Map(t._1 -> t._2)).getOrElse(Map.empty))
     phase("commit_claims")
     if (edgesRdd != null) edgesRdd.unpersist(blocking = false)
     }
@@ -887,11 +990,20 @@ object DedupIndex {
     *    fold time): a label VALUE numerically equal to an erased id
     *    may persist on surviving members — it identifies the cluster,
     *    not the erased document.
-    *  - Suppression semantics as everywhere in the engine: an id
-    *    re-appended while its tombstone is open stays masked until a
-    *    fold clears it.
+    *  - Re-appending an erased id through [[append]] folds the
+    *    standing masks physical FIRST (the PQIndexTx collision
+    *    discipline), so the re-added doc serves immediately; only a
+    *    direct TxTable append behind the index's back would leave an
+    *    id masked-but-present.
     *  - One commit per table (four total): a crash mid-way leaves a
     *    partial mask; the call is idempotent — re-run to completion. */
+  /** The index's committed watermark for writer `appId` — the probe
+    * for [[append]]'s `txn` seal (stamped on the LAST claim, so a
+    * recorded batch proves the whole four-table sequence landed).
+    * CDC consumers use it as their whole-batch replay guard. */
+  def lastBatch(dir: String, appId: String): Option[Long] =
+    TxTable.txnVersion(s"$dir/groups", appId)
+
   def deleteDocsDeferred(dir: String, ids: Seq[Long]): Unit = {
     TxTable.deleteKeysDeferred(s"$dir/docs", "doc_id", ids)
     TxTable.deleteKeysDeferred(s"$dir/components", "doc_id", ids)

@@ -273,6 +273,15 @@ object PQIndexTx {
   def deleteIdsDeferred(dir: String, ids: Seq[Long]): Long =
     TxTable.deleteKeysDeferred(codesDir(dir), "vec_id", ids).version
 
+  /** The codes table's committed watermark for writer `appId`
+    * ([[appendIVFIfNew]]'s seal) — CDC consumers probe it as their
+    * whole-batch replay guard: with deletes applied BEFORE the append,
+    * a recorded batch proves the deletes of that batch ran too, so the
+    * replay must skip them (re-masking would erase the very rows the
+    * original run's collision fold re-admitted). */
+  def lastBatch(dir: String, appId: String): Option[Long] =
+    TxTable.txnVersion(codesDir(dir), appId)
+
   /** PARTIAL OPTIMIZE of the codes table: fold every level-0 dir (all
     * but the largest) into one (cell, vec_id)-clustered dir, carrying
     * the base by reference — O(accumulated deltas) I/O, never a

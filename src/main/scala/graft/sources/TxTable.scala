@@ -1627,9 +1627,13 @@ object TxTable {
   /** Make previously [[stage]]d data the table's contents (or an
     * appended part with `keepExisting = true`), retrying past concurrent
     * commits — the staged directory is immutable, so a retry re-claims
-    * without rewriting data. */
+    * without rewriting data. `txnUpdate` rides a SetTransaction
+    * watermark on the claim, exactly as [[appendIfNew]]'s does — a
+    * multi-table writer (DedupIndex.append) stamps its LAST claim so
+    * the watermark's presence proves the whole sequence landed. */
   def commitStaged(spark: SparkSession, dir: String, uuid: String,
-                   schema: StructType, keepExisting: Boolean = false): Snapshot = {
+                   schema: StructType, keepExisting: Boolean = false,
+                   txnUpdate: Map[String, Long] = Map.empty): Snapshot = {
     val (newStats, newSStats, newNonulls) = statsFor(dir, uuid, schema) // once — not per retry
     val newBlooms = // once — the property can't change mid-claim (single writer)
       harvestBlooms(spark, dir, uuid, schema, snapshot(dir).bloomCols)
@@ -1652,7 +1656,7 @@ object TxTable {
         (if (keepExisting) s.stats else Map.empty[String, Map[String, (Long, Long)]]) ++ newStats,
         (if (keepExisting) s.sstats else Map.empty[String, Map[String, (String, String)]]) ++ newSStats,
         s.bloomCols, s.blooms ++ newBlooms,
-        if (keepExisting) s.excludes else Map.empty, s.txns,
+        if (keepExisting) s.excludes else Map.empty, s.txns ++ txnUpdate,
         (if (keepExisting) s.nonulls else Map.empty[String, Seq[String]]) ++ newNonulls,
         if (keepExisting) s.dkeys else Map.empty,
         parent = Some(s))

@@ -18,14 +18,18 @@ import graft.sources.TxTable
   *
   * Both consumers read `format("graft-txtable")` with
   * `readChangeFeed=true` (the Delta-CDF-shaped `_change_type` column)
-  * and apply, per micro-batch, inserts first and deletes second — safe
-  * in-batch ordering because the source's head mask already suppresses
-  * an insert of a key tombstoned within the same range. Exactly-once:
-  * insert application is watermark-guarded in the INDEX's own commit
-  * (appendIVFIfNew / a presence probe for the dedup index), and
-  * deferred deletes are idempotent (re-masking a known key is a
-  * commit no-op), so a replayed batch converges instead of duplicating
-  * or crashing.
+  * and apply, per micro-batch, DELETES first and inserts second: a
+  * delivered insert is LIVE at the primary at batch-end (the feed
+  * masks appended rows by the end snapshot's tombstones and fold
+  * position), so a batch's deletes must never swallow its inserts —
+  * with the reverse order, a primary-side erase + fold + re-add of the
+  * same key inside one range left the re-added row masked forever.
+  * Exactly-once is a WHOLE-batch seal: the insert append commits the
+  * (appId, batchId) watermark on the index's LAST claim, and a batch
+  * whose watermark is recorded is skipped in full — deletes included,
+  * since they ran before the append in the original run and
+  * re-applying them would re-mask what the run's collision fold
+  * re-admitted.
   */
 object CdcSync {
 
@@ -52,18 +56,31 @@ object CdcSync {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        val inserts = batch.filter(col(ChangeTypeCol) === "insert")
-          .select(col("vec_id"), col("e"))
-        // Empty-insert batches (delete-only ranges) skip the append
-        // entirely: an empty watermark commit per delete batch would
-        // fragment the codes table for nothing, and the deletes below
-        // are idempotent on replay anyway.
-        if (!inserts.isEmpty)
-          PQIndexTx.appendIVFIfNew(spark, inserts, indexDir, dsub = dsub,
-            appId = appId, batchId = batchId, nq = nq, files = files)
-        val delIds = batch.filter(col(ChangeTypeCol) === "delete")
-          .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
-        if (delIds.nonEmpty) PQIndexTx.deleteIdsDeferred(indexDir, delIds)
+        // WHOLE-BATCH replay guard: the append's watermark commits
+        // LAST, so a recorded batch proves its deletes ran too —
+        // re-applying just the delete half would re-mask the very ids
+        // the original run's collision fold re-admitted.
+        if (!PQIndexTx.lastBatch(indexDir, appId).exists(_ >= batchId)) {
+          // DELETES FIRST: a delivered insert is LIVE at the primary
+          // at batch-end (the feed masks by the end snapshot's
+          // tombstones), so this batch's deletes must never swallow
+          // it. With the old insert-then-delete order, a primary-side
+          // erase + fold + re-add inside one range re-masked the
+          // freshly appended vector forever.
+          val delIds = batch.filter(col(ChangeTypeCol) === "delete")
+            .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
+          if (delIds.nonEmpty) PQIndexTx.deleteIdsDeferred(indexDir, delIds)
+          val inserts = batch.filter(col(ChangeTypeCol) === "insert")
+            .select(col("vec_id"), col("e"))
+          // Empty-insert batches (delete-only ranges) skip the append
+          // entirely: an empty watermark commit per delete batch would
+          // fragment the codes table for nothing, and the deletes
+          // above are idempotent on replay (no inserts → no collision
+          // fold to race).
+          if (!inserts.isEmpty)
+            PQIndexTx.appendIVFIfNew(spark, inserts, indexDir, dsub = dsub,
+              appId = appId, batchId = batchId, nq = nq, files = files)
+        }
         ()
       }
       .start()
@@ -81,19 +98,33 @@ object CdcSync {
   def docsToDedup(spark: SparkSession, srcDir: String, indexDir: String,
                   checkpointDir: String, sinceVersion: Long,
                   cap: Int): StreamingQuery = {
+    val appId = checkpointDir
     spark.readStream.format("graft-txtable")
       .option("readChangeFeed", "true")
       .option("startingVersion", sinceVersion.toString)
       .load(srcDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        val inserts = batch.filter(col(ChangeTypeCol) === "insert")
-          .select(col("doc_id"), col("shs"))
-        applyDocInserts(spark, inserts, indexDir, cap)
-        val delIds = batch.filter(col(ChangeTypeCol) === "delete")
-          .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
-        if (delIds.nonEmpty) DedupIndex.deleteDocsDeferred(indexDir, delIds)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        // WHOLE-BATCH replay guard (same shape as vectorsToAnn): the
+        // append's txn watermark rides the index's LAST claim, so a
+        // recorded batch proves deletes AND the four-table append all
+        // landed; replaying just the delete half would re-mask a
+        // re-added id the original run's collision fold re-admitted.
+        // The old presence-probe guard could not seal a batch whose
+        // delete and re-insert share an id: probed BEFORE the delete
+        // is applied, the OLD row's liveness is indistinguishable from
+        // the new row's.
+        if (!DedupIndex.lastBatch(indexDir, appId).exists(_ >= batchId)) {
+          // DELETES FIRST — delivered inserts are live at the primary
+          // at batch-end and must survive this batch's deletes.
+          val delIds = batch.filter(col(ChangeTypeCol) === "delete")
+            .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+          if (delIds.nonEmpty) DedupIndex.deleteDocsDeferred(indexDir, delIds)
+          val inserts = batch.filter(col(ChangeTypeCol) === "insert")
+            .select(col("doc_id"), col("shs"))
+          applyDocInserts(spark, inserts, indexDir, cap, appId, batchId)
+        }
         ()
       }
       .start()
@@ -237,21 +268,34 @@ object CdcSync {
       .start()
   }
 
-  /** Insert half of [[docsToDedup]]: append unless the batch already
-    * landed. The probe is the manifest-planned point lookup (Bloom
-    * absence proof + stats pruning — O(hit files)); ids are micro-batch
-    * sized, so the driver collect is delta-bounded. */
+  /** Insert half of [[docsToDedup]], called AFTER the batch's deletes:
+    * the presence probe (manifest-planned point lookup — Bloom absence
+    * proof + stats pruning, O(hit files)) now guards batch-boundary
+    * DRIFT only — any live delta id at this point is corruption, since
+    * a replayed-in-full batch was already skipped by the watermark and
+    * this batch's deletes have masked any legitimately re-added id.
+    * The append itself folds standing masks on collision and seals the
+    * batch with the (appId, batchId) watermark on its last claim. */
   private def applyDocInserts(spark: SparkSession, inserts: DataFrame,
-                              indexDir: String, cap: Int): Unit = {
+                              indexDir: String, cap: Int,
+                              appId: String, batchId: Long): Unit = {
     val ids = inserts.select(col("doc_id")).collect().map(_.getLong(0)).toSeq
     if (ids.isEmpty) return
     val present = TxTable.lookupKeys(spark, s"$indexDir/docs", "doc_id", ids)
       .count()
-    if (present == ids.size) return // replayed batch: already landed
+    // Cross-appId idempotence (a RE-SEEDED consumer replaying landed
+    // ranges under a fresh checkpoint — the watermark guard upstream
+    // only covers its own appId): every id live ⇒ the batch landed in
+    // full, skip. A collision batch (delete+re-insert sharing an id)
+    // replayed cross-appId reaches here with its re-added ids masked
+    // by the re-applied deletes ⇒ partial ⇒ the loud failure below —
+    // never a silent skip that leaves the re-mask standing.
+    if (present == ids.size) return
     require(present == 0L,
       s"docs CDC batch is PARTIALLY present ($present of ${ids.size} ids) — " +
         "batch boundaries drifted across a replay; re-seed the consumer")
-    DedupIndex.append(spark, inserts, indexDir, cap)
+    DedupIndex.append(spark, inserts, indexDir, cap,
+      txn = Some((appId, batchId)))
     ()
   }
 }

@@ -248,6 +248,30 @@ class DedupIndexSpec extends SparkSpec {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("re-append under an OPEN tombstone folds the mask: the doc serves immediately") {
+    import graft.sources.TxTable
+    // The PQIndexTx collision discipline, on the dedup index: a delta
+    // id under an open tombstone passes the dupe probe (the mask hides
+    // the old row) but, without the fold, the value-keyed mask would
+    // suppress the NEW docs row and every future pair mined with that
+    // endpoint — a re-admitted document that silently serves nothing.
+    val dir = tmp()
+    DedupIndex.build(spark, df(base), dir, Cap)
+    DedupIndex.deleteDocsDeferred(dir, Seq(1L))
+    assert(TxTable.snapshot(s"$dir/docs").dkeys.nonEmpty, "setup: mask open")
+    DedupIndex.append(spark, df(Seq(1L -> Seq("s1", "s2"))), dir, Cap)
+    assert(TxTable.snapshot(s"$dir/docs").dkeys.isEmpty, "docs mask not folded")
+    assert(TxTable.snapshot(s"$dir/pairs").dkeys.isEmpty, "pairs mask not folded")
+    assert(TxTable.snapshot(s"$dir/components").dkeys.isEmpty,
+      "components mask not folded")
+    assert(TxTable.read(spark, s"$dir/docs")
+      .filter(col("doc_id") === 1L).count() == 1,
+      "re-added doc invisible in docs")
+    assert(sortedRows(DedupIndex.pairs(spark, dir).select(col("a"), col("b")))
+      .contains("[1,2]"), "re-added doc should re-pair with its near-dup")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("clean append never rewrites stored pairs: the table gains a segment") {
     val dir = tmp()
     DedupIndex.build(spark, df(base), dir, Cap)

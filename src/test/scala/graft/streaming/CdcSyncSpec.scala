@@ -101,6 +101,31 @@ class CdcSyncSpec extends SparkSpec {
     try q2.processAllAvailable() finally q2.stop()
     assert(TxTable.snapshot(s"$indexDir/codes").version == v,
       "a restart with an intact checkpoint re-applied the feed")
+    // RE-ADMISSION after a primary fold. Cross-batch: the primary
+    // folds its tombstones and re-appends the erased ids — live at
+    // the source, so the index's STANDING mask (deferred from the
+    // earlier batch) must fold at the collision and serve them again.
+    TxTable.foldDeletes(spark, srcDir)
+    TxTable.append(spark, srcDir, vecs.filter(col("vec_id").isInCollection(erase)))
+    val q3 = CdcSync.vectorsToAnn(spark, srcDir, indexDir, ckpt, since,
+      dsub = dsub, nq = nq)
+    try q3.processAllAvailable() finally q3.stop()
+    assert(TxTable.read(spark, s"$indexDir/codes")
+      .filter(col("vec_id").isInCollection(erase)).count() == erase.size.toLong,
+      "re-admitted vectors suppressed by the index's standing mask")
+    // In-batch: erase + fold + re-append inside ONE feed range — the
+    // batch's own delete row must not swallow its insert (delivered
+    // inserts are live at the primary at batch-end).
+    val erase2 = Seq(200L, 201L)
+    TxTable.deleteKeysDeferred(srcDir, "vec_id", erase2)
+    TxTable.foldDeletes(spark, srcDir)
+    TxTable.append(spark, srcDir, vecs.filter(col("vec_id").isInCollection(erase2)))
+    val q4 = CdcSync.vectorsToAnn(spark, srcDir, indexDir, ckpt, since,
+      dsub = dsub, nq = nq)
+    try q4.processAllAvailable() finally q4.stop()
+    assert(TxTable.read(spark, s"$indexDir/codes")
+      .filter(col("vec_id").isInCollection(erase2)).count() == erase2.size.toLong,
+      "an in-batch delete swallowed the re-admitted vectors")
     vecs.unpersist()
     ()
   }
@@ -408,5 +433,29 @@ class CdcSyncSpec extends SparkSpec {
     try q2.processAllAvailable() finally q2.stop()
     assert(TxTable.snapshot(s"$indexDir/docs").version == vDocs,
       "a replayed docs batch re-landed instead of no-opping")
+    // RE-ADMISSION after primary folds. Doc 1 comes back in its own
+    // range (cross-batch: the index's STANDING tombstone from the
+    // earlier erasure must fold at the collision); doc 3's erase +
+    // fold + re-append land in ONE range (in-batch: the batch's own
+    // delete must not swallow its insert — delivered inserts are live
+    // at the primary at batch-end).
+    TxTable.foldDeletes(spark, srcDir)
+    TxTable.append(spark, srcDir,
+      Seq((1L, Seq("a", "b", "c", "d"))).toDF("doc_id", "shs"))
+    TxTable.deleteKeysDeferred(srcDir, "doc_id", Seq(3L))
+    TxTable.foldDeletes(spark, srcDir)
+    TxTable.append(spark, srcDir,
+      Seq((3L, Seq("x", "y", "z", "w"))).toDF("doc_id", "shs"))
+    val q3 = CdcSync.docsToDedup(spark, srcDir, indexDir, ckpt, since, cap = 10)
+    try q3.processAllAvailable() finally q3.stop()
+    val docs2 = TxTable.read(spark, s"$indexDir/docs")
+    assert(docs2.filter(col("doc_id") === 1L).count() == 1L,
+      "re-admitted doc 1 suppressed by the index's standing mask")
+    assert(docs2.filter(col("doc_id") === 3L).count() == 1L,
+      "an in-batch delete swallowed re-admitted doc 3")
+    val pairs2 = DedupIndex.pairs(spark, indexDir)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs2 == Set((1L, 2L), (1L, 4L), (2L, 4L)),
+      s"re-admitted doc should re-pair with its near-dups, got $pairs2")
   }
 }
