@@ -9,7 +9,13 @@ package graft.sources
   * retry in `snapshot`/`resolveAt` (a trimLog in another process
   * retires tail manifests mid-replay), `versions`' list-then-stat
   * tolerance, and readers planning against dirs another process's
-  * vacuum is reclaiming.
+  * vacuum is reclaiming. Every 7th iteration the child runs its OWN
+  * vacuum — vacuum racing the parent's vacuum/trim across processes is
+  * exactly the sweep TOCTOU class (r14 judge find): commit sizing,
+  * manifest drops, and the tmp/sidecar/data orphan stats must all
+  * absorb a file the other process reclaimed between list and stat.
+  * versionAtTime runs per iteration (its per-commit mtime walk races
+  * the parent's trim the same way).
   *
   * args: <tableDir> <count> */
 object VacuumRaceChild {
@@ -36,6 +42,12 @@ object VacuumRaceChild {
         require(ks.sorted == want.sorted,
           s"iteration $i read ${ks.size} keys; " +
             s"missing=${want.diff(ks).take(5)} extra=${ks.diff(want).take(5)}")
+        // timestampAsOf's per-commit mtime walk races the parent's trim
+        // retiring manifests mid-walk — must resolve, never throw.
+        require(TxTable.versionAtTime(dir, System.currentTimeMillis()) >= 1L)
+        // Cross-process vacuum-vs-vacuum/trim: the sweep's list-then-
+        // stat sites must absorb files the parent reclaimed in between.
+        if (i % 7 == 0) TxTable.vacuum(dir, keepLast = 10)
       }
       println(s"child-done ${TxTable.snapshot(dir).version}")
     } finally spark.stop()

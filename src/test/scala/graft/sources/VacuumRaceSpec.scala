@@ -69,6 +69,9 @@ class VacuumRaceSpec extends SparkSpec {
       // Parent read through the same churn: resolution must never error
       // (trim's retention checkpoint always lands before drops).
       TxTable.read(spark, dir).count()
+      // timestampAsOf resolution while the child commits and vacuums:
+      // its mtime walk tolerates manifests either side retires.
+      TxTable.versionAtTime(dir, System.currentTimeMillis())
       maintenanceRounds += 1
       Thread.sleep(10) // don't hammer the FS while the child's JVM boots
     }
