@@ -442,6 +442,63 @@ object DedupQueries {
           AND NOT (b % 5 <> 0 AND b % 7 = 3)
         ORDER BY a, b""")),
 
+    // RE-ADMISSION lifecycle, oracle-gated (round 15): GDPR-erase a
+    // slice, then RE-ADD the same documents — the collision fold fires
+    // inside the re-admission append (standing tombstones fold
+    // physical; the residue strip keeps the mine's kc honest), then
+    // ingest the next delta. Every document is live at the end, so the
+    // oracle is the FULL-corpus mine with ONE exact adjustment: the
+    // index's document frequencies carry the erased slice's residue
+    // (groups keep erased ids' counts until OPTIMIZE — the documented
+    // conservative df), so each shingle's candidacy threshold tests
+    // df_full + df_slice ≤ cap. This is the same exact-model
+    // discipline as q_dedup_erase_append's endpoint filter: the gate
+    // asserts the lifecycle converges to a from-scratch mine under the
+    // characterized df model, not "roughly recovers".
+    QueryDef(
+      "q_dedup_readmit",
+      t => {
+        import graft.operators.{DedupIndex, Stages}
+        val all = t.documents.selectExpr("doc_id", s"$shs AS shs")
+        val dir = Stages.tempDir(t.spark, s"dedup_base:${t.dir}") { d =>
+          DedupIndex.build(t.spark, all.filter(col("doc_id") % 5 =!= 0),
+            d, ShingleDfCap)
+          DedupIndex.markBase(d)
+        }
+        DedupIndex.restoreBase(t.spark, dir)
+        val slice = col("doc_id") % 5 =!= 0 && col("doc_id") % 7 === 3
+        val erased = all.filter(slice)
+          .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+        DedupIndex.deleteDocsDeferred(dir, erased)
+        // No explicit fold: the re-admission append IS the collision
+        // path — it folds the standing masks itself before committing.
+        DedupIndex.append(t.spark, all.filter(slice), dir, ShingleDfCap)
+        DedupIndex.append(t.spark, all.filter(col("doc_id") % 5 === 0),
+          dir, ShingleDfCap)
+        DedupIndex.pairs(t.spark, dir).orderBy(col("a"), col("b"))
+      },
+      Some(s"""
+        WITH sh AS $duckShingles,
+        inv AS (SELECT doc_id, unnest(shs) sh FROM sh),
+        df AS (SELECT sh, COUNT(*) n FROM inv GROUP BY sh),
+        dfs AS (SELECT sh, COUNT(*) ns FROM inv
+                WHERE doc_id % 5 <> 0 AND doc_id % 7 = 3 GROUP BY sh),
+        inv2 AS (SELECT i.doc_id, i.sh FROM inv i JOIN df USING (sh)
+                 LEFT JOIN dfs USING (sh)
+                 WHERE df.n + COALESCE(dfs.ns, 0) <= $ShingleDfCap),
+        cand AS (
+          SELECT DISTINCT x.doc_id a, y.doc_id b
+          FROM inv2 x JOIN inv2 y ON x.sh = y.sh AND x.doc_id < y.doc_id)
+        SELECT a, b,
+          round(len(list_intersect(sa.shs, sb.shs)) /
+            CAST(len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs)) AS DOUBLE), 6) AS jaccard
+        FROM cand
+        JOIN sh sa ON a = sa.doc_id
+        JOIN sh sb ON b = sb.doc_id
+        WHERE round(len(list_intersect(sa.shs, sb.shs)) /
+            CAST(len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs)) AS DOUBLE), 6) >= 0.5
+        ORDER BY a, b""")),
+
     // SimHash near-dup: 32-bit shingle simhash per doc (map-side fold),
     // pigeonhole banding on 4 byte-chunks (hamming ≤ 3 ⇒ ≥1 chunk
     // equal), exact hamming verify on candidates only.

@@ -48,6 +48,7 @@ EXEMPT_PREFIXES = (
     "q_dedup_incremental",     # lifecycle: build+append, CC fold dominates at small SF
     "q_dedup_index_append",    # append fold includes the CC re-propagation
     "q_dedup_erase_append",    # same lifecycle + erasure commits; phases stay gated
+    "q_dedup_readmit",         # erase + collision-fold re-admission + delta: two appends' CC folds
 )
 
 
