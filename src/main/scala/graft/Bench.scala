@@ -109,7 +109,7 @@ object Bench {
         if (ok) Some(elapsed) else None
       }
       if (name == "q_dedup_incremental" || name == "q_dedup_index_append" ||
-          name == "q_dedup_erase_append") {
+          name == "q_dedup_erase_append" || name == "q_dedup_readmit") {
         val ph = graft.operators.DedupIndex.lastAppendPhases.get()
         if (ph.nonEmpty) phaseLog(name) = ph
       }
