@@ -74,7 +74,10 @@ object ABBench {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: ABBench <jarA> <jarB> [reps]")
     val (jarA, jarB) = (args(0), args(1))
-    val reps = if (args.length > 2) args(2).toInt else 3
+    // Default 5: at 3 a single scheduler hiccup owns the median pair
+    // (the r14/r15 round protocol kept under-running the ≥5 the round
+    // queue asked for — make the default carry it).
+    val reps = if (args.length > 2) args(2).toInt else 5
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
@@ -143,6 +146,7 @@ object ABBench {
       }
     }
     graft.operators.Stages.drop(spark)
+    graft.sources.TxTable.flushCheckpoints() // drain queued checkpoints
     spark.stop()
 
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")

@@ -241,6 +241,10 @@ object Bench {
       }
     }
     graft.operators.Stages.drop(spark) // release staged frames/index dirs
+    // Drain queued periodic checkpoints before the JVM exits — a
+    // dropped one only lengthens the next cold replay (durability is
+    // in commits), but a clean shutdown shouldn't leave any behind.
+    graft.sources.TxTable.flushCheckpoints()
     spark.stop()
     // Printed LAST so nothing from Spark shutdown interleaves after it.
     // COMPACT form (no reps_raw): the driver captures a bounded tail of

@@ -44,6 +44,7 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     graft.operators.Stages.drop(spark) // release staged frames/index dirs
+    graft.sources.TxTable.flushCheckpoints() // drain queued checkpoints
     spark.stop()
   }
 }

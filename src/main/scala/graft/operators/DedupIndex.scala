@@ -69,8 +69,14 @@ object DedupIndex {
   /** Bound on the per-row residue-strip set ([[append]]'s re-admission
     * path): array_except builds its probe set per row, so the strip is
     * only cheap while the residual-id set stays small; past the bound
-    * the append escapes to the groups OPTIMIZE purge instead. */
-  private val ResidueStripKeys = 10000
+    * the append escapes to the groups OPTIMIZE purge instead. The
+    * escape SWITCHES the df model for that append from instance-counted
+    * to the purge's live-reset df (a rebuild-scale re-admission mines
+    * under the same live df a scheduled OPTIMIZE would leave) — both
+    * models are pinned by DedupReadmitModelSpec, and the escape branch
+    * itself by its low-bound seam test. A `var` solely so the spec can
+    * force the escape on fixture-sized residue sets. */
+  private[operators] var ResidueStripKeys = 10000
 
   /** Last [[append]]'s per-phase wall timings (seconds), as returned by
     * the call — published so a harness (graft.Bench) can attach them to
@@ -339,10 +345,12 @@ object DedupIndex {
     * every future mined pair.
     *
     * `txn`: optional (appId, batchId) SetTransaction watermark,
-    * stamped on the LAST claim (groups) — CDC consumers probe it
-    * ([[lastBatch]]) as a WHOLE-batch replay guard; a crash between
-    * claims replays into the dupe check's loud failure instead of a
-    * silent half-applied skip.
+    * stamped on the FIRST claim (docs) AND the LAST (groups) — CDC
+    * consumers probe the groups one ([[lastBatch]]) as their
+    * WHOLE-batch replay guard, and the docs one as the between-claims
+    * crash signature (docs stamped, groups not ⇒ the unclaimed tables
+    * never landed — fail loudly, never skip); a direct re-run of the
+    * same delta replays into the dupe check's loud failure.
     *
     * Scale notes: the delta's candidate EXPANSION touches only groups
     * containing a delta shingle (semi-join on the delta's shingle keys
@@ -612,12 +620,24 @@ object DedupIndex {
     // slack exactly like hot shingles do in the full mine. Map-side
     // over the cached side-split aggregation, so the two consumers
     // (kc, pairCounts) re-derive it from cache without re-shuffling.
+    // array_distinct: MEMBERSHIP IS A SET. A doc re-admitted in an
+    // EARLIER delta still has its erased-life posting in the old
+    // segments (the residue strip only cleans the CURRENT delta's ids;
+    // groups are never tombstoned and only the OPTIMIZE purge drops the
+    // stale instance), so the concatenated arrays can carry an id
+    // twice. Kept, the duplicate inflates kc past the doc's actual
+    // size (negative slack) and c_rare asymmetrically — for a pair
+    // sharing only SOME of the duplicated doc's family shingles the
+    // bound then undercounts and boundedVerify drops TRUE pairs
+    // (DedupReadmitModelSpec's partial-overlap arm is the constructed
+    // repro). df stays instance-counted — the pinned model; only the
+    // membership arrays dedupe.
     val mgDelta = sideMerged
       .select(col("sh"),
         (coalesce(col("odf"), lit(0L)) + coalesce(col("ddf"), lit(0L))).as("df"),
         when(coalesce(col("odf"), lit(0L)) + coalesce(col("ddf"), lit(0L)) > cap,
           lit(null))
-          .otherwise(array_sort(concat(col("oids"), col("dids")))).as("ids"))
+          .otherwise(array_sort(array_distinct(concat(col("oids"), col("dids"))))).as("ids"))
       .select(col("sh"), col("ids"), col("df"))
       .filter(col("ids").isNotNull)
     val kc = mgDelta.select(explode(col("ids")).as("doc_id"))
@@ -768,10 +788,18 @@ object DedupIndex {
     // drive a pointless replace commit of the components table.
     // Docs and groups still append — the index must reflect the new
     // docs' shingles so FUTURE deltas can pair against them.
+    // The SAME (appId, batchId) watermark stamps the FIRST claim (docs)
+    // and the LAST (groups): present-on-docs + absent-on-groups is the
+    // precise between-claims crash signature a CDC consumer checks
+    // loudly (CdcSync.docsToDedup) instead of mistaking the half-landed
+    // batch for a fully-replayed one and silently dropping the
+    // unclaimed tables. lastBatch still reads groups only.
+    val txnMap = txn.map(t => Map(t._1 -> t._2)).getOrElse(Map.empty[String, Long])
     if (newPairsCount == 0L && droppedCount == 0L) {
-      TxTable.commitStaged(spark, s"$dir/docs", uDocs, docsSchema, keepExisting = true)
+      TxTable.commitStaged(spark, s"$dir/docs", uDocs, docsSchema,
+        keepExisting = true, txnUpdate = txnMap)
       TxTable.commitStaged(spark, s"$dir/groups", uGroups, groupsSchema,
-        keepExisting = true, txnUpdate = txn.map(t => Map(t._1 -> t._2)).getOrElse(Map.empty))
+        keepExisting = true, txnUpdate = txnMap)
       phase("commit_claims")
     } else {
     // PAIRS, write = O(delta) on the common path: when no stored pair
@@ -879,16 +907,22 @@ object DedupIndex {
     // claims leaves tables at adjacent versions — but never an
     // advanced docs table blocking a clean re-run, since docs claims
     // here with the rest). Docs claims FIRST and the txn watermark
-    // rides the LAST claim (groups): a crash in between replays into
-    // the dupe check's loud failure — never a silent skip that loses
-    // the unclaimed tables, and never a watermark that lies about
-    // half-applied state.
-    TxTable.commitStaged(spark, s"$dir/docs", uDocs, docsSchema, keepExisting = true)
+    // rides BOTH docs and the LAST claim (groups): a direct re-run of
+    // the same delta after a between-claims crash replays into the
+    // dupe check's loud failure, and a CDC replay — whose presence
+    // probe would otherwise read the landed docs claim as
+    // "batch fully applied" and silently skip the unclaimed tables —
+    // detects the docs-stamped/groups-unstamped signature and fails
+    // loudly too (CdcSync.docsToDedup). The groups watermark alone
+    // still seals a COMPLETE batch; it never lies about half-applied
+    // state because it commits last.
+    TxTable.commitStaged(spark, s"$dir/docs", uDocs, docsSchema,
+      keepExisting = true, txnUpdate = txnMap)
     TxTable.commitStaged(spark, s"$dir/pairs", uPairs, pairsSchema,
       keepExisting = pairsAppendOnly)
     stagedComponents.commit()
     TxTable.commitStaged(spark, s"$dir/groups", uGroups, groupsSchema,
-      keepExisting = true, txnUpdate = txn.map(t => Map(t._1 -> t._2)).getOrElse(Map.empty))
+      keepExisting = true, txnUpdate = txnMap)
     phase("commit_claims")
     if (edgesRdd != null) edgesRdd.unpersist(blocking = false)
     }
@@ -974,8 +1008,11 @@ object DedupIndex {
     *    endpoint, but [[append]]'s verify join reads `docs` through
     *    the mask, so no pair with an erased endpoint is ever stored or
     *    served (the arrays hold opaque ids, not document content).
-    *    Document frequencies of partially-purged groups keep counting
-    *    erased docs — conservative (a shingle can only look MORE
+    *    The purge re-derives every RARE row's df from its rebuilt
+    *    postings (live df); HOT rows keep their recorded df — their
+    *    postings were never stored, so only [[optimizeIndex]]'s
+    *    inv(docs) pass can revive a hot-but-now-live-rare shingle.
+    *    Both residuals are conservative (a shingle can only look MORE
     *    common, never rarer, so no spurious candidates appear that
     *    full recompute would reject... the reverse loses only recall
     *    against a from-scratch rebuild, never precision). QUANTIFIED —
@@ -984,8 +1021,9 @@ object DedupIndex {
     *    live endpoints, so the only losable pairs are those whose
     *    EVERY shared shingle is live-rare but full-hot; on an
     *    adversarial 30%-erasure corpus (clusters straddling the cap)
-    *    that measures 12/18 pairs served, and closing the gap takes a
-    *    rebuild (OPTIMIZE keeps the conservative df by design).
+    *    that measures 12/18 pairs served, and [[optimizeIndex]] — the
+    *    scheduled deep tier that re-mines from the ledger — closes the
+    *    gap to 0 (spec-asserted).
     *  - `components` labels are opaque cluster ids (the min doc_id at
     *    fold time): a label VALUE numerically equal to an erased id
     *    may persist on surviving members — it identifies the cluster,
@@ -1026,9 +1064,13 @@ object DedupIndex {
     segs.groupBy(col("sh"))
       .agg(sum(col("df")).as("df"),
         flatten(collect_list(col("ids"))).as("allids"))
+      // array_distinct: membership is a SET — a re-admitted id sits in
+      // two segments' postings until the OPTIMIZE purge drops its
+      // erased-life instance (see the append's merged view). df keeps
+      // the instance count.
       .select(col("sh"),
         when(col("df") > cap, lit(null))
-          .otherwise(array_sort(col("allids"))).as("ids"),
+          .otherwise(array_sort(array_distinct(col("allids")))).as("ids"),
         col("df"))
 
   /** OPT-IN BUCKETED layout for the groups segments — the 100 TB
@@ -1073,10 +1115,11 @@ object DedupIndex {
   }
 
   /** LSM compaction: fold all index segments into one (the scheduled
-    * OPTIMIZE of a segment-structured table). Never changes query
-    * results — [[mergeSegments]] is associative — only the segment
-    * count the per-append scans touch. Single-writer, like every
-    * compaction here. */
+    * OPTIMIZE of a segment-structured table). Never changes a SERVED
+    * result — [[mergeSegments]] is associative and pairs/components are
+    * untouched — only the segment count the per-append scans touch and,
+    * under erasure, the df future appends mine against (see the purge
+    * note below). Single-writer, like every compaction here. */
   def compactGroups(spark: SparkSession, dir: String, cap: Int): Unit = {
     val merged = mergeSegments(TxTable.read(spark, s"$dir/groups"), cap)
     // ERASURE PURGE: re-derive every rare group's membership against the
@@ -1086,21 +1129,35 @@ object DedupIndex {
     // entirely (exactly what a from-scratch rebuild of the live corpus
     // produces); a RE-ADMITTED id is back in docs and stays. `groups ⊆
     // docs` holds for every non-erasure flow (docs commits before
-    // groups in each append), so this is a no-op there. Partially
-    // purged rows keep their recorded df — a documented-conservative
-    // upper bound (a shingle can only look MORE common, never rarer,
-    // so no candidate appears that the rebuild would reject). Hot
-    // (NULL-ids) rows pass through: they mine nothing. One extra
-    // exchange over the index per SCHEDULED compaction — the erasure
-    // ledger is the docs table itself, no side state.
+    // groups in each append), so this is a no-op there. Each purged
+    // rare row's df RE-DERIVES from its rebuilt postings (`size(ids)` —
+    // the live document frequency; one projection on arrays already in
+    // hand), so a rare shingle stops counting erased instances at every
+    // scheduled OPTIMIZE and the re-admission model stays uniform: a
+    // fully-erased row drops and a later re-add revives it at its live
+    // df, which is now ALSO what every partially-purged row carries
+    // (DedupReadmitModelSpec pins the live-reset instance-df model).
+    // HOT (NULL-ids) rows are the one place the conservative recorded
+    // df remains: their postings were never stored (that is what the
+    // cap bounds), so their live df is underivable without the
+    // inv(docs) corpus pass — [[optimizeIndex]] is that scheduled
+    // deeper tier. Keeping df(full) for them only SUPPRESSES candidacy
+    // (a shingle looks more common, never rarer): zero precision loss,
+    // the documented recall window. One extra exchange over the index
+    // per SCHEDULED compaction — the erasure ledger is the docs table
+    // itself, no side state.
     val live = TxTable.read(spark, s"$dir/docs").select(col("doc_id"))
     val hot = merged.filter(col("ids").isNull)
+    // distinct before regrouping: mergeSegments dedupes arrays, so the
+    // exploded rows are distinct already — kept as an explicit invariant
+    // (size(ids) below IS the live document frequency only over sets).
     val purgedRare = merged.filter(col("ids").isNotNull)
-      .select(col("sh"), col("df"), explode(col("ids")).as("doc_id"))
+      .select(col("sh"), explode(col("ids")).as("doc_id"))
       .join(live, Seq("doc_id"), "left_semi")
-      .groupBy(col("sh"), col("df"))
+      .distinct()
+      .groupBy(col("sh"))
       .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
-      .select(col("sh"), col("ids"), col("df"))
+      .select(col("sh"), col("ids"), size(col("ids")).cast("long").as("df"))
     // Restores sh-range-clustering along with the fold (appends land
     // their segments clustered too, but compaction re-tightens the
     // per-file bounds across the merged whole).
@@ -1130,6 +1187,66 @@ object DedupIndex {
       TxTable.read(spark, s"$dir/components")
         .repartitionByRange(col("doc_id"))
         .sortWithinPartitions(col("doc_id")))
+    ()
+  }
+
+  /** DEEP OPTIMIZE: converge the whole index to EXACTLY what a
+    * from-scratch [[build]] of the live corpus produces — the tier that
+    * CLOSES the erasure recall window [[compact]] deliberately leaves
+    * open (DedupErasureRecallSpec asserts gap=0 after this call).
+    *
+    * Why a separate tier (the ADR the recall window demanded):
+    * [[compactGroups]]' purge re-derives a RARE row's df from its
+    * rebuilt postings for free, but a HOT row's postings were never
+    * stored — the cap is what bounds aggregation state, so at 10⁹
+    * postings "keep the hot lists just in case" is exactly the blow-up
+    * the cap exists to prevent. Reviving a hot-but-now-live-rare
+    * shingle therefore REQUIRES the inv(docs) corpus pass, and once a
+    * shingle revives, pairs it should have witnessed must be RE-MINED —
+    * old×old candidacy can improve under erasure, which no per-append
+    * delta mine revisits (appends only mine new×all). So the deep tier
+    * is: fold every standing mask physical (clearing value-keyed
+    * tombstones so re-mined pairs of re-admitted ids serve), re-derive
+    * `groups` from the docs ledger (live df everywhere, hot rows
+    * included), re-mine `pairs` from scratch, and re-fold `components`
+    * — a corpus-mine-shaped job, scheduled like any deployment's deep
+    * OPTIMIZE/rebuild window, but reusing the ledger instead of
+    * re-ingesting the corpus. Served pairs only GROW (precision is
+    * exact on both sides: served ⊆ rebuild always, spec-pinned).
+    * Single-writer, like [[compact]]. */
+  def optimizeIndex(spark: SparkSession, dir: String, cap: Int,
+                    maxIter: Int = 20): Unit = {
+    // Masks physical first: docs is the ledger the re-derive reads, and
+    // stale value-keyed tombstones on pairs/components would suppress
+    // re-mined rows of re-admitted ids. foldDeletes clears as it folds.
+    StageTables.foreach(t => TxTable.foldDeletes(spark, s"$dir/$t"))
+    val d = TxTable.read(spark, s"$dir/docs")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val grouped = groupsWithDf(inv(d), cap)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    putTable(spark, s"$dir/groups",
+      grouped.repartitionByRange(col("sh")).sortWithinPartitions(col("sh")))
+    val rareCnt = grouped.filter(col("ids").isNotNull)
+      .select(explode(col("ids")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("kc"))
+    putTable(spark, s"$dir/pairs", boundedVerify(pairCounts(grouped), d, rareCnt))
+    val pairEdges = TxTable.read(spark, s"$dir/pairs")
+      .select(col("a").as("src"), col("b").as("dst"))
+    val edgeRows = pairEdges.limit(MaxReplaceKeys + 1).collect()
+    val comps =
+      if (edgeRows.length <= MaxReplaceKeys)
+        spark.createDataFrame(unionFindLabels(edgeRows).toSeq)
+          .toDF("doc_id", "component")
+      else GraphOps.connectedComponents(spark, pairEdges, maxIter)
+        .select(col("node").as("doc_id"), col("component"))
+    putTable(spark, s"$dir/components",
+      comps.repartitionByRange(col("doc_id"))
+        .sortWithinPartitions(col("doc_id")))
+    // Docs itself only re-clusters (the fold above may have landed
+    // key-clustered rewrite dirs off the doc_id range layout).
+    TxTable.overwrite(spark, s"$dir/docs",
+      d.repartitionByRange(col("doc_id")).sortWithinPartitions(col("doc_id")))
+    grouped.unpersist(); d.unpersist()
     ()
   }
 

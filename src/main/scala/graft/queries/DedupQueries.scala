@@ -454,7 +454,14 @@ object DedupQueries {
     // df_full + df_slice ≤ cap. This is the same exact-model
     // discipline as q_dedup_erase_append's endpoint filter: the gate
     // asserts the lifecycle converges to a from-scratch mine under the
-    // characterized df model, not "roughly recovers".
+    // characterized df model, not "roughly recovers". Two boundary
+    // notes, both pinned elsewhere: past DedupIndex.ResidueStripKeys
+    // the re-admission escapes to the OPTIMIZE purge mid-append and
+    // mines under the LIVE-reset df instead of this instance model
+    // (DedupReadmitModelSpec's seam arm; q_dedup_readmit_optimized
+    // oracles the same purge-first lifecycle at corpus scale), and
+    // merged posting arrays dedupe (membership is a set — df alone
+    // carries the residue count).
     QueryDef(
       "q_dedup_readmit",
       t => {
@@ -486,6 +493,65 @@ object DedupQueries {
         inv2 AS (SELECT i.doc_id, i.sh FROM inv i JOIN df USING (sh)
                  LEFT JOIN dfs USING (sh)
                  WHERE df.n + COALESCE(dfs.ns, 0) <= $ShingleDfCap),
+        cand AS (
+          SELECT DISTINCT x.doc_id a, y.doc_id b
+          FROM inv2 x JOIN inv2 y ON x.sh = y.sh AND x.doc_id < y.doc_id)
+        SELECT a, b,
+          round(len(list_intersect(sa.shs, sb.shs)) /
+            CAST(len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs)) AS DOUBLE), 6) AS jaccard
+        FROM cand
+        JOIN sh sa ON a = sa.doc_id
+        JOIN sh sb ON b = sb.doc_id
+        WHERE round(len(list_intersect(sa.shs, sb.shs)) /
+            CAST(len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs)) AS DOUBLE), 6) >= 0.5
+        ORDER BY a, b""")),
+
+    // RE-ADMISSION ACROSS THE OPTIMIZE BOUNDARY, oracle-gated (round
+    // 16 — the interleaving q_dedup_readmit's single pass never hits):
+    // GDPR-erase a slice, run the scheduled groups OPTIMIZE
+    // (compactGroups purges erased instances AND re-derives every rare
+    // row's df from its live postings; fully-erased rows drop), THEN
+    // re-add the same documents and ingest the next delta. The purge
+    // resets every rare shingle's count to its live df, so the re-add
+    // restores exactly the erased instances and the lifecycle
+    // converges to the PLAIN full-corpus mine — candidacy tests
+    // df_full ≤ cap with NO residue term: the oracle is q_dedup_readmit's
+    // minus its df_slice adjustment, which is the convergence claim
+    // itself (OPTIMIZE removes the documented-conservative over-count
+    // for rare shingles; DedupReadmitModelSpec pins the same live-reset
+    // model on constructed and randomized histories, including the
+    // in-append escape path that runs this purge past the residue
+    // bound).
+    QueryDef(
+      "q_dedup_readmit_optimized",
+      t => {
+        import graft.operators.{DedupIndex, Stages}
+        val all = t.documents.selectExpr("doc_id", s"$shs AS shs")
+        val dir = Stages.tempDir(t.spark, s"dedup_base:${t.dir}") { d =>
+          DedupIndex.build(t.spark, all.filter(col("doc_id") % 5 =!= 0),
+            d, ShingleDfCap)
+          DedupIndex.markBase(d)
+        }
+        DedupIndex.restoreBase(t.spark, dir)
+        val slice = col("doc_id") % 5 =!= 0 && col("doc_id") % 7 === 3
+        val erased = all.filter(slice)
+          .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+        DedupIndex.deleteDocsDeferred(dir, erased)
+        // The scheduled OPTIMIZE between erase and re-add — the purge
+        // re-derives rare df live, so the re-add below mines under the
+        // exact full-corpus df instead of the instance over-count.
+        DedupIndex.compactGroups(t.spark, dir, ShingleDfCap)
+        DedupIndex.append(t.spark, all.filter(slice), dir, ShingleDfCap)
+        DedupIndex.append(t.spark, all.filter(col("doc_id") % 5 === 0),
+          dir, ShingleDfCap)
+        DedupIndex.pairs(t.spark, dir).orderBy(col("a"), col("b"))
+      },
+      Some(s"""
+        WITH sh AS $duckShingles,
+        inv AS (SELECT doc_id, unnest(shs) sh FROM sh),
+        df AS (SELECT sh, COUNT(*) n FROM inv GROUP BY sh),
+        inv2 AS (SELECT i.doc_id, i.sh FROM inv i JOIN df USING (sh)
+                 WHERE df.n <= $ShingleDfCap),
         cand AS (
           SELECT DISTINCT x.doc_id a, y.doc_id b
           FROM inv2 x JOIN inv2 y ON x.sh = y.sh AND x.doc_id < y.doc_id)

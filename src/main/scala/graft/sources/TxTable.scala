@@ -1168,42 +1168,82 @@ object TxTable {
     var snap = snapshot(dir)
     while (snap.dkeys.nonEmpty) {
       val (c, vals) = snap.dkeys.head
-      foldInterleave()
-      val schema = StructType.fromDDL(snap.schemaDdl)
-      val staged = schema(c).dataType match {
-        case org.apache.spark.sql.types.LongType =>
-          PrunedReplace.stageReplaceWith(spark, dir, c, vals.map(_.toLong).toArray)(
-            hit => hit.limit(0)) // pure delete: no replacement rows
-        case _ =>
-          PrunedReplace.stageReplaceWithStringKeys(spark, dir, c, vals.toArray)(
-            hit => hit.limit(0))
+      foldColumnKeys(spark, dir, snap, c, vals).foreach { case (r, t) =>
+        rewritten += r; total += t
       }
-      try {
-        // The override derives from the STAGED replace's own planning
-        // snapshot (`staged.expected`), not the loop-top `snap`: a
-        // concurrent tombstone landing between the two reads is part of
-        // the version this claim commits over, and its rows were never
-        // rewritten (the replace pruned by `vals`) — `snap.dkeys - c`
-        // would silently drop that mask and resurrect the rows. Only
-        // the keys this fold actually made physical (`vals`) clear;
-        // residual keys on `c` and every other column's entry carry.
-        val valSet = vals.toSet
-        val residual = staged.expected.dkeys.get(c)
-          .map(_.filterNot(valSet)).filter(_.nonEmpty)
-        val adjusted = residual match {
-          case Some(rest) => staged.expected.dkeys + (c -> rest)
-          case None       => staged.expected.dkeys - c
-        }
-        // rewriteOnly: a fold removes only already-masked rows, so the
-        // change feed can keep flowing across it (readChanges treats
-        // rewrite-marked commits as layout maintenance, not data).
-        staged.commit(dkeysOverride = Some(adjusted), rewriteOnly = true)
-        rewritten += staged.rewrittenFiles
-        total += staged.totalFiles
-      } catch { case _: ConcurrentCommitException => () } // re-plan below
-      snap = snapshot(dir)
+      snap = snapshot(dir) // re-plan after a fold or a lost race
     }
     (rewritten, total)
+  }
+
+  /** KEY-SCOPED [[foldDeletes]]: make ONLY the requested (column →
+    * keys) tombstones physical, carrying every other standing mask
+    * untouched — the re-admission fold's shape (one colliding key must
+    * not pay a physical fold of the table's ENTIRE standing mask: the
+    * pruned replace reads just the files whose manifest bounds / Bloom
+    * sidecars admit the REQUESTED keys, so the rewrite set is O(those
+    * keys' hit files) however large the rest of the mask is). Keys not
+    * currently masked on their column are no-ops. Returns
+    * (rewrittenFiles, totalFiles) summed over the per-column folds. */
+  def foldDeletesFor(spark: SparkSession, dir: String,
+                     only: Map[String, Seq[String]]): (Long, Long) = {
+    var rewritten = 0L
+    var total = 0L
+    only.foreach { case (c, want) =>
+      val wantSet = want.toSet
+      var pending = true
+      while (pending) {
+        val snap = snapshot(dir)
+        val vals = snap.dkeys.getOrElse(c, Nil).filter(wantSet)
+        if (vals.isEmpty) pending = false // nothing (left) to fold here
+        else foldColumnKeys(spark, dir, snap, c, vals) match {
+          case Some((r, t)) => rewritten += r; total += t; pending = false
+          case None         => () // lost a commit race: re-plan
+        }
+      }
+    }
+    (rewritten, total)
+  }
+
+  /** One column-subset fold: stage the pruned pure-delete replace for
+    * `vals` on `c`, commit it clearing EXACTLY those keys. Returns
+    * None on a lost commit race (caller re-plans). */
+  private def foldColumnKeys(spark: SparkSession, dir: String,
+                             snap: Snapshot, c: String,
+                             vals: Seq[String]): Option[(Long, Long)] = {
+    foldInterleave()
+    val schema = StructType.fromDDL(snap.schemaDdl)
+    val staged = schema(c).dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        PrunedReplace.stageReplaceWith(spark, dir, c, vals.map(_.toLong).toArray)(
+          hit => hit.limit(0)) // pure delete: no replacement rows
+      case _ =>
+        PrunedReplace.stageReplaceWithStringKeys(spark, dir, c, vals.toArray)(
+          hit => hit.limit(0))
+    }
+    try {
+      // The override derives from the STAGED replace's own planning
+      // snapshot (`staged.expected`), not the caller's `snap`: a
+      // concurrent tombstone landing between the two reads is part of
+      // the version this claim commits over, and its rows were never
+      // rewritten (the replace pruned by `vals`) — dropping the whole
+      // column entry would silently clear that mask and resurrect the
+      // rows. Only the keys this fold actually made physical (`vals`)
+      // clear; residual keys on `c` and every other column's entry
+      // carry.
+      val valSet = vals.toSet
+      val residual = staged.expected.dkeys.get(c)
+        .map(_.filterNot(valSet)).filter(_.nonEmpty)
+      val adjusted = residual match {
+        case Some(rest) => staged.expected.dkeys + (c -> rest)
+        case None       => staged.expected.dkeys - c
+      }
+      // rewriteOnly: a fold removes only already-masked rows, so the
+      // change feed can keep flowing across it (readChanges treats
+      // rewrite-marked commits as layout maintenance, not data).
+      staged.commit(dkeysOverride = Some(adjusted), rewriteOnly = true)
+      Some((staged.rewrittenFiles, staged.totalFiles))
+    } catch { case _: ConcurrentCommitException => None }
   }
 
   /** Test seam: runs between [[foldDeletes]]' loop-top snapshot and the

@@ -90,11 +90,38 @@ object CdcSync {
     * (doc_id, shs)) into a [[DedupIndex]] — appended documents ingest
     * via the incremental mine, erased doc_ids tombstone across the
     * index's serving tables ([[DedupIndex.deleteDocsDeferred]]).
-    * Replay guard: [[DedupIndex.append]] REFUSES duplicate doc_ids (by
-    * design — a silent double-insert corrupts downstream counts), so a
-    * replayed batch is detected by a manifest-planned presence probe
-    * and skipped; a PARTIALLY-present batch is a real corruption and
-    * fails loudly. */
+    *
+    * Replay/crash discipline, checked IN ORDER before any mutation:
+    *  1. WHOLE-batch seal — the append's txn watermark rides the
+    *     index's LAST claim (groups); a recorded batch proves deletes
+    *     AND the four-table append all landed, so it skips in full
+    *     (replaying just the delete half would re-mask a re-added id
+    *     the original run's collision fold re-admitted).
+    *  2. Between-claims CRASH signature — the append stamps the SAME
+    *     watermark on its FIRST claim (docs): docs-stamped with the
+    *     groups seal absent means the original run died between
+    *     claims and groups/pairs/components never landed. Fail LOUDLY
+    *     (a presence probe would read the landed docs claim as "batch
+    *     fully applied" and silently drop the unclaimed tables
+    *     forever); the recorded repair is to erase the batch's
+    *     doc_ids and restart — the re-ingest's collision fold then
+    *     rebuilds the half-landed state cleanly.
+    *  3. Landed-range probe, BEFORE this batch's deletes — a
+    *     RE-SEEDED consumer (fresh checkpoint ⇒ fresh appId) replays
+    *     ranges the index already holds: every insert id outside the
+    *     batch's own delete set being live proves the batch landed
+    *     under the previous appId, so it skips in full WITHOUT
+    *     re-applying the deletes (deletes-first would otherwise
+    *     re-mask currently-live re-admitted keys before the append's
+    *     dupe check could fail the batch). A PARTIALLY-present probe
+    *     set is batch-boundary drift and fails loudly — also before
+    *     any delete lands. Caveat (inherent to re-seeding into a live
+    *     index): a replayed DELETE-ONLY batch, and a collision batch
+    *     whose every insert id is also deleted in-batch, carry no
+    *     liveness evidence — they re-apply, which converges once the
+    *     full history replays in order but masks re-admitted keys
+    *     mid-replay; re-seed to the index's build version, not into
+    *     arbitrary history. */
   def docsToDedup(spark: SparkSession, srcDir: String, indexDir: String,
                   checkpointDir: String, sinceVersion: Long,
                   cap: Int): StreamingQuery = {
@@ -106,24 +133,52 @@ object CdcSync {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        // WHOLE-BATCH replay guard (same shape as vectorsToAnn): the
-        // append's txn watermark rides the index's LAST claim, so a
-        // recorded batch proves deletes AND the four-table append all
-        // landed; replaying just the delete half would re-mask a
-        // re-added id the original run's collision fold re-admitted.
-        // The old presence-probe guard could not seal a batch whose
-        // delete and re-insert share an id: probed BEFORE the delete
-        // is applied, the OLD row's liveness is indistinguishable from
-        // the new row's.
         if (!DedupIndex.lastBatch(indexDir, appId).exists(_ >= batchId)) {
-          // DELETES FIRST — delivered inserts are live at the primary
-          // at batch-end and must survive this batch's deletes.
+          // (2) crash window: this appId's docs claim carries the
+          // batch but the groups seal above missed it.
+          require(!TxTable.txnVersion(s"$indexDir/docs", appId).exists(_ >= batchId),
+            s"docs CDC batch $batchId: the docs claim landed but the groups " +
+              "watermark did not — the original append crashed between claims, " +
+              "so the groups/pairs/components claims are missing and skipping " +
+              "would lose them permanently. Repair: erase this batch's doc_ids " +
+              "(DedupIndex.deleteDocsDeferred) and restart the consumer; the " +
+              "re-ingest's collision fold rebuilds the half-landed state.")
           val delIds = batch.filter(col(ChangeTypeCol) === "delete")
             .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
-          if (delIds.nonEmpty) DedupIndex.deleteDocsDeferred(indexDir, delIds)
           val inserts = batch.filter(col(ChangeTypeCol) === "insert")
             .select(col("doc_id"), col("shs"))
-          applyDocInserts(spark, inserts, indexDir, cap, appId, batchId)
+          val insIds = inserts.select(col("doc_id")).collect()
+            .map(_.getLong(0)).toSeq
+          // (3) landed-range probe on the ids whose pre-delete liveness
+          // is evidence (an id the batch also deletes is expected live
+          // whether or not the batch ever ran). Manifest-planned point
+          // lookup — Bloom absence proof + stats pruning, O(hit files).
+          val delSet = delIds.toSet
+          val probe = insIds.filterNot(delSet)
+          val pre =
+            if (probe.isEmpty) 0L
+            else TxTable.lookupKeys(spark, s"$indexDir/docs", "doc_id", probe).count()
+          if (probe.nonEmpty && pre == probe.size) {
+            // Fully landed under another appId: skip IN FULL — deletes
+            // included, since they ran before the append originally.
+            ()
+          } else {
+            require(pre == 0L,
+              s"docs CDC batch $batchId is PARTIALLY present ($pre of " +
+                s"${probe.size} probed ids) — batch boundaries drifted across " +
+                "a replay; re-seed the consumer from the index's build version")
+            // DELETES FIRST — delivered inserts are live at the primary
+            // at batch-end and must survive this batch's deletes.
+            if (delIds.nonEmpty) DedupIndex.deleteDocsDeferred(indexDir, delIds)
+            // The append folds standing masks on collision and seals
+            // the batch with the (appId, batchId) watermark riding its
+            // docs (first) and groups (last) claims.
+            if (insIds.nonEmpty) {
+              DedupIndex.append(spark, inserts, indexDir, cap,
+                txn = Some((appId, batchId)))
+              ()
+            }
+          }
         }
         ()
       }
@@ -134,10 +189,13 @@ object CdcSync {
     * included — the generic materialized-replica shape (cross-region
     * copy, downstream cleanroom, a serving mirror the primary's GDPR
     * obligations must reach). Per batch the order is DELETES, then a
-    * COLLISION FOLD when an incoming insert carries a currently-masked
-    * key (the primary re-admitted a once-erased key after folding its
-    * own tombstones — the mirror's value-keyed mask would otherwise
-    * suppress that key's every future event forever), then inserts via
+    * KEY-SCOPED COLLISION FOLD of exactly the colliding keys when an
+    * incoming insert carries a currently-masked key (the primary
+    * re-admitted a once-erased key after folding its own tombstones —
+    * the mirror's value-keyed mask would otherwise suppress that key's
+    * every future event forever; scoping keeps the rewrite O(that
+    * key's hit files), the rest of the standing mask carries), then
+    * inserts via
     * the exactly-once idempotent append; the insert watermark commits
     * last, so it seals the whole sequence and a replayed batch whose
     * watermark is already committed is skipped in full (replaying just
@@ -233,31 +291,45 @@ object CdcSync {
               }
             }
           }
-          // COLLISION FOLD: the mirror's deferred tombstones are
-          // value-keyed — left standing, they would mask these (or any
-          // later) inserts of a once-erased key FOREVER, silently
-          // dropping every future event of that key even though the
-          // primary folded its own tombstones and re-admitted it. When
-          // an incoming insert carries a currently-masked key, the
-          // primary's history proves a fold sits between that key's
-          // delete and this insert (delivered inserts are live at
-          // batch-end) — so mirror the fold: make the mask physical,
-          // clear it, and let the append below land live. Erasure-only
-          // workloads (no re-insert ever) never pay this rewrite.
+          // COLLISION FOLD, KEY-SCOPED: the mirror's deferred
+          // tombstones are value-keyed — left standing, they would mask
+          // these (or any later) inserts of a once-erased key FOREVER,
+          // silently dropping every future event of that key even
+          // though the primary folded its own tombstones and
+          // re-admitted it. When an incoming insert carries a
+          // currently-masked key, the primary's history proves a fold
+          // sits between that key's delete and this insert (delivered
+          // inserts are live at batch-end) — so mirror the fold FOR
+          // EXACTLY THE COLLIDING KEYS (TxTable.foldDeletesFor): one
+          // re-admitted key rewrites only that key's hit files, not the
+          // entire standing mask's (a GDPR mirror can carry tens of
+          // thousands of unrelated tombstones — re-folding them all
+          // physical per colliding insert would make every
+          // re-admission pay the whole mask's I/O). Non-colliding
+          // masks stand and fold on their own schedule. Erasure-only
+          // workloads (no re-insert ever) never pay any rewrite.
           val dk = TxTable.snapshot(dstDir).dkeys
           if (dk.nonEmpty && !inserts.isEmpty) {
             val sch = org.apache.spark.sql.types.StructType
               .fromDDL(TxTable.snapshot(dstDir).schemaDdl)
-            val collide = dk.exists { case (c, vals) =>
-              schema.fieldNames.contains(c) && {
-                val typed: Seq[Any] = sch(c).dataType match {
-                  case org.apache.spark.sql.types.LongType => vals.map(_.toLong)
-                  case _ => vals
-                }
-                !inserts.filter(col(c).isInCollection(typed)).isEmpty
-              }
+            val colliding: Map[String, Seq[String]] = dk.flatMap {
+              case (c, vals) if schema.fieldNames.contains(c) =>
+                val isLong = sch(c).dataType ==
+                  org.apache.spark.sql.types.LongType
+                val typed: Seq[Any] =
+                  if (isLong) vals.map(_.toLong) else vals
+                // The masked values this batch actually re-inserts —
+                // micro-batch-bounded (≤ batch distinct keys ∩ mask).
+                val hit = inserts.select(col(c))
+                  .filter(col(c).isInCollection(typed)).distinct()
+                  .collect().map(r => String.valueOf(r.get(0))).toSeq
+                if (hit.isEmpty) None else Some(c -> hit)
+              case _ => None
             }
-            if (collide) { TxTable.foldDeletes(spark, dstDir); () }
+            if (colliding.nonEmpty) {
+              TxTable.foldDeletesFor(spark, dstDir, colliding)
+              ()
+            }
           }
           // INSERTS LAST; their watermark commit seals the batch.
           if (!inserts.isEmpty)
@@ -268,34 +340,4 @@ object CdcSync {
       .start()
   }
 
-  /** Insert half of [[docsToDedup]], called AFTER the batch's deletes:
-    * the presence probe (manifest-planned point lookup — Bloom absence
-    * proof + stats pruning, O(hit files)) now guards batch-boundary
-    * DRIFT only — any live delta id at this point is corruption, since
-    * a replayed-in-full batch was already skipped by the watermark and
-    * this batch's deletes have masked any legitimately re-added id.
-    * The append itself folds standing masks on collision and seals the
-    * batch with the (appId, batchId) watermark on its last claim. */
-  private def applyDocInserts(spark: SparkSession, inserts: DataFrame,
-                              indexDir: String, cap: Int,
-                              appId: String, batchId: Long): Unit = {
-    val ids = inserts.select(col("doc_id")).collect().map(_.getLong(0)).toSeq
-    if (ids.isEmpty) return
-    val present = TxTable.lookupKeys(spark, s"$indexDir/docs", "doc_id", ids)
-      .count()
-    // Cross-appId idempotence (a RE-SEEDED consumer replaying landed
-    // ranges under a fresh checkpoint — the watermark guard upstream
-    // only covers its own appId): every id live ⇒ the batch landed in
-    // full, skip. A collision batch (delete+re-insert sharing an id)
-    // replayed cross-appId reaches here with its re-added ids masked
-    // by the re-applied deletes ⇒ partial ⇒ the loud failure below —
-    // never a silent skip that leaves the re-mask standing.
-    if (present == ids.size) return
-    require(present == 0L,
-      s"docs CDC batch is PARTIALLY present ($present of ${ids.size} ids) — " +
-        "batch boundaries drifted across a replay; re-seed the consumer")
-    DedupIndex.append(spark, inserts, indexDir, cap,
-      txn = Some((appId, batchId)))
-    ()
-  }
 }

