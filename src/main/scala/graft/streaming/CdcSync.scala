@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
@@ -134,23 +134,14 @@ object CdcSync {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         if (!DedupIndex.lastBatch(indexDir, appId).exists(_ >= batchId)) {
-          // (2) crash window: this appId's docs claim carries the
-          // batch but the groups seal above missed it.
-          require(!TxTable.txnVersion(s"$indexDir/docs", appId).exists(_ >= batchId),
-            s"docs CDC batch $batchId: the docs claim landed but the groups " +
-              "watermark did not — the original append crashed between claims, " +
-              "so the groups/pairs/components claims are missing and skipping " +
-              "would lose them permanently. Repair: erase this batch's doc_ids " +
-              "(DedupIndex.deleteDocsDeferred) and restart the consumer; the " +
-              "re-ingest's collision fold rebuilds the half-landed state.")
           val delIds = batch.filter(col(ChangeTypeCol) === "delete")
             .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
           val inserts = batch.filter(col(ChangeTypeCol) === "insert")
             .select(col("doc_id"), col("shs"))
           val insIds = inserts.select(col("doc_id")).collect()
             .map(_.getLong(0)).toSeq
-          // (3) landed-range probe on the ids whose pre-delete liveness
-          // is evidence (an id the batch also deletes is expected live
+          // Liveness probe on the ids whose PRE-delete presence is
+          // evidence (an id the batch also deletes is expected live
           // whether or not the batch ever ran). Manifest-planned point
           // lookup — Bloom absence proof + stats pruning, O(hit files).
           val delSet = delIds.toSet
@@ -158,15 +149,32 @@ object CdcSync {
           val pre =
             if (probe.isEmpty) 0L
             else TxTable.lookupKeys(spark, s"$indexDir/docs", "doc_id", probe).count()
-          if (probe.nonEmpty && pre == probe.size) {
-            // Fully landed under another appId: skip IN FULL — deletes
-            // included, since they ran before the append originally.
-            ()
-          } else {
-            require(pre == 0L,
-              s"docs CDC batch $batchId is PARTIALLY present ($pre of " +
-                s"${probe.size} probed ids) — batch boundaries drifted across " +
-                "a replay; re-seed the consumer from the index's build version")
+          // (2) crash window: THIS appId's docs claim carries the batch
+          // but the groups seal above missed it — the original append
+          // died between claims and groups/pairs/components never
+          // landed. Skipping would lose them permanently; fail loudly
+          // UNLESS the recorded repair already ran (the batch's ids
+          // erased ⇒ pre == 0): then fall through and re-ingest — the
+          // collision fold rebuilds the half-landed state and the seal
+          // finally lands.
+          val crashed =
+            TxTable.txnVersion(s"$indexDir/docs", appId).exists(_ >= batchId)
+          if (crashed) require(pre == 0L,
+            s"docs CDC batch $batchId: the docs claim landed but the groups " +
+              "watermark did not — the original append crashed between claims, " +
+              "so the groups/pairs/components claims are missing and skipping " +
+              "would lose them permanently. Repair: erase this batch's doc_ids " +
+              "(DedupIndex.deleteDocsDeferred) and restart this consumer; the " +
+              "re-ingest's collision fold rebuilds the half-landed state.")
+          // (3) landed-range skip, BEFORE this batch's deletes: every
+          // probed id live under a SEALED-elsewhere history (no crash
+          // signature) proves the batch landed under a previous appId.
+          val landedElsewhere = !crashed && probe.nonEmpty && pre == probe.size
+          if (!crashed && !landedElsewhere) require(pre == 0L,
+            s"docs CDC batch $batchId is PARTIALLY present ($pre of " +
+              s"${probe.size} probed ids) — batch boundaries drifted across " +
+              "a replay; re-seed the consumer from the index's build version")
+          if (!landedElsewhere) {
             // DELETES FIRST — delivered inserts are live at the primary
             // at batch-end and must survive this batch's deletes.
             if (delIds.nonEmpty) DedupIndex.deleteDocsDeferred(indexDir, delIds)

@@ -105,6 +105,42 @@ class DeletionVectorSpec extends SparkSpec {
     assert(TxTable.snapshot(dir).dkeys.isEmpty)
   }
 
+  test("foldDeletesFor folds ONLY the requested keys; the rest of the mask carries") {
+    // The key-scoped fold behind the mirror's collision path (CdcSync):
+    // one re-admitted key must rewrite only ITS hit files, however
+    // large the standing mask — and every unrequested tombstone must
+    // stay standing (still masking) afterwards.
+    val dir = tmp()
+    TxTable.init(spark, dir, schema, bloomCols = Seq("k"))
+    // Key-range-clustered files: 0-99, 100-199, 200-299, 300-399.
+    (0 until 4).foreach { b =>
+      TxTable.append(spark, dir,
+        spark.range(b * 100L, b * 100L + 100L).toDF("k")
+          .withColumn("v", col("k") * 2).coalesce(1))
+    }
+    // One masked key per file: a four-file-wide standing mask.
+    TxTable.deleteKeysDeferred(dir, "k", Seq(50L, 150L, 250L, 350L))
+    val (rewritten, total) =
+      TxTable.foldDeletesFor(spark, dir, Map("k" -> Seq("150")))
+    assert(rewritten == 1L && total == 4L,
+      s"scoped fold should rewrite exactly key 150's file, got $rewritten/$total")
+    assert(TxTable.snapshot(dir).dkeys.getOrElse("k", Nil).toSet ==
+      Set("50", "250", "350"),
+      s"unrequested masks must carry: ${TxTable.snapshot(dir).dkeys}")
+    // All four keys still excluded (one physical, three masked).
+    assert(TxTable.read(spark, dir)
+      .filter(col("k").isin(50L, 150L, 250L, 350L)).isEmpty)
+    assert(TxTable.read(spark, dir).count() == 396L)
+    // Unmasked keys are no-ops; a second scoped fold of a cleared key too.
+    val (r2, _) = TxTable.foldDeletesFor(spark, dir,
+      Map("k" -> Seq("150", "999"), "missing" -> Seq("1")))
+    assert(r2 == 0L, "re-folding cleared/unknown keys must be a no-op")
+    // The remaining mask folds normally later.
+    val (r3, _) = TxTable.foldDeletes(spark, dir)
+    assert(r3 == 3L && TxTable.snapshot(dir).dkeys.isEmpty)
+    assert(TxTable.read(spark, dir).count() == 396L)
+  }
+
   test("a derive-from-old keyed replace cannot resurrect a tombstoned key") {
     val dir = tmp()
     TxTable.init(spark, dir, schema)

@@ -458,4 +458,184 @@ class CdcSyncSpec extends SparkSpec {
     assert(pairs2 == Set((1L, 2L), (1L, 4L), (2L, 4L)),
       s"re-admitted doc should re-pair with its near-dups, got $pairs2")
   }
+
+  test("a between-claims crash replays into a LOUD failure, never a silent skip") {
+    // The r15-advisory medium: DedupIndex.append claims docs first and
+    // the groups watermark last. A crash in between leaves every delta
+    // id LIVE in docs with the seal absent — the old presence probe
+    // read that as "batch fully applied" and silently skipped, dropping
+    // the groups/pairs/components claims FOREVER. The append now stamps
+    // the same (appId, batchId) on the docs claim, so the consumer can
+    // tell the crash window (docs stamped, groups not) from a genuine
+    // landed-range replay. Fabricate the exact on-disk state a crash
+    // leaves: the delta's docs claim committed WITH the batch-0 stamp,
+    // nothing else.
+    val srcDir = tmp("graft_cdc_crash_src")
+    val indexDir = tmp("graft_cdc_crash_idx")
+    val ckpt = tmp("graft_cdc_crash_ck") // appId
+    val initial = Seq(
+      (1L, Seq("a", "b", "c", "d")),
+      (2L, Seq("a", "b", "c", "e"))).toDF("doc_id", "shs")
+    TxTable.init(spark, srcDir, initial.schema)
+    TxTable.append(spark, srcDir, initial)
+    DedupIndex.build(spark, TxTable.read(spark, srcDir), indexDir, cap = 10)
+    val since = TxTable.snapshot(srcDir).version
+    val delta = Seq((4L, Seq("a", "b", "c", "f"))).toDF("doc_id", "shs")
+    TxTable.append(spark, srcDir, delta)
+    // The crashed append's half: docs claim + stamp, groups unclaimed.
+    val uDocs = TxTable.stage(s"$indexDir/docs", delta)
+    TxTable.commitStaged(spark, s"$indexDir/docs", uDocs, delta.schema,
+      keepExisting = true, txnUpdate = Map(ckpt -> 0L))
+    assert(DedupIndex.lastBatch(indexDir, ckpt).isEmpty, "setup: seal absent")
+
+    val q = CdcSync.docsToDedup(spark, srcDir, indexDir, ckpt, since, cap = 10)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try q.processAllAvailable() finally q.stop()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("crashed between claims")),
+      s"wanted the crash-window error, got: ${msgs(e).mkString(" | ")}")
+    // And the recorded repair works: erase the batch's ids, restart —
+    // the re-ingest's collision fold rebuilds the half-landed state.
+    DedupIndex.deleteDocsDeferred(indexDir, Seq(4L))
+    val q2 = CdcSync.docsToDedup(spark, srcDir, indexDir, ckpt, since, cap = 10)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(TxTable.read(spark, s"$indexDir/docs")
+      .filter(col("doc_id") === 4L).count() == 1L, "repair did not land the doc")
+    val pairs = DedupIndex.pairs(spark, indexDir)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (1L, 4L), (2L, 4L)),
+      s"repair left the mined pairs incomplete: $pairs")
+    assert(DedupIndex.lastBatch(indexDir, ckpt).contains(0L),
+      "repair must seal the batch")
+  }
+
+  test("a re-seeded replay of a landed range skips BEFORE its deletes re-mask live keys") {
+    // The r15-advisory low: deletes-first made a bad replay DESTRUCTIVE
+    // before it failed — a re-seeded consumer (fresh checkpoint ⇒ fresh
+    // appId) re-applied a landed range's deletes, re-masking a
+    // currently-live re-admitted key, before any probe could stop the
+    // batch. The landed-range probe now runs FIRST: every insert id
+    // outside the batch's own delete set being live proves the batch
+    // landed, so it skips in full with ZERO mutation.
+    val srcDir = tmp("graft_cdc_reseed_src")
+    val indexDir = tmp("graft_cdc_reseed_idx")
+    val initial = Seq(
+      (1L, Seq("a", "b", "c", "d")),
+      (2L, Seq("a", "b", "c", "e")),
+      (3L, Seq("x", "y", "z", "w"))).toDF("doc_id", "shs")
+    TxTable.init(spark, srcDir, initial.schema)
+    TxTable.append(spark, srcDir, initial)
+    DedupIndex.build(spark, TxTable.read(spark, srcDir), indexDir, cap = 10)
+    val since = TxTable.snapshot(srcDir).version
+    // History: new doc 4, erase 1, then the primary folds + re-admits 1.
+    TxTable.append(spark, srcDir,
+      Seq((4L, Seq("a", "b", "c", "f"))).toDF("doc_id", "shs"))
+    TxTable.deleteKeysDeferred(srcDir, "doc_id", Seq(1L))
+    TxTable.foldDeletes(spark, srcDir)
+    TxTable.append(spark, srcDir,
+      Seq((1L, Seq("a", "b", "c", "d"))).toDF("doc_id", "shs"))
+    val q = CdcSync.docsToDedup(spark, srcDir, indexDir,
+      tmp("graft_cdc_reseed_ck1"), since, cap = 10)
+    try q.processAllAvailable() finally q.stop()
+    assert(TxTable.read(spark, s"$indexDir/docs")
+      .filter(col("doc_id") === 1L).count() == 1L, "setup: 1 re-admitted")
+    assert(TxTable.snapshot(s"$indexDir/docs").dkeys.isEmpty,
+      "setup: the collision fold cleared the mask")
+    val versions = Seq("docs", "groups", "pairs", "components")
+      .map(t => TxTable.snapshot(s"$indexDir/$t").version)
+    // Re-seed: fresh checkpoint, same since — the replayed batch holds
+    // delete(1) + inserts {4, 1}. Pre-fix, delete(1) re-applied FIRST
+    // would re-mask the live re-admitted doc; the probe on {4} (the
+    // insert ids outside the batch's delete set) proves the range
+    // landed and the whole batch skips untouched.
+    val q2 = CdcSync.docsToDedup(spark, srcDir, indexDir,
+      tmp("graft_cdc_reseed_ck2"), since, cap = 10)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(TxTable.snapshot(s"$indexDir/docs").dkeys.isEmpty,
+      "the re-seeded replay re-masked a live re-admitted key")
+    assert(TxTable.read(spark, s"$indexDir/docs")
+      .filter(col("doc_id") === 1L).count() == 1L,
+      "the re-admitted doc went dark under the re-seeded replay")
+    assert(Seq("docs", "groups", "pairs", "components")
+      .map(t => TxTable.snapshot(s"$indexDir/$t").version) == versions,
+      "a fully-landed replayed range mutated the index")
+  }
+
+  test("batch-boundary drift fails loudly BEFORE any delete lands") {
+    // Partial presence = drift: some probed insert ids live, some not.
+    // The failure must fire before the batch's deletes mutate the index
+    // (pre-fix ordering applied them first).
+    val srcDir = tmp("graft_cdc_drift_src")
+    val indexDir = tmp("graft_cdc_drift_idx")
+    val initial = Seq(
+      (1L, Seq("a", "b", "c", "d")),
+      (2L, Seq("a", "b", "c", "e"))).toDF("doc_id", "shs")
+    TxTable.init(spark, srcDir, initial.schema)
+    TxTable.append(spark, srcDir, initial)
+    val since = TxTable.snapshot(srcDir).version
+    TxTable.append(spark, srcDir,
+      Seq((4L, Seq("a", "b", "c", "f"))).toDF("doc_id", "shs"))
+    // Index built AFTER doc 4 landed at the source: a consumer seeded
+    // at `since` replays a range whose insert set is PARTIALLY present
+    // (4 yes, 9 no) and whose delete (2) must never apply.
+    DedupIndex.build(spark, TxTable.read(spark, srcDir), indexDir, cap = 10)
+    TxTable.append(spark, srcDir,
+      Seq((9L, Seq("m", "n", "o", "p"))).toDF("doc_id", "shs"))
+    TxTable.deleteKeysDeferred(srcDir, "doc_id", Seq(2L))
+    val q = CdcSync.docsToDedup(spark, srcDir, indexDir,
+      tmp("graft_cdc_drift_ck"), since, cap = 10)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try q.processAllAvailable() finally q.stop()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("PARTIALLY present")),
+      s"wanted the drift error, got: ${msgs(e).mkString(" | ")}")
+    assert(TxTable.snapshot(s"$indexDir/docs").dkeys.isEmpty,
+      "the drifted batch's delete landed before the loud failure")
+    assert(TxTable.read(spark, s"$indexDir/docs")
+      .filter(col("doc_id") === 2L).count() == 1L,
+      "doc 2 was erased by a batch that never completed")
+  }
+
+  test("the mirror's collision fold is KEY-SCOPED: unrelated standing masks carry") {
+    // r15 verdict queue #3: one re-admitted key must not pay a physical
+    // fold of the mirror's ENTIRE standing mask. Three keys erased; the
+    // primary re-admits only one — after the batch, the OTHER two keys'
+    // tombstones must still be standing (deferred, unfolded) while the
+    // colliding key's fold made its rows physical and the re-insert
+    // serves.
+    val srcDir = tmp("graft_cdc_scoped_src")
+    val dstDir = tmp("graft_cdc_scoped_dst") + "/mirror"
+    val ckpt = tmp("graft_cdc_scoped_ck")
+    val init = (1L to 6L).map(k => (k, k * 10L)).toDF("k", "v")
+    TxTable.init(spark, srcDir, init.schema, bloomCols = Seq("k"))
+    TxTable.append(spark, srcDir, init)
+    val q = CdcSync.mirrorTable(spark, srcDir, dstDir, ckpt, keyCols = Seq("k"))
+    try q.processAllAvailable() finally q.stop()
+    TxTable.deleteKeysDeferred(srcDir, "k", Seq(2L, 3L, 4L))
+    val q2 = CdcSync.mirrorTable(spark, srcDir, dstDir, ckpt, keyCols = Seq("k"))
+    try q2.processAllAvailable() finally q2.stop()
+    assert(TxTable.snapshot(dstDir).dkeys.getOrElse("k", Nil).toSet ==
+      Set("2", "3", "4"), "setup: three standing mirror masks")
+    // Primary folds and re-admits ONLY key 3.
+    TxTable.foldDeletes(spark, srcDir)
+    TxTable.append(spark, srcDir, Seq((3L, 31L)).toDF("k", "v"))
+    val q3 = CdcSync.mirrorTable(spark, srcDir, dstDir, ckpt, keyCols = Seq("k"))
+    try q3.processAllAvailable() finally q3.stop()
+    assert(TxTable.snapshot(dstDir).dkeys.getOrElse("k", Nil).toSet ==
+      Set("2", "4"),
+      s"scoped fold should clear ONLY key 3: ${TxTable.snapshot(dstDir).dkeys}")
+    def rows(d: String) = TxTable.read(spark, d).orderBy("k", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows(dstDir) == Seq((1L, 10L), (3L, 31L), (5L, 50L), (6L, 60L)),
+      s"mirror diverged: ${rows(dstDir)}")
+    assert(rows(dstDir) == rows(srcDir))
+    // The still-standing masks stay effective: a later fold of the
+    // mirror makes them physical with no resurrection.
+    TxTable.foldDeletes(spark, dstDir)
+    assert(rows(dstDir) == Seq((1L, 10L), (3L, 31L), (5L, 50L), (6L, 60L)))
+  }
 }
