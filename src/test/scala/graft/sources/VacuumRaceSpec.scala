@@ -101,4 +101,58 @@ class VacuumRaceSpec extends SparkSpec {
     assert(kept <= 10,
       s"trimLog never took effect ($kept manifests kept)")
   }
+
+  test("identity guard CROSS-PROCESS: a table deleted+re-created by another JVM refuses the dead lifetime's checkpoint") {
+    // The in-JVM identity-guard spec (TxTableSpec) stages the
+    // delete+re-create in the same process; here lifetime B is built by
+    // a CHILD JVM while THIS process holds lifetime A's deferred
+    // checkpoint in flight — the write must verify the init-stamped
+    // `_identity` against what another OS process left at the path.
+    val dir = Files.createTempDirectory("graft_identrace").toString + "/t"
+    val schema = Seq((0L, 0L)).toDF("k", "v").schema
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val interval = TxTable.CheckpointInterval
+    TxTable.checkpointGateForTest = Some(gate)
+    try {
+      TxTable.init(spark, dir, schema)
+      (1 to interval).foreach(i =>
+        TxTable.append(spark, dir, Seq((i.toLong, i.toLong)).toDF("k", "v").coalesce(1)))
+      // Lifetime A's periodic checkpoint for v<interval> is queued,
+      // held by the gate. The CHILD now kills and re-creates the table,
+      // replaying lifetime B to the same version number.
+      val javaBin = java.nio.file.Paths
+        .get(sys.props("java.home"), "bin", "java").toString
+      import scala.jdk.CollectionConverters._
+      val inherited = java.lang.management.ManagementFactory.getRuntimeMXBean
+        .getInputArguments.asScala.filter(a =>
+          a.startsWith("--add-opens") || a.startsWith("--add-exports") ||
+            a.startsWith("-D"))
+      val child = new ProcessBuilder(
+        (Seq(javaBin) ++ inherited ++ Seq("-Xmx2g", "-cp",
+          sys.props("java.class.path"),
+          "graft.sources.IdentityRaceChild", dir, interval.toString)).asJava)
+        .redirectErrorStream(true).start()
+      val out = new String(child.getInputStream.readAllBytes())
+      assert(child.waitFor() == 0 && out.contains("reinit-done"),
+        s"child re-init failed:\n$out")
+      // Release the in-flight write and drain the queue: the identity
+      // check (enqueue-time uuid vs the file the child stamped) must
+      // refuse to land A's state in B's log.
+      TxTable.checkpointGateForTest = None
+      gate.countDown()
+      TxTable.flushCheckpoints()
+      TxTable.clearSnapshotCache() // parent cache still holds lifetime A
+      val ks = TxTable.read(spark, dir).select("k").collect()
+        .map(_.getLong(0)).toSet
+      assert(ks == (1 to interval).map(100L + _).toSet,
+        s"cold resolve served a dead lifetime's state: $ks")
+      assert(!Files.exists(java.nio.file.Paths
+          .get(dir, "_log", f"v${interval.toLong}%016d.checkpoint")),
+        "the dead lifetime's deferred checkpoint landed in the new log " +
+          "(cross-process identity guard failed)")
+    } finally {
+      TxTable.checkpointGateForTest = None
+      gate.countDown()
+    }
+  }
 }
