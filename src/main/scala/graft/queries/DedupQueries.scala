@@ -565,6 +565,61 @@ object DedupQueries {
             CAST(len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs)) AS DOUBLE), 6) >= 0.5
         ORDER BY a, b""")),
 
+    // DEEP OPTIMIZE (optimizeIndex), oracle-gated — the gap=0 claim at
+    // corpus scale: erase a slice, ingest the next delta against the
+    // masked index (the documented recall window is now OPEN: stored
+    // pairs whose every shared shingle is live-rare but over-counted
+    // hot are missing), then run the deep tier — fold masks physical,
+    // re-derive groups from the docs ledger (hot-but-now-live-rare
+    // shingles revive at live df), re-mine pairs, re-fold components.
+    // The oracle is the PLAIN live-corpus mine with NO adjustment of
+    // any kind: not the full-mine-filtered-to-live model of
+    // q_dedup_erase_append (that is the window), but the from-scratch
+    // rebuild the deep tier converges to in place. The delta lands
+    // BEFORE the optimize so the re-mine must also recover old×old
+    // pairs no append ever revisits (candidacy improved under erasure
+    // — the invariant "df only grows" that makes per-append delta
+    // mining sufficient breaks exactly here, which is why this tier
+    // re-mines; see the README ADR).
+    QueryDef(
+      "q_dedup_optimize_full",
+      t => {
+        import graft.operators.{DedupIndex, Stages}
+        val all = t.documents.selectExpr("doc_id", s"$shs AS shs")
+        val dir = Stages.tempDir(t.spark, s"dedup_base:${t.dir}") { d =>
+          DedupIndex.build(t.spark, all.filter(col("doc_id") % 5 =!= 0),
+            d, ShingleDfCap)
+          DedupIndex.markBase(d)
+        }
+        DedupIndex.restoreBase(t.spark, dir)
+        val erased = all.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 7 === 3)
+          .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+        DedupIndex.deleteDocsDeferred(dir, erased)
+        DedupIndex.append(t.spark, all.filter(col("doc_id") % 5 === 0),
+          dir, ShingleDfCap)
+        DedupIndex.optimizeIndex(t.spark, dir, ShingleDfCap)
+        DedupIndex.pairs(t.spark, dir).orderBy(col("a"), col("b"))
+      },
+      Some(s"""
+        WITH sh0 AS $duckShingles,
+        sh AS (SELECT * FROM sh0 WHERE NOT (doc_id % 5 <> 0 AND doc_id % 7 = 3)),
+        inv AS (SELECT doc_id, unnest(shs) sh FROM sh),
+        df AS (SELECT sh, COUNT(*) n FROM inv GROUP BY sh),
+        inv2 AS (SELECT i.doc_id, i.sh FROM inv i JOIN df USING (sh)
+                 WHERE df.n <= $ShingleDfCap),
+        cand AS (
+          SELECT DISTINCT x.doc_id a, y.doc_id b
+          FROM inv2 x JOIN inv2 y ON x.sh = y.sh AND x.doc_id < y.doc_id)
+        SELECT a, b,
+          round(len(list_intersect(sa.shs, sb.shs)) /
+            CAST(len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs)) AS DOUBLE), 6) AS jaccard
+        FROM cand
+        JOIN sh sa ON a = sa.doc_id
+        JOIN sh sb ON b = sb.doc_id
+        WHERE round(len(list_intersect(sa.shs, sb.shs)) /
+            CAST(len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs)) AS DOUBLE), 6) >= 0.5
+        ORDER BY a, b""")),
+
     // SimHash near-dup: 32-bit shingle simhash per doc (map-side fold),
     // pigeonhole banding on 4 byte-chunks (hamming ≤ 3 ⇒ ≥1 chunk
     // equal), exact hamming verify on candidates only.
