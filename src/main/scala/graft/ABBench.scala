@@ -44,6 +44,23 @@ object ABBench {
     * sides by construction. Only these may be silently skipped. */
   private val ExtensionScope = Set("q_events_asof_native")
 
+  /** Movers (paired ratio outside [1/band, band]) present ON THE SAME
+    * SIDE in two independent A/B runs: a single run's mover is
+    * one-window noise by protocol (documented since r14's
+    * q_sample_customers), but one that REPRODUCES in a second
+    * independent interleaved run is a real code delta — the
+    * regression side must FAIL the run, not pass as a warning
+    * (r15 verdict queue #2). Pure so the spec can pin it. */
+  private[graft] def reproducedMovers(prev: Map[String, Double],
+                                      cur: Map[String, Double],
+                                      band: Double): Map[String, (Double, Double)] =
+    cur.flatMap { case (q, r) =>
+      prev.get(q).collect {
+        case p if p > band && r > band => q -> (p, r)         // reproduced regression
+        case p if p < 1 / band && r < 1 / band => q -> (p, r) // reproduced improvement
+      }
+    }
+
   /** Child-first loader: classes found in the jar shadow the runner's
     * app classpath (both graft.* and the org.apache.spark.sql bridge
     * classes shipped in the jar); everything else — Spark, Scala,
@@ -159,9 +176,37 @@ object ABBench {
     // Movers: paired ratio outside [1/band, band] — the only per-query
     // claims the host swing cannot explain away.
     val band = 1.3
-    val movers = out.collect {
-      case (n, (_, _, r, _)) if r > band || r < 1.0 / band =>
-        s""""${esc(n)}":${math.round(r * 1000) / 1000.0}"""
+    val curMovers: Map[String, Double] = out.collect {
+      case (n, (_, _, r, _)) if r > band || r < 1.0 / band => n -> r
+    }.toMap
+    // Reproduction gate: read the PRIOR artifact before overwriting it.
+    // Only a prior run of the SAME comparison (same jar paths) counts —
+    // a mover against a different baseline is a different code delta.
+    val prevMovers: Map[String, Double] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("AB_BENCH.json")))
+        val m = org.json4s.jackson.JsonMethods.parse(txt)
+        val samePair = (m \ "a_jar", m \ "b_jar") match {
+          case (org.json4s.JString(a), org.json4s.JString(b)) =>
+            a == jarA && b == jarB
+          case _ => false
+        }
+        if (!samePair) Map.empty
+        else (m \ "movers_beyond_1.3x") match {
+          case org.json4s.JObject(fields) => fields.collect {
+            case (k, org.json4s.JDouble(v)) => k -> v
+            case (k, org.json4s.JInt(v)) => k -> v.toDouble
+          }.toMap
+          case _ => Map.empty
+        }
+      } catch { case scala.util.control.NonFatal(_) => Map.empty }
+    val reproduced = reproducedMovers(prevMovers, curMovers, band)
+    val movers = curMovers.map { case (n, r) =>
+      s""""${esc(n)}":${math.round(r * 1000) / 1000.0}"""
+    }.mkString("{", ",", "}")
+    val reproducedJson = reproduced.map { case (n, (p, r)) =>
+      s""""${esc(n)}":[${math.round(p * 1000) / 1000.0},${math.round(r * 1000) / 1000.0}]"""
     }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
       .mkString("{", ",", "}")
@@ -173,7 +218,8 @@ object ABBench {
         s""""only_in_a":${onlyIn._1.size},"only_in_b":${onlyIn._2.size},""" +
         s""""total_a":$totalA,"total_b":$totalB,""" +
         s""""total_ratio":${math.round(totalB / totalA * 1000) / 1000.0},""" +
-        s""""movers_beyond_1.3x":$movers,"errors":$errJson,"queries":$qjson}"""
+        s""""movers_beyond_1.3x":$movers,"reproduced_movers":$reproducedJson,""" +
+        s""""errors":$errJson,"queries":$qjson}"""
     try {
       val w = new java.io.PrintWriter(new java.io.File("AB_BENCH.json"))
       try w.println(json) finally w.close()
@@ -181,6 +227,18 @@ object ABBench {
     println(json.take(2000)) // compact head; the full artifact is on disk
     if (errors.nonEmpty) {
       System.err.println(s"ab-bench: ${errors.size} queries incomplete: ${errors.keys.mkString(", ")}")
+      sys.exit(1)
+    }
+    // A REGRESSION that reproduces across two independent interleaved
+    // runs is a real code delta, not the host window — fail, don't
+    // warn (r15 queue #2). Reproduced IMPROVEMENTS are recorded in the
+    // artifact but don't gate.
+    val reproducedRegressions = reproduced.filter(_._2._2 > 1.0)
+    if (reproducedRegressions.nonEmpty) {
+      System.err.println("ab-bench: REPRODUCED regressions beyond the " +
+        s"band across independent runs: " +
+        reproducedRegressions.map { case (n, (p, r)) => s"$n ($p then $r)" }
+          .mkString(", "))
       sys.exit(1)
     }
   }
