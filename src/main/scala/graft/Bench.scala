@@ -92,6 +92,8 @@ object Bench {
       // dies before completing an append must not inherit the previous
       // query's (or any warmup pass's) decomposition under its own name.
       graft.operators.DedupIndex.lastAppendPhases.set(Nil)
+      graft.operators.DedupIndex.lastOptimizePhases.set(Nil)
+      graft.operators.PQIndexTx.lastOptimizePhases.set(Nil)
       val ts = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
         val ok =
@@ -112,6 +114,17 @@ object Bench {
           name == "q_dedup_erase_append" || name == "q_dedup_readmit") {
         val ph = graft.operators.DedupIndex.lastAppendPhases.get()
         if (ph.nonEmpty) phaseLog(name) = ph
+      }
+      // The deep tiers' decomposition (last rep's): the one
+      // corpus-shaped job per family, split so the sweep can ask WHICH
+      // phase scales instead of reading one opaque number.
+      if (name == "q_dedup_optimize_full") {
+        val ph = graft.operators.DedupIndex.lastOptimizePhases.get()
+        if (ph.nonEmpty) phaseLog(name) = ph.map { case (n, s) => ("opt_" + n, s) }
+      }
+      if (name == "q_embed_ivfpq_retrain") {
+        val ph = graft.operators.PQIndexTx.lastOptimizePhases.get()
+        if (ph.nonEmpty) phaseLog(name) = ph.map { case (n, s) => ("opt_" + n, s) }
       }
       if (ts.nonEmpty) Some(name -> ts) else None
     }

@@ -86,6 +86,15 @@ object DedupIndex {
   val lastAppendPhases =
     new java.util.concurrent.atomic.AtomicReference[Seq[(String, Double)]](Nil)
 
+  /** Last [[optimizeIndex]]'s per-phase wall timings — same channel as
+    * [[lastAppendPhases]]: the deep tier is the one job in this family
+    * whose cost is legitimately corpus-shaped, so at scale the operator
+    * question is "WHICH phase — the groups re-derive, the re-mine, or
+    * the CC re-fold?"; decomposed here so bench.json and the scale
+    * sweep answer it per SF instead of a profiler. */
+  val lastOptimizePhases =
+    new java.util.concurrent.atomic.AtomicReference[Seq[(String, Double)]](Nil)
+
   /** Default segment cap before [[append]] self-schedules compaction.
     * Every read folds all live segments ([[mergeSegments]]) and every
     * append broadcast-semi-scans them, so an unbounded append stream
@@ -1215,21 +1224,31 @@ object DedupIndex {
     * exact on both sides: served ⊆ rebuild always, spec-pinned).
     * Single-writer, like [[compact]]. */
   def optimizeIndex(spark: SparkSession, dir: String, cap: Int,
-                    maxIter: Int = 20): Unit = {
+                    maxIter: Int = 20): Seq[(String, Double)] = {
+    val phases = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    var mark = System.nanoTime()
+    def phase(name: String): Unit = {
+      val now = System.nanoTime()
+      phases(name) = phases.getOrElse(name, 0.0) + (now - mark) / 1e9
+      mark = now
+    }
     // Masks physical first: docs is the ledger the re-derive reads, and
     // stale value-keyed tombstones on pairs/components would suppress
     // re-mined rows of re-admitted ids. foldDeletes clears as it folds.
     StageTables.foreach(t => TxTable.foldDeletes(spark, s"$dir/$t"))
+    phase("mask_fold")
     val d = TxTable.read(spark, s"$dir/docs")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val grouped = groupsWithDf(inv(d), cap)
       .persist(StorageLevel.MEMORY_AND_DISK)
     putTable(spark, s"$dir/groups",
       grouped.repartitionByRange(col("sh")).sortWithinPartitions(col("sh")))
+    phase("groups_rederive")
     val rareCnt = grouped.filter(col("ids").isNotNull)
       .select(explode(col("ids")).as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("kc"))
     putTable(spark, s"$dir/pairs", boundedVerify(pairCounts(grouped), d, rareCnt))
+    phase("pair_mine_verify")
     val pairEdges = TxTable.read(spark, s"$dir/pairs")
       .select(col("a").as("src"), col("b").as("dst"))
     val edgeRows = pairEdges.limit(MaxReplaceKeys + 1).collect()
@@ -1242,12 +1261,15 @@ object DedupIndex {
     putTable(spark, s"$dir/components",
       comps.repartitionByRange(col("doc_id"))
         .sortWithinPartitions(col("doc_id")))
+    phase("cc_refold")
     // Docs itself only re-clusters (the fold above may have landed
     // key-clustered rewrite dirs off the doc_id range layout).
     TxTable.overwrite(spark, s"$dir/docs",
       d.repartitionByRange(col("doc_id")).sortWithinPartitions(col("doc_id")))
+    phase("docs_recluster")
     grouped.unpersist(); d.unpersist()
-    ()
+    lastOptimizePhases.set(phases.toSeq)
+    phases.toSeq
   }
 
   private val StageTables = Seq("docs", "groups", "pairs", "components")

@@ -64,15 +64,28 @@ object PQIndex {
   private[operators] def trainIVF(spark: SparkSession, v: DataFrame, dir: String,
                                   m: Int, dsub: Int, ksub: Int, iters: Int,
                                   coarseK: Int, coarseIters: Int)
+      : (Seq[KMeans.Cent], Seq[Seq[KMeans.Cent]]) =
+    trainIVFAt(spark, v, s"$dir/coarse", s"$dir/codebooks",
+      m, dsub, ksub, iters, coarseK, coarseIters)
+
+  /** [[trainIVF]] with EXPLICIT quantizer paths — what lets
+    * [[PQIndexTx.optimizeIndex]] stage a retrained epoch's quantizers
+    * in fresh directories and install them atomically with the
+    * re-encoded codes, instead of overwriting the serving pair in
+    * place under concurrent searches. */
+  private[operators] def trainIVFAt(spark: SparkSession, v: DataFrame,
+                                    coarsePath: String, cbsPath: String,
+                                    m: Int, dsub: Int, ksub: Int, iters: Int,
+                                    coarseK: Int, coarseIters: Int)
       : (Seq[KMeans.Cent], Seq[Seq[KMeans.Cent]]) = {
     val coarse = KMeans.fit(v, coarseK, coarseIters)
     val cbs = PQ.fit(v.select(col("vec_id"), col("e")), m, dsub, ksub, iters)
     import spark.implicits._
     coarse.map(ct => (ct.cl, ct.c, ct.cnsq)).toDF("cl", "c", "cnsq")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/coarse")
+      .coalesce(1).write.mode("overwrite").parquet(coarsePath)
     cbs.zipWithIndex.flatMap { case (cb, s) => cb.map(ct => (s, ct.cl, ct.c, ct.cnsq)) }
       .toDF("s", "code", "c", "cnsq")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+      .coalesce(1).write.mode("overwrite").parquet(cbsPath)
     (coarse, cbs)
   }
 
@@ -123,7 +136,12 @@ object PQIndex {
   }
 
   private[operators] def loadCoarse(spark: SparkSession, dir: String): Seq[KMeans.Cent] =
-    spark.read.parquet(s"$dir/coarse").select(col("cl"), col("c"), col("cnsq"))
+    loadCoarseAt(spark, s"$dir/coarse")
+
+  /** Stored coarse centroids from an EXPLICIT path (epoch-suffixed
+    * quantizer dirs — see [[PQIndexTx.optimizeIndex]]). */
+  private[operators] def loadCoarseAt(spark: SparkSession, path: String): Seq[KMeans.Cent] =
+    spark.read.parquet(path).select(col("cl"), col("c"), col("cnsq"))
       .collect()
       .map(r => KMeans.Cent(r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
       .sortBy(_.cl).toSeq
@@ -135,27 +153,31 @@ object PQIndex {
   def searchIVF(spark: SparkSession, dir: String, queries: DataFrame,
                 rerankVecs: DataFrame, dsub: Int, nprobe: Int,
                 shortlist: Int, topK: Int): DataFrame =
-    ivfSearchImpl(spark, dir, queries, rerankVecs, dsub, nprobe,
-      shortlist, topK) { allCells =>
+    ivfSearchImpl(spark, queries, rerankVecs, dsub, nprobe,
+      shortlist, topK, loadCoarse(spark, dir), loadCodebooks(spark, dir)) { allCells =>
       spark.read.parquet(s"$dir/codes")
         .filter(col("cell").isin(allCells: _*)) // → PartitionFilters on the scan
     }
 
   /** The IVF-ADC search plan shared by both codes layouts: probe cells
-    * from the stored coarse centroids, score the cell-pruned codes scan
+    * from the GIVEN coarse centroids, score the cell-pruned codes scan
     * (provided by `codesForCells` — partition-dir pruning for the Hive
     * layout, manifest stats pruning for [[PQIndexTx]]), shortlist,
     * exact rerank. The per-query cell gate stays in the expression, so
     * a scan that over-delivers cells (coarser pruning) changes cost,
-    * never results. */
-  private[operators] def ivfSearchImpl(spark: SparkSession, dir: String,
+    * never results. Quantizers are PARAMETERS (not loaded here) so a
+    * caller serving a transactional layout can resolve them and the
+    * codes scan from ONE snapshot — no window in which a concurrent
+    * retrain ([[PQIndexTx.optimizeIndex]]) mixes new codebooks with old
+    * codes. */
+  private[operators] def ivfSearchImpl(spark: SparkSession,
                                        queries: DataFrame, rerankVecs: DataFrame,
                                        dsub: Int, nprobe: Int,
-                                       shortlist: Int, topK: Int)
+                                       shortlist: Int, topK: Int,
+                                       coarse: Seq[KMeans.Cent],
+                                       cbs: Seq[Seq[KMeans.Cent]])
                                       (codesForCells: Seq[Long] => DataFrame)
       : DataFrame = {
-    val coarse = loadCoarse(spark, dir)
-    val cbs = loadCodebooks(spark, dir)
     val m = cbs.size
     val q = queries.selectExpr("vec_id AS q_id", "e AS qe",
       s"${VectorOps.normSq("e")} AS qnsq")
@@ -191,8 +213,13 @@ object PQIndex {
 
   /** Stored codebooks back as the driver-resident structure every
     * search needs (m·ksub rows — bounded by construction). */
-  def loadCodebooks(spark: SparkSession, dir: String): Seq[Seq[KMeans.Cent]] = {
-    val rows = spark.read.parquet(s"$dir/codebooks")
+  def loadCodebooks(spark: SparkSession, dir: String): Seq[Seq[KMeans.Cent]] =
+    loadCodebooksAt(spark, s"$dir/codebooks")
+
+  /** Stored PQ codebooks from an EXPLICIT path (epoch-suffixed
+    * quantizer dirs — see [[PQIndexTx.optimizeIndex]]). */
+  private[operators] def loadCodebooksAt(spark: SparkSession, path: String): Seq[Seq[KMeans.Cent]] = {
+    val rows = spark.read.parquet(path)
       .select(col("s"), col("code"), col("c"), col("cnsq")).collect()
     val m = rows.map(_.getInt(0)).max + 1
     (0 until m).map(s => rows.filter(_.getInt(0) == s)

@@ -41,6 +41,51 @@ object PQIndexTx {
 
   private def codesDir(dir: String) = s"$dir/codes"
 
+  /** Reserved writer key in the codes manifest's `txns` map carrying
+    * the index's QUANTIZER EPOCH. The quantizers (coarse centroids +
+    * PQ codebooks) live OUTSIDE the codes table, so "which codebooks
+    * decode these codes" must itself be versioned state or a retrain
+    * could leave searches mixing new codebooks with old codes. Epoch 0
+    * (key absent) is the build's legacy `coarse`/`codebooks` layout;
+    * [[optimizeIndex]] stages epoch E's retrained quantizers in fresh
+    * `coarse_e$E`/`codebooks_e$E` dirs and advances this key in the
+    * SAME atomic commit that installs the re-encoded codes — readers
+    * resolving quantizer paths and the codes scan from one snapshot
+    * can never observe a torn retrain. Riding `txns` reuses the exact
+    * carry-forward discipline writer watermarks already have (every
+    * commit form preserves the map; RESTORE rolls it back with the
+    * data, so time travel restores the matching quantizers too). */
+  private[operators] val QuantEpochKey = "__quantizers"
+
+  private[operators] def quantEpoch(snap: TxTable.Snapshot): Long =
+    snap.txns.getOrElse(QuantEpochKey, 0L)
+
+  /** (coarsePath, codebooksPath) for `epoch` — 0 is the build layout. */
+  private[operators] def quantPaths(dir: String, epoch: Long): (String, String) =
+    if (epoch == 0L) (s"$dir/coarse", s"$dir/codebooks")
+    else (s"$dir/coarse_e$epoch", s"$dir/codebooks_e$epoch")
+
+  private def loadQuant(spark: SparkSession, dir: String, epoch: Long)
+      : (Seq[KMeans.Cent], Seq[Seq[KMeans.Cent]]) = {
+    val (cp, bp) = quantPaths(dir, epoch)
+    (PQIndex.loadCoarseAt(spark, cp), PQIndex.loadCodebooksAt(spark, bp))
+  }
+
+  /** Last [[optimizeIndex]]'s per-phase wall timings (seconds) — same
+    * publication channel as [[DedupIndex.lastAppendPhases]]: graft.Bench
+    * attaches them to its artifact so the scale sweep can decompose the
+    * retrain tier's cost per SF instead of reading one opaque number. */
+  val lastOptimizePhases =
+    new java.util.concurrent.atomic.AtomicReference[Seq[(String, Double)]](Nil)
+
+  /** Test-only interleave points (the [[TxTable.checkpointGateForTest]]
+    * convention): run between an operation's planning and its commit so
+    * a spec can land a CONCURRENT writer deterministically in the race
+    * window. No-ops in production; a spec installs a self-clearing
+    * closure. */
+  @volatile private[operators] var appendRaceHookForTest: () => Unit = () => ()
+  @volatile private[operators] var optimizeRaceHookForTest: () => Unit = () => ()
+
   /** Driver bound on the manifest-planned dupe probe (the
     * [[graft.streaming.EventStore.MaxProbeKeys]] discipline): a delta
     * with more ids falls back to the exact broadcast semi-scan — the
@@ -126,9 +171,10 @@ object PQIndexTx {
     def replayed(snap: TxTable.Snapshot): Boolean = txn.exists {
       case (appId, batchId) => snap.txns.get(appId).exists(_ >= batchId)
     }
-    if (replayed(TxTable.snapshot(cd))) return false
-    val coarse = PQIndex.loadCoarse(spark, dir)
-    val cbs = PQIndex.loadCodebooks(spark, dir)
+    val snap0 = TxTable.snapshot(cd)
+    if (replayed(snap0)) return false
+    var loadedEpoch = quantEpoch(snap0)
+    var (coarse, cbs) = loadQuant(spark, dir, loadedEpoch)
     val delta0 = vecs.select(col("vec_id"), col("e"))
       .filter(col("vec_id") >= nq)
     val deltaRdd = delta0.rdd.localCheckpoint()
@@ -136,13 +182,28 @@ object PQIndexTx {
     var applied = false
     try {
       val idRows = delta.select(col("vec_id")).limit(MaxProbeKeys + 1).collect()
-      val enc = clustered(PQIndex.encodedIVF(
+      def encode() = clustered(PQIndex.encodedIVF(
         delta.selectExpr("vec_id", "e", s"${VectorOps.normSq("e")} AS nsq"),
         coarse, cbs, dsub, nq), files)
+      var enc = encode()
       var done = false
       while (!done) {
         val snap = TxTable.snapshot(cd)
         if (replayed(snap)) done = true // lost the race to our own replay: no-op
+        else if (quantEpoch(snap) != loadedEpoch) {
+          // A retrain ([[optimizeIndex]]) landed since the quantizers
+          // were loaded: codes encoded against the OLD epoch would be
+          // decoded by the NEW codebooks' LUTs — silently wrong ADC for
+          // every later search. Reload the snapshot's quantizers and
+          // re-encode before re-claiming. (The commit below claims
+          // snap.version + 1, so a retrain landing after this check
+          // surfaces as ConcurrentCommitException and re-enters here —
+          // stale-epoch codes can never land.)
+          loadedEpoch = quantEpoch(snap)
+          val q = loadQuant(spark, dir, loadedEpoch)
+          coarse = q._1; cbs = q._2
+          enc = encode()
+        }
         else if (collidesWithMask(spark, delta, idRows, snap)) {
           // FAISS `remove_ids` + `add(id)` parity: a delta id under an
           // OPEN tombstone would pass the dupe probe (the mask hides
@@ -168,6 +229,7 @@ object PQIndexTx {
               idRows.toSeq.map(_.getLong(0)), Some(snap)).count()
           require(dupes == 0L,
             s"appendIVF: $dupes delta vec_ids already encoded in $cd")
+          appendRaceHookForTest()
           try {
             TxTable.commit(spark, cd, enc, snap, keepExisting = true,
               txnUpdate = txn.map { case (a, b) => a -> b }.toMap)
@@ -208,14 +270,22 @@ object PQIndexTx {
   /** Same search plan as [[PQIndex.searchIVF]]; the codes scan reads
     * only the files whose manifest (cell, …) bounds intersect the
     * probed cells — [[TxTable.lookupKeys]] on the cell column, the
-    * stats twin of the Hive layout's PartitionFilters. */
+    * stats twin of the Hive layout's PartitionFilters. Quantizers and
+    * codes resolve from ONE snapshot: the manifest's epoch key names
+    * the quantizer dirs that encoded exactly this snapshot's codes, so
+    * a concurrent [[optimizeIndex]] flips a search atomically from
+    * (old quantizers, old codes) to (new, new) — never a mix. */
   def searchIVF(spark: SparkSession, dir: String, queries: DataFrame,
                 rerankVecs: DataFrame, dsub: Int, nprobe: Int,
-                shortlist: Int, topK: Int): DataFrame =
-    PQIndex.ivfSearchImpl(spark, dir, queries, rerankVecs, dsub, nprobe,
-      shortlist, topK) { allCells =>
-      TxTable.lookupKeys(spark, codesDir(dir), "cell", allCells)
+                shortlist: Int, topK: Int): DataFrame = {
+    val cd = codesDir(dir)
+    val snap = TxTable.snapshot(cd)
+    val (coarse, cbs) = loadQuant(spark, dir, quantEpoch(snap))
+    PQIndex.ivfSearchImpl(spark, queries, rerankVecs, dsub, nprobe,
+      shortlist, topK, coarse, cbs) { allCells =>
+      TxTable.lookupKeys(spark, cd, "cell", allCells, Some(snap))
     }
+  }
 
   /** Remove vectors BY ID — FAISS's `remove_ids` for the stored index,
     * as one carry-by-reference keyed replace
@@ -328,6 +398,133 @@ object PQIndexTx {
     val parts = math.max(1L, (foldBytes + targetBytes - 1) / targetBytes).toInt
     if (fold.size == 1 && foldFiles.size <= parts) return
     TxTable.compactDirs(spark, cd, snap, fold)(clustered(_, parts))
+    ()
+  }
+
+  /** DEEP OPTIMIZE: RETRAIN the coarse quantizer and PQ codebooks from
+    * the LIVE vectors and re-encode every live code — converging the
+    * index to exactly what a from-scratch [[buildIVF]] of the live
+    * corpus produces (FAISS's retrain/rebuild, the scheduled window
+    * every ANN deployment runs).
+    *
+    * Why a separate tier (the ADR [[DedupIndex.optimizeIndex]] wrote
+    * for dedup, mirrored here): [[appendIVF]] encodes deltas with the
+    * STORED quantizers — correct, replay-safe, and O(delta) — but
+    * under distribution shift the coarse cells and codebooks drift
+    * from the live corpus and recall decays with no scheduled fix;
+    * deletes make it worse (cells hollow out, centroids sit on erased
+    * mass). No per-append delta job can repair that: re-centering the
+    * quantizers invalidates EVERY stored code, so the repair is
+    * corpus-shaped by construction and belongs in its own tier.
+    *
+    * Mechanics — ONE atomic commit, lock-free against writers:
+    *   - `vecs` is the vector source searches already rerank from;
+    *     live ids come from the planning snapshot's codes (standing
+    *     key tombstones are excluded by the masked read, and the
+    *     whole-table replace commit folds them away by definition —
+    *     erasure becomes physical here for free). A live id missing
+    *     from `vecs` fails LOUDLY: a retrain must never silently
+    *     shrink the index.
+    *   - Epoch E's quantizers stage in FRESH dirs ([[quantPaths]]);
+    *     nothing points at them until the codes commit installs
+    *     [[QuantEpochKey]] → E. Searches resolve quantizers and codes
+    *     from one snapshot, so the flip is atomic for readers.
+    *   - The commit claims the PLANNING snapshot's successor: an
+    *     append/delete landing in between surfaces as
+    *     ConcurrentCommitException and the optimize RE-PLANS from the
+    *     fresh snapshot (its rows join the retrain) — a racing writer
+    *     is never clobbered, no single-writer convention needed. The
+    *     converse race is closed in [[appendImpl]]: an append that
+    *     loses to a retrain detects the epoch drift and re-encodes.
+    *   - Writer watermarks survive (the commit carries `txns` forward
+    *     minus nothing), so streaming maintainers' replay guards hold
+    *     across the retrain; RESTORE rolls epoch and codes back
+    *     together, reviving the matching old quantizers.
+    *
+    * Returns per-phase wall timings (also published via
+    * [[lastOptimizePhases]] for the bench/sweep artifacts): `plan`
+    * (live-id read + coverage check), `train` (coarse + PQ Lloyd
+    * fits), `encode_commit` (re-encode, cluster, manifest claim),
+    * plus `replan_lost_race` time when contended. */
+  def optimizeIndex(spark: SparkSession, vecs: DataFrame, dir: String,
+                    m: Int, dsub: Int, ksub: Int, iters: Int, nq: Int,
+                    coarseK: Int, coarseIters: Int, files: Int = 0)
+      : Seq[(String, Double)] = {
+    val cd = codesDir(dir)
+    val phases = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    var mark = System.nanoTime()
+    def phase(name: String): Unit = {
+      val now = System.nanoTime()
+      phases(name) = phases.getOrElse(name, 0.0) + (now - mark) / 1e9
+      mark = now
+    }
+    var done = false
+    while (!done) {
+      val snap = TxTable.snapshot(cd)
+      val epoch = quantEpoch(snap) + 1
+      val (cp, bp) = quantPaths(dir, epoch)
+      val live = TxTable.read(spark, cd, snap).select(col("vec_id"))
+      // Training input mirrors buildIVF's: the query-id rows (< nq,
+      // never encoded) plus the LIVE corpus rows — so the fixed point
+      // is literally a fresh build of the live corpus.
+      val v = vecs.select(col("vec_id"), col("e"))
+        .filter(col("vec_id") < nq)
+        .unionByName(
+          vecs.select(col("vec_id"), col("e")).filter(col("vec_id") >= nq)
+            .join(live, Seq("vec_id"), "left_semi"))
+        .selectExpr("vec_id", "e", s"${VectorOps.normSq("e")} AS nsq")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val nCorpus = v.filter(col("vec_id") >= nq).count()
+        val nLive = live.count()
+        require(nCorpus == nLive,
+          s"optimizeIndex: vector source covers $nCorpus of $nLive live " +
+            s"ids in $cd — retraining would silently drop the uncovered vectors")
+        phase("plan")
+        val (coarse, cbs) = PQIndex.trainIVFAt(spark, v, cp, bp,
+          m, dsub, ksub, iters, coarseK, coarseIters)
+        phase("train")
+        val enc = clustered(PQIndex.encodedIVF(v, coarse, cbs, dsub, nq),
+          if (files > 0) files else coarseK)
+        optimizeRaceHookForTest()
+        try {
+          TxTable.commit(spark, cd, enc, snap,
+            txnUpdate = Map(QuantEpochKey -> epoch))
+          phase("encode_commit")
+          done = true
+        } catch { case _: TxTable.ConcurrentCommitException =>
+          // A writer landed since planning: re-plan from the fresh
+          // snapshot so its rows join the retrain. Loses nothing —
+          // contention in a scheduled window is rare, and each retry
+          // pays one retrain, never silent clobber.
+          phase("replan_lost_race")
+        }
+      } finally v.unpersist()
+    }
+    lastOptimizePhases.set(phases.toSeq)
+    phases.toSeq
+  }
+
+  private def basePath(dir: String) = java.nio.file.Paths.get(dir, "BASE_VERSION")
+
+  /** Record the codes table's CURRENT version as the [[restoreBase]]
+    * point — [[DedupIndex.markBase]]'s shape for the ANN index: lets a
+    * benchmark replay the erase→append→retrain lifecycle repeatedly
+    * against an identical base with one manifest-only commit per reset. */
+  def markBase(dir: String): Unit = {
+    java.nio.file.Files.writeString(basePath(dir),
+      TxTable.snapshot(codesDir(dir)).version.toString)
+    ()
+  }
+
+  /** Reset the codes table to the [[markBase]] point (Delta RESTORE —
+    * manifest-only; data stays until vacuum). The quantizer EPOCH rolls
+    * back with the manifest's `txns`, so searches immediately serve the
+    * base epoch's quantizer dirs again — a restored index is consistent
+    * by the same one-snapshot rule as every other reader. */
+  def restoreBase(spark: SparkSession, dir: String): Unit = {
+    val v = java.nio.file.Files.readString(basePath(dir)).trim.toLong
+    TxTable.restore(spark, codesDir(dir), v)
     ()
   }
 }

@@ -141,6 +141,11 @@ object PQQueries {
   // fixture's corpus (≥ NQ, < TxSplit) so the delete bites at every SF.
   // (Declared before `defs`, which captures it at object init.)
   private val TxDeleteIds: Seq[Long] = Seq(10L, 11L, 42L, 137L, 256L)
+  // Ids erased BEFORE the retrain-lifecycle query's deep OPTIMIZE —
+  // inside the build slice (≥ TxSplit, < the smallest fixture's 500-row
+  // corpus) and disjoint from the appended [NQ, TxSplit) slice, so the
+  // erasure bites at every SF and the re-add path stays untouched.
+  private val RetrainEraseIds: Seq[Long] = Seq(310L, 333L, 421L, 444L, 498L)
 
   /** The combined oracle: coarse cosine k-means replay (c0..c3, reusing
     * EmbeddingQueries.duckKmeansIter — same `n`/`el` CTE contract),
@@ -148,16 +153,27 @@ object PQQueries {
     * centroids, then the PQ blocks with ADC restricted to probed cells.
     * `excludeIds` replays an index DELETE: removed vectors never score
     * (exactly the physical effect of [[graft.operators.PQIndexTx
-    * .deleteIds]] — their code rows are gone from the table). */
+    * .deleteIds]] — their code rows are gone from the table).
+    * `liveEraseIds` replays a RETRAIN after erasure instead: the ids
+    * leave the `n` CTE itself (query rows stay), so BOTH trainings,
+    * assignment, probing, ADC and rerank re-run over the live corpus —
+    * exactly [[graft.operators.PQIndexTx.optimizeIndex]]'s fixed point
+    * (a from-scratch build of the live corpus), not just a scoring
+    * filter. */
   private def ivfpqOracleSql: String = ivfpqOracleSql(Nil)
 
-  private def ivfpqOracleSql(excludeIds: Seq[Long]): String = {
+  private def ivfpqOracleSql(excludeIds: Seq[Long],
+                             liveEraseIds: Seq[Long] = Nil): String = {
     val adcSum = (0 until M)
       .map(s => s"MAX(CASE WHEN l.s = $s THEN l.d END)")
       .mkString("(", " + ", ")")
     val cos = s"round(${VectorOps.duckDot("v.e", "c.c", Dim)} / (sqrt(v.nsq) * sqrt(c.cnsq)), 6)"
+    val nSrc =
+      if (liveEraseIds.isEmpty) s"SELECT * FROM $duckNorms z"
+      else s"SELECT * FROM $duckNorms z WHERE vec_id < $NQ " +
+        s"OR vec_id NOT IN (${liveEraseIds.mkString(", ")})"
     s"""
-    WITH n AS (SELECT * FROM $duckNorms z),
+    WITH n AS ($nSrc),
     el AS (SELECT vec_id, unnest(generate_series(1, $Dim)) i, unnest(e) v FROM n),
     c0 AS (SELECT vec_id AS cl, e AS c, nsq AS cnsq FROM n WHERE vec_id < $CoarseK),
     ${(1 to CoarseIters).map(EmbeddingQueries.duckKmeansIter).mkString(",\n    ")},
@@ -372,6 +388,46 @@ object PQQueries {
           Dsub, NProbe, Shortlist, TopK)
       },
       Some(ivfpqOracleSql(TxDeleteIds))),
+
+    // DEEP OPTIMIZE (PQIndexTx.optimizeIndex), oracle-gated — the ANN
+    // twin of q_dedup_optimize_full: build encodes only vec_id ≥
+    // TxSplit, a slice is GDPR-erased (deferred tombstone), the
+    // [NQ, TxSplit) slice arrives by append with the STORED quantizers
+    // (the index now serves drifted quantizers trained on a corpus
+    // that no longer exists: erased mass still shapes the centroids,
+    // appended mass never did), THEN the scheduled retrain tier folds
+    // the masks, retrains coarse + PQ codebooks from the LIVE vectors,
+    // and re-encodes — one atomic commit installing codes and the
+    // quantizer-epoch pointer together. The oracle is the PLAIN
+    // retrained pipeline over the live corpus with NO adjustment (not
+    // the scoring-filter model of the delete queries): both Lloyd
+    // trainings, assignment, probing, ADC and rerank replay over
+    // exactly the live vectors — the convergence claim itself. Each
+    // run replays the whole lifecycle against a manifest-only restored
+    // base (markBase/restoreBase), so the bench number measures the
+    // erase→append→retrain path, not a memoized index.
+    QueryDef(
+      "q_embed_ivfpq_retrain",
+      t => {
+        import graft.operators.{PQIndexTx, Stages}
+        val idxDir = Stages.tempDir(t.spark, s"ivfpq_retrain_idx:${t.dir}") { d =>
+          PQIndexTx.buildIVF(t.spark, norms(t), d,
+            M, Dsub, Ksub, Iters, TxSplit, CoarseK, CoarseIters)
+          PQIndexTx.markBase(d)
+        }
+        PQIndexTx.restoreBase(t.spark, idxDir)
+        PQIndexTx.deleteIdsDeferred(idxDir, RetrainEraseIds)
+        PQIndexTx.appendIVF(t.spark,
+          norms(t).filter(col("vec_id") < TxSplit), idxDir, Dsub, NQ)
+        PQIndexTx.optimizeIndex(t.spark, norms(t), idxDir,
+          M, Dsub, Ksub, Iters, NQ, CoarseK, CoarseIters)
+        val vecs = norms(t)
+        PQIndexTx.searchIVF(t.spark, idxDir,
+          vecs.filter(col("vec_id") < NQ).select(col("vec_id"), col("e")),
+          vecs.select(col("vec_id"), col("e")),
+          Dsub, NProbe, Shortlist, TopK)
+      },
+      Some(ivfpqOracleSql(Nil, RetrainEraseIds))),
   )
 
   /** Train codebooks and build per-query ADC LUTs + query norms —

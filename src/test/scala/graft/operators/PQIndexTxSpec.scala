@@ -303,4 +303,154 @@ class PQIndexTxSpec extends SparkSpec {
       "re-compaction of an already-compact index committed a new version")
     vecs.unpersist()
   }
+
+  private val eraseIds = Seq(310L, 333L, 421L, 444L, 498L)
+
+  test("optimizeIndex: erase → append → retrain converges to a fresh build of the live corpus") {
+    val t = Tables(spark, SparkSpec.Sf0001)
+    val vecs = vecsOf(t).persist()
+    val dir = tmp("graft_pqtx_opt")
+    val dirFresh = tmp("graft_pqtx_optf")
+    PQIndexTx.buildIVF(spark, vecs, dir, m, dsub, ksub, iters, nq = 300,
+      coarseK, coarseIters)
+    PQIndexTx.deleteIdsDeferred(dir, eraseIds)
+    PQIndexTx.appendIVF(spark, vecs.filter(col("vec_id") < 300), dir,
+      dsub = dsub, nq = nq)
+    val ph = PQIndexTx.optimizeIndex(spark, vecs, dir,
+      m, dsub, ksub, iters, nq, coarseK, coarseIters)
+    assert(Set("plan", "train", "encode_commit").subsetOf(ph.map(_._1).toSet),
+      s"missing optimize phases: $ph")
+    val cd = s"$dir/codes"
+    val snap = TxTable.snapshot(cd)
+    assert(PQIndexTx.quantEpoch(snap) == 1L, "retrain did not advance the quantizer epoch")
+    assert(snap.dkeys.isEmpty, "optimize left a standing tombstone")
+    // The fixed point: a from-scratch build of the LIVE corpus (queries
+    // + every non-erased corpus vector).
+    val liveVecs = vecs.filter(col("vec_id") < nq || !col("vec_id").isInCollection(eraseIds))
+    PQIndexTx.buildIVF(spark, liveVecs, dirFresh, m, dsub, ksub, iters, nq,
+      coarseK, coarseIters)
+    def codes(d: String) = TxTable.read(spark, s"$d/codes")
+      .select(col("vec_id"), col("cell"), col("codes"))
+      .orderBy("vec_id").collect().toSeq.map(_.toSeq)
+    assert(codes(dir) === codes(dirFresh),
+      "retrained codes diverged from the fresh live-corpus build")
+    assert(search(dir, vecs) === search(dirFresh, vecs),
+      "served neighbors diverged from the rebuilt index's")
+    vecs.unpersist()
+  }
+
+  test("optimizeIndex: a live id missing from the vector source fails loudly") {
+    val t = Tables(spark, SparkSpec.Sf0001)
+    val vecs = vecsOf(t).persist()
+    val dir = tmp("graft_pqtx_optm")
+    PQIndexTx.buildIVF(spark, vecs, dir, m, dsub, ksub, iters, nq,
+      coarseK, coarseIters)
+    val holed = vecs.filter(col("vec_id") =!= 42L)
+    val e = intercept[IllegalArgumentException] {
+      PQIndexTx.optimizeIndex(spark, holed, dir,
+        m, dsub, ksub, iters, nq, coarseK, coarseIters)
+    }
+    assert(e.getMessage.contains("live"), s"wrong failure: ${e.getMessage}")
+    vecs.unpersist()
+  }
+
+  test("optimizeIndex carries writer watermarks; restore rolls epoch back with the codes") {
+    val t = Tables(spark, SparkSpec.Sf0001)
+    val vecs = vecsOf(t).persist()
+    val dir = tmp("graft_pqtx_optw")
+    PQIndexTx.buildIVF(spark, vecs, dir, m, dsub, ksub, iters, nq = 300,
+      coarseK, coarseIters)
+    PQIndexTx.markBase(dir)
+    val cd = s"$dir/codes"
+    val base = TxTable.read(spark, cd).count()
+    val b0 = vecs.filter(col("vec_id") >= 5 && col("vec_id") < 150)
+    val b1 = vecs.filter(col("vec_id") >= 150 && col("vec_id") < 300)
+    assert(PQIndexTx.appendIVFIfNew(spark, b0, dir, dsub, "fb", 0L))
+    PQIndexTx.optimizeIndex(spark, vecs, dir,
+      m, dsub, ksub, iters, nq, coarseK, coarseIters)
+    assert(PQIndexTx.quantEpoch(TxTable.snapshot(cd)) == 1L)
+    // The retrain's whole-table replace must NOT eat the maintainer's
+    // replay guard: batch 0 stays recorded, batch 1 is genuinely new.
+    assert(!PQIndexTx.appendIVFIfNew(spark, b0, dir, dsub, "fb", 0L),
+      "replayed batch re-applied after the retrain — watermark lost")
+    assert(PQIndexTx.appendIVFIfNew(spark, b1, dir, dsub, "fb", 1L))
+    assert(TxTable.read(spark, cd).count() == base + b0.count() + b1.count())
+    assert(search(dir, vecs).nonEmpty)
+    // RESTORE: codes, watermarks AND epoch roll back together — the
+    // base serves its own (epoch-0) quantizers again.
+    PQIndexTx.restoreBase(spark, dir)
+    val snapBase = TxTable.snapshot(cd)
+    assert(PQIndexTx.quantEpoch(snapBase) == 0L, "epoch did not roll back with the restore")
+    assert(TxTable.read(spark, cd).count() == base)
+    assert(PQIndexTx.appendIVFIfNew(spark, b0, dir, dsub, "fb", 0L),
+      "batch 0 should re-apply after restore (watermark must roll back too)")
+    vecs.unpersist()
+  }
+
+  test("an append racing the retrain is never lost: optimize re-plans and retrains over it") {
+    val t = Tables(spark, SparkSpec.Sf0001)
+    val vecs = vecsOf(t).persist()
+    val dir = tmp("graft_pqtx_optr")
+    val dirFresh = tmp("graft_pqtx_optrf")
+    PQIndexTx.buildIVF(spark, vecs, dir, m, dsub, ksub, iters, nq = 300,
+      coarseK, coarseIters)
+    // Land a delta INSIDE the optimize's plan→commit window (the
+    // deterministic interleave the hook exists for).
+    PQIndexTx.optimizeRaceHookForTest = () => {
+      PQIndexTx.optimizeRaceHookForTest = () => ()
+      PQIndexTx.appendIVF(spark, vecs.filter(col("vec_id") < 300), dir,
+        dsub = dsub, nq = nq)
+    }
+    val ph =
+      try PQIndexTx.optimizeIndex(spark, vecs, dir,
+        m, dsub, ksub, iters, nq, coarseK, coarseIters)
+      finally PQIndexTx.optimizeRaceHookForTest = () => ()
+    assert(ph.map(_._1).contains("replan_lost_race"),
+      s"the optimize should have lost its first claim and re-planned: $ph")
+    assert(PQIndexTx.quantEpoch(TxTable.snapshot(s"$dir/codes")) == 1L)
+    // The re-plan saw the raced-in delta, so the fixed point is a fresh
+    // build of the FULL corpus — the racing append was never clobbered.
+    PQIndexTx.buildIVF(spark, vecs, dirFresh, m, dsub, ksub, iters, nq,
+      coarseK, coarseIters)
+    def codes(d: String) = TxTable.read(spark, s"$d/codes")
+      .select(col("vec_id"), col("cell"), col("codes"))
+      .orderBy("vec_id").collect().toSeq.map(_.toSeq)
+    assert(codes(dir) === codes(dirFresh),
+      "the raced append's rows were lost or encoded stale")
+    assert(search(dir, vecs) === search(dirFresh, vecs))
+    vecs.unpersist()
+  }
+
+  test("a retrain landing inside an append's race window forces the delta to re-encode at the new epoch") {
+    val t = Tables(spark, SparkSpec.Sf0001)
+    val vecs = vecsOf(t).persist()
+    val dir = tmp("graft_pqtx_opta")
+    val dirRef = tmp("graft_pqtx_optar")
+    Seq(dir, dirRef).foreach(d => PQIndexTx.buildIVF(spark, vecs, d,
+      m, dsub, ksub, iters, nq = 300, coarseK, coarseIters))
+    // Sequential reference: retrain THEN append (no race).
+    PQIndexTx.optimizeIndex(spark, vecs, dirRef,
+      m, dsub, ksub, iters, nq, coarseK, coarseIters)
+    PQIndexTx.appendIVF(spark, vecs.filter(col("vec_id") < 300), dirRef,
+      dsub = dsub, nq = nq)
+    // Raced: the retrain lands between the append's dupe probe and its
+    // commit — the append must detect the epoch drift and re-encode
+    // with the NEW quantizers (stale-epoch codes must never land).
+    PQIndexTx.appendRaceHookForTest = () => {
+      PQIndexTx.appendRaceHookForTest = () => ()
+      PQIndexTx.optimizeIndex(spark, vecs, dir,
+        m, dsub, ksub, iters, nq, coarseK, coarseIters)
+      ()
+    }
+    try PQIndexTx.appendIVF(spark, vecs.filter(col("vec_id") < 300), dir,
+      dsub = dsub, nq = nq)
+    finally PQIndexTx.appendRaceHookForTest = () => ()
+    def codes(d: String) = TxTable.read(spark, s"$d/codes")
+      .select(col("vec_id"), col("cell"), col("codes"))
+      .orderBy("vec_id").collect().toSeq.map(_.toSeq)
+    assert(codes(dir) === codes(dirRef),
+      "the raced append landed codes encoded with the pre-retrain quantizers")
+    assert(search(dir, vecs) === search(dirRef, vecs))
+    vecs.unpersist()
+  }
 }
