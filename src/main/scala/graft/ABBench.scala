@@ -100,6 +100,23 @@ object ABBench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
 
+    // CONTENT identity of the two builds, for the reproduction gate:
+    // the round protocol rebuilds the B jar in place at a fixed path,
+    // so "same jar path" does not mean "same code" — a prior artifact
+    // from different bytes at the same paths must not arbitrate
+    // reproduction. Checksums decide; paths are display metadata.
+    def jarSum(p: String): String = {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      val in = java.nio.file.Files.newInputStream(java.nio.file.Paths.get(p))
+      try {
+        val buf = new Array[Byte](1 << 16)
+        var n = in.read(buf)
+        while (n >= 0) { if (n > 0) md.update(buf, 0, n); n = in.read(buf) }
+      } finally in.close()
+      md.digest().map("%02x".format(_)).mkString
+    }
+    val (sumA, sumB) = (jarSum(jarA), jarSum(jarB))
+
     val parent = getClass.getClassLoader
     val ldA = new ChildFirst(new java.io.File(jarA).toURI.toURL, parent)
     val ldB = new ChildFirst(new java.io.File(jarB).toURI.toURL, parent)
@@ -180,17 +197,29 @@ object ABBench {
       case (n, (_, _, r, _)) if r > band || r < 1.0 / band => n -> r
     }.toMap
     // Reproduction gate: read the PRIOR artifact before overwriting it.
-    // Only a prior run of the SAME comparison (same jar paths) counts —
-    // a mover against a different baseline is a different code delta.
-    val prevMovers: Map[String, Double] =
-      try {
-        val txt = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get("AB_BENCH.json")))
+    // Only a prior run of the SAME comparison counts — decided by jar
+    // CONTENT checksums (a_jarsum/b_jarsum), since the protocol
+    // rebuilds jars in place at fixed paths; a pre-checksum legacy
+    // artifact falls back to path equality. A prior artifact that
+    // EXISTS but cannot be parsed silently disabling the gate would
+    // turn the fail-on-reproduced-regression guarantee off with no
+    // signal — warn on stderr instead.
+    val prevMovers: Map[String, Double] = {
+      val f = java.nio.file.Paths.get("AB_BENCH.json")
+      if (!java.nio.file.Files.exists(f)) Map.empty
+      else try {
+        val txt = new String(java.nio.file.Files.readAllBytes(f))
         val m = org.json4s.jackson.JsonMethods.parse(txt)
-        val samePair = (m \ "a_jar", m \ "b_jar") match {
-          case (org.json4s.JString(a), org.json4s.JString(b)) =>
-            a == jarA && b == jarB
-          case _ => false
+        val samePair = ((m \ "a_jarsum", m \ "b_jarsum") match {
+          case (org.json4s.JString(a), org.json4s.JString(b)) => Some((a, b))
+          case _ => None
+        }) match {
+          case Some((a, b)) => a == sumA && b == sumB
+          case None => (m \ "a_jar", m \ "b_jar") match { // legacy artifact
+            case (org.json4s.JString(a), org.json4s.JString(b)) =>
+              a == jarA && b == jarB
+            case _ => false
+          }
         }
         if (!samePair) Map.empty
         else (m \ "movers_beyond_1.3x") match {
@@ -200,7 +229,14 @@ object ABBench {
           }.toMap
           case _ => Map.empty
         }
-      } catch { case scala.util.control.NonFatal(_) => Map.empty }
+      } catch { case scala.util.control.NonFatal(e) =>
+        System.err.println("ab-bench: AB_BENCH.json exists but could not " +
+          s"be read (${e.getClass.getSimpleName}: " +
+          s"${Option(e.getMessage).getOrElse("").take(120)}) — the " +
+          "reproduction gate is DISABLED for this run")
+        Map.empty
+      }
+    }
     val reproduced = reproducedMovers(prevMovers, curMovers, band)
     val movers = curMovers.map { case (n, r) =>
       s""""${esc(n)}":${math.round(r * 1000) / 1000.0}"""
@@ -213,6 +249,7 @@ object ABBench {
     val skipJson = skipped.map(s => s""""${esc(s)}"""").mkString("[", ",", "]")
     val json =
       s"""{"metric":"ab_paired","a_jar":"${esc(jarA)}","b_jar":"${esc(jarB)}",""" +
+        s""""a_jarsum":"$sumA","b_jarsum":"$sumB",""" +
         s""""sf":"${esc(sfDir)}","reps":$reps,"queries_compared":${out.size},""" +
         s""""skipped_extension_scope":$skipJson,""" +
         s""""only_in_a":${onlyIn._1.size},"only_in_b":${onlyIn._2.size},""" +

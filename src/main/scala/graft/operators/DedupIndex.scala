@@ -74,9 +74,9 @@ object DedupIndex {
     * to the purge's live-reset df (a rebuild-scale re-admission mines
     * under the same live df a scheduled OPTIMIZE would leave) — both
     * models are pinned by DedupReadmitModelSpec, and the escape branch
-    * itself by its low-bound seam test. A `var` solely so the spec can
-    * force the escape on fixture-sized residue sets. */
-  private[operators] var ResidueStripKeys = 10000
+    * itself by its low-bound seam test (which lowers the bound through
+    * [[append]]'s `residueStripKeys` parameter — no mutable global). */
+  private[operators] val ResidueStripKeys = 10000
 
   /** Last [[append]]'s per-phase wall timings (seconds), as returned by
     * the call — published so a harness (graft.Bench) can attach them to
@@ -371,7 +371,9 @@ object DedupIndex {
   def append(spark: SparkSession, newDocs: DataFrame, dir: String, cap: Int,
              maxIter: Int = 20,
              autoCompactSegments: Int = AutoCompactSegments,
-             txn: Option[(String, Long)] = None): Seq[(String, Double)] = {
+             txn: Option[(String, Long)] = None,
+             txnExtra: Map[String, Long] = Map.empty,
+             residueStripKeys: Int = ResidueStripKeys): Seq[(String, Double)] = {
     // Per-phase wall timings (seconds), returned so the caller can tell
     // the delta-proportional work (mine/recheck/fold) from fixed
     // per-append overhead (stage writes, commit claims). Opt-in stderr
@@ -592,15 +594,15 @@ object DedupIndex {
     // over-count, same as every other erased id.
     val residue = sideMerged0.select(explode(col("oids")).as("doc_id"))
       .join(broadcast(newIds), Seq("doc_id"), "left_semi")
-      .distinct().limit(ResidueStripKeys + 1).collect()
+      .distinct().limit(residueStripKeys + 1).collect()
       .map(_.getLong(0)).toSeq
     val sideMerged =
       if (residue.isEmpty) sideMerged0
       else {
         sideMerged0.unpersist()
-        if (residue.length <= ResidueStripKeys) mergedSides(ogDelta0, residue)
+        if (residue.length <= residueStripKeys) mergedSides(ogDelta0, residue)
         else {
-          // Rebuild-scale re-admission (> ResidueStripKeys residual
+          // Rebuild-scale re-admission (> residueStripKeys residual
           // ids): a per-row array_except set that size would cost
           // O(rows × residue) — run the scheduled OPTIMIZE's groups
           // purge instead (membership re-derived against the docs
@@ -803,7 +805,11 @@ object DedupIndex {
     // loudly (CdcSync.docsToDedup) instead of mistaking the half-landed
     // batch for a fully-replayed one and silently dropping the
     // unclaimed tables. lastBatch still reads groups only.
-    val txnMap = txn.map(t => Map(t._1 -> t._2)).getOrElse(Map.empty[String, Long])
+    // txnExtra rides the same claims as the watermark (docs first,
+    // groups last) — a CDC consumer's covered source high-water shares
+    // the seal's atomicity and its between-claims crash signature.
+    val txnMap =
+      txn.map(t => Map(t._1 -> t._2)).getOrElse(Map.empty[String, Long]) ++ txnExtra
     if (newPairsCount == 0L && droppedCount == 0L) {
       TxTable.commitStaged(spark, s"$dir/docs", uDocs, docsSchema,
         keepExisting = true, txnUpdate = txnMap)

@@ -166,7 +166,8 @@ object PQIndexTx {
 
   private def appendImpl(spark: SparkSession, vecs: DataFrame, dir: String,
                          dsub: Int, nq: Int, files: Int,
-                         txn: Option[(String, Long)]): Boolean = {
+                         txn: Option[(String, Long)],
+                         txnExtra: Map[String, Long] = Map.empty): Boolean = {
     val cd = codesDir(dir)
     def replayed(snap: TxTable.Snapshot): Boolean = txn.exists {
       case (appId, batchId) => snap.txns.get(appId).exists(_ >= batchId)
@@ -232,7 +233,7 @@ object PQIndexTx {
           appendRaceHookForTest()
           try {
             TxTable.commit(spark, cd, enc, snap, keepExisting = true,
-              txnUpdate = txn.map { case (a, b) => a -> b }.toMap)
+              txnUpdate = txn.map { case (a, b) => a -> b }.toMap ++ txnExtra)
             applied = true
             done = true
           } catch { case _: TxTable.ConcurrentCommitException => () } // re-probe
@@ -264,8 +265,10 @@ object PQIndexTx {
     * fragment the index one dir per micro-batch forever. */
   def appendIVFIfNew(spark: SparkSession, vecs: DataFrame, dir: String,
                      dsub: Int, appId: String, batchId: Long,
-                     nq: Int = 0, files: Int = 1): Boolean =
-    appendImpl(spark, vecs, dir, dsub, nq, files, txn = Some((appId, batchId)))
+                     nq: Int = 0, files: Int = 1,
+                     txnExtra: Map[String, Long] = Map.empty): Boolean =
+    appendImpl(spark, vecs, dir, dsub, nq, files, txn = Some((appId, batchId)),
+      txnExtra = txnExtra)
 
   /** Same search plan as [[PQIndex.searchIVF]]; the codes scan reads
     * only the files whose manifest (cell, …) bounds intersect the

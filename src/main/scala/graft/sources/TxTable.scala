@@ -1086,6 +1086,19 @@ object TxTable {
         mergeKeyLists(acc, ev.dkeysAdded)
       }
 
+  /** [[deletedKeysBetween]] with COMMIT ATTRIBUTION — one entry per
+    * tombstone commit in `(since, to]`, in version order. The change
+    * feed's delete half rides this so every delete row can carry
+    * [[CommitVersionCol]]: a consumer that records the source versions
+    * it has sealed can then skip a replayed delete MECHANICALLY (its
+    * version is ≤ the recorded high-water) instead of guessing from
+    * liveness. Same cost as the unversioned form — [[changeEvents]]
+    * already walks per version. */
+  def deletedKeysVersionedBetween(dir: String, sinceVersion: Long,
+                                  toVersion: Long): Seq[(Long, Map[String, Seq[String]])] =
+    changeEvents(dir, snapshotAt(dir, sinceVersion), toVersion)
+      .filter(_.dkeysAdded.nonEmpty).map(ev => (ev.version, ev.dkeysAdded))
+
   /** Union of two per-column key lists (order-preserving, deduped). */
   private def mergeKeyLists(a: Map[String, Seq[String]],
                             b: Map[String, Seq[String]]): Map[String, Seq[String]] =
@@ -1977,16 +1990,21 @@ object TxTable {
     * so there is no window in which the batch is committed but
     * unrecorded (the duplication window a plain append + side-channel
     * marker would have). Batch ids must be monotone per appId — Spark's
-    * micro-batch ids are. */
+    * micro-batch ids are. `txnExtra` rides additional writer-metadata
+    * entries in the SAME atomic commit (e.g. a CDC consumer's covered
+    * source high-water — [[graft.streaming.CdcSync.CoversKey]]); they
+    * share the watermark's atomicity, so "batch landed" and "its
+    * source range is covered" can never be observed apart. */
   def appendIfNew(spark: SparkSession, dir: String, df: DataFrame,
-                  appId: String, batchId: Long): (Snapshot, Boolean) = {
+                  appId: String, batchId: Long,
+                  txnExtra: Map[String, Long] = Map.empty): (Snapshot, Boolean) = {
     var applied = false
     val snap = retrying(dir) { s =>
       if (s.txns.get(appId).exists(_ >= batchId)) { applied = false; s }
       else {
         applied = true
         commit(spark, dir, df, s, keepExisting = true,
-          txnUpdate = Map(appId -> batchId))
+          txnUpdate = Map(appId -> batchId) ++ txnExtra)
       }
     }
     (snap, applied)
@@ -2178,6 +2196,65 @@ object TxTable {
     // replace, an overwrite, a restore) destroys row-level change
     // attribution and fails loudly, as before.
     rewriteTolerantChanges(spark, dir, since, to)
+  }
+
+  /** Delta CDF's `_commit_version` column: which commit added a row.
+    * Carried by [[readChangesVersioned]] and the graft-txtable change
+    * feed's rows (inserts AND key-only deletes). */
+  val CommitVersionCol = "_commit_version"
+
+  /** [[readChanges]] with per-row COMMIT ATTRIBUTION: every delivered
+    * row carries [[CommitVersionCol]] = the version of the commit that
+    * added it (Delta CDF's `_commit_version`). This is what lets a
+    * re-seeded change-feed consumer — fresh checkpoint, fresh appId,
+    * arbitrary new batch boundaries — decide row-by-row whether its
+    * sink already holds a change (version ≤ the sink's recorded source
+    * high-water) with no liveness heuristics at all.
+    *
+    * Cost: one scan per commit in the range instead of [[readChanges]]'
+    * single endpoint-diff scan — attribution requires per-version
+    * delivery (Delta CDF pays the same shape); pacing bounds the range,
+    * and each scan reads only that commit's added dirs. Same
+    * append-only contract and rewrite tolerance as [[readChanges]]:
+    * rows added before a later in-range fold are masked by that fold's
+    * keys plus the head tombstones, so a key folded-then-re-added in
+    * range flows exactly once, at its re-add version. */
+  def readChangesVersioned(spark: SparkSession, dir: String,
+                           sinceVersion: Long, to: Snapshot): DataFrame = {
+    val schema = StructType.fromDDL(to.schemaDdl)
+    val outSchema = StructType(schema.fields :+
+      org.apache.spark.sql.types.StructField(CommitVersionCol,
+        org.apache.spark.sql.types.LongType, nullable = true))
+    def empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+    if (to.version == sinceVersion) return empty
+    require(sinceVersion < to.version,
+      s"sinceVersion $sinceVersion is newer than $dir's version ${to.version}")
+    val since = snapshotAt(dir, sinceVersion)
+    val evs = changeEvents(dir, since, to.version)
+    evs.filterNot(_.rewrite).foreach { ev =>
+      require(ev.removedDirs.isEmpty && ev.excludesGrew.isEmpty,
+        s"$dir is not append-only over (${since.version}, ${to.version}]: " +
+          s"v${ev.version} rewrote or compacted data dirs without the " +
+          "layout-only marker (a keyed replace or overwrite) — re-seed the " +
+          "consumer from a full snapshot instead")
+      require(ev.dkeysFolded.isEmpty,
+        s"$dir: v${ev.version} dropped tombstones without a layout-only " +
+          "rewrite — re-seed the consumer from a full snapshot instead")
+    }
+    val rewrites = evs.filter(_.rewrite)
+    import org.apache.spark.sql.functions.lit
+    val frames = evs.filter(e => !e.rewrite && e.addedDirs.nonEmpty).map { ev =>
+      val foldMask = rewrites.filter(_.version > ev.version)
+        .foldLeft(Map.empty[String, Seq[String]]) { (acc, r) =>
+          mergeKeyLists(acc, r.dkeysFolded)
+        }
+      val paths = ev.addedDirs.map(d => s"$dir/data/$d")
+      applyDeletes(spark.read.schema(schema).parquet(paths: _*),
+        to.copy(dkeys = mergeKeyLists(to.dkeys, foldMask)))
+        .withColumn(CommitVersionCol, lit(ev.version))
+    }
+    frames.reduceOption(_ unionByName _).getOrElse(empty)
   }
 
   /** [[readChanges]] over a range containing rewrite-marked layout

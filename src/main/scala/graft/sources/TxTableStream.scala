@@ -184,13 +184,22 @@ private[sources] object TxTableSource {
     * against either reads the same). */
   val ChangeTypeCol = "_change_type"
 
-  /** Base table schema + `_change_type`, all nullable: delete rows
-    * carry ONLY their key column, so every other field must admit
-    * null (insert rows only ever widen nullability under union). */
+  /** Delta CDF's commit-attribution column: the source commit version
+    * that added (or tombstoned) each row. What makes replay decisions
+    * MECHANICAL for a consumer that records the versions it sealed —
+    * see [[graft.streaming.CdcSync]]. */
+  val CommitVersionCol = TxTable.CommitVersionCol
+
+  /** Base table schema + `_change_type` + `_commit_version`, all
+    * nullable: delete rows carry ONLY their key column (plus the two
+    * feed columns), so every other field must admit null (insert rows
+    * only ever widen nullability under union). */
   def cdfSchema(base: StructType): StructType =
     StructType(base.fields.map(_.copy(nullable = true)) :+
       org.apache.spark.sql.types.StructField(ChangeTypeCol,
-        org.apache.spark.sql.types.StringType, nullable = true))
+        org.apache.spark.sql.types.StringType, nullable = true) :+
+      org.apache.spark.sql.types.StructField(CommitVersionCol,
+        org.apache.spark.sql.types.LongType, nullable = true))
 }
 
 private[sources] final class TxTableSource(
@@ -316,9 +325,19 @@ private[sources] final class TxTableSource(
       case None if snapshotStart => None // snapshot batch: no delete half
       case None => Some(baseVersion)
     }
-    val batch0 = since match {
-      case Some(s) => TxTable.readChanges(spark, dir, s, endV)
-      case None => TxTable.read(spark, dir, TxTable.snapshotAt(dir, endV))
+    // CDF batches deliver PER COMMIT (readChangesVersioned) so every
+    // row carries its `_commit_version`; the snapshot-first batch is
+    // one unit covering everything ≤ endV and tags endV. The plain
+    // stream keeps the single endpoint-diff scan.
+    val batch0 = (since, cdf) match {
+      case (Some(s), true) =>
+        TxTable.readChangesVersioned(spark, dir, s, TxTable.snapshotAt(dir, endV))
+      case (Some(s), false) => TxTable.readChanges(spark, dir, s, endV)
+      case (None, _) =>
+        val snap = TxTable.read(spark, dir, TxTable.snapshotAt(dir, endV))
+        if (cdf) snap.withColumn(TxTableSource.CommitVersionCol,
+          org.apache.spark.sql.functions.lit(endV))
+        else snap
     }
     val batch = padToBase(batch0)
     val out = if (!cdf) batch else cdfBatch(batch, since, endV)
@@ -332,47 +351,60 @@ private[sources] final class TxTableSource(
     * columns pass through by name, later-added ones read as typed
     * nulls (prior files have no values for them — the same rows a
     * batch read of the old version under the new schema yields). */
-  private def padToBase(df: DataFrame): DataFrame =
-    if (df.schema.fieldNames.sameElements(baseSchema.fieldNames)) df
+  private def padToBase(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    // The CDF attribution column rides through the pad untouched.
+    val extras = df.schema.fieldNames
+      .filter(_ == TxTableSource.CommitVersionCol).toIndexedSeq
+    if (df.schema.fieldNames.toSeq == baseSchema.fieldNames.toSeq ++ extras) df
     else {
-      import org.apache.spark.sql.functions.{col, lit}
       val have = df.schema.fieldNames.toSet
       df.select(baseSchema.fields.toIndexedSeq.map { f =>
         if (have(f.name)) col(s"`${f.name.replace("`", "``")}`")
         else lit(null).cast(f.dataType).as(f.name)
-      }: _*)
+      } ++ extras.map(col(_)): _*)
     }
+  }
 
   /** The change-feed form of a batch: appended rows tagged `insert`,
     * plus one `delete` row per key tombstoned in `(since, end]` —
     * holding only its key column (the engine deletes by key; there is
     * no row pre-image to deliver, and the key is the entire deletion
-    * record a downstream index needs). Tombstone lists are bounded by
+    * record a downstream index needs) and its tombstone commit's
+    * `_commit_version`. Tombstone lists are bounded by
     * [[TxTable.MaxTombstones]], so the local-relation build is
-    * driver-cheap at any scale. */
+    * driver-cheap at any scale. `batch` already carries per-row
+    * commit versions (readChangesVersioned / the tagged snapshot). */
   private def cdfBatch(batch: DataFrame, since: Option[Long],
                        endV: Long): DataFrame = {
-    import org.apache.spark.sql.functions.lit
+    import org.apache.spark.sql.functions.{col, lit}
+    val out = TxTableSource.cdfSchema(baseSchema)
     val ins = batch.withColumn(TxTableSource.ChangeTypeCol, lit("insert"))
-    val dels = since.map(s => TxTable.deletedKeysBetween(dir, s, endV))
-      .getOrElse(Map.empty)
+    val dels = since.map(s => TxTable.deletedKeysVersionedBetween(dir, s, endV))
+      .getOrElse(Nil)
     val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
-    dels.foreach { case (c, vals) =>
-      val idx = baseSchema.fieldIndex(c)
-      val typed: Seq[Any] = baseSchema(c).dataType match {
-        case org.apache.spark.sql.types.LongType => vals.map(_.toLong)
-        case _ => vals
-      }
-      typed.foreach { v =>
-        val arr = new Array[Any](baseSchema.length + 1)
-        arr(idx) = v
-        arr(baseSchema.length) = "delete"
-        rows.add(org.apache.spark.sql.Row.fromSeq(arr.toIndexedSeq))
+    dels.foreach { case (v, byCol) =>
+      byCol.foreach { case (c, vals) =>
+        val idx = baseSchema.fieldIndex(c)
+        val typed: Seq[Any] = baseSchema(c).dataType match {
+          case org.apache.spark.sql.types.LongType => vals.map(_.toLong)
+          case _ => vals
+        }
+        typed.foreach { k =>
+          val arr = new Array[Any](baseSchema.length + 2)
+          arr(idx) = k
+          arr(baseSchema.length) = "delete"
+          arr(baseSchema.length + 1) = v
+          rows.add(org.apache.spark.sql.Row.fromSeq(arr.toIndexedSeq))
+        }
       }
     }
     // Union even when empty: the per-batch schema must stay the
     // declared (all-nullable) CDF schema, not flap with delete volume.
-    ins.unionByName(spark.createDataFrame(rows, TxTableSource.cdfSchema(baseSchema)))
+    // Final select pins the DECLARED column order (the engine checks
+    // the batch schema against the source's).
+    ins.unionByName(spark.createDataFrame(rows, out))
+      .select(out.fieldNames.toIndexedSeq.map(col): _*)
   }
 
   private def versionOf(o: OffsetV1): Long = o match {

@@ -16,25 +16,52 @@ import graft.sources.TxTable
   * store — a lake-scale serving index is a MATERIALIZATION and must be
   * told).
   *
-  * Both consumers read `format("graft-txtable")` with
-  * `readChangeFeed=true` (the Delta-CDF-shaped `_change_type` column)
-  * and apply, per micro-batch, DELETES first and inserts second: a
-  * delivered insert is LIVE at the primary at batch-end (the feed
-  * masks appended rows by the end snapshot's tombstones and fold
-  * position), so a batch's deletes must never swallow its inserts —
-  * with the reverse order, a primary-side erase + fold + re-add of the
-  * same key inside one range left the re-added row masked forever.
-  * Exactly-once is a WHOLE-batch seal: the insert append commits the
-  * (appId, batchId) watermark on the index's LAST claim, and a batch
-  * whose watermark is recorded is skipped in full — deletes included,
-  * since they ran before the append in the original run and
-  * re-applying them would re-mask what the run's collision fold
-  * re-admitted.
+  * All consumers read `format("graft-txtable")` with
+  * `readChangeFeed=true` (the Delta-CDF-shaped `_change_type` +
+  * `_commit_version` columns) and apply, per micro-batch, DELETES
+  * first and inserts second: a delivered insert is LIVE at the primary
+  * at batch-end (the feed masks appended rows by the end snapshot's
+  * tombstones and fold position), so a batch's deletes must never
+  * swallow its inserts — with the reverse order, a primary-side erase
+  * + fold + re-add of the same key inside one range left the re-added
+  * row masked forever.
+  *
+  * Replay safety is MECHANICAL, from two facts committed atomically
+  * with every applied batch:
+  *  - the (appId, batchId) watermark — Spark's own exactly-once seal
+  *    for the same consumer restarting from its checkpoint;
+  *  - the COVERED SOURCE HIGH-WATER ([[CoversKey]]): the highest
+  *    source `_commit_version` the sealed batch applied. A change row
+  *    is applied iff its `_commit_version` EXCEEDS the sink's recorded
+  *    high-water — so a RE-SEEDED consumer (fresh checkpoint ⇒ fresh
+  *    appId, arbitrary new batch boundaries) skips already-covered
+  *    rows row-by-row with no liveness heuristics: a replayed
+  *    DELETE-ONLY batch, a collision batch whose every insert id is
+  *    also deleted in-batch, and batch-boundary drift across the
+  *    covered frontier are all decided by version arithmetic alone.
+  *    Delete rows beyond the high-water re-apply idempotently on a
+  *    crash-before-checkpoint replay (tombstones dedupe; any
+  *    re-admission of the key is an INSERT at a later version, which
+  *    would have advanced the high-water past the delete — so a
+  *    re-applied delete can never re-mask a covered re-admission).
   */
 object CdcSync {
 
   /** The change-feed column the consumers dispatch on. */
   val ChangeTypeCol = "_change_type"
+
+  /** The change-feed's commit-attribution column (Delta CDF's name). */
+  val ChangeVersionCol = graft.sources.TxTable.CommitVersionCol
+
+  /** Reserved writer-metadata key in the SINK's txns map recording the
+    * covered source high-water. Riding the txns map gives it the
+    * watermark's guarantees for free: committed atomically with the
+    * batch's data, carried forward by every commit form, rolled back
+    * by RESTORE with the data it described. For the dedup index it is
+    * stamped on BOTH the docs (FIRST) and groups (LAST) claims, so
+    * docs-ahead-of-groups is a between-claims crash signature ANY
+    * consumer detects — appId-free, unlike the watermark. */
+  val CoversKey = "__cdc_covers"
 
   /** Stream `srcDir` (a TxTable of (vec_id, e)) into a [[PQIndexTx]]
     * serving index: GDPR erasure (or any keyed delete) on the source
@@ -56,30 +83,40 @@ object CdcSync {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        // WHOLE-BATCH replay guard: the append's watermark commits
-        // LAST, so a recorded batch proves its deletes ran too —
-        // re-applying just the delete half would re-mask the very ids
-        // the original run's collision fold re-admitted.
+        // WHOLE-BATCH replay guard (same-consumer restarts): the
+        // append's watermark commits with the batch, so a recorded
+        // batch skips without touching the manifest again.
         if (!PQIndexTx.lastBatch(indexDir, appId).exists(_ >= batchId)) {
+          // COVERED-ROW FILTER (re-seeded consumers, boundary drift):
+          // only rows beyond the index's sealed source high-water
+          // apply — version arithmetic, no liveness probing. lastBatch
+          // reads the codes manifest's txns map, which is where the
+          // reserved covers entry lives too.
+          val hw = PQIndexTx.lastBatch(indexDir, CoversKey).getOrElse(-1L)
+          val fresh = batch.filter(col(ChangeVersionCol) > hw)
           // DELETES FIRST: a delivered insert is LIVE at the primary
           // at batch-end (the feed masks by the end snapshot's
           // tombstones), so this batch's deletes must never swallow
           // it. With the old insert-then-delete order, a primary-side
           // erase + fold + re-add inside one range re-masked the
           // freshly appended vector forever.
-          val delIds = batch.filter(col(ChangeTypeCol) === "delete")
+          val delIds = fresh.filter(col(ChangeTypeCol) === "delete")
             .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
           if (delIds.nonEmpty) PQIndexTx.deleteIdsDeferred(indexDir, delIds)
-          val inserts = batch.filter(col(ChangeTypeCol) === "insert")
+          val inserts = fresh.filter(col(ChangeTypeCol) === "insert")
             .select(col("vec_id"), col("e"))
           // Empty-insert batches (delete-only ranges) skip the append
           // entirely: an empty watermark commit per delete batch would
           // fragment the codes table for nothing, and the deletes
-          // above are idempotent on replay (no inserts → no collision
-          // fold to race).
-          if (!inserts.isEmpty)
+          // above are idempotent on replay (uncovered deletes can only
+          // precede uncovered re-admissions — see the object doc).
+          if (!inserts.isEmpty) {
+            val maxV = fresh.agg(max(col(ChangeVersionCol)))
+              .head().getLong(0)
             PQIndexTx.appendIVFIfNew(spark, inserts, indexDir, dsub = dsub,
-              appId = appId, batchId = batchId, nq = nq, files = files)
+              appId = appId, batchId = batchId, nq = nq, files = files,
+              txnExtra = Map(CoversKey -> maxV))
+          }
         }
         ()
       }
@@ -94,96 +131,131 @@ object CdcSync {
     * Replay/crash discipline, checked IN ORDER before any mutation:
     *  1. WHOLE-batch seal — the append's txn watermark rides the
     *     index's LAST claim (groups); a recorded batch proves deletes
-    *     AND the four-table append all landed, so it skips in full
-    *     (replaying just the delete half would re-mask a re-added id
-    *     the original run's collision fold re-admitted).
-    *  2. Between-claims CRASH signature — the append stamps the SAME
-    *     watermark on its FIRST claim (docs): docs-stamped with the
-    *     groups seal absent means the original run died between
-    *     claims and groups/pairs/components never landed. Fail LOUDLY
-    *     (a presence probe would read the landed docs claim as "batch
-    *     fully applied" and silently drop the unclaimed tables
-    *     forever); the recorded repair is to erase the batch's
-    *     doc_ids and restart — the re-ingest's collision fold then
-    *     rebuilds the half-landed state cleanly.
-    *  3. Landed-range probe, BEFORE this batch's deletes — a
-    *     RE-SEEDED consumer (fresh checkpoint ⇒ fresh appId) replays
-    *     ranges the index already holds: every insert id outside the
-    *     batch's own delete set being live proves the batch landed
-    *     under the previous appId, so it skips in full WITHOUT
-    *     re-applying the deletes (deletes-first would otherwise
-    *     re-mask currently-live re-admitted keys before the append's
-    *     dupe check could fail the batch). A PARTIALLY-present probe
-    *     set is batch-boundary drift and fails loudly — also before
-    *     any delete lands. Caveat (inherent to re-seeding into a live
-    *     index): a replayed DELETE-ONLY batch, and a collision batch
-    *     whose every insert id is also deleted in-batch, carry no
-    *     liveness evidence — they re-apply, which converges once the
-    *     full history replays in order but masks re-admitted keys
-    *     mid-replay; re-seed to the index's build version, not into
-    *     arbitrary history. */
+    *     AND the four-table append all landed, so it skips in full.
+    *  2. Between-claims CRASH signature, appId-FREE — the append
+    *     stamps [[CoversKey]] on its FIRST claim (docs) and its LAST
+    *     (groups) in the same commits as the watermark: docs' covers
+    *     AHEAD of groups' means some writer's append died between
+    *     claims and the crashed range's groups/pairs/components never
+    *     landed — detected by ANY consumer, re-seeded or not (the old
+    *     appId-scoped signature went blind after a re-seed: fresh
+    *     appId, no stamp to compare). Fail LOUDLY unless the recorded
+    *     repair provably ran (the batch's insert ids erased — the one
+    *     bounded point lookup, on the crash path only); a consumer
+    *     seeded BEYOND the crashed range (its rows cannot witness the
+    *     repair) also fails loudly. The repaired replay's collision
+    *     fold rebuilds the half-landed state, and its append re-stamps
+    *     covers on both claims — clearing the signature in the same
+    *     commit that makes it true.
+    *  3. COVERED-ROW FILTER (an index that has SEALED at least one CDC
+    *     batch — the steady state): only rows with `_commit_version`
+    *     beyond the groups claim's covers high-water apply. A
+    *     re-seeded consumer's replayed DELETE-ONLY batch, a collision
+    *     batch whose every insert id is also deleted in-batch, and
+    *     batch-boundary drift across the covered frontier all resolve
+    *     by version arithmetic — the r16 liveness-probe caveats are
+    *     unreachable because no liveness is consulted. Uncovered
+    *     deletes re-apply idempotently on crash replay (see the object
+    *     doc for why they can never re-mask a covered re-admission).
+    *  4. BOOTSTRAP (no covers record yet — an index fresh from
+    *     [[DedupIndex.build]] that no CDC batch ever sealed, where
+    *     there IS no recorded coverage to compare against): the
+    *     evidence-based probe — all of the batch's probe-eligible
+    *     insert ids live proves the range predates the build (skip in
+    *     full, before any delete); none live is genuinely new (apply);
+    *     partial presence is seed/boundary drift (fail loudly, before
+    *     any delete). The FIRST applied batch stamps covers and flips
+    *     the index to the mechanical regime for every later consumer. */
   def docsToDedup(spark: SparkSession, srcDir: String, indexDir: String,
                   checkpointDir: String, sinceVersion: Long,
-                  cap: Int): StreamingQuery = {
+                  cap: Int, maxCommitsPerTrigger: Option[Int] = None)
+      : StreamingQuery = {
     val appId = checkpointDir
-    spark.readStream.format("graft-txtable")
+    val reader = spark.readStream.format("graft-txtable")
       .option("readChangeFeed", "true")
       .option("startingVersion", sinceVersion.toString)
+    maxCommitsPerTrigger.foreach(n =>
+      reader.option("maxCommitsPerTrigger", n.toString))
+    reader
       .load(srcDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         if (!DedupIndex.lastBatch(indexDir, appId).exists(_ >= batchId)) {
-          val delIds = batch.filter(col(ChangeTypeCol) === "delete")
+          val gCovOpt = TxTable.txnVersion(s"$indexDir/groups", CoversKey)
+          val dCovOpt = TxTable.txnVersion(s"$indexDir/docs", CoversKey)
+          val gCov = gCovOpt.getOrElse(-1L)
+          val fresh = batch.filter(col(ChangeVersionCol) > gCov)
+          val delIds = fresh.filter(col(ChangeTypeCol) === "delete")
             .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
-          val inserts = batch.filter(col(ChangeTypeCol) === "insert")
+          val inserts = fresh.filter(col(ChangeTypeCol) === "insert")
             .select(col("doc_id"), col("shs"))
           val insIds = inserts.select(col("doc_id")).collect()
             .map(_.getLong(0)).toSeq
-          // Liveness probe on the ids whose PRE-delete presence is
-          // evidence (an id the batch also deletes is expected live
-          // whether or not the batch ever ran). Manifest-planned point
-          // lookup — Bloom absence proof + stats pruning, O(hit files).
-          val delSet = delIds.toSet
-          val probe = insIds.filterNot(delSet)
-          val pre =
-            if (probe.isEmpty) 0L
-            else TxTable.lookupKeys(spark, s"$indexDir/docs", "doc_id", probe).count()
-          // (2) crash window: THIS appId's docs claim carries the batch
-          // but the groups seal above missed it — the original append
-          // died between claims and groups/pairs/components never
-          // landed. Skipping would lose them permanently; fail loudly
-          // UNLESS the recorded repair already ran (the batch's ids
-          // erased ⇒ pre == 0): then fall through and re-ingest — the
-          // collision fold rebuilds the half-landed state and the seal
-          // finally lands.
-          val crashed =
-            TxTable.txnVersion(s"$indexDir/docs", appId).exists(_ >= batchId)
-          if (crashed) require(pre == 0L,
-            s"docs CDC batch $batchId: the docs claim landed but the groups " +
-              "watermark did not — the original append crashed between claims, " +
-              "so the groups/pairs/components claims are missing and skipping " +
-              "would lose them permanently. Repair: erase this batch's doc_ids " +
-              "(DedupIndex.deleteDocsDeferred) and restart this consumer; the " +
-              "re-ingest's collision fold rebuilds the half-landed state.")
-          // (3) landed-range skip, BEFORE this batch's deletes: every
-          // probed id live under a SEALED-elsewhere history (no crash
-          // signature) proves the batch landed under a previous appId.
-          val landedElsewhere = !crashed && probe.nonEmpty && pre == probe.size
-          if (!crashed && !landedElsewhere) require(pre == 0L,
-            s"docs CDC batch $batchId is PARTIALLY present ($pre of " +
-              s"${probe.size} probed ids) — batch boundaries drifted across " +
-              "a replay; re-seed the consumer from the index's build version")
-          if (!landedElsewhere) {
+          val nonEmptyBatch = insIds.nonEmpty || delIds.nonEmpty
+          if (dCovOpt.exists(_ > gCov) && nonEmptyBatch) {
+            // Crash window, ANY writer's: docs sealed source versions
+            // through dCov but groups only through gCov — the append
+            // covering (gCov, dCov] died between claims, so that
+            // range's groups/pairs/components are missing and skipping
+            // past it would lose them permanently. Proceed only when
+            // the recorded repair provably ran: this batch overlaps the
+            // crashed range AND none of its insert ids is still live in
+            // docs (erased by the repair) — then the re-ingest below
+            // rebuilds the half-landed state via the collision fold.
+            val dCov = dCovOpt.get
+            val minV = fresh.agg(min(col(ChangeVersionCol))).head().getLong(0)
+            require(minV <= dCov,
+              s"docs CDC batch $batchId: a previous append crashed between " +
+                s"claims (docs covers source v$dCov, groups only v$gCov) and " +
+                s"this consumer is seeded BEYOND the crashed range (first " +
+                s"fresh row is v$minV) — its rows cannot witness the repair. " +
+                "Run the repair first — erase the crashed range's doc_ids " +
+                "(DedupIndex.deleteDocsDeferred) — then re-seed from the " +
+                "index's build version.")
+            val live = if (insIds.isEmpty) 0L
+              else TxTable.lookupKeys(spark, s"$indexDir/docs", "doc_id",
+                insIds).count()
+            require(live == 0L,
+              s"docs CDC batch $batchId: a previous append crashed between " +
+                s"claims (docs covers source v$dCov, groups only v$gCov) — " +
+                "the crashed range's groups/pairs/components never landed and " +
+                s"$live of this batch's doc_ids are still half-landed in docs. " +
+                "Repair: erase the crashed range's doc_ids " +
+                "(DedupIndex.deleteDocsDeferred) and restart any consumer; " +
+                "the re-ingest's collision fold rebuilds the half-landed state.")
+          }
+          // BOOTSTRAP probe (no covers yet): liveness is the only
+          // evidence there is. Skips pre-build ranges in full, fails
+          // loudly on drift — both BEFORE any delete mutates the index.
+          val bootstrapSkip = gCovOpt.isEmpty && nonEmptyBatch && {
+            val delSet = delIds.toSet
+            val probe = insIds.filterNot(delSet)
+            val pre =
+              if (probe.isEmpty) 0L
+              else TxTable.lookupKeys(spark, s"$indexDir/docs", "doc_id",
+                probe).count()
+            val landed = probe.nonEmpty && pre == probe.size &&
+              dCovOpt.isEmpty // a crash never counts as landed
+            if (!landed) require(pre == 0L,
+              s"docs CDC batch $batchId is PARTIALLY present ($pre of " +
+                s"${probe.size} probed ids) in an index with no covers " +
+                "record — batch boundaries drifted across the build point; " +
+                "re-seed the consumer from the index's build version")
+            landed
+          }
+          if (!bootstrapSkip) {
             // DELETES FIRST — delivered inserts are live at the primary
             // at batch-end and must survive this batch's deletes.
             if (delIds.nonEmpty) DedupIndex.deleteDocsDeferred(indexDir, delIds)
-            // The append folds standing masks on collision and seals
-            // the batch with the (appId, batchId) watermark riding its
-            // docs (first) and groups (last) claims.
+            // The append folds standing masks on collision and seals the
+            // batch: watermark + covers high-water riding its docs
+            // (first) and groups (last) claims atomically.
             if (insIds.nonEmpty) {
+              val maxV = fresh.agg(max(col(ChangeVersionCol))).head().getLong(0)
               DedupIndex.append(spark, inserts, indexDir, cap,
-                txn = Some((appId, batchId)))
+                txn = Some((appId, batchId)),
+                txnExtra = Map(CoversKey -> maxV))
               ()
             }
           }
@@ -237,8 +309,8 @@ object CdcSync {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        val inserts = batch.filter(col(ChangeTypeCol) === "insert")
-          .drop(ChangeTypeCol)
+        val inserts0 = batch.filter(col(ChangeTypeCol) === "insert")
+          .drop(ChangeTypeCol, ChangeVersionCol)
         // Init from the BATCH schema (the stream's pinned schema), not
         // the source head: a widen landing between stream start and the
         // first batch would otherwise init the mirror wider than every
@@ -246,7 +318,7 @@ object CdcSync {
         // check until a restart. The mirror then widens exactly as the
         // restarted stream's batches do.
         if (!TxTable.exists(dstDir))
-          TxTable.init(spark, dstDir, inserts.schema,
+          TxTable.init(spark, dstDir, inserts0.schema,
             bloomCols = TxTable.snapshot(srcDir).bloomCols)
         // WHOLE-BATCH replay guard, checked before ANY application: the
         // insert watermark commits LAST below, so a committed watermark
@@ -255,6 +327,15 @@ object CdcSync {
         // re-mask and then re-erase rows the original run correctly
         // appended — the one interleaving idempotence alone can't save.
         if (!TxTable.snapshot(dstDir).txns.get(appId).exists(_ >= batchId)) {
+          // COVERED-ROW FILTER: a re-seeded mirror consumer (fresh
+          // appId) skips rows whose source version a sealed batch
+          // already covered — the mechanical twin of the index
+          // consumers' filter; replayed delete-only batches and
+          // boundary drift resolve by version arithmetic.
+          val hw = TxTable.snapshot(dstDir).txns.get(CoversKey).getOrElse(-1L)
+          val fresh = batch.filter(col(ChangeVersionCol) > hw)
+          val inserts = fresh.filter(col(ChangeTypeCol) === "insert")
+            .drop(ChangeTypeCol, ChangeVersionCol)
           val schema = inserts.schema
           // DELETES FIRST. The feed's insert half delivers only rows
           // LIVE at the primary at batch-end (readChanges masks by the
@@ -266,7 +347,7 @@ object CdcSync {
           // driver-side collect routes each row to its column's pass
           // (micro-batch bounded, like the index consumers' id sets).
           val present = keyCols.filter(schema.fieldNames.contains)
-          val delRows = batch.filter(col(ChangeTypeCol) === "delete")
+          val delRows = fresh.filter(col(ChangeTypeCol) === "delete")
             .select(present.map(c => col(c)): _*).collect()
           if (delRows.nonEmpty) {
             // FAIL-LOUD routing: a delete keyed on an undeclared column
@@ -339,9 +420,14 @@ object CdcSync {
               ()
             }
           }
-          // INSERTS LAST; their watermark commit seals the batch.
-          if (!inserts.isEmpty)
-            TxTable.appendIfNew(spark, dstDir, inserts, appId, batchId)
+          // INSERTS LAST; their watermark + covers commit seals the
+          // batch and advances the mirrored source high-water.
+          if (!inserts.isEmpty) {
+            val maxV = fresh.agg(max(col(ChangeVersionCol))).head().getLong(0)
+            TxTable.appendIfNew(spark, dstDir, inserts, appId, batchId,
+              txnExtra = Map(CoversKey -> maxV))
+            ()
+          }
         }
         ()
       }

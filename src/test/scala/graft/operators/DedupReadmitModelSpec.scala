@@ -272,14 +272,10 @@ class DedupReadmitModelSpec extends SparkSpec {
       9L -> Seq("w1", "f1"),
       10L -> Seq("b1", "f2"))
     val dir = tmp()
-    val bound = DedupIndex.ResidueStripKeys
-    try {
-      DedupIndex.build(spark, df(base), dir, Cap)
-      DedupIndex.deleteDocsDeferred(dir, Seq(1L, 5L))
-      DedupIndex.ResidueStripKeys = 0
-      DedupIndex.append(spark, df(base.filter(d => d._1 == 1L || d._1 == 5L)),
-        dir, Cap, autoCompactSegments = NoAutoCompact)
-    } finally DedupIndex.ResidueStripKeys = bound
+    DedupIndex.build(spark, df(base), dir, Cap)
+    DedupIndex.deleteDocsDeferred(dir, Seq(1L, 5L))
+    DedupIndex.append(spark, df(base.filter(d => d._1 == 1L || d._1 == 5L)),
+      dir, Cap, autoCompactSegments = NoAutoCompact, residueStripKeys = 0)
     val liveRebuild = modelPairs(base,
       base.flatMap(_._2).groupBy(identity).map { case (g, xs) => g -> xs.size })
     val served = pairSet(DedupIndex.pairs(spark, dir))

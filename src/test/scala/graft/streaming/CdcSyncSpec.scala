@@ -424,9 +424,9 @@ class CdcSyncSpec extends SparkSpec {
     val compOf = comps.filter(col("doc_id").isin(2L, 4L))
       .select("component").distinct().collect()
     assert(compOf.length == 1, "docs 2 and 4 should share one component")
-    // Replay with a FRESH checkpoint (same sinceVersion): the presence
-    // probe detects the landed batch, deletes re-mask as no-ops —
-    // nothing moves.
+    // Replay with a FRESH checkpoint (same sinceVersion): every row's
+    // _commit_version is ≤ the sealed covers high-water, so the batch
+    // filters to empty — nothing moves, mechanically.
     val vDocs = TxTable.snapshot(s"$indexDir/docs").version
     val q2 = CdcSync.docsToDedup(spark, srcDir, indexDir,
       tmp("graft_cdc_dck2"), since, cap = 10)
@@ -460,19 +460,19 @@ class CdcSyncSpec extends SparkSpec {
   }
 
   test("a between-claims crash replays into a LOUD failure, never a silent skip") {
-    // The r15-advisory medium: DedupIndex.append claims docs first and
-    // the groups watermark last. A crash in between leaves every delta
-    // id LIVE in docs with the seal absent — the old presence probe
-    // read that as "batch fully applied" and silently skipped, dropping
-    // the groups/pairs/components claims FOREVER. The append now stamps
-    // the same (appId, batchId) on the docs claim, so the consumer can
-    // tell the crash window (docs stamped, groups not) from a genuine
-    // landed-range replay. Fabricate the exact on-disk state a crash
-    // leaves: the delta's docs claim committed WITH the batch-0 stamp,
-    // nothing else.
+    // The r15-advisory medium, hardened per the r16 advisory: the crash
+    // signature must survive a RE-SEED. DedupIndex.append claims docs
+    // first and groups last, stamping the covers high-water on BOTH —
+    // docs' covers ahead of groups' is the crash window, readable by
+    // ANY consumer (the old appId-scoped stamp went blind when the
+    // consumer re-seeded with a fresh checkpoint: crashed=false,
+    // all-live probe ⇒ silent skip, groups/pairs/components lost
+    // forever). Fabricate the exact on-disk state a crashed consumer
+    // append leaves — docs claim with watermark + covers, groups
+    // unclaimed — then detect it from a FRESH checkpoint.
     val srcDir = tmp("graft_cdc_crash_src")
     val indexDir = tmp("graft_cdc_crash_idx")
-    val ckpt = tmp("graft_cdc_crash_ck") // appId
+    val ckpt = tmp("graft_cdc_crash_ck") // the CRASHED consumer's appId
     val initial = Seq(
       (1L, Seq("a", "b", "c", "d")),
       (2L, Seq("a", "b", "c", "e"))).toDF("doc_id", "shs")
@@ -482,13 +482,20 @@ class CdcSyncSpec extends SparkSpec {
     val since = TxTable.snapshot(srcDir).version
     val delta = Seq((4L, Seq("a", "b", "c", "f"))).toDF("doc_id", "shs")
     TxTable.append(spark, srcDir, delta)
-    // The crashed append's half: docs claim + stamp, groups unclaimed.
+    val vDelta = TxTable.snapshot(srcDir).version
+    // The crashed append's half: docs claim + watermark + covers,
+    // groups unclaimed (exactly what docsToDedup's append commits
+    // before the crash point).
     val uDocs = TxTable.stage(s"$indexDir/docs", delta)
     TxTable.commitStaged(spark, s"$indexDir/docs", uDocs, delta.schema,
-      keepExisting = true, txnUpdate = Map(ckpt -> 0L))
+      keepExisting = true,
+      txnUpdate = Map(ckpt -> 0L, CdcSync.CoversKey -> vDelta))
     assert(DedupIndex.lastBatch(indexDir, ckpt).isEmpty, "setup: seal absent")
 
-    val q = CdcSync.docsToDedup(spark, srcDir, indexDir, ckpt, since, cap = 10)
+    // A RE-SEEDED consumer (fresh checkpoint ⇒ fresh appId) must still
+    // detect the crash — the covers comparison is appId-free.
+    val q = CdcSync.docsToDedup(spark, srcDir, indexDir,
+      tmp("graft_cdc_crash_ck_reseed"), since, cap = 10)
     val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
       try q.processAllAvailable() finally q.stop()
     }
@@ -496,29 +503,47 @@ class CdcSyncSpec extends SparkSpec {
       Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
     assert(msgs(e).exists(_.contains("crashed between claims")),
       s"wanted the crash-window error, got: ${msgs(e).mkString(" | ")}")
+    // A consumer seeded BEYOND the crashed range also fails loudly —
+    // its rows cannot witness the repair, so proceeding would clear
+    // the signature over a still-half-landed range.
+    TxTable.append(spark, srcDir,
+      Seq((9L, Seq("m", "n", "o", "p"))).toDF("doc_id", "shs"))
+    val q1b = CdcSync.docsToDedup(spark, srcDir, indexDir,
+      tmp("graft_cdc_crash_ck_beyond"), vDelta, cap = 10)
+    val e1b = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try q1b.processAllAvailable() finally q1b.stop()
+    }
+    assert(msgs(e1b).exists(_.contains("seeded BEYOND the crashed range")),
+      s"wanted the seeded-beyond error, got: ${msgs(e1b).mkString(" | ")}")
     // And the recorded repair works: erase the batch's ids, restart —
-    // the re-ingest's collision fold rebuilds the half-landed state.
+    // the re-ingest's collision fold rebuilds the half-landed state
+    // and the sealing append clears the signature in the same commit.
     DedupIndex.deleteDocsDeferred(indexDir, Seq(4L))
     val q2 = CdcSync.docsToDedup(spark, srcDir, indexDir, ckpt, since, cap = 10)
     try q2.processAllAvailable() finally q2.stop()
     assert(TxTable.read(spark, s"$indexDir/docs")
       .filter(col("doc_id") === 4L).count() == 1L, "repair did not land the doc")
+    assert(TxTable.read(spark, s"$indexDir/docs")
+      .filter(col("doc_id") === 9L).count() == 1L, "post-crash doc missing")
     val pairs = DedupIndex.pairs(spark, indexDir)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 2L), (1L, 4L), (2L, 4L)),
       s"repair left the mined pairs incomplete: $pairs")
     assert(DedupIndex.lastBatch(indexDir, ckpt).contains(0L),
       "repair must seal the batch")
+    assert(TxTable.txnVersion(s"$indexDir/docs", CdcSync.CoversKey) ==
+      TxTable.txnVersion(s"$indexDir/groups", CdcSync.CoversKey),
+      "the sealing append must clear the crash signature (covers equal)")
   }
 
   test("a re-seeded replay of a landed range skips BEFORE its deletes re-mask live keys") {
     // The r15-advisory low: deletes-first made a bad replay DESTRUCTIVE
     // before it failed — a re-seeded consumer (fresh checkpoint ⇒ fresh
     // appId) re-applied a landed range's deletes, re-masking a
-    // currently-live re-admitted key, before any probe could stop the
-    // batch. The landed-range probe now runs FIRST: every insert id
-    // outside the batch's own delete set being live proves the batch
-    // landed, so it skips in full with ZERO mutation.
+    // currently-live re-admitted key. Now mechanical: the first
+    // consumer sealed the covers high-water, so every replayed row
+    // (the delete included) filters out by version — ZERO mutation,
+    // no liveness consulted.
     val srcDir = tmp("graft_cdc_reseed_src")
     val indexDir = tmp("graft_cdc_reseed_idx")
     val initial = Seq(
@@ -546,10 +571,10 @@ class CdcSyncSpec extends SparkSpec {
     val versions = Seq("docs", "groups", "pairs", "components")
       .map(t => TxTable.snapshot(s"$indexDir/$t").version)
     // Re-seed: fresh checkpoint, same since — the replayed batch holds
-    // delete(1) + inserts {4, 1}. Pre-fix, delete(1) re-applied FIRST
-    // would re-mask the live re-admitted doc; the probe on {4} (the
-    // insert ids outside the batch's delete set) proves the range
-    // landed and the whole batch skips untouched.
+    // delete(1) + inserts {4, 1}, every row ≤ the sealed covers
+    // high-water. The version filter empties the batch; pre-fix,
+    // delete(1) re-applied FIRST would re-mask the live re-admitted
+    // doc.
     val q2 = CdcSync.docsToDedup(spark, srcDir, indexDir,
       tmp("graft_cdc_reseed_ck2"), since, cap = 10)
     try q2.processAllAvailable() finally q2.stop()
@@ -561,6 +586,60 @@ class CdcSyncSpec extends SparkSpec {
     assert(Seq("docs", "groups", "pairs", "components")
       .map(t => TxTable.snapshot(s"$indexDir/$t").version) == versions,
       "a fully-landed replayed range mutated the index")
+  }
+
+  test("a re-seeded consumer replays a DELETE-ONLY batch with zero spurious masks") {
+    // The r16 caveat, closed mechanically: a replayed delete-only batch
+    // used to carry no liveness evidence, so a re-seeded consumer
+    // re-applied it and masked the re-admitted key MID-REPLAY. Now the
+    // re-admitting append sealed a covers high-water PAST the delete's
+    // commit version, so the replayed delete filters out by version
+    // arithmetic — no instruction to "re-seed from the build version"
+    // needed. Paced one commit per batch so the delete-only range
+    // really replays as its own batch.
+    val srcDir = tmp("graft_cdc_delonly_src")
+    val indexDir = tmp("graft_cdc_delonly_idx")
+    val initial = Seq(
+      (1L, Seq("a", "b", "c", "d")),
+      (2L, Seq("a", "b", "c", "e")),
+      (3L, Seq("x", "y", "z", "w"))).toDF("doc_id", "shs")
+    TxTable.init(spark, srcDir, initial.schema)
+    TxTable.append(spark, srcDir, initial)
+    DedupIndex.build(spark, TxTable.read(spark, srcDir), indexDir, cap = 10)
+    val since = TxTable.snapshot(srcDir).version
+    // History: insert 4 | delete-only(1) | fold + re-admit 1.
+    TxTable.append(spark, srcDir,
+      Seq((4L, Seq("a", "b", "c", "f"))).toDF("doc_id", "shs"))
+    TxTable.deleteKeysDeferred(srcDir, "doc_id", Seq(1L))
+    TxTable.foldDeletes(spark, srcDir)
+    TxTable.append(spark, srcDir,
+      Seq((1L, Seq("a", "b", "c", "d"))).toDF("doc_id", "shs"))
+    val q = CdcSync.docsToDedup(spark, srcDir, indexDir,
+      tmp("graft_cdc_delonly_ck1"), since, cap = 10,
+      maxCommitsPerTrigger = Some(1))
+    try q.processAllAvailable() finally q.stop()
+    assert(TxTable.read(spark, s"$indexDir/docs")
+      .filter(col("doc_id") === 1L).count() == 1L, "setup: 1 re-admitted")
+    val tables = Seq("docs", "groups", "pairs", "components")
+    assert(tables.forall(t =>
+      TxTable.snapshot(s"$indexDir/$t").dkeys.isEmpty),
+      "setup: the collision fold cleared every mask")
+    val versions = tables.map(t => TxTable.snapshot(s"$indexDir/$t").version)
+    // Re-seed (fresh checkpoint, same since), paced: the delete-only
+    // commit replays AS ITS OWN BATCH. Pre-fix it re-applied and doc 1
+    // went dark until the next batch; now it filters to empty.
+    val q2 = CdcSync.docsToDedup(spark, srcDir, indexDir,
+      tmp("graft_cdc_delonly_ck2"), since, cap = 10,
+      maxCommitsPerTrigger = Some(1))
+    try q2.processAllAvailable() finally q2.stop()
+    assert(tables.forall(t =>
+      TxTable.snapshot(s"$indexDir/$t").dkeys.isEmpty),
+      "the replayed delete-only batch re-masked a re-admitted key")
+    assert(TxTable.read(spark, s"$indexDir/docs")
+      .filter(col("doc_id") === 1L).count() == 1L,
+      "the re-admitted doc went dark under the re-seeded replay")
+    assert(tables.map(t => TxTable.snapshot(s"$indexDir/$t").version) == versions,
+      "a fully-covered replay mutated the index")
   }
 
   test("batch-boundary drift fails loudly BEFORE any delete lands") {
