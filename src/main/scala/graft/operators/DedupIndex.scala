@@ -1228,7 +1228,22 @@ object DedupIndex {
     * OPTIMIZE/rebuild window, but reusing the ledger instead of
     * re-ingesting the corpus. Served pairs only GROW (precision is
     * exact on both sides: served ⊆ rebuild always, spec-pinned).
-    * Single-writer, like [[compact]]. */
+    *
+    * Concurrency: every rewrite claims ITS table's PLANNED successor
+    * version, so a writer landing anywhere in the plan→commit window
+    * surfaces as ConcurrentCommitException and the whole tier RE-PLANS
+    * from fresh snapshots — the raced-in rows join the re-derive. A
+    * racing segment is never clobbered (the old unconditional
+    * overwrite re-applied the PLANNED docs row set over whatever
+    * landed in between, silently dropping a raced-in docs segment).
+    * [[append]]'s own claims are unconditional segments, so the
+    * conflict always resolves loud-on-the-optimize-side: the append
+    * lands, the optimize retries over it. Readers can still observe
+    * adjacent-version tables mid-tier (there is no cross-table
+    * transaction — same window every append has); an APPEND whose
+    * plan→commit window an entire optimize fits inside keeps the
+    * instance-df model's documented guarantees, the scheduled-window
+    * discipline [[compact]] already assumes. */
   def optimizeIndex(spark: SparkSession, dir: String, cap: Int,
                     maxIter: Int = 20): Seq[(String, Double)] = {
     val phases = scala.collection.mutable.LinkedHashMap.empty[String, Double]
@@ -1238,45 +1253,81 @@ object DedupIndex {
       phases(name) = phases.getOrElse(name, 0.0) + (now - mark) / 1e9
       mark = now
     }
-    // Masks physical first: docs is the ledger the re-derive reads, and
-    // stale value-keyed tombstones on pairs/components would suppress
-    // re-mined rows of re-admitted ids. foldDeletes clears as it folds.
-    StageTables.foreach(t => TxTable.foldDeletes(spark, s"$dir/$t"))
-    phase("mask_fold")
-    val d = TxTable.read(spark, s"$dir/docs")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val grouped = groupsWithDf(inv(d), cap)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    putTable(spark, s"$dir/groups",
-      grouped.repartitionByRange(col("sh")).sortWithinPartitions(col("sh")))
-    phase("groups_rederive")
-    val rareCnt = grouped.filter(col("ids").isNotNull)
-      .select(explode(col("ids")).as("doc_id"))
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("kc"))
-    putTable(spark, s"$dir/pairs", boundedVerify(pairCounts(grouped), d, rareCnt))
-    phase("pair_mine_verify")
-    val pairEdges = TxTable.read(spark, s"$dir/pairs")
-      .select(col("a").as("src"), col("b").as("dst"))
-    val edgeRows = pairEdges.limit(MaxReplaceKeys + 1).collect()
-    val comps =
-      if (edgeRows.length <= MaxReplaceKeys)
-        spark.createDataFrame(unionFindLabels(edgeRows).toSeq)
-          .toDF("doc_id", "component")
-      else GraphOps.connectedComponents(spark, pairEdges, maxIter)
-        .select(col("node").as("doc_id"), col("component"))
-    putTable(spark, s"$dir/components",
-      comps.repartitionByRange(col("doc_id"))
-        .sortWithinPartitions(col("doc_id")))
-    phase("cc_refold")
-    // Docs itself only re-clusters (the fold above may have landed
-    // key-clustered rewrite dirs off the doc_id range layout).
-    TxTable.overwrite(spark, s"$dir/docs",
-      d.repartitionByRange(col("doc_id")).sortWithinPartitions(col("doc_id")))
-    phase("docs_recluster")
-    grouped.unpersist(); d.unpersist()
+    var done = false
+    while (!done) {
+      // Masks physical first: docs is the ledger the re-derive reads,
+      // and stale value-keyed tombstones on pairs/components would
+      // suppress re-mined rows of re-admitted ids. foldDeletes clears
+      // as it folds.
+      StageTables.foreach(t => TxTable.foldDeletes(spark, s"$dir/$t"))
+      phase("mask_fold")
+      // The planning snapshots every conditional commit below claims
+      // against; a tombstone or segment landing after this line fails
+      // the first affected commit and re-enters the loop.
+      val snaps = StageTables.map(t => t -> TxTable.snapshot(s"$dir/$t")).toMap
+      val d = TxTable.read(spark, s"$dir/docs", snaps("docs"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val grouped = groupsWithDf(inv(d), cap)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        optimizeRaceHookForTest()
+        TxTable.commit(spark, s"$dir/groups",
+          grouped.repartitionByRange(col("sh")).sortWithinPartitions(col("sh")),
+          snaps("groups"))
+        phase("groups_rederive")
+        val rareCnt = grouped.filter(col("ids").isNotNull)
+          .select(explode(col("ids")).as("doc_id"))
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("kc"))
+        val pSnap = TxTable.commit(spark, s"$dir/pairs",
+          boundedVerify(pairCounts(grouped), d, rareCnt), snaps("pairs"))
+        phase("pair_mine_verify")
+        // Edges read at the snapshot THIS commit produced — a segment
+        // appended right after it must not leak into this tier's fold.
+        val pairEdges = TxTable.read(spark, s"$dir/pairs", pSnap)
+          .select(col("a").as("src"), col("b").as("dst"))
+        val edgeRows = pairEdges.limit(MaxReplaceKeys + 1).collect()
+        val comps =
+          if (edgeRows.length <= MaxReplaceKeys)
+            spark.createDataFrame(unionFindLabels(edgeRows).toSeq)
+              .toDF("doc_id", "component")
+          else GraphOps.connectedComponents(spark, pairEdges, maxIter)
+            .select(col("node").as("doc_id"), col("component"))
+        TxTable.commit(spark, s"$dir/components",
+          comps.repartitionByRange(col("doc_id"))
+            .sortWithinPartitions(col("doc_id")),
+          snaps("components"))
+        phase("cc_refold")
+        optimizeLateRaceHookForTest()
+        // Docs itself only re-clusters (the fold above may have landed
+        // key-clustered rewrite dirs off the doc_id range layout) —
+        // conditionally, like the rest: this is the commit that would
+        // otherwise CLOBBER an append's docs segment raced in since
+        // planning (the re-cluster writes the planned row set).
+        TxTable.commit(spark, s"$dir/docs",
+          d.repartitionByRange(col("doc_id")).sortWithinPartitions(col("doc_id")),
+          snaps("docs"))
+        phase("docs_recluster")
+        done = true
+      } catch { case _: TxTable.ConcurrentCommitException =>
+        // A writer landed since planning: re-plan so its rows join the
+        // re-derive. Tables this attempt already rewrote hold
+        // equal-or-stale-derived content and are rewritten again from
+        // the fresh ledger — nothing is lost, the retry pays one more
+        // corpus pass (contention in a scheduled window is rare).
+        phase("replan_lost_race")
+      } finally { grouped.unpersist(); d.unpersist(); () }
+    }
     lastOptimizePhases.set(phases.toSeq)
     phases.toSeq
   }
+
+  /** Test-only interleave points (the [[PQIndexTx.optimizeRaceHookForTest]]
+    * convention): run between [[optimizeIndex]]'s planning and its first
+    * commit / its last (docs) commit, so a spec can land a concurrent
+    * append deterministically inside either race window. No-ops in
+    * production. */
+  @volatile private[operators] var optimizeRaceHookForTest: () => Unit = () => ()
+  @volatile private[operators] var optimizeLateRaceHookForTest: () => Unit = () => ()
 
   private val StageTables = Seq("docs", "groups", "pairs", "components")
   private def basePath(dir: String) = java.nio.file.Paths.get(dir, "BASE_VERSIONS.json")
