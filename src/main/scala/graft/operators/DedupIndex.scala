@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.InternalCheckpoint
 import org.apache.spark.storage.StorageLevel
 
 import graft.sources.TxTable
@@ -390,16 +391,18 @@ object DedupIndex {
       phases += name -> (now - mark) / 1e9
       mark = now
     }
-    // ONE PINNED evaluation of the delta (RDD localCheckpoint, not
+    // ONE PINNED evaluation of the delta (local checkpoint, not
     // best-effort persist): the staged docs segment, the dupe probe's
     // collected ids, and the preBloom filter below must all see the
     // SAME rows — an evicted cache block over a nondeterministic input
     // would let the staged dir diverge from the Bloom built off the
     // collected ids, and a doc_id in the dir but not the filter is a
-    // false negative that breaks every later absence proof.
+    // false negative that breaks every later absence proof. Pinned at
+    // the INTERNAL row level (InternalCheckpoint.pin): the shingle
+    // arrays never round-trip through external Rows, and the many
+    // downstream reads of the pin serve UnsafeRows zero-copy.
     val ndPlan = newDocs.select(col("doc_id"), col("shs"))
-    val ndRdd = ndPlan.rdd.localCheckpoint()
-    val nd = spark.createDataFrame(ndRdd, ndPlan.schema)
+    val (nd, ndRdd) = InternalCheckpoint.pin(spark, ndPlan)
     val newIds = nd.select(col("doc_id"))
     val deltaIdRows0 = newIds.limit(MaxReplaceKeys + 1).collect()
     // ERASE-THEN-RE-ADD COLLISION (PQIndexTx.appendImpl's fold, the
@@ -710,19 +713,18 @@ object DedupIndex {
     phase("mine_candidates")
     docsCand.count()
     phase("docs_cand_fetch")
-    // RDD localCheckpoint = persist + LINEAGE CUT: three later actions
+    // Local checkpoint = persist + LINEAGE CUT: three later actions
     // (the pairs stage write, the edge checkpoint, the components stage
     // write) re-analyze this frame's logical plan each time; with the
     // whole candidate pipeline as lineage that analyzer pass costs more
     // than the jobs themselves (the same driver-side effect the CC fold
-    // documents). The RDD form, not Dataset.localCheckpoint: the
-    // Dataset variant hides the persisted RDD inside a LogicalRDD with
-    // no public handle to release (Stages.scala documents the trap) —
-    // this handle is unpersisted in the cleanup below.
+    // documents). InternalCheckpoint.pin, not Dataset.localCheckpoint:
+    // the Dataset variant hides the persisted RDD inside a LogicalRDD
+    // with no public handle to release (Stages.scala documents the
+    // trap) — this handle is unpersisted in the cleanup below.
     val newPairsPlan = boundedVerify(cands, docsCand, kc)
-    val newPairsRdd = newPairsPlan.rdd.localCheckpoint()
+    val (newPairs, newPairsRdd) = InternalCheckpoint.pin(spark, newPairsPlan)
     val newPairsCount = newPairsRdd.count()
-    val newPairs = spark.createDataFrame(newPairsRdd, newPairsPlan.schema)
     phase("verify")
 
     // Rare→hot recheck: shingles the delta pushed over the cap, the old
@@ -787,9 +789,8 @@ object DedupIndex {
         .join(stillCand, Seq("a", "b"), "left_anti")
     })
     // Lineage cut — see newPairs above.
-    val droppedRdd = droppedPlan.rdd.localCheckpoint()
+    val (dropped, droppedRdd) = InternalCheckpoint.pin(spark, droppedPlan)
     val droppedCount = droppedRdd.count()
-    val dropped = spark.createDataFrame(droppedRdd, droppedPlan.schema)
     phase("rare_to_hot_recheck")
     // A delta that mines no pairs and drops none — the common case for
     // a mostly-unique corpus slice — is a content NO-OP for pairs and
@@ -876,16 +877,16 @@ object DedupIndex {
     // input's logical plan, and the full append pipeline as lineage
     // cost ~3 s per action when measured).
     val edgeRows = edges0.limit(MaxReplaceKeys + 1).collect()
-    var edgesRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
+    var edgesRdd: org.apache.spark.rdd.RDD[_] = null
     val componentsNew =
       if (edgeRows.length <= MaxReplaceKeys) {
         spark.createDataFrame(unionFindLabels(edgeRows).toSeq)
           .toDF("doc_id", "component")
       } else {
-        edgesRdd = edges0.rdd.localCheckpoint()
-        edgesRdd.count()
-        GraphOps.connectedComponents(spark,
-            spark.createDataFrame(edgesRdd, edges0.schema), maxIter)
+        val (edgesDf, er) = InternalCheckpoint.pin(spark, edges0)
+        edgesRdd = er
+        er.count()
+        GraphOps.connectedComponents(spark, edgesDf, maxIter)
           .select(col("node").as("doc_id"), col("component"))
       }
 

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.InternalCheckpoint
 import org.apache.spark.storage.StorageLevel
 
 /** Graph-shaped operators over edge DataFrames (edge = join key — see
@@ -51,10 +52,9 @@ object GraphOps {
     }
     // Hand back off the cache manager (see connectedComponents): the
     // returned set otherwise reads per-hop caches the caller can't
-    // release.
-    val outRdd = visited.rdd.localCheckpoint()
+    // release. InternalCheckpoint.pin — no Row round-trip.
+    val (out, outRdd) = InternalCheckpoint.pin(spark, visited)
     outRdd.count()
-    val out = spark.createDataFrame(outRdd, visited.schema)
     caches.foreach(_.unpersist())
     out
   }
@@ -135,8 +135,9 @@ object GraphOps {
       labelsCache = nextWide
       // Lineage cut (see shortestPathsOverGroups): without it iteration
       // k's analyzer pass re-resolves all k-1 previous join/agg layers —
-      // quadratic DRIVER time that dominates converged loops.
-      labels = spark.createDataFrame(nextWide.rdd, nextWide.schema)
+      // quadratic DRIVER time that dominates converged loops. wrap =
+      // LogicalRDD over the cached rows, no Row conversion per read.
+      labels = InternalCheckpoint.wrap(spark, nextWide)
       if (nextSum == prevSum) converged = true
       prevSum = nextSum
     }
@@ -147,9 +148,8 @@ object GraphOps {
     // materializes the labels from the still-cached frame into RDD
     // blocks the ContextCleaner reclaims when the frame is dropped,
     // and the cache entry itself is released here.
-    val outRdd = labelsCache.rdd.localCheckpoint()
+    val (out, outRdd) = InternalCheckpoint.pin(spark, labelsCache)
     outRdd.count() // materialize before the cache below it goes away
-    val out = spark.createDataFrame(outRdd, labelsCache.schema)
     labelsCache.unpersist()
     undWide.unpersist(); eIn.unpersist()
     out
@@ -230,7 +230,7 @@ object GraphOps {
       // that growing tree — measured ~3 s of pure DRIVER time by level
       // 6, dwarfing the actual jobs. A LogicalRDD over the cached rows
       // keeps analysis O(one level).
-      val next = spark.createDataFrame(nextWide.rdd, nextWide.schema)
+      val next = InternalCheckpoint.wrap(spark, nextWide)
       if (n == prevCount) saturated = true
       else {
         levels = levels :+ next.select(col("node"), lit(d.toLong).as("dist"))
@@ -252,9 +252,8 @@ object GraphOps {
     // per-level caches — the caller has no handles to them.
     val resWide = levels.reduce(_ unionByName _)
       .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-    val outRdd = resWide.rdd.localCheckpoint()
+    val (out, outRdd) = InternalCheckpoint.pin(spark, resWide)
     outRdd.count()
-    val out = spark.createDataFrame(outRdd, resWide.schema)
     caches.foreach(_.unpersist())
     out
   }
@@ -312,7 +311,7 @@ object GraphOps {
         .persist(StorageLevel.MEMORY_AND_DISK)
       levelCaches += nextWide
       val n = nextWide.count()
-      val next = spark.createDataFrame(nextWide.rdd, nextWide.schema) // lineage cut
+      val next = InternalCheckpoint.wrap(spark, nextWide) // lineage cut
       if (n == prevCount) saturated = true
       else {
         levels = levels :+ next.select(col("node"), lit(d.toLong).as("dist"), col("parent"))

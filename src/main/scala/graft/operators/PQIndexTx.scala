@@ -178,8 +178,8 @@ object PQIndexTx {
     var (coarse, cbs) = loadQuant(spark, dir, loadedEpoch)
     val delta0 = vecs.select(col("vec_id"), col("e"))
       .filter(col("vec_id") >= nq)
-    val deltaRdd = delta0.rdd.localCheckpoint()
-    val delta = spark.createDataFrame(deltaRdd, delta0.schema)
+    val (delta, deltaRdd) =
+      org.apache.spark.sql.graft.InternalCheckpoint.pin(spark, delta0)
     var applied = false
     try {
       val idRows = delta.select(col("vec_id")).limit(MaxProbeKeys + 1).collect()

@@ -5,7 +5,7 @@ import java.nio.file.{Files, Path, Paths}
 import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Session-scoped stage registry: the ONE place in-session staging state
   * (materialized pair frames, built index directories) lives, keyed by a
@@ -33,7 +33,7 @@ object Stages {
     * that owns its blocks (the drop path needs the RDD — a localCheckpoint
     * survives `catalog.clearCache` precisely because its blocks are NOT
     * cacheManager entries, so only this handle can release them). */
-  private val frames = TrieMap.empty[Key, (DataFrame, RDD[Row])]
+  private val frames = TrieMap.empty[Key, (DataFrame, RDD[_])]
 
   /** Staged directories (built index files), deleted on drop. */
   private val dirs = TrieMap.empty[Key, Path]
@@ -71,15 +71,16 @@ object Stages {
     frames.getOrElseUpdate(Key(sid(spark), name), {
       val caches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
       val df = build(caches)
-      // RDD-level checkpoint (not Dataset.localCheckpoint): the Dataset
-      // variant hides the persisted RDD inside a LogicalRDD private to
-      // Spark, leaving no public handle to unpersist — staging through
-      // df.rdd keeps the owner of the blocks in OUR hands. Stage frames
-      // are small (pairs, components), so the Row round-trip is noise.
-      val rdd = df.rdd.localCheckpoint()
+      // InternalRow-level checkpoint (not Dataset.localCheckpoint): the
+      // Dataset variant hides the persisted RDD inside a LogicalRDD
+      // private to Spark, leaving no public handle to unpersist — the
+      // pin keeps the owner of the blocks in OUR hands and serves the
+      // stored UnsafeRows back without a Row round-trip.
+      val (out, rdd) =
+        org.apache.spark.sql.graft.InternalCheckpoint.pin(spark, df)
       rdd.count() // eager: truncate lineage NOW, while inputs are cached
       caches.foreach(_.unpersist())
-      (spark.createDataFrame(rdd, df.schema), rdd)
+      (out, rdd)
     })._1
 
   /** Build a stage DIRECTORY once per (session, `name`): a fresh temp

@@ -148,13 +148,14 @@ final class EventStore(root: String) {
     if (!TxTable.exists(dir(name))) updates
     else {
       val spark = updates.sparkSession
-      val upRdd = updates.rdd.localCheckpoint()
-      val pinned = spark.createDataFrame(upRdd, updates.schema)
-      val freshRdd = freshAgainst(spark, dir(name),
-        TxTable.snapshot(dir(name)), pinned, key).rdd.localCheckpoint()
+      val (pinned, upRdd) =
+        org.apache.spark.sql.graft.InternalCheckpoint.pin(spark, updates)
+      val (fresh, freshRdd) = org.apache.spark.sql.graft.InternalCheckpoint.pin(
+        spark, freshAgainst(spark, dir(name),
+          TxTable.snapshot(dir(name)), pinned, key))
       freshRdd.count() // materialize against THIS evaluation of the input
       upRdd.unpersist(blocking = false)
-      spark.createDataFrame(freshRdd, updates.schema)
+      fresh
     }
 
   /** S4: first-writer-wins keyed insert (`INSERT IGNORE`) — APPEND-
@@ -184,16 +185,16 @@ final class EventStore(root: String) {
     val d = dir(name)
     // Pin ONE evaluation of the batch: the probe, the emptiness check,
     // and the appended rows must all see the same rows.
-    val upRdd = updates.rdd.localCheckpoint()
-    val up = spark.createDataFrame(upRdd, updates.schema)
+    val (up, upRdd) =
+      org.apache.spark.sql.graft.InternalCheckpoint.pin(spark, updates)
     var done = false
     while (!done) {
       val snap = TxTable.snapshot(d)
-      val freshRdd = freshAgainst(spark, d, snap, up, key).rdd.localCheckpoint()
+      val (fresh, freshRdd) = org.apache.spark.sql.graft.InternalCheckpoint.pin(
+        spark, freshAgainst(spark, d, snap, up, key))
       try {
         if (freshRdd.count() > 0)
-          TxTable.commit(spark, d, spark.createDataFrame(freshRdd, up.schema),
-            snap, keepExisting = true)
+          TxTable.commit(spark, d, fresh, snap, keepExisting = true)
         done = true
       } catch { case _: TxTable.ConcurrentCommitException => () } // re-probe
       finally freshRdd.unpersist(blocking = false)
