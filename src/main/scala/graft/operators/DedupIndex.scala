@@ -105,9 +105,23 @@ object DedupIndex {
     * trigger while capping a long ingest stream's read amplification. */
   val AutoCompactSegments = 8
 
-  /** Files per appended LSM segment (see the stage-write coalesce in
-    * [[append]]). */
+  /** Max files per appended LSM segment (see the stage-write coalesce
+    * in [[append]]). */
   private val SegmentFiles = 8
+
+  /** Files for a staged LSM segment, derived from the delta's row count
+    * when the bounded collect knows it (guide §6: size output files to
+    * the data, not a constant): a small delta lands as ONE file instead
+    * of a fixed 8-way split — fewer footers per commit-time harvest,
+    * fewer files every future fold, listing and pruned scan enumerates —
+    * while a large delta still fans out toward the fixed level-0 cap so
+    * segment files stay splittable-read-sized. `rowsPerFile` scales per
+    * table shape (docs/groups rows carry KB-sized arrays; pairs rows are
+    * 24 bytes). Unknown (over-driver-bound) deltas keep the fixed cap. */
+  private def segmentFiles(rows: Long, rowsPerFile: Long): Int =
+    if (rows < 0) SegmentFiles
+    else math.max(1, math.min(SegmentFiles.toLong,
+      (rows + rowsPerFile - 1) / rowsPerFile).toInt)
 
   /** Pair expansion over capped groups: every a<b pair inside each
     * rare group, with `c_rare` = number of groups the pair shares.
@@ -300,16 +314,27 @@ object DedupIndex {
     // per data dir. doc_id-range-clustered so the manifest stats give
     // each file a tight id interval — what makes append's dupe probe
     // and candidate-endpoint fetch O(hit files) instead of O(corpus).
-    putTable(spark, s"$dir/docs",
-      d.repartitionByRange(col("doc_id")).sortWithinPartitions(col("doc_id")),
-      bloomCols = Seq("doc_id"))
+    // The docs and groups writes are INDEPENDENT of the pair mine (it
+    // reads the caches, never the tables) — overlapped as background
+    // jobs (§2.6), joined before return; build has no concurrent
+    // readers to protect, so write order across the four tables is
+    // free. Shared-cache fills race safely (block-level locks).
+    implicit val buildEc: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val docsF = scala.concurrent.Future {
+      putTable(spark, s"$dir/docs",
+        d.repartitionByRange(col("doc_id")).sortWithinPartitions(col("doc_id")),
+        bloomCols = Seq("doc_id"))
+    }
     val grouped = groupsWithDf(inv(d), cap)
       .persist(StorageLevel.MEMORY_AND_DISK)
     // sh-range-clustered: tight per-file sstats bounds are what let
     // every future append's old-side scan prune to the files its delta
     // shingles hit (see the manifest-planned read in [[append]]).
-    putTable(spark, s"$dir/groups",
-      grouped.repartitionByRange(col("sh")).sortWithinPartitions(col("sh")))
+    val groupsF = scala.concurrent.Future {
+      putTable(spark, s"$dir/groups",
+        grouped.repartitionByRange(col("sh")).sortWithinPartitions(col("sh")))
+    }
     // Known family = ALL rare groups: kc is each doc's rare-shingle
     // count, so the bound is exactly the one-shot pipeline's.
     val rareCnt = grouped.filter(col("ids").isNotNull)
@@ -335,6 +360,8 @@ object DedupIndex {
     putTable(spark, s"$dir/components",
       comps.repartitionByRange(col("doc_id"))
         .sortWithinPartitions(col("doc_id")))
+    scala.concurrent.Await.result(docsF, scala.concurrent.duration.Duration.Inf)
+    scala.concurrent.Await.result(groupsF, scala.concurrent.duration.Duration.Inf)
     grouped.unpersist(); d.unpersist()
   }
 
@@ -427,9 +454,10 @@ object DedupIndex {
         deltaIdRows0.exists(r => openMask(r.getLong(0)))
       else !newIds.filter(col("doc_id").isInCollection(openMask)).isEmpty
     if (collides) {
-      TxTable.foldDeletes(spark, s"$dir/docs")
-      TxTable.foldDeletes(spark, s"$dir/components")
-      TxTable.foldDeletes(spark, s"$dir/pairs")
+      // Three INDEPENDENT tables' folds — overlapped (Par.all, §2.6):
+      // each fold is a small pruned-replace job chain on its own dir.
+      Par.all(Seq("docs", "components", "pairs")
+        .map(t => () => TxTable.foldDeletes(spark, s"$dir/$t")))
       ()
     }
     phase("collision_fold")
@@ -445,29 +473,43 @@ object DedupIndex {
     // an over-bound delta, or a suspect set too big for an IN list —
     // take the exact corpus semi-join this replaces.
     val deltaIdRows = deltaIdRows0 // pinned delta: the collision collect serves the probe too
-    val bloomSuspects = TxTable.keyBlooms(s"$dir/docs", docsSnap, "doc_id") match {
-      case Some(bfs) if deltaIdRows.length <= MaxReplaceKeys =>
-        Some(deltaIdRows.iterator.map(_.getLong(0))
-          .filter(id => bfs.exists(_.mightContainLong(id))).toSeq)
-      case _ => None
+    // THREE independent prologue chains — the dupe probe, the docs
+    // segment stage write (+ its pre-computed Bloom), and the groups
+    // segment stage write below — depend only on the pinned delta and
+    // the pre-append snapshots, and nothing reads their results until
+    // the commit section. Launched as background jobs (guide §2.6:
+    // concurrent chains back-fill the executor slots each other's small
+    // stages leave idle) and JOINED — dupe REQUIRE enforced — at
+    // stage_join, before any commit makes anything visible. A crash or
+    // a tripped dupe check still leaves every table at its pre-append
+    // version: staged dirs are invisible until their claims.
+    implicit val stagingEc: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val dupeF = scala.concurrent.Future {
+      val bloomSuspects = TxTable.keyBlooms(s"$dir/docs", docsSnap, "doc_id") match {
+        case Some(bfs) if deltaIdRows.length <= MaxReplaceKeys =>
+          Some(deltaIdRows.iterator.map(_.getLong(0))
+            .filter(id => bfs.exists(_.mightContainLong(id))).toSeq)
+        case _ => None
+      }
+      val dupes = bloomSuspects match {
+        case Some(Nil) => 0L
+        case Some(suspects) if suspects.length <= 1000 =>
+          // Manifest-planned point probe (TxTable.lookupKeys): doc_id
+          // stats pruning drops every file whose range excludes all
+          // suspects, so the exact probe reads O(hit files), not the
+          // corpus — docs is doc_id-range-clustered by build/compact, so
+          // hit files ∝ suspects. The IN filter still pushes into the
+          // survivors for row-group skipping.
+          TxTable.lookupKeys(spark, s"$dir/docs", "doc_id", suspects,
+            Some(docsSnap)).select(col("doc_id")).count()
+        case _ =>
+          docsStored.select(col("doc_id"))
+            .join(broadcast(newIds), Seq("doc_id"), "left_semi").count()
+      }
+      require(dupes == 0L,
+        s"append: $dupes delta doc_ids already present in $dir/docs")
     }
-    val dupes = bloomSuspects match {
-      case Some(Nil) => 0L
-      case Some(suspects) if suspects.length <= 1000 =>
-        // Manifest-planned point probe (TxTable.lookupKeys): doc_id
-        // stats pruning drops every file whose range excludes all
-        // suspects, so the exact probe reads O(hit files), not the
-        // corpus — docs is doc_id-range-clustered by build/compact, so
-        // hit files ∝ suspects. The IN filter still pushes into the
-        // survivors for row-group skipping.
-        TxTable.lookupKeys(spark, s"$dir/docs", "doc_id", suspects,
-          Some(docsSnap)).select(col("doc_id")).count()
-      case _ =>
-        docsStored.select(col("doc_id"))
-          .join(broadcast(newIds), Seq("doc_id"), "left_semi").count()
-    }
-    require(dupes == 0L,
-      s"append: $dupes delta doc_ids already present in $dir/docs")
     phase("dupe_check")
     // STAGED, not committed: a crash anywhere in this pipeline must
     // leave every table at its pre-append version (an advanced docs
@@ -475,15 +517,18 @@ object DedupIndex {
     // check above, needing manual repair). All four tables' claims land
     // back-to-back at the end.
     val docsSchema = nd.schema
-    val uDocs = TxTable.stage(s"$dir/docs", nd)
-    // The new segment's doc_id Bloom, built from the ids ALREADY
-    // collected for the dupe probe — a driver loop over the delta's
-    // keys instead of the commit-time harvest's data pass.
-    if (deltaIdRows.length <= MaxReplaceKeys) {
-      val bf = org.apache.spark.util.sketch.BloomFilter.create(
-        math.max(deltaIdRows.length, 1).toLong, TxTable.BloomFpp)
-      deltaIdRows.foreach(r => bf.putLong(r.getLong(0)))
-      TxTable.preBloom(s"$dir/docs", uDocs, "doc_id", bf)
+    val uDocsF = scala.concurrent.Future {
+      val u = TxTable.stage(s"$dir/docs", nd)
+      // The new segment's doc_id Bloom, built from the ids ALREADY
+      // collected for the dupe probe — a driver loop over the delta's
+      // keys instead of the commit-time harvest's data pass.
+      if (deltaIdRows.length <= MaxReplaceKeys) {
+        val bf = org.apache.spark.util.sketch.BloomFilter.create(
+          math.max(deltaIdRows.length, 1).toLong, TxTable.BloomFpp)
+        deltaIdRows.foreach(r => bf.putLong(r.getLong(0)))
+        TxTable.preBloom(s"$dir/docs", u, "doc_id", bf)
+      }
+      u
     }
     phase("stage_docs")
 
@@ -527,9 +572,16 @@ object DedupIndex {
     // range excludes the whole delta — the shuffle is delta-bounded
     // and buys O(hit files) reads for the rest of the table's life.
     val groupsSchema = dgSeg.schema
-    val uGroups = TxTable.stage(s"$dir/groups",
-      dgSeg.repartitionByRange(SegmentFiles, col("sh"))
-        .sortWithinPartitions(col("sh")))
+    // Row-count-adaptive file fan-out (a delta's groups rows ≲ its docs'
+    // total shingle count; 50k array-carrying rows ≈ a well-sized file).
+    val segFiles = segmentFiles(
+      if (deltaIdRows.length <= MaxReplaceKeys) deltaIdRows.length.toLong
+      else -1L, 50000L)
+    val uGroupsF = scala.concurrent.Future {
+      TxTable.stage(s"$dir/groups",
+        dgSeg.repartitionByRange(segFiles, col("sh"))
+          .sortWithinPartitions(col("sh")))
+    }
     phase("stage_groups_segment")
 
     // The OLD-side and MERGED per-shingle views over the delta's
@@ -792,6 +844,17 @@ object DedupIndex {
     val (dropped, droppedRdd) = InternalCheckpoint.pin(spark, droppedPlan)
     val droppedCount = droppedRdd.count()
     phase("rare_to_hot_recheck")
+    // Join the overlapped prologue chains. The dupe REQUIRE surfaces
+    // here — still before any commit, so a duplicate delta aborts with
+    // every table at its pre-append version exactly as before; only the
+    // failure's latency moved.
+    val uDocs = scala.concurrent.Await.result(
+      uDocsF, scala.concurrent.duration.Duration.Inf)
+    val uGroups = scala.concurrent.Await.result(
+      uGroupsF, scala.concurrent.duration.Duration.Inf)
+    scala.concurrent.Await.result(
+      dupeF, scala.concurrent.duration.Duration.Inf)
+    phase("stage_join")
     // A delta that mines no pairs and drops none — the common case for
     // a mostly-unique corpus slice — is a content NO-OP for pairs and
     // components: skip their staging and commits entirely. Committing
@@ -831,7 +894,11 @@ object DedupIndex {
       if (pairsAppendOnly) newPairs
       else op.join(dropped, Seq("a", "b"), "left_anti").unionByName(newPairs)
     val pairsSchema = pairsOut.schema
-    val uPairs = TxTable.stage(s"$dir/pairs", pairsOut.coalesce(SegmentFiles))
+    // Pairs rows are 24 bytes — one file holds millions before it stops
+    // being well-sized; the rewrite path (unknown final count) keeps the
+    // fixed cap.
+    val uPairs = TxTable.stage(s"$dir/pairs", pairsOut.coalesce(
+      segmentFiles(if (pairsAppendOnly) newPairsCount else -1L, 2000000L)))
     phase("stage_pairs")
 
     // Component fold: only components touched by a new or dropped pair
@@ -1164,13 +1231,16 @@ object DedupIndex {
     // itself, no side state.
     val live = TxTable.read(spark, s"$dir/docs").select(col("doc_id"))
     val hot = merged.filter(col("ids").isNull)
-    // distinct before regrouping: mergeSegments dedupes arrays, so the
-    // exploded rows are distinct already — kept as an explicit invariant
-    // (size(ids) below IS the live document frequency only over sets).
+    // No distinct before regrouping: mergeSegments groups to ONE row per
+    // sh and array_distincts its ids, so the exploded (sh, doc_id) rows
+    // are unique by construction and the semi-join preserves that —
+    // size(ids) below IS the live document frequency. (A distinct here
+    // was provably a no-op and cost a full extra exchange per scheduled
+    // OPTIMIZE; the set invariant lives in mergeSegments, property-
+    // tested there.)
     val purgedRare = merged.filter(col("ids").isNotNull)
       .select(col("sh"), explode(col("ids")).as("doc_id"))
       .join(live, Seq("doc_id"), "left_semi")
-      .distinct()
       .groupBy(col("sh"))
       .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
       .select(col("sh"), col("ids"), size(col("ids")).cast("long").as("df"))
@@ -1259,8 +1329,11 @@ object DedupIndex {
       // Masks physical first: docs is the ledger the re-derive reads,
       // and stale value-keyed tombstones on pairs/components would
       // suppress re-mined rows of re-admitted ids. foldDeletes clears
-      // as it folds.
-      StageTables.foreach(t => TxTable.foldDeletes(spark, s"$dir/$t"))
+      // as it folds. Four independent tables — folded concurrently
+      // (Par.all, §2.6): each fold is its own pruned-replace job chain
+      // on its own dir, and overlapping them collapses the tier's
+      // fixed-cost prologue to the slowest single fold.
+      Par.all(StageTables.map(t => () => TxTable.foldDeletes(spark, s"$dir/$t")))
       phase("mask_fold")
       // The planning snapshots every conditional commit below claims
       // against; a tombstone or segment landing after this line fails

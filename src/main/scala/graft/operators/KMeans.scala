@@ -70,24 +70,36 @@ object KMeans {
     * oracle loses it identically). */
   def step(vecs: DataFrame, cents: Seq[Cent]): Seq[Cent] =
     stepWith(vecs,
-      s"${VectorOps.nearestCentroid(literal(cents), "e", "nsq")}.cl")
+      s"${VectorOps.nearestCentroid(literal(cents), "e", "nsq")}.cl",
+      cents.head.c.size)
 
   /** [[step]] under squared-L2 assignment — the product-quantizer
     * metric ([[PQ]]); the UPDATE half (per-cell exact-decimal means) is
     * metric-independent. */
   def stepL2(vecs: DataFrame, cents: Seq[Cent]): Seq[Cent] =
     stepWith(vecs,
-      s"${VectorOps.nearestCentroidL2(literal(cents), "e")}.cl")
+      s"${VectorOps.nearestCentroidL2(literal(cents), "e")}.cl",
+      cents.head.c.size)
 
-  private def stepWith(vecs: DataFrame, assignExpr: String): Seq[Cent] = {
+  /** The UPDATE half in ONE shuffle: per-cell decimal sums of each of
+    * the `dim` coordinates ride a single groupBy(cl) as dim aggregate
+    * columns (plus the cell count), instead of posexploding the corpus
+    * dim-fold wider and paying a second (cl,i)→cl re-assembly shuffle.
+    * Arithmetic is unchanged — each coordinate's mean is the exact
+    * DECIMAL(30,15) sum cast to double over the same count, so the
+    * fitted trajectory stays bit-identical to the two-shuffle form
+    * (the DuckDB oracle replays it hash-exactly). */
+  private def stepWith(vecs: DataFrame, assignExpr: String, dim: Int): Seq[Cent] = {
     val assigned = vecs.selectExpr("e", s"$assignExpr AS cl")
+    val aggs = (1 to dim).map(i =>
+      sum(expr(s"CAST(element_at(e, $i) AS DECIMAL(30,15))")).as(s"s$i")) :+
+      count(lit(1)).as("n")
     toCents(assigned
-      .selectExpr("cl", "posexplode(e) AS (i, v)")
-      .groupBy(col("cl"), col("i"))
-      .agg((sum(expr("CAST(v AS DECIMAL(30,15))")).cast("double") / count(lit(1))).as("m"))
       .groupBy(col("cl"))
-      .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("im"))
-      .selectExpr("cl", "transform(im, x -> x.m) AS c")
+      .agg(aggs.head, aggs.tail: _*)
+      .selectExpr("cl",
+        (1 to dim).map(i => s"CAST(s$i AS DOUBLE) / n")
+          .mkString("array(", ", ", ") AS c"))
       .selectExpr("cl", "c", s"${VectorOps.normSq("c")} AS cnsq")
       .collect())
   }

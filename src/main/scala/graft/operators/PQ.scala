@@ -76,15 +76,22 @@ object PQ {
     for (_ <- 1 to iters) {
       val assign =
         s"${VectorOps.nearestCentroidL2(s"filter(${jointLiteral(cbs)}, ct -> ct.s = s)", "e")}.cl"
+      // ONE shuffle per iteration (the KMeans.stepWith shape): the dsub
+      // per-coordinate decimal sums ride the (s, cl) grouping as
+      // aggregate columns — no posexplode row amplification, no second
+      // re-assembly shuffle. Same exact-decimal arithmetic, so the
+      // trajectory stays bit-identical to the sequential per-subspace
+      // fit (PQSpec asserts it).
+      val aggs = (1 to dsub).map(i =>
+        sum(expr(s"CAST(element_at(e, $i) AS DECIMAL(30,15))")).as(s"s$i")) :+
+        count(lit(1)).as("n")
       val rows = sub
         .selectExpr("s", "e", s"$assign AS cl")
-        .selectExpr("s", "cl", "posexplode(e) AS (i, v)")
-        .groupBy(col("s"), col("cl"), col("i"))
-        .agg((sum(expr("CAST(v AS DECIMAL(30,15))"))
-          .cast("double") / count(lit(1))).as("mn"))
         .groupBy(col("s"), col("cl"))
-        .agg(array_sort(collect_list(struct(col("i"), col("mn")))).as("im"))
-        .selectExpr("s", "cl", "transform(im, x -> x.mn) AS c")
+        .agg(aggs.head, aggs.tail: _*)
+        .selectExpr("s", "cl",
+          (1 to dsub).map(i => s"CAST(s$i AS DOUBLE) / n")
+            .mkString("array(", ", ", ") AS c"))
         .selectExpr("s", "cl", "c", s"${VectorOps.normSq("c")} AS cnsq")
         .collect()
       cbs = (0 until m).map(s => rows.filter(_.getInt(0) == s)

@@ -78,8 +78,13 @@ object PQIndex {
                                     m: Int, dsub: Int, ksub: Int, iters: Int,
                                     coarseK: Int, coarseIters: Int)
       : (Seq[KMeans.Cent], Seq[Seq[KMeans.Cent]]) = {
-    val coarse = KMeans.fit(v, coarseK, coarseIters)
-    val cbs = PQ.fit(v.select(col("vec_id"), col("e")), m, dsub, ksub, iters)
+    // The coarse quantizer and the PQ codebooks are INDEPENDENT fits
+    // over the same cached rows — overlap them (Par.par2): each fit is
+    // a chain of small Lloyd jobs that leaves most of the cluster idle,
+    // and the second chain back-fills those slots. Results unchanged —
+    // the fits share no state.
+    val (coarse, cbs) = Par.par2(KMeans.fit(v, coarseK, coarseIters))(
+      PQ.fit(v.select(col("vec_id"), col("e")), m, dsub, ksub, iters))
     import spark.implicits._
     coarse.map(ct => (ct.cl, ct.c, ct.cnsq)).toDF("cl", "c", "cnsq")
       .coalesce(1).write.mode("overwrite").parquet(coarsePath)

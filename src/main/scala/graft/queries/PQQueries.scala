@@ -254,8 +254,11 @@ object PQQueries {
       t => {
         val vecs = norms(t)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val coarse = KMeans.fit(vecs, CoarseK, CoarseIters)
-        val (cbs, luts, qnsq) = trainAndLuts(vecs)
+        // Independent fits over the same cached rows — overlapped
+        // (Par.par2, §2.6); identical results, the fits share no state.
+        val (coarse, (cbs, luts, qnsq)) =
+          graft.operators.Par.par2(KMeans.fit(vecs, CoarseK, CoarseIters))(
+            trainAndLuts(vecs))
         // Probed cells per query: bounded |Q|·nprobe collect (the IVF
         // query plan — which partitions to read — is driver state).
         val probes: Map[Long, Seq[Long]] = vecs.filter(col("vec_id") < NQ)
