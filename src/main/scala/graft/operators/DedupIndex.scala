@@ -896,9 +896,13 @@ object DedupIndex {
     val pairsSchema = pairsOut.schema
     // Pairs rows are 24 bytes — one file holds millions before it stops
     // being well-sized; the rewrite path (unknown final count) keeps the
-    // fixed cap.
-    val uPairs = TxTable.stage(s"$dir/pairs", pairsOut.coalesce(
-      segmentFiles(if (pairsAppendOnly) newPairsCount else -1L, 2000000L)))
+    // fixed cap. Staged as a background job (§2.6, like the prologue
+    // stages): the component fold below reads op/oc, not this write —
+    // only the rewrite path's staged-file read (and the commit) join it.
+    val uPairsF = scala.concurrent.Future {
+      TxTable.stage(s"$dir/pairs", pairsOut.coalesce(
+        segmentFiles(if (pairsAppendOnly) newPairsCount else -1L, 2000000L)))
+    }
     phase("stage_pairs")
 
     // Component fold: only components touched by a new or dropped pair
@@ -917,15 +921,26 @@ object DedupIndex {
       .distinct()
     val affected = oc.join(touched, Seq("doc_id"), "left_semi")
       .select(col("component")).distinct()
+    // The affected components' MEMBERSHIP collect is independent of the
+    // edge collect below (both read-only over op/oc) — overlapped
+    // (§2.6); the replace staging that needs it joins the future.
+    val affectedDocsF = scala.concurrent.Future {
+      oc.join(affected, Seq("component"), "left_semi")
+        .select(col("doc_id")).limit(MaxReplaceKeys + 1)
+        .collect().map(_.getLong(0))
+    }
     // Fold edges = the final pairs table, restricted to pairs NOT
     // wholly inside an unaffected old component (stored pairs have both
     // endpoints in one component; a brand-new doc has no old label —
     // NULL — and always rides). On the append-only path the final
     // table is op ∪ newPairs, both lineage-shallow already (a parquet
-    // scan and a LogicalRDD); the rewrite path reads its staged files.
+    // scan and a LogicalRDD); the rewrite path reads its staged files
+    // (joining the stage-write future first).
     val pairsFinal =
       if (pairsAppendOnly) op.unionByName(newPairs)
-      else spark.read.parquet(TxTable.stagedPath(s"$dir/pairs", uPairs))
+      else spark.read.parquet(TxTable.stagedPath(s"$dir/pairs",
+        scala.concurrent.Await.result(uPairsF,
+          scala.concurrent.duration.Duration.Inf)))
     val edges0 = pairsFinal
       .join(oc.select(col("doc_id").as("a"), col("component").as("ca")), Seq("a"), "left")
       .join(affected.select(col("component").as("ca")).withColumn("aff", lit(true)),
@@ -966,9 +981,8 @@ object DedupIndex {
     // the driver-bound guard — a delta touching a huge fraction of the
     // corpus — fall back to the full rewrite, which such a delta
     // approaches anyway. STAGED here, committed below.
-    val affectedDocs = oc.join(affected, Seq("component"), "left_semi")
-      .select(col("doc_id")).limit(MaxReplaceKeys + 1)
-      .collect().map(_.getLong(0))
+    val affectedDocs = scala.concurrent.Await.result(affectedDocsF,
+      scala.concurrent.duration.Duration.Inf)
     val stagedComponents =
       if (affectedDocs.length <= MaxReplaceKeys)
         graft.sources.PrunedReplace.stageReplaceWith(
@@ -1001,7 +1015,9 @@ object DedupIndex {
     // state because it commits last.
     TxTable.commitStaged(spark, s"$dir/docs", uDocs, docsSchema,
       keepExisting = true, txnUpdate = txnMap)
-    TxTable.commitStaged(spark, s"$dir/pairs", uPairs, pairsSchema,
+    TxTable.commitStaged(spark, s"$dir/pairs",
+      scala.concurrent.Await.result(uPairsF,
+        scala.concurrent.duration.Duration.Inf), pairsSchema,
       keepExisting = pairsAppendOnly)
     stagedComponents.commit()
     TxTable.commitStaged(spark, s"$dir/groups", uGroups, groupsSchema,
@@ -1246,10 +1262,14 @@ object DedupIndex {
       .select(col("sh"), col("ids"), size(col("ids")).cast("long").as("df"))
     // Restores sh-range-clustering along with the fold (appends land
     // their segments clustered too, but compaction re-tightens the
-    // per-file bounds across the merged whole).
-    TxTable.overwrite(spark, s"$dir/groups",
-      purgedRare.unionByName(hot)
-        .repartitionByRange(col("sh")).sortWithinPartitions(col("sh")))
+    // per-file bounds across the merged whole). PERSISTED first:
+    // repartitionByRange's RangePartitioner samples its child in a
+    // separate pass before the write, so an uncached union would run
+    // the whole merge+purge aggregation TWICE per scheduled OPTIMIZE.
+    val out = purgedRare.unionByName(hot).persist(StorageLevel.MEMORY_AND_DISK)
+    try TxTable.overwrite(spark, s"$dir/groups",
+      out.repartitionByRange(col("sh")).sortWithinPartitions(col("sh")))
+    finally out.unpersist()
     ()
   }
 
@@ -1345,16 +1365,34 @@ object DedupIndex {
         .persist(StorageLevel.MEMORY_AND_DISK)
       try {
         optimizeRaceHookForTest()
-        TxTable.commit(spark, s"$dir/groups",
-          grouped.repartitionByRange(col("sh")).sortWithinPartitions(col("sh")),
-          snaps("groups"))
-        phase("groups_rederive")
+        // The groups rewrite and the pair re-mine both read the CACHED
+        // `grouped` aggregation and commit to different tables —
+        // independent chains, overlapped (§2.6). Both commits stay
+        // conditional on their planning snapshots; a lost race on
+        // EITHER surfaces at the join below and re-enters the re-plan
+        // loop exactly as the sequential form did (tables already
+        // rewritten hold derived content and are rewritten again from
+        // the fresh ledger).
+        implicit val optEc: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.global
+        val groupsF = scala.concurrent.Future {
+          TxTable.commit(spark, s"$dir/groups",
+            grouped.repartitionByRange(col("sh")).sortWithinPartitions(col("sh")),
+            snaps("groups"))
+        }
         val rareCnt = grouped.filter(col("ids").isNotNull)
           .select(explode(col("ids")).as("doc_id"))
           .groupBy(col("doc_id")).agg(count(lit(1)).as("kc"))
-        val pSnap = TxTable.commit(spark, s"$dir/pairs",
-          boundedVerify(pairCounts(grouped), d, rareCnt), snaps("pairs"))
-        phase("pair_mine_verify")
+        val pSnap =
+          try TxTable.commit(spark, s"$dir/pairs",
+            boundedVerify(pairCounts(grouped), d, rareCnt), snaps("pairs"))
+          finally scala.concurrent.Await.ready(groupsF,
+            scala.concurrent.duration.Duration.Inf)
+        // Surface the groups outcome (a ConcurrentCommitException here
+        // rethrows into the outer re-plan catch).
+        scala.concurrent.Await.result(groupsF,
+          scala.concurrent.duration.Duration.Inf)
+        phase("groups_rederive_pair_mine")
         // Edges read at the snapshot THIS commit produced — a segment
         // appended right after it must not leak into this tier's fold.
         val pairEdges = TxTable.read(spark, s"$dir/pairs", pSnap)

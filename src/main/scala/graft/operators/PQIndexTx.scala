@@ -181,11 +181,23 @@ object PQIndexTx {
     val (delta, deltaRdd) =
       org.apache.spark.sql.graft.InternalCheckpoint.pin(spark, delta0)
     var applied = false
+    // Encode ONCE per (re-)encode: clustered()'s RangePartitioner
+    // sampling pass would otherwise evaluate the heavy encode
+    // expression (coarse argmin + m per-subspace argmins per row)
+    // twice — once sampling, once writing. Pinned at the internal row
+    // level; superseded pins (epoch-drift re-encodes) release eagerly.
+    var encRdd: org.apache.spark.rdd.RDD[_] = null
     try {
       val idRows = delta.select(col("vec_id")).limit(MaxProbeKeys + 1).collect()
-      def encode() = clustered(PQIndex.encodedIVF(
-        delta.selectExpr("vec_id", "e", s"${VectorOps.normSq("e")} AS nsq"),
-        coarse, cbs, dsub, nq), files)
+      def encode() = {
+        if (encRdd != null) encRdd.unpersist(blocking = false)
+        val (df, h) = org.apache.spark.sql.graft.InternalCheckpoint.pin(spark,
+          PQIndex.encodedIVF(
+            delta.selectExpr("vec_id", "e", s"${VectorOps.normSq("e")} AS nsq"),
+            coarse, cbs, dsub, nq))
+        encRdd = h
+        clustered(df, files)
+      }
       var enc = encode()
       var done = false
       while (!done) {
@@ -239,7 +251,10 @@ object PQIndexTx {
           } catch { case _: TxTable.ConcurrentCommitException => () } // re-probe
         }
       }
-    } finally deltaRdd.unpersist(blocking = false)
+    } finally {
+      if (encRdd != null) encRdd.unpersist(blocking = false)
+      deltaRdd.unpersist(blocking = false)
+    }
     if (applied) {
       val after = TxTable.snapshot(cd)
       if (after.dirs.size > AutoCompactDirs)
@@ -487,8 +502,12 @@ object PQIndexTx {
         val (coarse, cbs) = PQIndex.trainIVFAt(spark, v, cp, bp,
           m, dsub, ksub, iters, coarseK, coarseIters)
         phase("train")
-        val enc = clustered(PQIndex.encodedIVF(v, coarse, cbs, dsub, nq),
-          if (files > 0) files else coarseK)
+        // Pin the re-encode (see appendImpl): the clustered write's
+        // range-sampling pass must not evaluate the whole-corpus encode
+        // expression a second time.
+        val (encDf, encRdd) = org.apache.spark.sql.graft.InternalCheckpoint.pin(
+          spark, PQIndex.encodedIVF(v, coarse, cbs, dsub, nq))
+        val enc = clustered(encDf, if (files > 0) files else coarseK)
         optimizeRaceHookForTest()
         try {
           TxTable.commit(spark, cd, enc, snap,
@@ -501,7 +520,7 @@ object PQIndexTx {
           // contention in a scheduled window is rare, and each retry
           // pays one retrain, never silent clobber.
           phase("replan_lost_race")
-        }
+        } finally encRdd.unpersist(blocking = false)
       } finally v.unpersist()
     }
     lastOptimizePhases.set(phases.toSeq)

@@ -54,25 +54,21 @@ object GraphQueries {
     QueryDef(
       "q_graph_copurchase_pairs",
       t => {
-        // Pair expansion from per-order part SETS instead of a θ
-        // self-join: ONE shuffle groups the lineitems by order
-        // (collect_set dedupes parts map-side), the sorted array
-        // expands its a<b pairs row-locally — the same bounded
-        // expansion the dedup index's pair mine uses — and ONE more
-        // shuffle counts pairs. The previous distinct + self-join +
-        // count shape paid 4 exchanges (distinct, two join sides,
-        // aggregate) and evaluated the dedup subtree on both join
-        // sides; per-order part counts are small, so the row-local
-        // expansion is bounded exactly like the self-join's per-key
-        // output. Identical result: co_cnt = orders containing both
-        // parts, pairs emitted once per order with p1 < p2.
-        t.lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-          .groupBy(col("ok"))
-          .agg(sort_array(collect_set(col("p"))).as("ps"))
-          .selectExpr("""explode(flatten(transform(ps,
-            (a, i) -> transform(slice(ps, i + 2, size(ps)),
-                                b -> named_struct('p1', a, 'p2', b))))) AS pr""")
-          .groupBy(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
+        // Dedup (order, part) BEFORE the self-join: each pair then occurs
+        // once per order, so the agg is a plain count — no countDistinct
+        // expand, and the self-join input is the smallest it can be.
+        // (An r17 rewrite to per-order collect_set + row-local pair
+        // expansion — 2 exchanges instead of 4 — MEASURED SLOWER here,
+        // 1.25 s -> 1.45-1.75 s at sf0.1 across two interleaved A/B
+        // windows: the ObjectHashAggregate set buffers cost more than
+        // the whole-stage-codegen'd hash self-join on this shape, so the
+        // join form stays. See OPTIMIZATION_r17.md.)
+        val m = t.lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+          .distinct()
+        m.select(col("ok"), col("p").as("p1"))
+          .join(m.select(col("ok"), col("p").as("p2")), "ok")
+          .filter(col("p1") < col("p2"))
+          .groupBy(col("p1"), col("p2"))
           .agg(count(lit(1)).as("co_cnt"))
           .orderBy(col("co_cnt").desc, col("p1").asc, col("p2").asc)
           .limit(20)
