@@ -93,6 +93,7 @@ object Bench {
       // query's (or any warmup pass's) decomposition under its own name.
       graft.operators.DedupIndex.lastAppendPhases.set(Nil)
       graft.operators.DedupIndex.lastOptimizePhases.set(Nil)
+      graft.operators.DedupIndex.lastLifecyclePhases.set(Nil)
       graft.operators.PQIndexTx.lastOptimizePhases.set(Nil)
       val ts = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
@@ -110,18 +111,22 @@ object Bench {
         spark.catalog.clearCache()
         if (ok) Some(elapsed) else None
       }
-      if (name == "q_dedup_incremental" || name == "q_dedup_index_append" ||
-          name == "q_dedup_erase_append" || name == "q_dedup_readmit") {
-        val ph = graft.operators.DedupIndex.lastAppendPhases.get()
-        if (ph.nonEmpty) phaseLog(name) = ph
+      // WHOLE-lifecycle decomposition (last rep's): restore, erase
+      // commits, each append's phases (ap1_/ap2_ prefixed), compaction
+      // and deep-OPTIMIZE phases — the readmit/erase queries run
+      // several lifecycle calls per invocation and the old
+      // last-append-only channel hid everything before the final delta.
+      // Falls back to the last-append channel if a run dies before the
+      // lifecycle log accumulates anything.
+      if (name.startsWith("q_dedup_")) {
+        val lc = graft.operators.DedupIndex.lastLifecyclePhases.get()
+        val ap = graft.operators.DedupIndex.lastAppendPhases.get()
+        if (lc.nonEmpty) phaseLog(name) = lc
+        else if (ap.nonEmpty) phaseLog(name) = ap
       }
-      // The deep tiers' decomposition (last rep's): the one
-      // corpus-shaped job per family, split so the sweep can ask WHICH
-      // phase scales instead of reading one opaque number.
-      if (name == "q_dedup_optimize_full") {
-        val ph = graft.operators.DedupIndex.lastOptimizePhases.get()
-        if (ph.nonEmpty) phaseLog(name) = ph.map { case (n, s) => ("opt_" + n, s) }
-      }
+      // The ANN deep tier's decomposition (last rep's): the one
+      // corpus-shaped job in its family, split so the sweep can ask
+      // WHICH phase scales instead of reading one opaque number.
       if (name == "q_embed_ivfpq_retrain") {
         val ph = graft.operators.PQIndexTx.lastOptimizePhases.get()
         if (ph.nonEmpty) phaseLog(name) = ph.map { case (n, s) => ("opt_" + n, s) }

@@ -222,7 +222,17 @@ object GraphOps {
         .select(col("item").as("node")).distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
       caches += nextWide
-      val n = nextWide.count()
+      // ONE action per level (§2.6-adjacent: fewer sequential jobs):
+      // the level count (which materializes the cache) and the
+      // point-to-point early-exit probe ride the same aggregate —
+      // the separate per-hop filter/limit job this replaces doubled
+      // the level's fixed job latency.
+      val stats = nextWide.agg(count(lit(1)).as("n"),
+          stopAtNode.map(tgt => sum(when(col("node") === tgt, 1L)))
+            .getOrElse(lit(null).cast("long")).as("hit"))
+        .collect()(0)
+      val n = stats.getLong(0)
+      val hitTarget = !stats.isNullAt(1) && stats.getLong(1) > 0
       // Lineage cut on the MATERIALIZED level: persist() caches the
       // DATA but the logical plan still contains the whole BFS history,
       // and every subsequent Dataset operation re-runs the analyzer
@@ -239,11 +249,8 @@ object GraphOps {
         // Point-to-point early exit: once the caller's target is in the
         // reach set its distance is final (BFS level property), so
         // deeper expansions — including the full-graph saturating level,
-        // the most expensive one — are pure waste. One tiny filter on
-        // the just-cached level per hop.
-        if (stopAtNode.exists(tgt =>
-            nextWide.filter(col("node") === tgt).limit(1).count() > 0))
-          saturated = true
+        // the most expensive one — are pure waste.
+        if (hitTarget) saturated = true
       }
     }
     // Result handed back OFF the cache manager (see the same pattern in
@@ -310,15 +317,20 @@ object GraphOps {
         .select(col("item").as("node"), col("parent"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       levelCaches += nextWide
-      val n = nextWide.count()
+      // One action per level: count + target probe fused (see
+      // shortestPathsOverGroups).
+      val stats = nextWide.agg(count(lit(1)).as("n"),
+          sum(when(col("node") === stopAtNode, 1L)).as("hit"))
+        .collect()(0)
+      val n = stats.getLong(0)
+      val hitTarget = !stats.isNullAt(1) && stats.getLong(1) > 0
       val next = InternalCheckpoint.wrap(spark, nextWide) // lineage cut
       if (n == prevCount) saturated = true
       else {
         levels = levels :+ next.select(col("node"), lit(d.toLong).as("dist"), col("parent"))
         reach = next.select(col("node"))
         prevCount = n
-        if (nextWide.filter(col("node") === stopAtNode).limit(1).count() > 0)
-          saturated = true
+        if (hitTarget) saturated = true
       }
     }
     // First appearance wins: dist is the struct's leading field, so the

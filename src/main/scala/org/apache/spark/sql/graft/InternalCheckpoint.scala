@@ -37,6 +37,44 @@ object InternalCheckpoint {
       rdd)
   }
 
+  /** [[pin]] with a RELIABLE checkpoint — the escape hatch for
+    * preemptible/lossy executor fleets (ADR: `pin`'s localCheckpoint
+    * stores blocks UNREPLICATED on the executors that computed them
+    * with lineage truncated, so one executor death mid-job kills the
+    * query instead of recomputing; that is the right trade on local[*]
+    * and on stable fleets, where the pin exists to kill Row↔InternalRow
+    * conversion and analyzer re-walks, not for durability. On a fleet
+    * where executors are preemptible, flip the affected pin sites to
+    * this variant: rows are persisted AND written once to the
+    * checkpoint directory — a shared filesystem in production — so a
+    * lost block re-reads the checkpoint file instead of failing the
+    * job).
+    *
+    * Same contract as [[pin]]: internal rows, zero-copy serves, the
+    * returned RDD handle is caller-owned (unpersist it when done; the
+    * checkpoint FILES are reclaimed by the ContextCleaner when the RDD
+    * is garbage-collected if `spark.cleaner.referenceTracking
+    * .cleanCheckpoints` is set, or at application exit with the
+    * checkpoint dir). The persist below is deliberate: `checkpoint()`
+    * re-runs the RDD's lineage in a second job otherwise — persist
+    * makes the checkpoint write read the just-computed blocks.
+    *
+    * `checkpointDir`: used only when the context has none set yet
+    * (first call wins, Spark keeps one per context). */
+  def pinReliable(spark: SparkSession, df: DataFrame,
+                  checkpointDir: Option[String] = None)
+      : (DataFrame, RDD[InternalRow]) = {
+    val sc = spark.sparkContext
+    if (sc.getCheckpointDir.isEmpty)
+      sc.setCheckpointDir(checkpointDir.getOrElse(
+        java.nio.file.Files.createTempDirectory("graft-ckpt").toString))
+    val rdd = exec(df).toRdd.map(_.copy())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    rdd.checkpoint()
+    (spark.asInstanceOf[ClassicSparkSession].internalCreateDataFrame(rdd, df.schema),
+      rdd)
+  }
+
   /** Lineage cut WITHOUT a checkpoint: wrap `df`'s physical RDD as a
     * LogicalRDD so later actions re-analyze one leaf instead of the
     * whole upstream plan. Data still flows from whatever backs `df`
