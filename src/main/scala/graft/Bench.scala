@@ -96,6 +96,11 @@ object Bench {
       graft.operators.DedupIndex.lastLifecyclePhases.set(Nil)
       graft.operators.PQIndexTx.lastOptimizePhases.set(Nil)
       val ts = (1 to reps).flatMap { _ =>
+        // Cleared per REP (not just per query): the lifecycle log
+        // accumulates across calls, so without this the published
+        // decomposition would be a 5-rep SUM — incomparable with the
+        // per-query median second. Post-loop reads see the LAST rep's.
+        graft.operators.DedupIndex.lastLifecyclePhases.set(Nil)
         val t0 = System.nanoTime()
         val ok =
           try { act(fn(spark, sfDir)); true }

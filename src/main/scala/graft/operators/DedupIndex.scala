@@ -381,16 +381,23 @@ object DedupIndex {
     val rareCnt = grouped.filter(col("ids").isNotNull)
       .select(explode(col("ids")).as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("kc"))
-    putTable(spark, s"$dir/pairs", boundedVerify(pairCounts(grouped), d, rareCnt))
-    // Clustering reads the just-committed pairs table: zero lineage
-    // under any iterative fallback (see the fold in `append`).
+    // ONE pinned evaluation of the verified pairs serves BOTH the pairs
+    // table write and the component fold (r18; was write-then-read-back
+    // — the table round-trip serialized the two): the write commits
+    // from the pin as a background job while the edge collect + CC fold
+    // run on the caller, and the fold's input has the same shallow
+    // lineage the read-back gave (the CC caller contract).
+    val (pairsDf, pairsRdd) = org.apache.spark.sql.graft.InternalCheckpoint
+      .pin(spark, boundedVerify(pairCounts(grouped), d, rareCnt))
+    val pairsF = scala.concurrent.Future {
+      putTable(spark, s"$dir/pairs", pairsDf)
+    }
     // Driver union-find under the MaxReplaceKeys bound, distributed CC
     // above it — same split as the append fold. Components lay out
     // RANGE-CLUSTERED on doc_id: each file covers a doc_id interval,
     // so the manifest stats let `append`'s PrunedReplace rewrite only
     // the files an affected-doc set touches.
-    val pairEdges = TxTable.read(spark, s"$dir/pairs")
-      .select(col("a").as("src"), col("b").as("dst"))
+    val pairEdges = pairsDf.select(col("a").as("src"), col("b").as("dst"))
     val edgeRows = pairEdges.limit(MaxReplaceKeys + 1).collect()
     val comps =
       if (edgeRows.length <= MaxReplaceKeys)
@@ -401,8 +408,10 @@ object DedupIndex {
     putTable(spark, s"$dir/components",
       comps.repartitionByRange(col("doc_id"))
         .sortWithinPartitions(col("doc_id")))
+    scala.concurrent.Await.result(pairsF, scala.concurrent.duration.Duration.Inf)
     scala.concurrent.Await.result(docsF, scala.concurrent.duration.Duration.Inf)
     scala.concurrent.Await.result(groupsF, scala.concurrent.duration.Duration.Inf)
+    pairsRdd.unpersist(blocking = false)
     grouped.unpersist(); d.unpersist()
   }
 
@@ -494,64 +503,40 @@ object DedupIndex {
       else if (deltaIdRows0.length <= MaxReplaceKeys)
         deltaIdRows0.exists(r => openMask(r.getLong(0)))
       else !newIds.filter(col("doc_id").isInCollection(openMask)).isEmpty
-    if (collides) {
-      // Three INDEPENDENT tables' folds — overlapped (Par.all, §2.6):
-      // each fold is a small pruned-replace job chain on its own dir.
-      Par.all(Seq("docs", "components", "pairs")
-        .map(t => () => TxTable.foldDeletes(spark, s"$dir/$t")))
-      ()
-    }
-    phase("collision_fold")
-    val docsSnap = TxTable.snapshot(s"$dir/docs")
-    val docsStored = TxTable.read(spark, s"$dir/docs", docsSnap)
-    // Unique-key check via the manifest's doc_id BLOOM FILTERS: a Bloom
-    // has no false negatives, so a delta id no filter claims is PROVEN
-    // absent with zero corpus I/O — the InnoDB-unique-index probe shape
-    // at a scale where scanning the key column per batch is impossible.
-    // Only bloom-POSITIVE ids (real dupes, or ~fpp false positives)
-    // need the exact probe, and that probe's IN filter pushes to the
-    // parquet scan for row-group skipping. Fallbacks — missing blooms,
-    // an over-bound delta, or a suspect set too big for an IN list —
-    // take the exact corpus semi-join this replaces.
+    // COLLISION FOLD OVERLAPPED WITH THE MINE (r18, §2.6): the fold
+    // rewrites docs/components/pairs — table-scale pruned-replace I/O
+    // when the erased slice spreads across every file — while the whole
+    // candidate mine below reads ONLY the groups table and the pinned
+    // delta. Independent chains: the fold runs as a helper future and
+    // is JOINED right after the mine materializes, BEFORE the first
+    // docs/pairs/components read (docsSnap below), so every consumer of
+    // those tables still sees the folded state exactly as the
+    // sequential form did. If the mine aborts mid-flight the helper
+    // runs to completion detached — harmless by construction: the fold
+    // is content-transparent (masked rows were already invisible) and
+    // idempotent, the same state any crash inside the old sequential
+    // fold left behind.
+    val foldWallNanos = new java.util.concurrent.atomic.AtomicLong(0L)
+    implicit val stagingEc: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val foldF =
+      if (!collides) None
+      else Some(scala.concurrent.Future {
+        val t0 = System.nanoTime()
+        Par.all(Seq("docs", "components", "pairs")
+          .map(t => () => TxTable.foldDeletes(spark, s"$dir/$t")))
+        foldWallNanos.set(System.nanoTime() - t0)
+      })
     val deltaIdRows = deltaIdRows0 // pinned delta: the collision collect serves the probe too
-    // THREE independent prologue chains — the dupe probe, the docs
-    // segment stage write (+ its pre-computed Bloom), and the groups
-    // segment stage write below — depend only on the pinned delta and
-    // the pre-append snapshots, and nothing reads their results until
-    // the commit section. Launched as background jobs (guide §2.6:
-    // concurrent chains back-fill the executor slots each other's small
-    // stages leave idle) and JOINED — dupe REQUIRE enforced — at
+    // INDEPENDENT prologue chains — the docs segment stage write (+ its
+    // pre-computed Bloom) and the groups segment stage write below
+    // depend only on the pinned delta, and nothing reads their results
+    // until the commit section. Launched as background jobs (guide
+    // §2.6: concurrent chains back-fill the executor slots each other's
+    // small stages leave idle) and JOINED — dupe REQUIRE enforced — at
     // stage_join, before any commit makes anything visible. A crash or
     // a tripped dupe check still leaves every table at its pre-append
     // version: staged dirs are invisible until their claims.
-    implicit val stagingEc: scala.concurrent.ExecutionContext =
-      scala.concurrent.ExecutionContext.global
-    val dupeF = scala.concurrent.Future {
-      val bloomSuspects = TxTable.keyBlooms(s"$dir/docs", docsSnap, "doc_id") match {
-        case Some(bfs) if deltaIdRows.length <= MaxReplaceKeys =>
-          Some(deltaIdRows.iterator.map(_.getLong(0))
-            .filter(id => bfs.exists(_.mightContainLong(id))).toSeq)
-        case _ => None
-      }
-      val dupes = bloomSuspects match {
-        case Some(Nil) => 0L
-        case Some(suspects) if suspects.length <= 1000 =>
-          // Manifest-planned point probe (TxTable.lookupKeys): doc_id
-          // stats pruning drops every file whose range excludes all
-          // suspects, so the exact probe reads O(hit files), not the
-          // corpus — docs is doc_id-range-clustered by build/compact, so
-          // hit files ∝ suspects. The IN filter still pushes into the
-          // survivors for row-group skipping.
-          TxTable.lookupKeys(spark, s"$dir/docs", "doc_id", suspects,
-            Some(docsSnap)).select(col("doc_id")).count()
-        case _ =>
-          docsStored.select(col("doc_id"))
-            .join(broadcast(newIds), Seq("doc_id"), "left_semi").count()
-      }
-      require(dupes == 0L,
-        s"append: $dupes delta doc_ids already present in $dir/docs")
-    }
-    phase("dupe_check")
     // STAGED, not committed: a crash anywhere in this pipeline must
     // leave every table at its pre-append version (an advanced docs
     // table would make a clean re-run of the same delta trip the dupe
@@ -571,7 +556,9 @@ object DedupIndex {
       }
       u
     }
-    phase("stage_docs")
+    // Span covers the delta pin's materialization (the id collect) and
+    // the collision probe, plus the background launches above.
+    phase("pin_delta_stage_docs")
 
     // LSM-SHAPED index maintenance: the delta's own DF-capped groups
     // become a NEW SEGMENT of the `groups` table (one append-only
@@ -800,11 +787,6 @@ object DedupIndex {
         spark.createDataset(endRows.toSeq.map(_.getLong(0)))(
           org.apache.spark.sql.Encoders.scalaLong).toDF("doc_id")
       else candEnds
-    val docsCand = prunedByLongKeys(spark, s"$dir/docs", docsSnap, "doc_id",
-        endRows, MaxReplaceKeys, docsStored)
-      .unionByName(nd)
-      .join(broadcast(candEndKeys), Seq("doc_id"), "left_semi")
-      .persist(StorageLevel.MEMORY_AND_DISK)
     // Phase boundary: the endpoint collect above (endRows) materialized
     // the candidate mine (sideMerged + cands caches populate under it).
     // No separate docsCand.count() materialization (r18): the count was
@@ -813,6 +795,60 @@ object DedupIndex {
     // docsCand cache on first touch at the same cost, minus the job
     // dispatch. The endpoint fetch now times inside verify_recheck.
     phase("mine_candidates")
+    // JOIN the overlapped collision fold before the first
+    // docs/pairs/components read: everything below (dupe probe,
+    // endpoint fetch, recheck, component fold, commits) sees the folded
+    // tables exactly as the sequential form did. collision_fold_join is
+    // the residual tail not hidden under the mine; collision_fold_wall
+    // (pseudo-phase, like commit_harvest) is the fold's own wall time,
+    // an OVERLAP of mine_candidates, not an addition.
+    foldF.foreach(f => scala.concurrent.Await.result(
+      f, scala.concurrent.duration.Duration.Inf))
+    phase("collision_fold_join")
+    if (foldF.nonEmpty)
+      phases += "collision_fold_wall" -> foldWallNanos.get() / 1e9
+    val docsSnap = TxTable.snapshot(s"$dir/docs")
+    val docsStored = TxTable.read(spark, s"$dir/docs", docsSnap)
+    // Unique-key check via the manifest's doc_id BLOOM FILTERS: a Bloom
+    // has no false negatives, so a delta id no filter claims is PROVEN
+    // absent with zero corpus I/O — the InnoDB-unique-index probe shape
+    // at a scale where scanning the key column per batch is impossible.
+    // Only bloom-POSITIVE ids (real dupes, or ~fpp false positives)
+    // need the exact probe, and that probe's IN filter pushes to the
+    // parquet scan for row-group skipping. Fallbacks — missing blooms,
+    // an over-bound delta, or a suspect set too big for an IN list —
+    // take the exact corpus semi-join this replaces. Background job,
+    // REQUIRE enforced at stage_join, before any commit.
+    val dupeF = scala.concurrent.Future {
+      val bloomSuspects = TxTable.keyBlooms(s"$dir/docs", docsSnap, "doc_id") match {
+        case Some(bfs) if deltaIdRows.length <= MaxReplaceKeys =>
+          Some(deltaIdRows.iterator.map(_.getLong(0))
+            .filter(id => bfs.exists(_.mightContainLong(id))).toSeq)
+        case _ => None
+      }
+      val dupes = bloomSuspects match {
+        case Some(Nil) => 0L
+        case Some(suspects) if suspects.length <= 1000 =>
+          // Manifest-planned point probe (TxTable.lookupKeys): doc_id
+          // stats pruning drops every file whose range excludes all
+          // suspects, so the exact probe reads O(hit files), not the
+          // corpus — docs is doc_id-range-clustered by build/compact, so
+          // hit files ∝ suspects. The IN filter still pushes into the
+          // survivors for row-group skipping.
+          TxTable.lookupKeys(spark, s"$dir/docs", "doc_id", suspects,
+            Some(docsSnap)).select(col("doc_id")).count()
+        case _ =>
+          docsStored.select(col("doc_id"))
+            .join(broadcast(newIds), Seq("doc_id"), "left_semi").count()
+      }
+      require(dupes == 0L,
+        s"append: $dupes delta doc_ids already present in $dir/docs")
+    }
+    val docsCand = prunedByLongKeys(spark, s"$dir/docs", docsSnap, "doc_id",
+        endRows, MaxReplaceKeys, docsStored)
+      .unionByName(nd)
+      .join(broadcast(candEndKeys), Seq("doc_id"), "left_semi")
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // Local checkpoint = persist + LINEAGE CUT: three later actions
     // (the pairs stage write, the edge checkpoint, the components stage
     // write) re-analyze this frame's logical plan each time; with the
